@@ -1,13 +1,482 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.TextOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is a declared operator from SURVEY.md §2
+  * (reference parity) or a beyond-reference extension (joins, windows,
+  * set ops, training-data pipeline ops). Entries with a matching key in
+  * [[oracleSql]] are hash-checked against DuckDB on the same parquet;
+  * the rest get a rows-only check.
+  *
+  * Determinism rules applied throughout (SURVEY §7.4 item 5):
+  *   - every query ends in a total ORDER BY (row order must match);
+  *   - money sums go through DecimalType(18,s) so they are exact and
+  *     shuffle-order-independent, then cast back to double;
+  *   - all computed columns are aliased identically in Spark and SQL.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact, order-independent sum of a double column: route through
+    * decimal so 100-TB shuffles cannot produce run-to-run float drift. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  private def dsumSql(expr: String, scale: Int = 2): String =
+    s"cast(sum(cast($expr as decimal(18,$scale))) as double)"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_join_agg")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------
+  // Queries. Signature: (session, sfDir) => DataFrame.
+  // ------------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- reference parity (SURVEY §2.1-2.4) -------------------------
+
+    // Scan + Filter(=) + Projection — the reference's canonical shape
+    // (reference src/execution/mod.rs:55-85).
+    "q_filter_project" -> ((s, d) => {
+      t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // HashAggregate with min/max/count/sum/avg — the reference's declared
+    // aggregate surface done right (SURVEY §2.6 items 3,4,7,8).
+    "q1_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+            / count(lit(1)), 4).as("avg_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // CAST in aggregation context (SURVEY §2.6 item 5; reference
+    // src/logical_plan/mod.rs:694-701 casts before aggregating).
+    "q_cast_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          max(col("l_orderkey").cast("string")).as("max_key_str"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Working Limit (SURVEY §2.6 item 2) as deterministic top-k.
+    "q_limit_topk" -> ((s, d) => {
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .limit(10)
+    }),
+
+    // ---- joins (beyond reference — SURVEY §2.3) ---------------------
+
+    // Multi-way star join with broadcast dims: revenue per nation in one
+    // region. region/nation are O(10) rows at any SF → broadcast;
+    // lineitem⋈orders⋈customer are co-keyed shuffle joins AQE handles.
+    "q_join_agg" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val o  = t(s, d, "orders")
+      val c  = t(s, d, "customer")
+      val n  = t(s, d, "nation")
+      val r  = t(s, d, "region").filter(col("r_name") === "EUROPE")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Broadcast-hash join + aggregate over the fact table.
+    "q_join_broadcast" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Left-semi join (EXISTS).
+    "q_semi_join" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 400000.0)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Left-anti join (NOT EXISTS): customers with no high-value order.
+    "q_anti_join" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 400000.0)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- sorts / windows / set ops / grouping extensions ------------
+
+    // Ranking window: top-3 line items per return flag.
+    "q_window_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+      t(s, d, "lineitem")
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 3)
+        .select(col("l_returnflag"), col("rn"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_returnflag"), col("rn"))
+    }),
+
+    // Running-total analytic window (exact decimal accumulation).
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "lineitem")
+        .filter(col("l_suppkey") < 5)
+        .withColumn("running_qty",
+          sum(col("l_quantity").cast(DecimalType(18, 2))).over(w)
+            .cast("double"))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"), col("running_qty"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"))
+    }),
+
+    // Set operations.
+    "q_union" -> ((s, d) => {
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .distinct()
+        .orderBy(col("nk"))
+    }),
+    "q_intersect" -> ((s, d) => {
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy(col("nk"))
+    }),
+    "q_except" -> ((s, d) => {
+      t(s, d, "customer").select(col("c_custkey").as("k"))
+        .except(t(s, d, "orders").filter(col("o_totalprice") > 400000.0)
+          .select(col("o_custkey").as("k")))
+        .orderBy(col("k"))
+    }),
+
+    // DISTINCT.
+    "q_distinct" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority"))
+        .distinct()
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+    // ROLLUP grouping sets (nulls coalesced to 'ALL' for a stable sort).
+    "q_rollup" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+
+    // HAVING (post-aggregation filter).
+    "q_having" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("n") >= 100)
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // Date-part extraction + aggregation.
+    "q_date_agg" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("yr"), col("mo"))
+    }),
+
+    // CASE WHEN + string functions in group keys.
+    "q_case_expr" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(
+          when(substring(col("o_orderpriority"), 1, 1) === "1", "urgent")
+            .when(substring(col("o_orderpriority"), 1, 1) === "2", "high")
+            .otherwise("normal").as("prio_class"),
+          upper(col("o_orderstatus")).as("status"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("prio_class"), col("status"))
+    }),
+
+    // String functions + aggregation over documents.
+    "q_string_agg" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(substring(col("text"), 1, 8)).as("min_prefix"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- training-data pipeline: text analysis ----------------------
+
+    "text_token_count" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_quality" -> ((s, d) => {
+      TextOps.quality(t(s, d, "documents"), col("text"), col("n_chars"))
+        .select(col("doc_id"), col("n_tokens"), col("stop_cnt"),
+          col("chars_per_token"), col("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_langid" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(TextOps.langId(col("text")).as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("pred_lang"))
+    }),
+
+    "text_fingerprint" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- training-data pipeline: dedup ------------------------------
+
+    // Exact dedup: keep lowest doc_id per identical text.
+    "dedup_exact" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- multimodal plumbing ---------------------------------------
+
+    // Opaque-binary column handling: bytes + content hash over a binary
+    // payload column (text encoded as the stand-in payload; the decode
+    // step itself is stubbed — see graft.ops.Multimodal).
+    "multimodal_meta" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          octet_length(col("text")).cast("bigint").as("n_bytes"),
+          sha2(col("text").cast("binary"), 256).as("content_hash"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle SQL — same tables, same column aliases, same ORDER BY.
+  // ------------------------------------------------------------------
+  def oracleSql: Map[String, String] = Map(
+    "q_filter_project" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_price,
+         |  min(l_quantity) AS min_qty,
+         |  max(l_quantity) AS max_qty,
+         |  count(*) AS n_rows,
+         |  round(cast(sum(cast(l_quantity as decimal(18,2))) as double)
+         |        / count(*), 4) AS avg_qty
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_cast_agg" ->
+      """SELECT l_returnflag, max(cast(l_orderkey as varchar)) AS max_key_str,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_limit_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_join_agg" ->
+      s"""SELECT n_name,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |WHERE r_name = 'EUROPE'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_join_broadcast" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |        row_number() OVER (PARTITION BY l_returnflag
+        |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+        |          AS rn
+        |      FROM lineitem) sub
+        |WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |  cast(sum(cast(l_quantity as decimal(18,2))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double)
+        |    AS running_qty
+        |FROM lineitem WHERE l_suppkey < 5
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_union" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT SELECT o_custkey AS k FROM orders
+        |        WHERE o_totalprice > 400000.0
+        |ORDER BY k""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+         |  coalesce(l_linestatus, 'ALL') AS ls,
+         |  count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY rf, ls""".stripMargin,
+
+    "q_having" ->
+      s"""SELECT l_suppkey, count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_suppkey HAVING count(*) >= 100
+         |ORDER BY l_suppkey""".stripMargin,
+
+    "q_date_agg" ->
+      s"""SELECT cast(year(o_orderdate) as integer) AS yr,
+         |  cast(month(o_orderdate) as integer) AS mo,
+         |  count(*) AS n, ${dsumSql("o_totalprice")} AS total
+         |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin,
+
+    "q_case_expr" ->
+      s"""SELECT CASE WHEN substr(o_orderpriority, 1, 1) = '1' THEN 'urgent'
+         |            WHEN substr(o_orderpriority, 1, 1) = '2' THEN 'high'
+         |            ELSE 'normal' END AS prio_class,
+         |  upper(o_orderstatus) AS status,
+         |  count(*) AS n, ${dsumSql("o_totalprice")} AS total
+         |FROM orders GROUP BY prio_class, status
+         |ORDER BY prio_class, status""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT source, count(*) AS n_docs,
+        |  cast(sum(n_chars) as bigint) AS total_chars,
+        |  min(substr(text, 1, 8)) AS min_prefix
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_token_count" ->
+      s"""SELECT doc_id, ${TextOps.sql.tokenCount} AS n_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  ${TextOps.sql.tokenCount} AS n_tokens,
+         |  cast(${TextOps.sql.patCount(TextOps.sql.stopword)} as bigint)
+         |    AS stop_cnt,
+         |  round(cast(n_chars as double)
+         |        / ${TextOps.sql.tokenCount}, 4) AS chars_per_token,
+         |  round(least(1.0, ${TextOps.sql.tokenCount} / 100.0) *
+         |    (1.0 - cast(${TextOps.sql.patCount(TextOps.sql.stopword)} as double)
+         |           / ${TextOps.sql.tokenCount}), 4) AS quality_score
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH scored AS (
+         |  SELECT ${TextOps.sql.patCount(TextOps.sql.en)} AS s_en,
+         |         ${TextOps.sql.patCount(TextOps.sql.fr)} AS s_fr,
+         |         ${TextOps.sql.patCount(TextOps.sql.es)} AS s_es,
+         |         ${TextOps.sql.patCount(TextOps.sql.de)} AS s_de,
+         |         ${TextOps.sql.patCount(TextOps.sql.zh)} AS s_zh
+         |  FROM documents)
+         |SELECT CASE WHEN s_zh > 0 THEN 'zh'
+         |            WHEN s_en >= greatest(s_fr, s_es, s_de) THEN 'en'
+         |            WHEN s_fr >= greatest(s_es, s_de) THEN 'fr'
+         |            WHEN s_es >= s_de THEN 'es'
+         |            ELSE 'de' END AS pred_lang,
+         |  count(*) AS n
+         |FROM scored GROUP BY pred_lang ORDER BY pred_lang""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id, ${TextOps.sql.fingerprint} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id, strlen(text) AS n_bytes, sha256(text) AS content_hash
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

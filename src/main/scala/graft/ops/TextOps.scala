@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * All operators are pure column expressions (whole-stage-codegen
+  * friendly — no UDFs), so at 100 TB they run embarrassingly parallel
+  * inside the scan stage with zero shuffle. Each has an exact ANSI-SQL
+  * mirror used by the DuckDB oracle (patterns shared below so the two
+  * sides cannot drift).
+  *
+  * The reference engine has no scalar function surface at all (SURVEY
+  * §2.5; reference src/logical_plan/mod.rs:312-425 is the entire
+  * expression language), so these are beyond-reference extensions.
+  */
+object TextOps {
+
+  /** Stopword marker pattern — shared between Spark (Java regex) and
+    * DuckDB (RE2); both dialects support \b word boundaries. */
+  val StopwordPattern = "\\b(the|a)\\b"
+
+  /** Language marker lexicons for the n-gram/marker-word language-ID
+    * heuristic. Deterministic tie-break order: zh > en > fr > es > de. */
+  val EnPattern = "\\b(the|a|is|and|of)\\b"
+  val FrPattern = "\\b(le|la|et|est|les)\\b"
+  val EsPattern = "\\b(el|en|y|es|los)\\b"
+  val DePattern = "\\b(der|die|und|ist|das)\\b"
+  val ZhPattern = "[\\x{4e00}-\\x{9fff}]"
+
+  /** Whitespace token count (codegen'd; no UDF). */
+  def tokenCount(text: Column): Column =
+    size(split(text, " ")).cast("bigint")
+
+  private def patCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Per-document quality metrics: token count, stopword count,
+    * chars-per-token, and a [0,1] quality score combining length and
+    * stopword density. */
+  def quality(df: DataFrame, text: Column, nChars: Column): DataFrame = {
+    val nTokens = tokenCount(text)
+    val stopCnt = patCount(text, StopwordPattern).cast("bigint")
+    df.withColumn("n_tokens", nTokens)
+      .withColumn("stop_cnt", stopCnt)
+      .withColumn("chars_per_token",
+        round(nChars.cast("double") / col("n_tokens"), 4))
+      .withColumn("quality_score",
+        round(least(lit(1.0), col("n_tokens") / lit(100.0)) *
+          (lit(1.0) - col("stop_cnt").cast("double") / col("n_tokens")), 4))
+  }
+
+  /** Marker-word language ID. Same CASE cascade as the oracle SQL. */
+  def langId(text: Column): Column = {
+    val en = patCount(text, EnPattern)
+    val fr = patCount(text, FrPattern)
+    val es = patCount(text, EsPattern)
+    val de = patCount(text, DePattern)
+    val zh = patCount(text, ZhPattern)
+    when(zh > 0, "zh")
+      .when(en >= greatest(fr, es, de), "en")
+      .when(fr >= greatest(es, de), "fr")
+      .when(es >= de, "es")
+      .otherwise("de")
+  }
+
+  /** Key-collision fingerprint: md5 of the sorted distinct token set.
+    * Two documents with the same bag-of-words collide regardless of
+    * word order / repetition — a standard near-dup blocking key. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(text, " ")))))
+
+  /** ANSI-SQL mirrors (DuckDB dialect) for the oracle. */
+  object sql {
+    val tokenCount = "cast(len(string_split(text, ' ')) as bigint)"
+    def patCount(pattern: String): String =
+      s"len(regexp_extract_all(text, '$pattern'))"
+    val fingerprint =
+      "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))"
+    // DuckDB regex strings use the same \b / \x{...} syntax as Java here,
+    // but single-backslash escaping inside SQL literals.
+    val stopword = "\\b(the|a)\\b"
+    val en = "\\b(the|a|is|and|of)\\b"
+    val fr = "\\b(le|la|et|est|les)\\b"
+    val es = "\\b(el|en|y|es|los)\\b"
+    val de = "\\b(der|die|und|ist|das)\\b"
+    val zh = "[\\x{4e00}-\\x{9fff}]"
+  }
+}
