@@ -289,7 +289,89 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // MinHash-LSH near-dup: shingle → signature → band → bucket join →
+    // exact-Jaccard verify (graft.ops.DedupOps). Rows-only check (the
+    // sketch pipeline is not expressible in ANSI SQL).
+    "dedup_minhash" -> ((s, d) => {
+      ops.DedupOps.minhashDedupSummary(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // SimHash near-dup: 64-bit signature + banded Hamming blocking.
+    "dedup_simhash" -> ((s, d) => {
+      ops.DedupOps.simhashSummary(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // n-gram Jaccard near-dup via df-pruned inverted index.
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      ops.DedupOps.ngramJaccardSummary(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Embedding-cosine near-dup via hyperplane LSH + exact verify.
+    "dedup_embedding" -> ((s, d) => {
+      ops.AnnOps.embeddingDupSummary(t(s, d, "embeddings"), "vec_id",
+        "embedding").orderBy(col("vec_id"))
+    }),
+
+    // ---- similarity search ------------------------------------------
+
+    // Exact brute-force cosine top-10 for 5 query vectors (fused native
+    // kernel + broadcast queries).
+    "ann_brute" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      ops.AnnOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH-bucketed approximate top-10 (the 100-TB path; recall < 1 by
+    // construction → rows-only check).
+    "ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      ops.AnnOps.lshTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- events (timestamped stream table, batch view) --------------
+
+    // Tumbling-hour aggregation over the event stream. ts arrives as a
+    // nanosecond-epoch long (see Tables.load); integer `div` keeps the
+    // truncation exact (a double division would lose precision above
+    // 2^53 ns).
+    "q_events_hourly" -> ((s, d) => {
+      val hourUs = expr("ts div 3600000000000") * lit(3600000000L)
+      t(s, d, "events")
+        .groupBy(timestamp_micros(hourUs).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // Semi-structured JSON extraction from the props column.
+    "q_events_json" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(get_json_object(col("props"), "$.k").cast("bigint")).as("sum_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- multimodal plumbing ---------------------------------------
+
+    // Batch decode over a binary media column (Dataset mapPartitions —
+    // the Scala analogue of mapInPandas; decode itself is a
+    // deterministic stub, see graft.ops.Multimodal.MediaDecoder).
+    "multimodal_decode" -> ((s, d) => {
+      ops.Multimodal.decodeAll(s,
+        ops.Multimodal.mediaTable(t(s, d, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"), col("format"),
+          col("n_bytes"))
+        .orderBy(col("doc_id"))
+    }),
 
     // Opaque-binary column handling: bytes + content hash over a binary
     // payload column (text encoded as the stand-in payload; the decode
@@ -477,6 +559,47 @@ object SparkEntry {
 
     "multimodal_meta" ->
       """SELECT doc_id, strlen(text) AS n_bytes, sha256(text) AS content_hash
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirrors MediaDecoder.decode's deterministic stub arithmetic on the
+    // first two payload bytes (ASCII text ⇒ byte == codepoint).
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        |  cast(ascii(substr(text, 1, 1)) % 64 + 16 as integer) AS width,
+        |  cast(ascii(substr(text, 2, 1)) % 64 + 16 as integer) AS height,
+        |  CASE ascii(substr(text, 1, 1)) % 3 WHEN 0 THEN 'png'
+        |       WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+        |  strlen(text) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ann_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |             cast(embedding as DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.qvec, cast(e.embedding as DOUBLE[]))
+        |      AS sim
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_events_hourly" ->
+      s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+         |  count(*) AS n, ${dsumSql("value")} AS total_value
+         |FROM events GROUP BY hour, event_type
+         |ORDER BY hour, event_type""".stripMargin,
+
+    "q_events_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  cast(sum(cast(regexp_extract(props, '"k": ([0-9]+)', 1)
+        |        as bigint)) as bigint) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

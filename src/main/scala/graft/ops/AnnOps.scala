@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions, VectorFunctions}
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>). Beyond-reference extension (SURVEY §2.5 — the
+  * reference has no vector surface).
+  *
+  * Two paths:
+  *  - brute force: broadcast the query set, fused cosine kernel
+  *    ([[graft.functions.CosineSimilarity]]) over every (query, corpus)
+  *    pair, per-query top-k. Exact; one pass over the corpus; scales
+  *    linearly in corpus size — the right baseline when the query set
+  *    is small enough to broadcast.
+  *  - LSH-bucketed: deterministic random-hyperplane signs bucket the
+  *    corpus; a query only scans buckets matching one of its sign-bit
+  *    bands (multi-probe via banding, same pigeonhole trick as
+  *    SimHash). Approximate; candidate volume drops by the bucket
+  *    selectivity, which is what survives a 100-TB corpus.
+  *
+  * The per-query top-k shuffles on query id. With a broadcastable query
+  * set the partial_topk → final merge is handled by Spark's window +
+  * filter over (query partitions); at extreme corpus scale swap the
+  * window for a two-phase agg (per-partition top-k then merge) — noted
+  * in BENCH notes.
+  */
+object AnnOps {
+
+  /** Brute-force exact top-k cosine neighbors for each query row.
+    * `queries` must be small (it is broadcast). Ties break on
+    * neighbor id for full determinism. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("query_vec")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("vec"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", VectorFunctions.cosineSim(col("query_vec"),
+        col("vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** Deterministic random-hyperplane sign bits for a vector: bit p is
+    * the sign of <v, h_p> where h_p's components are pseudo-random in
+    * [-1, 1] derived from hash(p, dim) — no RNG state, so every
+    * executor derives identical hyperplanes. Expressed with built-in
+    * higher-order functions (codegen'd). */
+  def hyperplaneBits(vec: Column, nbits: Int): Column = {
+    val bitCols = (0 until nbits).map { p =>
+      // <v, h_p> via aggregate over the element index
+      val dotp = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
+          x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotp >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Pseudo-random hyperplane component in [-1, 1] from (plane, dim). */
+  private def planeComponent(p: Int, i: Column): Column = {
+    // 32-bit murmur of (p, i) → scale to [-1, 1]
+    (hash(lit(p), i).cast("double") / lit(Int.MaxValue.toDouble))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share at least one
+    * 8-bit band of the `nbits`-bit hyperplane signature with the query.
+    * Recall < 1 by construction; candidate volume (and thus cost) is
+    * bucket-bounded. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nbits: Int = 16): DataFrame = {
+    require(nbits % 8 == 0, "nbits must be a multiple of 8")
+    val nBands = nbits / 8
+    def withBands(df: DataFrame, side: String): DataFrame = {
+      val renamed = df.select(col(idCol).as(s"${side}_id"),
+        col(vecCol).as(s"${side}_vec"))
+      val bandVals = (0 until nBands).map(b =>
+        shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(0xffL)))
+      renamed
+        .withColumn("sig", hyperplaneBits(col(s"${side}_vec"), nbits))
+        .select(col(s"${side}_id"), col(s"${side}_vec"),
+          posexplode(array(bandVals: _*)))
+        .withColumnRenamed("pos", "band_id")
+        .withColumnRenamed("col", "band_val")
+    }
+    val qb = broadcast(withBands(queries, "query"))
+    val cb = withBands(corpus, "neighbor")
+    val candidates = cb.join(qb, Seq("band_id", "band_val"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("query_vec"), col("neighbor_id"),
+        col("neighbor_vec"))
+      .distinct()
+      .withColumn("sim", VectorFunctions.cosineSim(col("query_vec"),
+        col("neighbor_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    candidates
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: hyperplane-LSH banded
+    * blocking over the corpus against itself, then exact cosine
+    * verification at `threshold`. The embedding-space analogue of
+    * [[DedupOps.minhashPairs]]. */
+  def embeddingDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nbits: Int = 16): DataFrame = {
+    require(nbits % 8 == 0, "nbits must be a multiple of 8")
+    val nBands = nbits / 8
+    val sig = hyperplaneBits(col(vecCol), nbits)
+    val bandVals = (0 until nBands).map(b =>
+      shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(0xffL)))
+    val banded = corpus.select(col(idCol), col(vecCol))
+      .withColumn("sig", sig)
+      .select(col(idCol), col(vecCol), posexplode(array(bandVals: _*)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_val")
+    val a = banded.select(col("band_id"), col("band_val"), col(idCol).as("a"))
+    val b = banded.select(col("band_id"), col("band_val"), col(idCol).as("b"))
+    val pairs = a.join(b, Seq("band_id", "band_val"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    pairs
+      .join(vecs.select(col(idCol).as("a"), col(vecCol).as("vec_a")), Seq("a"))
+      .join(vecs.select(col(idCol).as("b"), col(vecCol).as("vec_b")), Seq("b"))
+      .withColumn("cosine", VectorFunctions.cosineSim(col("vec_a"),
+        col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Per-vector near-dup summary (stable one-row-per-vector shape even
+    * when no pair crosses the threshold): LSH-bucket candidate count and
+    * the max verified cosine against any candidate. */
+  def embeddingDupSummary(corpus: DataFrame, idCol: String, vecCol: String,
+      nbits: Int = 16): DataFrame = {
+    val nBands = nbits / 8
+    val sig = hyperplaneBits(col(vecCol), nbits)
+    val bandVals = (0 until nBands).map(b =>
+      shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(0xffL)))
+    val banded = corpus.select(col(idCol), col(vecCol))
+      .withColumn("sig", sig)
+      .select(col(idCol), col(vecCol), posexplode(array(bandVals: _*)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_val")
+    val a = banded.select(col("band_id"), col("band_val"), col(idCol).as("a"))
+    val b = banded.select(col("band_id"), col("band_val"), col(idCol).as("b"))
+    val pairs = a.join(b, Seq("band_id", "band_val"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    val scored = pairs
+      .join(vecs.select(col(idCol).as("a"), col(vecCol).as("vec_a")), Seq("a"))
+      .join(vecs.select(col(idCol).as("b"), col(vecCol).as("vec_b")), Seq("b"))
+      .withColumn("cosine", VectorFunctions.cosineSim(col("vec_a"),
+        col("vec_b")))
+    val perVec = scored.groupBy(col("a").as("id")).agg(
+      count(lit(1)).as("n_candidates"),
+      round(max(col("cosine")), 4).as("max_cosine"))
+    corpus.select(col(idCol).as("id"))
+      .join(perVec, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("max_cosine"), lit(-1.0)).as("max_cosine"))
+  }
+}

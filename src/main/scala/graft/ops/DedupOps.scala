@@ -1,0 +1,206 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+
+/** Near-duplicate detection for large-scale training-data pipelines.
+  *
+  * Four families (the reference has no dedup surface at all — these are
+  * beyond-reference extensions):
+  *
+  *  - exact:        hash-groupBy on the raw text (one shuffle on text)
+  *  - MinHash+LSH:  shingle → k-lane minhash signature → band → bucket
+  *                  self-join → exact-Jaccard verification (Broder '97)
+  *  - SimHash:      64-bit simhash → 4×16-bit band blocking → Hamming
+  *                  verification (Charikar '02; pigeonhole: ≤3 differing
+  *                  bits ⇒ at least one of 4 bands identical)
+  *  - n-gram Jaccard: inverted index on document-frequency-pruned
+  *                  character n-grams → candidate pairs → exact Jaccard
+  *
+  * Scale notes (100 TB): every method is generate-candidates-then-verify
+  * — no all-pairs product anywhere. Candidate generation shuffles on
+  * (band, hash) or n-gram keys; hot buckets are bounded (maxBucket /
+  * maxDf caps) so one degenerate key cannot create a quadratic task.
+  * Verification joins are equi-joins on doc ids, which AQE plans as
+  * broadcast or shuffle-hash depending on candidate volume.
+  */
+object DedupOps {
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** n-word shingles of a token array (single-element fallback for
+    * short docs so every doc has a non-empty shingle set). */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  /** Distinct character n-grams of a string. */
+  def ngramArray(text: Column, n: Int): Column = {
+    val t = lower(text)
+    when(length(t) >= n,
+      array_distinct(transform(sequence(lit(1), length(t) - (n - 1)),
+        i => t.substr(i, lit(n)))))
+      .otherwise(array(t))
+  }
+
+  /** doc → (band_id, band_hash) rows for MinHash-LSH blocking. */
+  private def bandExplode(withSig: DataFrame, idCol: String, k: Int,
+      bands: Int): DataFrame = {
+    val r = k / bands
+    withSig.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * lit(r) + 1, lit(r))))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_hash")
+  }
+
+  /** Candidate pairs (a < b) whose minhash signatures collide in at
+    * least one LSH band. `maxBucket` caps degenerate buckets (e.g. the
+    * empty document) so no single bucket goes quadratic at scale. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, shingleN: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val withSig = docs.select(col(idCol),
+      HashFunctions.minhashSignature(
+        array_distinct(wordShingles(tokens(col(textCol)), shingleN)), k)
+        .as("sig"))
+    val bandsDf = bandExplode(withSig, idCol, k, bands)
+    val bounded = bandsDf
+      .withColumn("bucket_n", count(lit(1))
+        .over(Window.partitionBy(col("band_id"), col("band_hash"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val a = bounded.select(col("band_id"), col("band_hash"),
+      col(idCol).as("a"))
+    val b = bounded.select(col("band_id"), col("band_hash"),
+      col(idCol).as("b"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs with exact-Jaccard verification.
+    * Returns one row per candidate pair with its true shingle Jaccard.
+    */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame = {
+    val cand = minhashCandidates(docs, idCol, textCol, k, bands, shingleN)
+    val shingleSets = docs.select(col(idCol),
+      array_distinct(wordShingles(tokens(col(textCol)), shingleN))
+        .as("shingles"))
+    cand
+      .join(shingleSets.select(col(idCol).as("a"),
+        col("shingles").as("sh_a")), Seq("a"))
+      .join(shingleSets.select(col(idCol).as("b"),
+        col("shingles").as("sh_b")), Seq("b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Per-document near-dup summary via MinHash-LSH: candidate count,
+    * verified-duplicate count at `threshold`, and the smallest verified
+    * partner id (-1 if none). One row per input doc — stable output
+    * shape for the correctness gate. */
+  def minhashDedupSummary(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashPairs(docs, idCol, textCol)
+    // symmetrize so each doc sees its partners regardless of pair order
+    val sym = pairs.select(col("a").as("id"), col("b").as("partner"),
+        col("jaccard"))
+      .union(pairs.select(col("b").as("id"), col("a").as("partner"),
+        col("jaccard")))
+    val perDoc = sym.groupBy(col("id")).agg(
+      count(lit(1)).as("n_candidates"),
+      sum(when(col("jaccard") >= threshold, 1L).otherwise(0L)).as("n_dups"),
+      min(when(col("jaccard") >= threshold, col("partner"))).as("dup_partner"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("dup_partner"), lit(-1L)).as("dup_partner"))
+  }
+
+  /** Per-document SimHash near-dup summary: the 64-bit simhash and the
+    * number of documents within `maxHamming` bits (banded blocking, then
+    * exact popcount verification). */
+  def simhashSummary(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val withSh = docs.select(col(idCol),
+      HashFunctions.simhash64(tokens(col(textCol))).as("simhash"))
+    // 4 bands of 16 bits: any pair within Hamming 3 shares ≥1 band.
+    val bandVals = (0 until 4).map(b =>
+      shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)))
+    val banded = withSh.select(col(idCol), col("simhash"),
+      posexplode(array(bandVals: _*)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_val")
+    val a = banded.select(col("band_id"), col("band_val"),
+      col(idCol).as("a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band_id"), col("band_val"),
+      col(idCol).as("b"), col("simhash").as("sh_b"))
+    val near = a.join(b, Seq("band_id", "band_val"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming)
+    val sym = near.select(col("a").as("id"))
+      .union(near.select(col("b").as("id")))
+    val counts = sym.groupBy(col("id")).agg(count(lit(1)).as("n_near"))
+    withSh.join(counts.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("simhash"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+  }
+
+  /** Character-n-gram Jaccard near-dup pairs via a document-frequency-
+    * pruned inverted index: only n-grams appearing in 2..maxDf docs
+    * generate candidates (ubiquitous n-grams carry no signal and would
+    * dominate the shuffle at scale; singletons cannot form pairs). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, maxDf: Int = 20): DataFrame = {
+    val grams = docs.select(col(idCol), ngramArray(col(textCol), n)
+      .as("grams"))
+    val inv = grams.select(col(idCol), explode(col("grams")).as("gram"))
+    val rare = inv.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+    val candidates = inv.join(rare.select(col("gram")), Seq("gram"))
+    val a = candidates.select(col("gram"), col(idCol).as("a"))
+    val b = candidates.select(col("gram"), col(idCol).as("b"))
+    val pairs = a.join(b, Seq("gram")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    pairs
+      .join(grams.select(col(idCol).as("a"), col("grams").as("g_a")), Seq("a"))
+      .join(grams.select(col(idCol).as("b"), col("grams").as("g_b")), Seq("b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b"))))
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Per-document n-gram Jaccard summary: best partner + max Jaccard. */
+  def ngramJaccardSummary(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, maxDf: Int = 20): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, n, maxDf)
+    val sym = pairs.select(col("a").as("id"), col("b").as("partner"),
+        col("jaccard"))
+      .union(pairs.select(col("b").as("id"), col("a").as("partner"),
+        col("jaccard")))
+    val perDoc = sym.groupBy(col("id")).agg(
+      round(max(col("jaccard")), 4).as("max_jaccard"),
+      count(lit(1)).as("n_candidates"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+  }
+}
