@@ -1,0 +1,67 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.StructType
+
+/** Lazy relational frame mirroring the reference's `Dataframe` trait
+  * (reference src/dataframe/mod.rs:13-24: schema / project / filter /
+  * aggregate / logical_plan) plus the pieces the reference declared but
+  * never made executable (limit — SURVEY §2.6 item 2) and the
+  * beyond-reference extensions (join, sort, union).
+  *
+  * Each method wraps the underlying Catalyst logical plan in a new
+  * immutable node and returns a new frame — the same builder discipline
+  * as the reference (dataframe/mod.rs:26-56), with Catalyst as the
+  * optimizer instead of the reference's single pushdown rule.
+  */
+class GraftFrame private[api] (val df: DataFrame) {
+
+  def schema: StructType = df.schema
+
+  /** Reference `project(exprs)` (dataframe/mod.rs:33-38). */
+  def project(exprs: Column*): GraftFrame = new GraftFrame(df.select(exprs: _*))
+
+  /** Reference `filter(expr)` (dataframe/mod.rs:40-45). */
+  def filter(cond: Column): GraftFrame = new GraftFrame(df.filter(cond))
+
+  /** Reference `aggregate(group_expr, aggregate_expr)`
+    * (dataframe/mod.rs:47-56). */
+  def aggregate(groupExpr: Seq[Column], aggExpr: Seq[Column]): GraftFrame =
+    new GraftFrame(
+      if (groupExpr.isEmpty) df.agg(aggExpr.head, aggExpr.tail: _*)
+      else df.groupBy(groupExpr: _*).agg(aggExpr.head, aggExpr.tail: _*))
+
+  /** Working limit — the reference declared `Limit` but could neither
+    * build nor plan it (SURVEY §2.6 item 2). */
+  def limit(n: Int): GraftFrame = new GraftFrame(df.limit(n))
+
+  /** Column by position — the reference's `#index` expression
+    * (logical_plan/mod.rs:353-373), resolved against this frame's
+    * schema. */
+  def colAt(index: Int): Column = df.col(df.columns(index))
+
+  // ---- beyond-reference extensions --------------------------------
+
+  def join(other: GraftFrame, cond: Column,
+      how: String = "inner"): GraftFrame =
+    new GraftFrame(df.join(other.df, cond, how))
+
+  def sort(exprs: Column*): GraftFrame = new GraftFrame(df.orderBy(exprs: _*))
+
+  def union(other: GraftFrame): GraftFrame = new GraftFrame(df.union(other.df))
+
+  def distinct(): GraftFrame = new GraftFrame(df.distinct())
+
+  // ---- inspection / execution -------------------------------------
+
+  /** The reference's `format(plan)` pretty-printer analogue
+    * (logical_plan/mod.rs:34-45): the optimized logical plan. */
+  def explainLogical(): String = df.queryExecution.optimizedPlan.toString
+
+  /** Physical plan string (reference physical_plan/mod.rs:32-43). */
+  def explainPhysical(): String = df.queryExecution.executedPlan.toString
+
+  def collect(): Array[Row] = df.collect()
+
+  def count(): Long = df.count()
+}

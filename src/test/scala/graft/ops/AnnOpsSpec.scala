@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+
+class AnnOpsSpec extends SparkSpec {
+
+  lazy val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+
+  test("brute-force top-k: correct count, ordering, and best neighbor") {
+    val res = AnnOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 5).collect()
+    assert(res.length == 15) // 3 queries × 5 neighbors
+    val byQuery = res.groupBy(_.getLong(0))
+    byQuery.foreach { case (_, rows) =>
+      val sims = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        "similarities must be non-increasing in rank")
+    }
+    // cross-check rank-1 neighbor of query 0 against a manual argmax
+    val manual = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q"))))
+      .select(col("vec_id"),
+        VectorFunctions.cosineSim(col("q"), col("embedding")).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).head
+    val rank1 = res.filter(r => r.getLong(0) == 0 && r.getLong(1) == 1).head
+    assert(rank1.getLong(2) == manual.getLong(0))
+  }
+
+  test("lsh top-k is a subset of candidates with valid sims") {
+    val res = AnnOps.lshTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 5).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(r.getDouble(3) <= 1.0 + 1e-9 && r.getDouble(3) >= -1.0 - 1e-9)
+      assert(r.getLong(2) != r.getLong(0), "no self matches")
+    }
+  }
+
+  test("embedding dup summary: one row per vector") {
+    val sum = AnnOps.embeddingDupSummary(emb.limit(100), "vec_id",
+      "embedding")
+    assert(sum.count() == 100)
+  }
+
+  test("hyperplane bits are deterministic across evaluations") {
+    val b1 = emb.limit(20).select(col("vec_id"),
+      AnnOps.hyperplaneBits(col("embedding"), 16).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b2 = emb.limit(20).select(col("vec_id"),
+      AnnOps.hyperplaneBits(col("embedding"), 16).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(b1 == b2)
+  }
+}
