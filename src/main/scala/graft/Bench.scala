@@ -34,8 +34,16 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warm-up: exercises parquet reader, codegen, shuffle machinery
-    runOnce("q1_agg")
+    // Warm-up: run every query once at the smallest SF so JIT
+    // compilation of interpreted-expression paths, codegen, parquet
+    // reader and shuffle machinery are not billed to the timed runs
+    // (cold-vs-warm differed by >4x for the sketch pipelines).
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      try SparkEntry.queries(name)(spark, warmDir)
+        .queryExecution.toRdd.count()
+      catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       name -> runOnce(name)

@@ -315,6 +315,95 @@ object SparkEntry {
         "embedding").orderBy(col("vec_id"))
     }),
 
+    // ---- joins beyond built-ins -------------------------------------
+
+    // As-of join (composed: union + carry-forward window, one shuffle —
+    // see graft.ops.JoinOps.asofJoin): each event gets the customer's
+    // most recent order at event time. Right side pre-deduped on
+    // (key, time) for determinism.
+    "q_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("ts"))
+      val ord = t(s, d, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      ops.JoinOps.asofJoin(ev, ord, "user_id", "o_custkey",
+        "ts", "o_orderdate", Seq("o_orderkey"))
+        .select(col("event_id"),
+          coalesce(col("asof_o_orderkey"), lit(-1L)).as("last_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Range join: lineitems shipped within 60 days of their order date.
+    "q_range_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      li.join(o, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Left-outer join with null handling.
+    "q_outer_join" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 400000.0)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("big_orderkey"))
+        .orderBy(col("c_custkey"), col("big_orderkey"))
+    }),
+
+    // CUBE grouping sets.
+    "q_cube" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+
+    // Math scalar functions (sqrt/pow/ln/abs) under exact aggregation.
+    "q_math_funcs" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(round(sqrt(col("l_quantity")), 6).cast(DecimalType(18, 6)))
+            .cast("double").as("sum_sqrt"),
+          sum(round(pow(lit(1.0) + col("l_discount"), 2), 6)
+            .cast(DecimalType(18, 6))).cast("double").as("sum_pow"),
+          max(round(log(col("l_extendedprice")), 6)).as("max_ln"),
+          min(abs(col("l_discount") - 0.05)).as("min_absdev"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Datetime scalar functions (quarter / ISO weekday / datediff).
+    "q_datetime_funcs" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(quarter(col("o_orderdate")).as("qtr"),
+          (weekday(col("o_orderdate")) + 1).as("dow"))
+        .agg(count(lit(1)).as("n"),
+          min(datediff(col("o_orderdate"),
+            lit("1995-01-01").cast("date"))).as("min_dd"))
+        .orderBy(col("qtr"), col("dow"))
+    }),
+
+    // Exact distinct aggregation.
+    "q_count_distinct" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- similarity search ------------------------------------------
 
     // Exact brute-force cosine top-10 for 5 query vectors (fused native
@@ -322,6 +411,17 @@ object SparkEntry {
     "ann_brute" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       ops.AnnOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Same search via the typed bounded TopK Aggregator (map-side
+    // partial top-k; the merge-shuffle is O(partitions × k) instead of
+    // all candidates) — must produce byte-identical results to
+    // ann_brute, so it shares that oracle.
+    "ann_brute_agg" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      ops.AnnOps.bruteForceTopKAgg(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", 10)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -389,7 +489,12 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracle SQL — same tables, same column aliases, same ORDER BY.
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = Map(
+  // ann_brute_agg must be byte-identical to ann_brute (window top-k vs
+  // bounded-Aggregator top-k) — they share one oracle.
+  def oracleSql: Map[String, String] =
+    baseOracle + ("ann_brute_agg" -> baseOracle("ann_brute"))
+
+  private def baseOracle: Map[String, String] = Map(
     "q_filter_project" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
@@ -589,6 +694,63 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH ord AS (SELECT o_custkey, o_orderdate,
+        |               max(o_orderkey) AS o_orderkey
+        |             FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, coalesce(o.o_orderkey, -1) AS last_orderkey
+        |FROM events e ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_range_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN orders
+         |  ON l_orderkey = o_orderkey
+         | AND l_shipdate >= o_orderdate
+         | AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT c_custkey, coalesce(o_orderkey, -1) AS big_orderkey
+        |FROM customer c LEFT JOIN
+        |  (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY c_custkey, big_orderkey""".stripMargin,
+
+    "q_cube" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+         |  coalesce(l_linestatus, 'ALL') AS ls,
+         |  count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY rf, ls""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT l_returnflag,
+        |  cast(sum(cast(round(sqrt(l_quantity), 6) as decimal(18,6)))
+        |    as double) AS sum_sqrt,
+        |  cast(sum(cast(round(pow(1.0 + l_discount, 2), 6)
+        |    as decimal(18,6))) as double) AS sum_pow,
+        |  max(round(ln(l_extendedprice), 6)) AS max_ln,
+        |  min(abs(l_discount - 0.05)) AS min_absdev
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_datetime_funcs" ->
+      """SELECT cast(quarter(o_orderdate) as integer) AS qtr,
+        |  cast(isodow(o_orderdate) as integer) AS dow,
+        |  count(*) AS n,
+        |  cast(min(datediff('day', DATE '1995-01-01', o_orderdate))
+        |    as integer) AS min_dd
+        |FROM orders GROUP BY qtr, dow ORDER BY qtr, dow""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_events_hourly" ->
       s"""SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -52,6 +52,37 @@ object AnnOps {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Brute-force top-k via the typed [[graft.functions.Aggregators.TopK]]
+    * aggregator instead of a window: the bounded buffer gives map-side
+    * partial top-k, so each partition ships at most k candidates per
+    * query to the final merge — the scale path when the candidate
+    * stream is too large to shuffle for a window sort. Output is
+    * identical to [[bruteForceTopK]] (same oracle). */
+  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("query_vec")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("vec"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"),
+        VectorFunctions.cosineSim(col("query_vec"), col("vec")).as("sim"),
+        col("neighbor_id"))
+      .as[(Long, Double, Long)]
+    val topk = new graft.functions.Aggregators.TopK(k)
+    scored
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(topk.toColumn.name("topk"))
+      .toDF("query_id", "topk")
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rank"),
+        col("col._2").as("neighbor_id"), round(col("col._1"), 4).as("sim"))
+  }
+
   /** Deterministic random-hyperplane sign bits for a vector — one fused
     * native pass (see [[graft.functions.HyperplaneBits]]). */
   def hyperplaneBits(vec: Column, nbits: Int): Column =

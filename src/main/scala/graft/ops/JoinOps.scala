@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators beyond Spark's built-in surface. The reference has no
+  * joins at all (SURVEY §2.3); Spark lacks a native as-of join — this
+  * implements it by composition (preference (a) of the custom-operator
+  * ladder: compose built-ins before reaching for a custom SparkPlan).
+  */
+object JoinOps {
+
+  /** As-of (left-outer) join: for each left row, attach the most recent
+    * right row with the same key whose time is <= the left row's time;
+    * unmatched left rows keep null payload.
+    *
+    * Implementation: tag + union both sides, then one window pass per
+    * key ordered by (time, side): `last(right payload struct,
+    * ignoreNulls)` over the running frame carries the latest right row
+    * forward into each left row. The payload travels as ONE struct so
+    * every surfaced column comes from the same right row.
+    *
+    * Cost: ONE shuffle on the key (no join explosion, no per-row range
+    * probe) — at 100 TB this is the key-partitioned, time-sorted plan
+    * you want. Right rows that tie on (key, time) resolve by union
+    * order; pre-dedupe the right side on (key, time) for fully
+    * deterministic output.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightCols: Seq[String]): DataFrame = {
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c)))
+    val leftTagged = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1)) // left sorts AFTER right on time ties
+      .withColumn("__r", lit(null).cast(payloadType))
+    val rightTagged = right.select(
+      col(rightKey).as("__k"), col(rightTime).as("__t"),
+      lit(0).as("__side"),
+      struct(rightCols.map(col): _*).as("__r"))
+    val rightAligned = left.columns.foldLeft(rightTagged)((df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val unioned = leftTagged.unionByName(rightAligned)
+
+    // a right row at exactly the left row's time matches (<=), so right
+    // (__side=0) sorts before left (__side=1) at equal time
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((left.columns.map(col) ++
+        rightCols.map(c => col(s"__asof.$c").as(s"asof_$c"))): _*)
+  }
+}
