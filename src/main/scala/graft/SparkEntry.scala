@@ -315,6 +315,22 @@ object SparkEntry {
         "embedding").orderBy(col("vec_id"))
     }),
 
+    // Full SQL path: Spark's parser + analyzer over registered temp
+    // views, with graft's native expressions available as SQL functions
+    // (the reference has no SQL surface at all — SURVEY §3).
+    "q_sql_path" -> ((s, d) => {
+      functions.Registry.registerAll(s)
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  cast(sum(cast(l_quantity as decimal(18,2))) as double)
+          |    AS sum_qty,
+          |  count(*) AS n_rows
+          |FROM lineitem_v
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+
     // ---- joins beyond built-ins -------------------------------------
 
     // As-of join (composed: union + carry-forward window, one shuffle —
@@ -463,6 +479,16 @@ object SparkEntry {
     // Batch decode over a binary media column (Dataset mapPartitions —
     // the Scala analogue of mapInPandas; decode itself is a
     // deterministic stub, see graft.ops.Multimodal.MediaDecoder).
+    // Frame-offset sampling over a "video" payload: pure column math on
+    // the binary length (no decode needed for planning-level ops).
+    "multimodal_frames" -> ((s, d) => {
+      ops.Multimodal.mediaTable(t(s, d, "documents"))
+        .select(col("doc_id"),
+          size(ops.Multimodal.frameOffsets(col("content"), 10, 5))
+            .cast("bigint").as("n_frames"))
+        .orderBy(col("doc_id"))
+    }),
+
     "multimodal_decode" -> ((s, d) => {
       ops.Multimodal.decodeAll(s,
         ops.Multimodal.mediaTable(t(s, d, "documents")))
@@ -677,6 +703,13 @@ object SparkEntry {
         |  strlen(text) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // n_frames = |slice(sequence(0, len-1, 10), 1, 5)| =
+    // least(5, floor((len-1)/10) + 1) for len >= 1.
+    "multimodal_frames" ->
+      """SELECT doc_id,
+        |  least(5, (strlen(text) - 1) // 10 + 1) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "ann_brute" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |             cast(embedding as DOUBLE[]) AS qvec
@@ -694,6 +727,13 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_sql_path" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_asof_join" ->
       """WITH ord AS (SELECT o_custkey, o_orderdate,

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** SQL registration for graft's native expressions, so the full SQL
+  * path (`spark.sql("SELECT cosine_sim(a, b) ...")`) works alongside
+  * the Column API. The reference has no SQL surface at all (SURVEY §3:
+  * "no SQL path") — with Spark's parser + these registrations, our
+  * engine exposes one as a beyond-reference extension.
+  */
+object Registry {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** Register all graft functions on the session (idempotent). */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim",
+      es => CosineSimilarity(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_product",
+      es => DotProduct(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      es => MinHashSignature(es(0), intArg(es(1), "k"),
+        if (es.size > 2) intArg(es(2), "shingleN") else 1), "built-in")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      es => ShingleHashes(es(0), intArg(es(1), "shingleN")), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash64(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("char_ngram_hashes",
+      es => CharNgramHashes(es(0), intArg(es(1), "n")), "built-in")
+    reg.createOrReplaceTempFunction("rolling_hash_min",
+      es => RollingHashMin(es(0), intArg(es(1), "k")), "built-in")
+    reg.createOrReplaceTempFunction("hyperplane_bits",
+      es => HyperplaneBits(es(0), intArg(es(1), "nbits")), "built-in")
+  }
+}

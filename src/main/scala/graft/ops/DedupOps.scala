@@ -48,6 +48,26 @@ object DedupOps {
       .otherwise(array(t))
   }
 
+  /** Expand each small bucket (grouped id list) into its (a, b) pairs
+    * with a<b, entirely inside one aggregation stage: groupBy(bucket) →
+    * sorted id list → pair expansion via nested transform → explode.
+    * Replaces a bucket self-join (two extra shuffles of the full
+    * inverted index) with one groupBy; safe because bucket size is
+    * capped (`maxN`) before expansion. */
+  private def bucketPairs(bucketed: DataFrame, bucketCols: Seq[Column],
+      idCol: String, minN: Int, maxN: Int): DataFrame = {
+    val buckets = bucketed.groupBy(bucketCols: _*)
+      .agg(array_sort(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")).between(minN, maxN))
+    val pairArray = flatten(transform(
+      sequence(lit(1), size(col("ids")) - 1),
+      i => transform(slice(col("ids"), i + 1, size(col("ids"))),
+        b => struct(element_at(col("ids"), i).as("a"), b.as("b")))))
+    buckets.select(explode(pairArray).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+  }
+
   /** doc → (band_id, band_hash) rows for MinHash-LSH blocking. */
   private def bandExplode(withSig: DataFrame, idCol: String, k: Int,
       bands: Int): DataFrame = {
@@ -69,23 +89,11 @@ object DedupOps {
       HashFunctions.minhashSignature(tokens(col(textCol)), k, shingleN)
         .as("sig"))
     val bandsDf = bandExplode(withSig, idCol, k, bands)
-    // Cap degenerate buckets via an aggregate + anti-join on the (tiny)
-    // hot-bucket list — cheaper than a window (no per-partition sort),
-    // and the hot list broadcasts at any scale.
-    val hot = bandsDf.groupBy(col("band_id"), col("band_hash"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") > maxBucket)
-      .select(col("band_id"), col("band_hash"))
-    val bounded = bandsDf.join(broadcast(hot), Seq("band_id", "band_hash"),
-      "left_anti")
-    val a = bounded.select(col("band_id"), col("band_hash"),
-      col(idCol).as("a"))
-    val b = bounded.select(col("band_id"), col("band_hash"),
-      col(idCol).as("b"))
-    a.join(b, Seq("band_id", "band_hash"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"))
-      .distinct()
+    // One aggregation stage: bucket → capped sorted id list → in-bucket
+    // pair expansion (degenerate buckets above maxBucket are dropped —
+    // they carry no near-dup signal and would expand quadratically).
+    bucketPairs(bandsDf, Seq(col("band_id"), col("band_hash")), idCol,
+      minN = 2, maxN = maxBucket)
   }
 
   /** MinHash-LSH near-dup pairs with exact-Jaccard verification.
@@ -186,13 +194,10 @@ object DedupOps {
     val grams = docs.select(col(idCol),
       HashFunctions.charNgramHashes(col(textCol), n).as("grams"))
     val inv = grams.select(col(idCol), explode(col("grams")).as("gram"))
-    val rare = inv.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf && col("df") >= 2)
-    val candidates = inv.join(rare.select(col("gram")), Seq("gram"))
-    val a = candidates.select(col("gram"), col(idCol).as("a"))
-    val b = candidates.select(col("gram"), col(idCol).as("b"))
-    val pairs = a.join(b, Seq("gram")).filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    // df-pruned inverted index → in-bucket pair expansion in one
+    // aggregation (common grams dropped: no signal, quadratic cost)
+    val pairs = bucketPairs(inv, Seq(col("gram")), idCol,
+      minN = 2, maxN = maxDf)
     pairs
       .join(grams.select(col(idCol).as("a"), col("grams").as("g_a")), Seq("a"))
       .join(grams.select(col(idCol).as("b"), col("grams").as("g_b")), Seq("b"))
