@@ -56,7 +56,19 @@ object DedupOps {
     * capped (`maxN`) before expansion. */
   private def bucketPairs(bucketed: DataFrame, bucketCols: Seq[Column],
       idCol: String, minN: Int, maxN: Int): DataFrame = {
-    val buckets = bucketed.groupBy(bucketCols: _*)
+    // Pre-filter buckets by count BEFORE collecting id lists: a
+    // degenerate bucket (an n-gram present in every document, an
+    // all-identical band) would otherwise collect millions of ids into
+    // one aggregation buffer. The count aggregation is a cheap
+    // partial+final long per bucket; AQE broadcasts the qualifying
+    // list when it is small enough.
+    val bucketNames = bucketCols.map(_.toString)
+    val keep = bucketed.groupBy(bucketCols: _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(minN, maxN))
+      .select(bucketCols: _*)
+    val filtered = bucketed.join(keep, bucketNames)
+    val buckets = filtered.groupBy(bucketCols: _*)
       .agg(array_sort(collect_set(col(idCol))).as("ids"))
       .filter(size(col("ids")).between(minN, maxN))
     val pairArray = flatten(transform(
