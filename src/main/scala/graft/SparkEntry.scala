@@ -139,6 +139,38 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // TPC-H Q9-flavor: part+supplier+nation star over lineitem —
+    // exercises every dimension table. part/supplier filter-pruned
+    // before the fact join; nation broadcast.
+    "q_part_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val p = t(s, d, "part").filter(col("p_type") === "PROMO")
+      val sup = t(s, d, "supplier")
+      val n = t(s, d, "nation")
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"))
+        .orderBy(col("n_name"), col("p_brand"))
+    }),
+
+    // Gap sessionization (batch path of the streaming operator) under
+    // the oracle gate: same lag/cumulative-sum construction in both
+    // engines. ts compared at microsecond precision on both sides.
+    "q_sessionize" -> ((s, d) => {
+      val ev = streaming.EventStreams.canonicalEvents(t(s, d, "events"))
+        .select(col("user_id"), col("ts"), col("value"))
+      streaming.EventStreams.sessionizeBatch(ev)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          dsum(col("total_value")).as("total_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- sorts / windows / set ops / grouping extensions ------------
 
     // Ranking window: top-3 line items per return flag.
@@ -576,6 +608,42 @@ object SparkEntry {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_totalprice > 400000.0)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_part_join" ->
+      s"""SELECT n_name, p_brand, count(*) AS n,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+         |FROM lineitem
+         |JOIN part     ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation   ON s_nationkey = n_nationkey
+         |WHERE p_type = 'PROMO'
+         |GROUP BY n_name, p_brand ORDER BY n_name, p_brand""".stripMargin,
+
+    // Mirrors EventStreams.sessionizeBatch: lag → gap>30min marks a new
+    // session → cumulative sum numbers sessions → two-level aggregate.
+    // ts cast to microsecond timestamp to match Spark's precision.
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, cast(ts as timestamp) AS ts, value
+        |           FROM events),
+        |m AS (SELECT user_id, ts, value,
+        |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |               IS NULL
+        |             OR epoch_us(ts) - epoch_us(lag(ts)
+        |               OVER (PARTITION BY user_id ORDER BY ts))
+        |               > 1800000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e),
+        |s AS (SELECT user_id, ts, value,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx
+        |      FROM m),
+        |g AS (SELECT user_id, sidx, count(*) AS n_ev,
+        |        cast(sum(cast(value as decimal(18,2))) as double) AS tv
+        |      FROM s GROUP BY user_id, sidx)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  cast(sum(n_ev) as bigint) AS n_events,
+        |  cast(sum(cast(tv as decimal(18,2))) as double) AS total_value
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_window_topk" ->
       """SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice

@@ -131,7 +131,9 @@ object EventStreams {
     marked.groupBy(col("user_id"), col("session_idx"))
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
-        sum(col("value")).as("total_value"))
+        // decimal-routed: exact and shuffle-order-independent
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
       .drop("session_idx")
   }
 }
