@@ -474,6 +474,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-probed approximate top-10: deterministic k-means centroids,
+    // each query scans only its nprobe nearest inverted lists (recall
+    // < 1 by construction → rows-only check).
+    "ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val model = ops.AnnOps.buildIvf(emb, "vec_id", "embedding", nlist = 8)
+      ops.AnnOps.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", model, k = 10, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // LSH-bucketed approximate top-10 (the 100-TB path; recall < 1 by
     // construction → rows-only check).
     "ann_lsh" -> ((s, d) => {

@@ -34,6 +34,10 @@ class GraftContext(val spark: SparkSession) {
   def parquet(path: String): GraftFrame =
     new GraftFrame(spark.read.parquet(path))
 
+  /** JSON-lines source (beyond-reference). */
+  def json(path: String): GraftFrame =
+    new GraftFrame(spark.read.json(path))
+
   /** In-memory source (reference `InMemoryDataSource`,
     * src/datasources/mod.rs:250-313 — minus its end-of-stream panic,
     * SURVEY §2.6 item 10). */

@@ -52,6 +52,25 @@ class GraftFrame private[api] (val df: DataFrame) {
 
   def distinct(): GraftFrame = new GraftFrame(df.distinct())
 
+  /** The reference's only sink: stringify as CSV
+    * (`RecordBatch::to_csv`, reference src/datatypes/mod.rs:308-328 —
+    * golden `"1,Bob,Ben\n4,Mayne,Vary\n"` at execution/mod.rs:78-84).
+    * Driver-side materialization; use [[writeParquet]]/`df.write` for
+    * real output at scale. */
+  def toCsvString(): String =
+    df.collect().map(_.toSeq.map {
+      case null => ""
+      case v => v.toString
+    }.mkString(",")).map(_ + "\n").mkString
+
+  /** Distributed sinks (beyond-reference; the reference has no file
+    * writer at all). */
+  def writeParquet(path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  def writeCsv(path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("header", header.toString).csv(path)
+
   // ---- inspection / execution -------------------------------------
 
   /** The reference's `format(plan)` pretty-printer analogue

@@ -158,6 +158,85 @@ object AnnOps {
       .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** IVF (inverted-file) index model: nlist centroid vectors. Built
+    * with deterministic seeding (hash-ordered sample) + a few Lloyd
+    * iterations, so every build over the same corpus yields the same
+    * index — no RNG state anywhere. Centroids are tiny (nlist × d) and
+    * live on the driver / in broadcast literals. */
+  case class IvfModel(centroids: Array[Array[Float]])
+
+  /** Column: index of the centroid most cosine-similar to `vec`. */
+  private def nearestCentroid(vec: Column, model: IvfModel): Column = {
+    val sims = array(model.centroids.map(c =>
+      VectorFunctions.cosineSim(vec, typedlit(c.toSeq))): _*)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
+  /** Build an IVF model: deterministic seeds (lowest hash(id) rows),
+    * then `iters` Lloyd steps. Per step: one pass assigning vectors to
+    * centroids, one per-dimension mean aggregation; only nlist × d
+    * numbers ever reach the driver. */
+  def buildIvf(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 2): IvfModel = {
+    val seeds = corpus
+      .orderBy(abs(hash(col(idCol))), col(idCol))
+      .limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    var model = IvfModel(seeds)
+    (0 until iters).foreach { _ =>
+      val assigned = corpus.select(
+        nearestCentroid(col(vecCol), model).as("cid"), col(vecCol))
+      val dims = assigned
+        .select(col("cid"), posexplode(col(vecCol)))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          col("m")))), s => s.getField("m").cast("float")).as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+      model = IvfModel(model.centroids.indices.map(i =>
+        dims.getOrElse(i, model.centroids(i))).toArray)
+    }
+    model
+  }
+
+  /** IVF-probed approximate top-k: each query scans only the vectors
+    * assigned to its `nprobe` nearest centroids — candidate volume is
+    * corpus/nlist × nprobe on average, which is what survives a 100-TB
+    * corpus (the assignment column would be a partition/bucket key in
+    * a persisted index). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, model: IvfModel, k: Int, nprobe: Int = 2): DataFrame = {
+    val assigned = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("vec"), nearestCentroid(col(vecCol), model).as("cid"))
+    // per query: nprobe best centroids, via lexicographic sort of
+    // (-sim, cid) structs
+    val probeStructs = array(model.centroids.indices.map(i => struct(
+      (-VectorFunctions.cosineSim(col("query_vec"), typedlit(
+        model.centroids(i).toSeq))).as("negsim"),
+      lit(i).as("cid"))): _*)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+      .withColumn("probe_cids", transform(
+        slice(array_sort(probeStructs), 1, nprobe),
+        s => s.getField("cid")))
+      .select(col("query_id"), col("query_vec"),
+        explode(col("probe_cids")).as("cid"))
+    val candidates = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", VectorFunctions.cosineSim(col("query_vec"),
+        col("vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    candidates
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** Per-vector near-dup summary (stable one-row-per-vector shape even
     * when no pair crosses the threshold): LSH-bucket candidate count and
     * the max verified cosine against any candidate. */

@@ -51,6 +51,18 @@ object EventStreams {
         col("n"), col("total_value"))
   }
 
+  /** Streaming deduplication on an id column: watermarked state drops
+    * repeats of already-seen ids; state is evicted past the watermark
+    * horizon (bounded by stream rate × horizon, not history). Works on
+    * batch frames too (plain dropDuplicates). */
+  def dedupStream(events: DataFrame, idCol: String,
+      watermark: String = "1 hour"): DataFrame = {
+    val in =
+      if (events.isStreaming) events.withWatermark("ts", watermark)
+      else events
+    in.dropDuplicates(Seq(idCol, "ts"))
+  }
+
   /** One user event (typed view for stateful processing). */
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp,
       event_type: String, value: Double)

@@ -130,4 +130,38 @@ class FacadeSpec extends SparkSpec {
     val it = ctx.execute(ctx.csv(resource("test.csv")))
     assert(it.size == 5)
   }
+
+  // The reference's sink golden, byte for byte
+  // (execution/mod.rs:78-84: "1,Bob,Ben\n4,Mayne,Vary\n").
+  test("toCsvString matches the reference sink golden") {
+    val out = ctx.csv(resource("employee.csv"))
+      .filter(e.eq(e.col("state"), e.lit("CO")))
+      .project(e.col("id"), e.col("first_name"), e.col("last_name"))
+      .sort(e.col("id"))
+      .toCsvString()
+    assert(out == "1,Bob,Ben\n4,Mayne,Vary\n")
+  }
+
+  // JSON-lines source round-trip.
+  test("json source reads JSON lines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-json")
+    val f = dir.resolve("data.jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"k":"a","v":1}
+        |{"k":"b","v":2}
+        |""".stripMargin)
+    val frame = ctx.json(f.toString)
+    assert(frame.count() == 2)
+    assert(frame.filter(e.eq(e.col("k"), e.lit("b"))).collect()
+      .head.getAs[Long]("v") == 2L)
+  }
+
+  // CSV writer round-trip (beyond-reference sink).
+  test("writeCsv/readback round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv")
+      .toString + "/out"
+    val src = ctx.csv(resource("employee.csv"))
+    src.writeCsv(dir)
+    assert(ctx.csv(dir).count() == src.count())
+  }
 }

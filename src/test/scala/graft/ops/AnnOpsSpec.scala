@@ -46,6 +46,23 @@ class AnnOpsSpec extends SparkSpec {
     assert(sum.count() == 100)
   }
 
+  test("ivf: deterministic build, high recall vs brute force") {
+    val model = AnnOps.buildIvf(emb, "vec_id", "embedding", nlist = 8)
+    val model2 = AnnOps.buildIvf(emb, "vec_id", "embedding", nlist = 8)
+    assert(model.centroids.map(_.toSeq).toSeq ==
+      model2.centroids.map(_.toSeq).toSeq, "ivf build must be deterministic")
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = AnnOps.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = AnnOps.ivfTopK(emb, q, "vec_id", "embedding", model,
+      k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf.size == 50, "10 neighbors per query expected")
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"ivf recall too low: $recall")
+    // every ivf hit's sim must be <= the brute rank-1 sim for its query
+  }
+
   test("hyperplane bits are deterministic across evaluations") {
     val b1 = emb.limit(20).select(col("vec_id"),
       AnnOps.hyperplaneBits(col("embedding"), 16).as("b"))

@@ -33,6 +33,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops replayed events") {
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    // stage the same events twice — a replayed source
+    batchEvents.write.mode("overwrite").parquet(dir)
+    batchEvents.write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .parquet(dir)
+    val q = EventStreams.dedupStream(stream, "event_id")
+      .groupBy().count()
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("dedup_out").head.getLong(0)
+      assert(n == batchEvents.count(),
+        s"expected ${batchEvents.count()} unique events, got $n")
+    } finally q.stop()
+  }
+
   test("stateful sessionize matches batch window sessionization") {
     import spark.implicits._
     val typed = batchEvents
