@@ -37,8 +37,12 @@ object Bench {
     // Warm-up: run every query once at the smallest SF so JIT
     // compilation of interpreted-expression paths, codegen, parquet
     // reader and shuffle machinery are not billed to the timed runs
-    // (cold-vs-warm differed by >4x for the sketch pipelines).
-    val warmDir = "/root/testdata/sf0.001"
+    // (cold-vs-warm differed by >4x for the sketch pipelines). Falls
+    // back to the target dir if the small SF is absent — silently
+    // skipping warm-up would produce cold (wrong) numbers.
+    val smallSf = "/root/testdata/sf0.001"
+    val warmDir =
+      if (new java.io.File(smallSf).exists()) smallSf else sfDir
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir)
         .queryExecution.toRdd.count()

@@ -517,6 +517,28 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Flagship end-to-end curation pipeline: score → quality-filter →
+    // fingerprint-dedup (keep lowest doc_id per fingerprint) → curated
+    // corpus stats. Every stage is a training-data op from §8.3; the
+    // whole composition stays oracle-checkable.
+    "pipeline_curate" -> ((s, d) => {
+      val scored = TextOps.quality(t(s, d, "documents"), col("text"),
+          col("n_chars"))
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+        .withColumn("pred_lang", TextOps.langId(col("text")))
+      // quality gate FIRST, then dedup among survivors — the other
+      // order lets a low-quality duplicate with the lowest doc_id
+      // knock out every higher-quality copy of the same content
+      val surviving = scored.filter(col("quality_score") >= 0.3)
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      surviving
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("pred_lang"), col("n_tokens"),
+          col("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- multimodal plumbing ---------------------------------------
 
     // Batch decode over a binary media column (Dataset mapPartitions —
@@ -766,6 +788,36 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "pipeline_curate" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    ${TextOps.sql.tokenCount} AS n_tokens,
+         |    round(least(1.0, ${TextOps.sql.tokenCount} / 100.0) *
+         |      (1.0 - cast(${TextOps.sql.patCount(TextOps.sql.stopword)}
+         |                  as double)
+         |             / ${TextOps.sql.tokenCount}), 4) AS quality_score,
+         |    ${TextOps.sql.fingerprint} AS fp,
+         |    CASE WHEN ${TextOps.sql.patCount(TextOps.sql.zh)} > 0 THEN 'zh'
+         |         WHEN ${TextOps.sql.patCount(TextOps.sql.en)} >=
+         |              greatest(${TextOps.sql.patCount(TextOps.sql.fr)},
+         |                ${TextOps.sql.patCount(TextOps.sql.es)},
+         |                ${TextOps.sql.patCount(TextOps.sql.de)}) THEN 'en'
+         |         WHEN ${TextOps.sql.patCount(TextOps.sql.fr)} >=
+         |              greatest(${TextOps.sql.patCount(TextOps.sql.es)},
+         |                ${TextOps.sql.patCount(TextOps.sql.de)}) THEN 'fr'
+         |         WHEN ${TextOps.sql.patCount(TextOps.sql.es)} >=
+         |              ${TextOps.sql.patCount(TextOps.sql.de)} THEN 'es'
+         |         ELSE 'de' END AS pred_lang
+         |  FROM documents),
+         |surviving AS (SELECT * FROM scored WHERE quality_score >= 0.3),
+         |dedup AS (
+         |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+         |    AS rn
+         |  FROM surviving)
+         |SELECT doc_id, pred_lang, n_tokens, quality_score
+         |FROM dedup WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, strlen(text) AS n_bytes, sha256(text) AS content_hash

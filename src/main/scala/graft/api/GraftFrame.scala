@@ -46,6 +46,30 @@ class GraftFrame private[api] (val df: DataFrame) {
       how: String = "inner"): GraftFrame =
     new GraftFrame(df.join(other.df, cond, how))
 
+  /** As-of join (see [[graft.ops.JoinOps.asofJoin]]). */
+  def asofJoin(other: GraftFrame, leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightCols: Seq[String]): GraftFrame =
+    new GraftFrame(graft.ops.JoinOps.asofJoin(df, other.df, leftKey,
+      rightKey, leftTime, rightTime, rightCols))
+
+  def aggregateRollup(groupExpr: Seq[Column],
+      aggExpr: Seq[Column]): GraftFrame =
+    new GraftFrame(df.rollup(groupExpr: _*)
+      .agg(aggExpr.head, aggExpr.tail: _*))
+
+  def aggregateCube(groupExpr: Seq[Column],
+      aggExpr: Seq[Column]): GraftFrame =
+    new GraftFrame(df.cube(groupExpr: _*)
+      .agg(aggExpr.head, aggExpr.tail: _*))
+
+  /** Exact dedup on a column subset (keeps an arbitrary-but-
+    * deterministic-per-plan representative; use ops.DedupOps for
+    * keep-lowest-id semantics). */
+  def dedup(cols: String*): GraftFrame =
+    new GraftFrame(if (cols.isEmpty) df.distinct()
+      else df.dropDuplicates(cols))
+
   def sort(exprs: Column*): GraftFrame = new GraftFrame(df.orderBy(exprs: _*))
 
   def union(other: GraftFrame): GraftFrame = new GraftFrame(df.union(other.df))

@@ -51,19 +51,4 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
   }
 
-  /** Typed MAX mirroring the reference's MaxAccumulator
-    * (accumulator/mod.rs:11-37) — generic over ordering instead of
-    * panicking on unsupported types. */
-  class TypedMax extends Aggregator[Double, Option[Double], Option[Double]] {
-    override def zero: Option[Double] = None
-    override def reduce(b: Option[Double], a: Double): Option[Double] =
-      Some(b.fold(a)(math.max(_, a)))
-    override def merge(x: Option[Double], y: Option[Double]): Option[Double] =
-      (x.toSeq ++ y.toSeq).reduceOption((a, b) => math.max(a, b))
-    override def finish(r: Option[Double]): Option[Double] = r
-    override def bufferEncoder: Encoder[Option[Double]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Option[Double]]()
-    override def outputEncoder: Encoder[Option[Double]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Option[Double]]()
-  }
 }

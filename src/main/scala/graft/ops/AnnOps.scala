@@ -131,23 +131,14 @@ object AnnOps {
     * verification at `threshold`. The embedding-space analogue of
     * [[DedupOps.minhashPairs]]. */
   def embeddingDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, nbits: Int = 16): DataFrame = {
+      threshold: Double = 0.95, nbits: Int = 16,
+      maxBucket: Int = 1000): DataFrame = {
     require(nbits % 8 == 0, "nbits must be a multiple of 8")
-    val nBands = nbits / 8
-    val sig = hyperplaneBits(col(vecCol), nbits)
-    val bandVals = (0 until nBands).map(b =>
-      shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(0xffL)))
-    val banded = corpus.select(col(idCol), col(vecCol))
-      .withColumn("sig", sig)
-      .select(col(idCol), col(vecCol), posexplode(array(bandVals: _*)))
-      .withColumnRenamed("pos", "band_id")
-      .withColumnRenamed("col", "band_val")
-    val a = banded.select(col("band_id"), col("band_val"), col(idCol).as("a"))
-    val b = banded.select(col("band_id"), col("band_val"), col(idCol).as("b"))
-    val pairs = a.join(b, Seq("band_id", "band_val"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"))
-      .distinct()
+    val banded = bandedBits(corpus, idCol, vecCol, nbits)
+    // capped bucket expansion (8-bit band values have only 256 buckets
+    // per band — uncapped, candidate volume would be ~N²/256)
+    val pairs = DedupOps.bucketPairs(banded,
+      Seq(col("band_id"), col("band_val")), idCol, minN = 2, maxN = maxBucket)
     val vecs = corpus.select(col(idCol), col(vecCol))
     pairs
       .join(vecs.select(col(idCol).as("a"), col(vecCol).as("vec_a")), Seq("a"))
@@ -237,33 +228,40 @@ object AnnOps {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** (id, vec, band_id, band_val) rows for hyperplane-LSH blocking. */
+  private def bandedBits(corpus: DataFrame, idCol: String, vecCol: String,
+      nbits: Int): DataFrame = {
+    val nBands = nbits / 8
+    val bandVals = (0 until nBands).map(b =>
+      shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(0xffL)))
+    corpus.select(col(idCol), col(vecCol))
+      .withColumn("sig", hyperplaneBits(col(vecCol), nbits))
+      .select(col(idCol), posexplode(array(bandVals: _*)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_val")
+  }
+
   /** Per-vector near-dup summary (stable one-row-per-vector shape even
     * when no pair crosses the threshold): LSH-bucket candidate count and
     * the max verified cosine against any candidate. */
   def embeddingDupSummary(corpus: DataFrame, idCol: String, vecCol: String,
-      nbits: Int = 16): DataFrame = {
-    val nBands = nbits / 8
-    val sig = hyperplaneBits(col(vecCol), nbits)
-    val bandVals = (0 until nBands).map(b =>
-      shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(0xffL)))
-    val banded = corpus.select(col(idCol), col(vecCol))
-      .withColumn("sig", sig)
-      .select(col(idCol), col(vecCol), posexplode(array(bandVals: _*)))
-      .withColumnRenamed("pos", "band_id")
-      .withColumnRenamed("col", "band_val")
-    val a = banded.select(col("band_id"), col("band_val"), col(idCol).as("a"))
-    val b = banded.select(col("band_id"), col("band_val"), col(idCol).as("b"))
-    val pairs = a.join(b, Seq("band_id", "band_val"))
-      .filter(col("a") =!= col("b"))
-      .select(col("a"), col("b"))
-      .distinct()
+      nbits: Int = 16, maxBucket: Int = 1000): DataFrame = {
+    val banded = bandedBits(corpus, idCol, vecCol, nbits)
+    val pairs = DedupOps.bucketPairs(banded,
+      Seq(col("band_id"), col("band_val")), idCol, minN = 2, maxN = maxBucket)
     val vecs = corpus.select(col(idCol), col(vecCol))
     val scored = pairs
       .join(vecs.select(col(idCol).as("a"), col(vecCol).as("vec_a")), Seq("a"))
       .join(vecs.select(col(idCol).as("b"), col(vecCol).as("vec_b")), Seq("b"))
       .withColumn("cosine", VectorFunctions.cosineSim(col("vec_a"),
         col("vec_b")))
-    val perVec = scored.groupBy(col("a").as("id")).agg(
+    // pairs are a<b; explode both directions so each vector sees its
+    // candidates
+    val sym = scored.select(explode(array(
+        struct(col("a").as("id"), col("cosine")),
+        struct(col("b").as("id"), col("cosine")))).as("e"))
+      .select(col("e.id").as("id"), col("e.cosine").as("cosine"))
+    val perVec = sym.groupBy(col("id")).agg(
       count(lit(1)).as("n_candidates"),
       round(max(col("cosine")), 4).as("max_cosine"))
     corpus.select(col(idCol).as("id"))

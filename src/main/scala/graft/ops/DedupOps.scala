@@ -39,22 +39,13 @@ object DedupOps {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array(concat_ws(" ", toks)))
 
-  /** Distinct character n-grams of a string. */
-  def ngramArray(text: Column, n: Int): Column = {
-    val t = lower(text)
-    when(length(t) >= n,
-      array_distinct(transform(sequence(lit(1), length(t) - (n - 1)),
-        i => t.substr(i, lit(n)))))
-      .otherwise(array(t))
-  }
-
   /** Expand each small bucket (grouped id list) into its (a, b) pairs
     * with a<b, entirely inside one aggregation stage: groupBy(bucket) →
     * sorted id list → pair expansion via nested transform → explode.
     * Replaces a bucket self-join (two extra shuffles of the full
     * inverted index) with one groupBy; safe because bucket size is
     * capped (`maxN`) before expansion. */
-  private def bucketPairs(bucketed: DataFrame, bucketCols: Seq[Column],
+  private[ops] def bucketPairs(bucketed: DataFrame, bucketCols: Seq[Column],
       idCol: String, minN: Int, maxN: Int): DataFrame = {
     // Pre-filter buckets by count BEFORE collecting id lists: a
     // degenerate bucket (an n-gram present in every document, an
@@ -133,7 +124,7 @@ object DedupOps {
   /** Symmetrize (a,b,score) pairs into one row per direction with a
     * single explode — a union of two selects over the same pair frame
     * would execute the whole candidate+verify pipeline twice. */
-  private def symmetrize(pairs: DataFrame, score: String): DataFrame =
+  private[ops] def symmetrize(pairs: DataFrame, score: String): DataFrame =
     pairs.select(explode(array(
         struct(col("a").as("id"), col("b").as("partner")),
         struct(col("b").as("id"), col("a").as("partner")))).as("e"),
@@ -166,24 +157,26 @@ object DedupOps {
     * number of documents within `maxHamming` bits (banded blocking, then
     * exact popcount verification). */
   def simhashSummary(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val withSh = docs.select(col(idCol),
       HashFunctions.simhash64(tokens(col(textCol))).as("simhash"))
     // 4 bands of 16 bits: any pair within Hamming 3 shares ≥1 band.
     val bandVals = (0 until 4).map(b =>
       shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)))
-    val banded = withSh.select(col(idCol), col("simhash"),
+    val banded = withSh.select(col(idCol),
       posexplode(array(bandVals: _*)))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_val")
-    val a = banded.select(col("band_id"), col("band_val"),
-      col(idCol).as("a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("band_id"), col("band_val"),
-      col(idCol).as("b"), col("simhash").as("sh_b"))
-    val near = a.join(b, Seq("band_id", "band_val"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sh_a"), col("sh_b"))
-      .distinct()
+    // capped bucket expansion (same machinery as minhash/ngram paths —
+    // an all-boilerplate corpus would otherwise make one band bucket
+    // quadratic), then popcount verification over re-joined hashes
+    val pairs = bucketPairs(banded, Seq(col("band_id"), col("band_val")),
+      idCol, minN = 2, maxN = maxBucket)
+    val near = pairs
+      .join(withSh.select(col(idCol).as("a"), col("simhash").as("sh_a")),
+        Seq("a"))
+      .join(withSh.select(col(idCol).as("b"), col("simhash").as("sh_b")),
+        Seq("b"))
       .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming)
     val sym = near.select(explode(array(col("a"), col("b"))).as("id"))
     val counts = sym.groupBy(col("id")).agg(count(lit(1)).as("n_near"))

@@ -31,19 +31,26 @@ object Multimodal {
       format: String, n_bytes: Long)
 
   /** STUB decoder — stands in for an image/audio codec.
-    * Deterministic function of the payload bytes so results are
-    * reproducible and oracle-checkable. A real deployment replaces the
-    * body with e.g. javax.imageio / ffmpeg bindings; the signature and
-    * batching contract stay the same. */
+    * Deterministic function of the payload so results are reproducible
+    * and oracle-checkable: dimensions derive from the first two UNICODE
+    * CODEPOINTS of the UTF-8 payload (matching the oracle's `ascii()`
+    * semantics for any input, not just ASCII — a raw-byte read would
+    * diverge on multi-byte leading characters). A real deployment
+    * replaces the body with e.g. javax.imageio / ffmpeg bindings; the
+    * signature and batching contract stay the same. */
   object MediaDecoder {
     def decode(row: MediaRow): DecodedMeta = {
-      val b0 = if (row.content.nonEmpty) row.content(0) & 0xff else 0
-      val b1 = if (row.content.length > 1) row.content(1) & 0xff else 0
+      val s = new String(row.content, java.nio.charset.StandardCharsets.UTF_8)
+      val cp0 = if (s.nonEmpty) s.codePointAt(0) else 0
+      val cp1 =
+        if (s.length > Character.charCount(cp0))
+          s.codePointAt(Character.charCount(cp0))
+        else 0
       DecodedMeta(
         doc_id = row.doc_id,
-        width = b0 % 64 + 16,
-        height = b1 % 64 + 16,
-        format = (b0 % 3) match {
+        width = cp0 % 64 + 16,
+        height = cp1 % 64 + 16,
+        format = (cp0 % 3) match {
           case 0 => "png"
           case 1 => "jpeg"
           case _ => "webp"
@@ -71,9 +78,13 @@ object Multimodal {
 
   /** Deterministic frame-offset sampling for a "video" payload: every
     * `stride`-th byte offset, capped at `maxFrames` — pure column math,
-    * no decode needed for planning-level operations. */
+    * no decode needed for planning-level operations. A zero-byte
+    * payload has no frames (empty array, not a phantom frame at 0). */
   def frameOffsets(content: org.apache.spark.sql.Column, stride: Int,
       maxFrames: Int): org.apache.spark.sql.Column =
-    slice(sequence(lit(0), greatest(length(content) - 1, lit(0)),
-      lit(stride)), 1, maxFrames)
+    when(length(content) === 0,
+      array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType)))
+      .otherwise(slice(sequence(lit(0), length(content) - 1,
+        lit(stride)), 1, maxFrames))
 }

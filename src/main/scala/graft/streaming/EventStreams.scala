@@ -51,17 +51,18 @@ object EventStreams {
         col("n"), col("total_value"))
   }
 
-  /** Streaming deduplication on an id column: watermarked state drops
-    * repeats of already-seen ids; state is evicted past the watermark
-    * horizon (bounded by stream rate × horizon, not history). Works on
-    * batch frames too (plain dropDuplicates). */
+  /** Streaming deduplication on an id column: drops repeats of
+    * already-seen ids — including a retried event re-sent with a
+    * refreshed timestamp (the at-least-once-producer case), via
+    * `dropDuplicatesWithinWatermark` keyed on the id alone. State is
+    * evicted past the watermark horizon (bounded by stream rate ×
+    * horizon, not history). Works on batch frames too. */
   def dedupStream(events: DataFrame, idCol: String,
-      watermark: String = "1 hour"): DataFrame = {
-    val in =
-      if (events.isStreaming) events.withWatermark("ts", watermark)
-      else events
-    in.dropDuplicates(Seq(idCol, "ts"))
-  }
+      watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(Seq(idCol))
+    else events.dropDuplicates(Seq(idCol))
 
   /** One user event (typed view for stateful processing). */
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp,
@@ -88,37 +89,67 @@ object EventStreams {
 
   /** Gap-based sessionization via flatMapGroupsWithState: a session
     * closes when a user is idle for `gapMs`. Emits closed sessions
-    * (Append mode). State per active user only. */
+    * (Append mode).
+    *
+    * State eviction: on a streaming input the event-time timeout fires
+    * once the watermark passes a user's last event + gap — the final
+    * session is then emitted and the user's state REMOVED, so state
+    * size tracks currently-active users. Callers must set
+    * `withWatermark("ts", ...)` on a streaming input (Spark requires it
+    * for event-time timeouts; timeouts never fire in batch mode, where
+    * the final open session simply stays unemitted). */
   def sessionize(spark: SparkSession, events: Dataset[UserEvent],
       gapMs: Long = 30 * 60 * 1000L): Dataset[UserSession] = {
     import spark.implicits._
     val gapUs = gapMs * 1000L
+    // captured driver-side: the Dataset itself must not be referenced
+    // inside the state function (it runs on executors)
+    val streaming = events.isStreaming
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (userId: Long, rows: Iterator[UserEvent],
          state: GroupState[SessionState]) =>
-          // Sort this micro-batch's events; emit sessions closed by gaps.
-          val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_type))
-          var cur = state.getOption
-          val closed = scala.collection.mutable.ArrayBuffer[UserSession]()
-          sorted.foreach { e =>
-            val t = toMicros(e.ts)
-            cur match {
-              case Some(s) if t - s.end <= gapUs =>
-                cur = Some(SessionState(s.start, t, s.n + 1,
-                  s.total + e.value))
-              case Some(s) =>
-                closed += UserSession(userId, fromMicros(s.start),
-                  fromMicros(s.end), s.n, s.total)
-                cur = Some(SessionState(t, t, 1L, e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1L, e.value))
+          if (state.hasTimedOut) {
+            // watermark passed last event + gap: close and evict
+            val out = state.getOption.map(s => UserSession(userId,
+              fromMicros(s.start), fromMicros(s.end), s.n, s.total))
+            state.remove()
+            out.iterator
+          } else {
+            // Sort this micro-batch's events; emit sessions closed by
+            // gaps.
+            val sorted = rows.toSeq.sortBy(e =>
+              (toMicros(e.ts), e.event_type))
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer[UserSession]()
+            sorted.foreach { e =>
+              val t = toMicros(e.ts)
+              cur match {
+                case Some(s) if t - s.end <= gapUs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1,
+                    s.total + e.value))
+                case Some(s) =>
+                  closed += UserSession(userId, fromMicros(s.start),
+                    fromMicros(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              if (streaming) {
+                state.setTimeoutTimestamp(
+                  math.floorDiv(s.end, 1000L) + gapMs)
+              }
+            }
+            closed.iterator
           }
-          cur.foreach(state.update)
-          closed.iterator
       }
   }
 
