@@ -74,9 +74,10 @@ object EventStreams {
 
   /** Session accumulator; start/end are epoch MICROSECONDS — Timestamp
     * round-trips through millis (`getTime`) would silently truncate the
-    * testdata's microsecond precision. */
-  private case class SessionState(start: Long, end: Long, n: Long,
-      total: Double)
+    * testdata's microsecond precision. Public: the streaming state
+    * store's generated encoder code lives outside this object and
+    * cannot reference a private class. */
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
 
   private def toMicros(ts: java.sql.Timestamp): Long =
     math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L

@@ -53,6 +53,46 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionize emits timed-out sessions and evicts state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sess").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00")
+    def ev(id: Long, user: Long, plusMin: Int) = (id,
+      new java.sql.Timestamp(t0.getTime + plusMin * 60000L), user,
+      "click", 1.0, "{}")
+    // batch 1: user 1 has two events 5 min apart (one session)
+    Seq(ev(1, 1, 0), ev(2, 1, 5)).toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(EventStreams.eventSchema)
+      .parquet(dir)
+      .withWatermark("ts", "1 minute")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[EventStreams.UserEvent]
+    val q = EventStreams.sessionize(spark, stream, gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0,
+        "session still open after batch 1")
+      // batch 2: a far-future event from ANOTHER user pushes the
+      // watermark past user 1's last event + gap → timeout fires
+      Seq(ev(3, 2, 600)).toDF(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // one more empty-ish cycle so the timeout (evaluated against the
+      // updated watermark) processes
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out")
+        .filter(col("user_id") === 1L).collect()
+      assert(sessions.length == 1,
+        s"expected user 1's session closed by timeout, got ${sessions.length}")
+      assert(sessions.head.getAs[Long]("n_events") == 2L)
+    } finally q.stop()
+  }
+
   test("stateful sessionize matches batch window sessionization") {
     import spark.implicits._
     val typed = batchEvents
