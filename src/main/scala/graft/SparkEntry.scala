@@ -442,6 +442,45 @@ object SparkEntry {
         .orderBy(col("qtr"), col("dow"))
     }),
 
+    // Statistical aggregates: exact interpolated percentiles, sample
+    // stddev, correlation.
+    "q_stats" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("c"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Correlated scalar subquery through the SQL path.
+    "q_scalar_subquery" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_v")
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT count(*) FROM orders_v o
+          |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+          |FROM customer_v c ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // Pivot: one column per line status (expressed as filtered counts
+    // so Spark and the oracle agree on output column names).
+    "q_pivot" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(when(col("l_linestatus") === "F", 1)).as("n_f"),
+          count(when(col("l_linestatus") === "O", 1)).as("n_o"),
+          dsum(when(col("l_linestatus") === "F", col("l_quantity")))
+            .as("qty_f"),
+          dsum(when(col("l_linestatus") === "O", col("l_quantity")))
+            .as("qty_o"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Exact distinct aggregation.
     "q_count_distinct" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -915,6 +954,30 @@ object SparkEntry {
         |  cast(min(datediff('day', DATE '1995-01-01', o_orderdate))
         |    as integer) AS min_dd
         |FROM orders GROUP BY qtr, dow ORDER BY qtr, dow""".stripMargin,
+
+    "q_stats" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS c
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c ORDER BY c_custkey""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE l_linestatus = 'O') AS n_o,
+        |  cast(sum(cast(l_quantity as decimal(18,2)))
+        |    FILTER (WHERE l_linestatus = 'F') as double) AS qty_f,
+        |  cast(sum(cast(l_quantity as decimal(18,2)))
+        |    FILTER (WHERE l_linestatus = 'O') as double) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_count_distinct" ->
       """SELECT l_returnflag,

@@ -156,6 +156,25 @@ class FacadeSpec extends SparkSpec {
       .head.getAs[Long]("v") == 2L)
   }
 
+  // Extension wrappers: rollup/cube/dedup/asof through the frame API.
+  test("frame extension wrappers: rollup, cube, dedup, asofJoin") {
+    val f = ctx.csv(resource("employee.csv"))
+    assert(f.aggregateRollup(Seq(e.col("state")),
+      Seq(e.count(e.lit(1)).as("n"))).count() == 4) // 3 states + total
+    assert(f.aggregateCube(Seq(e.col("state")),
+      Seq(e.count(e.lit(1)).as("n"))).count() == 4)
+    assert(f.dedup("state").count() == 3)
+    val left = ctx.inMemoryStrings(Seq("k", "t"),
+      Seq(Seq("a", "5"), Seq("a", "9")))
+      .project(e.col("k"), e.cast(e.col("t"), "int").as("t"))
+    val right = ctx.inMemoryStrings(Seq("k", "t", "v"),
+      Seq(Seq("a", "4", "x"), Seq("a", "7", "y")))
+      .project(e.col("k"), e.cast(e.col("t"), "int").as("t"), e.col("v"))
+    val asof = left.asofJoin(right, "k", "k", "t", "t", Seq("v"))
+      .sort(e.col("t")).collect().map(_.getString(2))
+    assert(asof.toSeq == Seq("x", "y")) // t=5→v@4, t=9→v@7
+  }
+
   // CSV writer round-trip (beyond-reference sink).
   test("writeCsv/readback round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv")
