@@ -231,6 +231,7 @@ object AnnOps {
   /** (id, vec, band_id, band_val) rows for hyperplane-LSH blocking. */
   private def bandedBits(corpus: DataFrame, idCol: String, vecCol: String,
       nbits: Int): DataFrame = {
+    require(nbits % 8 == 0, "nbits must be a multiple of 8")
     val nBands = nbits / 8
     val bandVals = (0 until nBands).map(b =>
       shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(0xffL)))

@@ -56,7 +56,14 @@ object EventStreams {
     * refreshed timestamp (the at-least-once-producer case), via
     * `dropDuplicatesWithinWatermark` keyed on the id alone. State is
     * evicted past the watermark horizon (bounded by stream rate ×
-    * horizon, not history). Works on batch frames too. */
+    * horizon, not history).
+    *
+    * Horizon caveat: the streaming path only suppresses repeats that
+    * arrive within the watermark horizon of each other (state for older
+    * ids has been evicted — that is the price of bounded state); the
+    * batch path dedups globally over the whole input. A batch backfill
+    * therefore dedups MORE aggressively than the live stream when
+    * repeats straddle the horizon. */
   def dedupStream(events: DataFrame, idCol: String,
       watermark: String = "1 hour"): DataFrame =
     if (events.isStreaming)
