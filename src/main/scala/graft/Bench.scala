@@ -24,6 +24,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // BoundedCollectSet buffers are capped, so the ObjectHashAggregate
+      // sort-based fallback (default threshold 128 keys/partition) only
+      // costs time, never protects memory — keep hash aggregation
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "10000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -40,27 +40,17 @@ object DedupOps {
       .otherwise(array(concat_ws(" ", toks)))
 
   /** Expand each small bucket (grouped id list) into its (a, b) pairs
-    * with a<b, entirely inside one aggregation stage: groupBy(bucket) →
-    * sorted id list → pair expansion via nested transform → explode.
-    * Replaces a bucket self-join (two extra shuffles of the full
-    * inverted index) with one groupBy; safe because bucket size is
-    * capped (`maxN`) before expansion. */
+    * with a<b, entirely inside ONE aggregation stage: groupBy(bucket) →
+    * bounded sorted id set ([[graft.functions.BoundedCollectSet]], a
+    * TypedImperativeAggregate whose buffer caps at maxN+1 — a bucket
+    * that reaches the cap is degenerate and dropped) → pair expansion
+    * via nested transform → explode. One shuffle of the bucketed table,
+    * bounded aggregation memory, no bucket self-join. */
   private[ops] def bucketPairs(bucketed: DataFrame, bucketCols: Seq[Column],
       idCol: String, minN: Int, maxN: Int): DataFrame = {
-    // Pre-filter buckets by count BEFORE collecting id lists: a
-    // degenerate bucket (an n-gram present in every document, an
-    // all-identical band) would otherwise collect millions of ids into
-    // one aggregation buffer. The count aggregation is a cheap
-    // partial+final long per bucket; AQE broadcasts the qualifying
-    // list when it is small enough.
-    val bucketNames = bucketCols.map(_.toString)
-    val keep = bucketed.groupBy(bucketCols: _*)
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n").between(minN, maxN))
-      .select(bucketCols: _*)
-    val filtered = bucketed.join(keep, bucketNames)
-    val buckets = filtered.groupBy(bucketCols: _*)
-      .agg(array_sort(collect_set(col(idCol))).as("ids"))
+    import graft.functions.BoundedCollectSet.boundedCollectSet
+    val buckets = bucketed.groupBy(bucketCols: _*)
+      .agg(boundedCollectSet(col(idCol), maxN + 1).as("ids"))
       .filter(size(col("ids")).between(minN, maxN))
     val pairArray = flatten(transform(
       sequence(lit(1), size(col("ids")) - 1),

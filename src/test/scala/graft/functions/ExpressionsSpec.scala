@@ -67,6 +67,26 @@ class ExpressionsSpec extends SparkSpec {
       s"far hamming too small: ${ham(hs(0), hs(2))}")
   }
 
+  test("bounded collect set: sorted distinct values, hard cap") {
+    import spark.implicits._
+    import graft.functions.BoundedCollectSet.boundedCollectSet
+    val df = Seq((1L, 10L), (1L, 5L), (1L, 10L), (2L, 7L))
+      .toDF("g", "v")
+    val out = df.groupBy(col("g"))
+      .agg(boundedCollectSet(col("v"), 10).as("vs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L) == Seq(5L, 10L), "sorted distinct")
+    assert(out(2L) == Seq(7L))
+    // cap: a group with more distinct values than the limit never
+    // exceeds it (the dedup pipelines treat hitting the cap as
+    // "degenerate bucket — drop")
+    val big = (1 to 100).map(i => (1L, i.toLong)).toDF("g", "v")
+    val capped = big.repartition(8).groupBy(col("g"))
+      .agg(boundedCollectSet(col("v"), 5).as("vs"))
+      .head.getSeq[Long](1)
+    assert(capped.length == 5)
+  }
+
   test("rolling hash fingerprint: stable and shift-tolerant") {
     import spark.implicits._
     val text = "the quick brown fox jumps over the lazy dog"
