@@ -6,19 +6,28 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR (default sf0.1).
   *
   * Methodology:
-  *  - a warm-up query first, so JVM/classloader/codegen startup cost is
-  *    not billed to whichever query happens to run first;
+  *  - a warm-up pass over every query at the smallest SF first, so
+  *    JVM/classloader/codegen startup cost is not billed to whichever
+  *    query happens to run first;
   *  - each query materializes via `queryExecution.toRdd.count()`, which
   *    executes the full physical plan as optimized for the query itself
   *    — a plain `df.count()` would let Catalyst prune the projected
   *    expressions and under-measure expression-heavy operators;
-  *  - queries run in sorted-name order for run-to-run comparability.
+  *  - each query runs SPARK_GRAFT_BENCH_RUNS times (default 3); the
+  *    reported per-query number is the MEDIAN, and `spread` records
+  *    max relative (max-min)/median across queries so run variance is
+  *    visible in the output instead of being folded into the total;
+  *  - queries run in sorted-name order for run-to-run comparability;
+  *  - a query that throws fails the bench LOUDLY: it is listed in
+  *    `failed` and the process exits nonzero — a regression cannot
+  *    masquerade as a speedup by dropping out of the total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -29,14 +38,16 @@ object Bench {
       // costs time, never protects memory — keep hash aggregation
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "10000000")
-      .getOrCreate()
+      .config(Tables.sessionConf)
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(name: String): Double = {
+    def runOnce(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable => Left(s"$name: ${e.getMessage}") }
     }
 
     // Warm-up: run every query once at the smallest SF so JIT
@@ -54,13 +65,34 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    var failed = List.empty[String]
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      name -> runOnce(name)
+      val timings = (1 to runs).flatMap { _ =>
+        runOnce(name) match {
+          case Right(t) => Some(t)
+          case Left(err) => failed ::= err; None
+        }
+      }.sorted
+      val median =
+        if (timings.isEmpty) -1.0 else timings(timings.length / 2)
+      val rel =
+        if (timings.isEmpty || median == 0.0) 0.0
+        else (timings.last - timings.head) / median
+      (name, median, rel)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread = if (results.isEmpty) 0.0 else results.map(_._3).max
+    val failedJson = failed.reverse.distinct
+      .map(s => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", " ") + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] FAILED queries: ${failed.reverse.distinct.mkString("; ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -38,6 +38,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_join_agg")(spark, "/root/testdata/sf0.001")
 
+  /** Shared front of the curation pipeline: score + fingerprint +
+    * language-id, then the quality gate. Gate FIRST, then dedup among
+    * survivors — the other order lets a low-quality duplicate with the
+    * lowest doc_id knock out every higher-quality copy of the same
+    * content. */
+  private def curateSurvivors(s: SparkSession, d: String): DataFrame =
+    TextOps.quality(t(s, d, "documents"), col("text"), col("n_chars"))
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .withColumn("pred_lang", TextOps.langId(col("text")))
+      .filter(col("quality_score") >= 0.3)
+
   // ------------------------------------------------------------------
   // Queries. Signature: (session, sfDir) => DataFrame.
   // ------------------------------------------------------------------
@@ -347,6 +358,34 @@ object SparkEntry {
         "embedding").orderBy(col("vec_id"))
     }),
 
+    // Transitive cluster resolution under the ORACLE: connected
+    // components over CHAIN edges linking consecutive doc_ids of each
+    // identical-text group (built with one window pass — no unbounded
+    // per-group buffers). Chains make min-id propagation take multiple
+    // hops, so this genuinely exercises the distributed CC loop, while
+    // the fixpoint is SQL-expressible: cluster_id == min(doc_id) over
+    // the text group.
+    "dedup_clusters_exact" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+      val edges = docs.select(col("doc_id"), col("text"))
+        .withColumn("prev", lag(col("doc_id"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("a"), col("doc_id").as("b"))
+      ops.ClusterOps.clusterAssignments(docs, "doc_id", edges)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Transitive NEAR-dup clusters: MinHash-LSH pairs at Jaccard >= 0.8
+    // → connected components → keep-lowest-id per cluster. Rows-only
+    // check (sketch pipeline not expressible in SQL); transitivity /
+    // minimality / union-find equivalence are ScalaTest-gated
+    // (ClusterOpsSpec).
+    "dedup_clusters" -> ((s, d) => {
+      ops.ClusterOps.nearDupClusters(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Full SQL path: Spark's parser + analyzer over registered temp
     // views, with graft's native expressions available as SQL functions
     // (the reference has no SQL surface at all — SURVEY §3).
@@ -561,18 +600,28 @@ object SparkEntry {
     // corpus stats. Every stage is a training-data op from §8.3; the
     // whole composition stays oracle-checkable.
     "pipeline_curate" -> ((s, d) => {
-      val scored = TextOps.quality(t(s, d, "documents"), col("text"),
-          col("n_chars"))
-        .withColumn("fp", TextOps.fingerprint(col("text")))
-        .withColumn("pred_lang", TextOps.langId(col("text")))
-      // quality gate FIRST, then dedup among survivors — the other
-      // order lets a low-quality duplicate with the lowest doc_id
-      // knock out every higher-quality copy of the same content
-      val surviving = scored.filter(col("quality_score") >= 0.3)
+      val surviving = curateSurvivors(s, d)
       val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
       surviving
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
+        .select(col("doc_id"), col("pred_lang"), col("n_tokens"),
+          col("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The production variant: same quality gate, but dedup removes
+    // whole NEAR-dup clusters (MinHash-LSH pairs at Jaccard >= 0.8 →
+    // connected components → keep-lowest-id), not just exact
+    // fingerprint copies. Rows-only check; ClusterOpsSpec proves its
+    // kept set is a subset of pipeline_curate's (exact dups are always
+    // clustered together).
+    "pipeline_curate_neardup" -> ((s, d) => {
+      val surviving = curateSurvivors(s, d)
+      ops.ClusterOps.nearDupClusters(surviving, "doc_id", "text")
+        .filter(col("keep"))
+        .select(col("doc_id"))
+        .join(surviving, Seq("doc_id"))
         .select(col("doc_id"), col("pred_lang"), col("n_tokens"),
           col("quality_score"))
         .orderBy(col("doc_id"))
@@ -827,6 +876,14 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    // Fixpoint of the distributed CC loop over identical-text chain
+    // edges == per-text-group minimum, which IS SQL-expressible.
+    "dedup_clusters_exact" ->
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY text) AS cluster_id,
+        |  doc_id = min(doc_id) OVER (PARTITION BY text) AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "pipeline_curate" ->
       s"""WITH scored AS (

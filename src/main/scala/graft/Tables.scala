@@ -14,15 +14,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-      // parquet reader rejects; read ts as a nanosecond-epoch long and
-      // let callers convert (see SparkEntry events queries).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    }
+  /** Session conf every graft session needs: events.parquet carries
+    * TIMESTAMP(NANOS), which Spark's vectorized parquet reader rejects;
+    * with this conf ts arrives as a nanosecond-epoch long and callers
+    * convert explicitly (see SparkEntry events queries). Set once at
+    * session build — loaders are pure. */
+  val sessionConf: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
-  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

@@ -17,6 +17,7 @@ object Verify {
       // costs time, never protects memory — keep hash aggregation
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "10000000")
+      .config(Tables.sessionConf)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -74,6 +74,7 @@ object GraftContext {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(graft.Tables.sessionConf)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new GraftContext(spark)

@@ -21,6 +21,19 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Accumulation is sequential in index order in double precision, so
   * results are bit-deterministic regardless of partitioning.
   */
+/** Shared by interpreted + codegen paths: vector kernels REQUIRE equal
+  * dimensions — a corrupt embedding fails loudly instead of silently
+  * producing a truncated similarity (the DuckDB oracle's
+  * `list_cosine_similarity` errors on mismatched lengths too). */
+object VectorExprUtil {
+  def checkedDim(x: ArrayData, y: ArrayData): Int = {
+    val nx = x.numElements(); val ny = y.numElements()
+    if (nx != ny) throw new IllegalArgumentException(
+      s"vector dimension mismatch: $nx vs $ny")
+    nx
+  }
+}
+
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -30,7 +43,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VectorExprUtil.checkedDim(x, y)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -50,7 +63,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = graft.functions.VectorExprUtil.checkedDim($x, $y);
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xi = (double) $x.getFloat($i);
@@ -77,7 +90,7 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VectorExprUtil.checkedDim(x, y)
     var dot = 0.0
     var i = 0
     while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
@@ -89,7 +102,7 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = graft.functions.VectorExprUtil.checkedDim($x, $y);
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $dot += (double) $x.getFloat($i) * (double) $y.getFloat($i);

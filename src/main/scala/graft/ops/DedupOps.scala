@@ -48,6 +48,9 @@ object DedupOps {
     * bounded aggregation memory, no bucket self-join. */
   private[ops] def bucketPairs(bucketed: DataFrame, bucketCols: Seq[Column],
       idCol: String, minN: Int, maxN: Int): DataFrame = {
+    // pair expansion indexes ids[1..size-1]; minN=1 would generate a
+    // DESCENDING sequence(1, 0) and element_at(ids, 0) throws at runtime
+    require(minN >= 2, s"minN must be >= 2 (got $minN)")
     import graft.functions.BoundedCollectSet.boundedCollectSet
     val buckets = bucketed.groupBy(bucketCols: _*)
       .agg(boundedCollectSet(col(idCol), maxN + 1).as("ids"))
@@ -64,6 +67,10 @@ object DedupOps {
   /** doc → (band_id, band_hash) rows for MinHash-LSH blocking. */
   private def bandExplode(withSig: DataFrame, idCol: String, k: Int,
       bands: Int): DataFrame = {
+    // uneven banding would silently exclude the trailing k % bands
+    // signature lanes from every band, quietly lowering LSH recall
+    require(bands > 0 && k % bands == 0,
+      s"signature length k=$k must be divisible by bands=$bands")
     val r = k / bands
     withSig.select(col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),

@@ -11,6 +11,7 @@ object ProfileMain {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config(Tables.sessionConf)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.documents(spark, "/root/testdata/sf0.1")

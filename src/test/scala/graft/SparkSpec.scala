@@ -12,6 +12,7 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config(Tables.sessionConf)
     .getOrCreate()
 
   def resource(name: String): String =
