@@ -89,18 +89,29 @@ object AnnOps {
     HashFunctions.hyperplaneBits(vec, nbits)
 
   /** LSH-bucketed approximate top-k: candidates share at least one
-    * 8-bit band of the `nbits`-bit hyperplane signature with the query.
-    * Recall < 1 by construction; candidate volume (and thus cost) is
-    * bucket-bounded. */
+    * `bandBits`-bit band of the `nbits`-bit hyperplane signature with
+    * the query. Recall < 1 by construction; candidate volume (and thus
+    * cost) is bucket-bounded.
+    *
+    * Band width is the recall/selectivity dial: P(band match) =
+    * p^bandBits with p = 1 - angle/pi, so NARROW bands (4 bits, the
+    * default) keep recall usable even when true neighbors are only
+    * moderately closer than random pairs (measured recall@10 on the
+    * driver data: see RecallGatesSpec / PLANS.md §recall), while WIDE
+    * bands (8 bits) buy ~16x more selectivity and are the right setting
+    * at 100 TB when the corpus has genuinely-close neighbors
+    * (cosine >= 0.8). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nbits: Int = 16): DataFrame = {
-    require(nbits % 8 == 0, "nbits must be a multiple of 8")
-    val nBands = nbits / 8
+      vecCol: String, k: Int, nbits: Int = 32, bandBits: Int = 4): DataFrame = {
+    require(bandBits >= 1 && bandBits <= 32, "bandBits must be in 1..32")
+    require(nbits % bandBits == 0, "nbits must be a multiple of bandBits")
+    val nBands = nbits / bandBits
+    val mask = (1L << bandBits) - 1
     def withBands(df: DataFrame, side: String): DataFrame = {
       val renamed = df.select(col(idCol).as(s"${side}_id"),
         col(vecCol).as(s"${side}_vec"))
       val bandVals = (0 until nBands).map(b =>
-        shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(0xffL)))
+        shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit(mask)))
       renamed
         .withColumn("sig", hyperplaneBits(col(s"${side}_vec"), nbits))
         .select(col(s"${side}_id"), col(s"${side}_vec"),
