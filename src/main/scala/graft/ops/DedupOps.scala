@@ -45,12 +45,20 @@ object DedupOps {
     * TypedImperativeAggregate whose buffer caps at maxN+1 — a bucket
     * that reaches the cap is degenerate and dropped) → pair expansion
     * via nested transform → explode. One shuffle of the bucketed table,
-    * bounded aggregation memory, no bucket self-join. */
+    * bounded aggregation memory, no bucket self-join.
+    *
+    * `minCo` keeps only pairs that co-occur in at least that many
+    * buckets — for an inverted index (one bucket per n-gram) this is a
+    * minimum-shared-grams prefilter that discards the long tail of
+    * pairs sharing a single rare key before any verification payload
+    * moves. Same shuffle as the plain distinct (it is the same
+    * aggregation with a HAVING). */
   private[ops] def bucketPairs(bucketed: DataFrame, bucketCols: Seq[Column],
-      idCol: String, minN: Int, maxN: Int): DataFrame = {
+      idCol: String, minN: Int, maxN: Int, minCo: Int = 1): DataFrame = {
     // pair expansion indexes ids[1..size-1]; minN=1 would generate a
     // DESCENDING sequence(1, 0) and element_at(ids, 0) throws at runtime
     require(minN >= 2, s"minN must be >= 2 (got $minN)")
+    require(minCo >= 1, s"minCo must be >= 1 (got $minCo)")
     import graft.functions.BoundedCollectSet.boundedCollectSet
     val buckets = bucketed.groupBy(bucketCols: _*)
       .agg(boundedCollectSet(col(idCol), maxN + 1).as("ids"))
@@ -59,9 +67,13 @@ object DedupOps {
       sequence(lit(1), size(col("ids")) - 1),
       i => transform(slice(col("ids"), i + 1, size(col("ids"))),
         b => struct(element_at(col("ids"), i).as("a"), b.as("b")))))
-    buckets.select(explode(pairArray).as("p"))
+    val expanded = buckets.select(explode(pairArray).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
+    if (minCo <= 1) expanded.distinct()
+    else expanded.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("__co"))
+      .filter(col("__co") >= minCo)
+      .select(col("a"), col("b"))
   }
 
   /** doc → (band_id, band_hash) rows for MinHash-LSH blocking. */
@@ -96,6 +108,25 @@ object DedupOps {
       minN = 2, maxN = maxBucket)
   }
 
+  /** Materialize a (small, df/bucket-capped) candidate pair list and
+    * restrict an expensive per-doc sketch to the docs that actually
+    * appear in a pair: without this, the sketch column is computed for
+    * the WHOLE corpus once per verification join (the plan references
+    * it twice), which profiling showed dominates the dedup summaries —
+    * ~3 full-corpus sketch passes for ~10^2 surviving candidate docs.
+    * The checkpoint bounds re-execution (the pair list is capped by
+    * construction); candidate docs then come from one left-semi join.
+    */
+  private def verifySketches(pairs: DataFrame, docs: DataFrame,
+      idCol: String, sketch: Column, as: String): (DataFrame, DataFrame) = {
+    val pairsM = pairs.localCheckpoint(true)
+    val candIds = pairsM
+      .select(explode(array(col("a"), col("b"))).as(idCol)).distinct()
+    val sketches = docs.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), sketch.as(as))
+    (pairsM, sketches)
+  }
+
   /** MinHash-LSH near-dup pairs with exact-Jaccard verification.
     * Returns one row per candidate pair with its true shingle Jaccard.
     */
@@ -103,11 +134,12 @@ object DedupOps {
       k: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame = {
     val cand = minhashCandidates(docs, idCol, textCol, k, bands, shingleN)
     // verification over hashed shingle sets (long arrays): same Jaccard
-    // modulo vanishing collisions, ~1/8 the shuffle width of strings
-    val shingleSets = docs.select(col(idCol),
-      HashFunctions.shingleHashes(tokens(col(textCol)), shingleN)
-        .as("shingles"))
-    cand
+    // modulo vanishing collisions, ~1/8 the shuffle width of strings —
+    // computed only for docs that appear in a candidate pair
+    val (candM, shingleSets) = verifySketches(cand, docs, idCol,
+      HashFunctions.shingleHashes(tokens(col(textCol)), shingleN),
+      "shingles")
+    candM
       .join(shingleSets.select(col(idCol).as("a"),
         col("shingles").as("sh_a")), Seq("a"))
       .join(shingleSets.select(col(idCol).as("b"),
@@ -155,8 +187,12 @@ object DedupOps {
     * exact popcount verification). */
   def simhashSummary(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    // (id, simhash) is 16 bytes/doc and referenced four times (banding,
+    // two verification joins, final summary join) — materialize the one
+    // full-corpus hash pass instead of re-running it per reference
     val withSh = docs.select(col(idCol),
       HashFunctions.simhash64(tokens(col(textCol))).as("simhash"))
+      .localCheckpoint(true)
     // 4 bands of 16 bits: any pair within Hamming 3 shares ≥1 band.
     val bandVals = (0 until 4).map(b =>
       shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)))
@@ -192,17 +228,41 @@ object DedupOps {
     * — ~8× less shuffle volume and O(1) comparisons, at the cost of a
     * vanishing hash-collision error in the Jaccard estimate. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, maxDf: Int = 10): DataFrame = {
+      n: Int = 8, maxDf: Int = 10, sampleK: Int = 32,
+      minCoGrams: Int = 2): DataFrame = {
+    require(sampleK >= 1, s"sampleK must be >= 1 (got $sampleK)")
     val grams = docs.select(col(idCol),
       HashFunctions.charNgramHashes(col(textCol), n).as("grams"))
-    val inv = grams.select(col(idCol), explode(col("grams")).as("gram"))
+    // Candidate generation runs on each doc's BOTTOM-K gram hashes
+    // (gram arrays are sorted ascending, so bottom-k is a slice): a
+    // per-doc minhash-style sketch whose pairwise overlap concentrates
+    // at ~k*jaccard shared grams, INDEPENDENT of corpus-wide gram
+    // frequency — unlike a global mod-p sample, template twins whose
+    // shared grams are mostly corpus-common still collide on their
+    // shared bottom-k. The inverted index — the dominant shuffle of
+    // this pipeline — shrinks from all grams (~2000/doc) to k/doc,
+    // with no effect on the VERIFIED jaccard, which is computed over
+    // the full gram sets. Measured: candidate recall 1.0 at the
+    // sf0.001 j>=0.5 gate (RecallGatesSpec), candidate volume and
+    // runtime both ~5x lower at sf0.1 (PLANS.md §recall).
+    val inv = grams
+      .select(col(idCol), explode(slice(col("grams"), 1, sampleK)).as("gram"))
     // df-pruned inverted index → in-bucket pair expansion in one
-    // aggregation (common grams dropped: no signal, quadratic cost)
+    // aggregation (grams common across >maxDf docs dropped: no signal,
+    // quadratic cost); pairs must share >= minCoGrams sampled grams —
+    // a single shared gram is noise, and the long tail of such pairs
+    // is what used to dominate verification cost
     val pairs = bucketPairs(inv, Seq(col("gram")), idCol,
-      minN = 2, maxN = maxDf)
-    pairs
-      .join(grams.select(col(idCol).as("a"), col("grams").as("g_a")), Seq("a"))
-      .join(grams.select(col(idCol).as("b"), col("grams").as("g_b")), Seq("b"))
+      minN = 2, maxN = maxDf, minCo = minCoGrams)
+    // gram sets re-computed only for candidate docs (one full-corpus
+    // gram pass — the inverted index — instead of three)
+    val (pairsM, gramsCand) = verifySketches(pairs, docs, idCol,
+      HashFunctions.charNgramHashes(col(textCol), n), "grams")
+    pairsM
+      .join(gramsCand.select(col(idCol).as("a"), col("grams").as("g_a")),
+        Seq("a"))
+      .join(gramsCand.select(col(idCol).as("b"), col("grams").as("g_b")),
+        Seq("b"))
       .withColumn("jaccard",
         size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
           size(array_union(col("g_a"), col("g_b"))))

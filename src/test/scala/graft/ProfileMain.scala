@@ -37,6 +37,13 @@ object ProfileMain {
         .queryExecution.toRdd.count())
     time("ngram pairs")(
       ngramJaccardPairs(docs, "doc_id", "text").count())
+    time("ngram pairs full")(
+      ngramJaccardPairs(docs, "doc_id", "text")
+        .queryExecution.toRdd.count())
+    val np = time("ngram pairs construct+checkpoint")(
+      ngramJaccardPairs(docs, "doc_id", "text"))
+    time("ngram verified pairs materialize")(
+      np.queryExecution.toRdd.count())
     time("ngram summary")(
       ngramJaccardSummary(docs, "doc_id", "text")
         .queryExecution.toRdd.count())
