@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 import org.apache.spark.sql.types._
@@ -36,19 +36,26 @@ object Hash64 {
   }
 }
 
-/** Shared one-pass shingle hashing: the 64-bit hash of each
-  * `shingleN`-token window of a token array (FNV over the tokens'
-  * bytes with a separator byte between tokens). Short inputs (< n
-  * tokens) produce the single hash of all tokens, so every document
-  * has a non-empty shingle set.
+/** The sketch kernels, as plain static-forwardable methods so BOTH
+  * execution paths share one implementation: the interpreted
+  * `nullSafeEval` calls them directly, and each expression's
+  * `doGenCode` emits a call to the same method — the generated code
+  * stays inside the whole-stage-codegen span (no CodegenFallback
+  * stage split, no per-row boxing through `eval`), while the loop
+  * bodies live here in ordinary Scala.
   *
-  * Shingling in expression space (`transform`+`slice`+`concat_ws`)
-  * costs ~1.7s per 5000 docs in interpreted HOF mode; this fused loop
-  * does the same work in microseconds — it is the difference between
-  * the sketch being free and being the pipeline bottleneck at 100 TB.
+  * Fused one-pass designs (shingling + k minhash lanes in a single
+  * traversal, rolling n-gram windows without substring allocation)
+  * are what keep the sketches off the profile at 100 TB — the
+  * interpreted higher-order-function formulations cost ~100x more.
   */
-private[functions] object ShingleHash {
-  def windowHashes(arr: ArrayData, shingleN: Int): Array[Long] = {
+object SketchKernels {
+
+  /** 64-bit hash of each `shingleN`-token window of a token array
+    * (FNV over the tokens' bytes with a separator byte between
+    * tokens). Short inputs (< n tokens) produce the single hash of
+    * all tokens, so every document has a non-empty shingle set. */
+  private def windowHashes(arr: ArrayData, shingleN: Int): Array[Long] = {
     val n = arr.numElements()
     val count = if (n <= shingleN) 1 else n - shingleN + 1
     val out = new Array[Long](count)
@@ -75,56 +82,24 @@ private[functions] object ShingleHash {
     }
     out
   }
-}
 
-/** Hashes of the `shingleN`-word shingles of a token array — the
-  * verification-side companion of [[MinHashSignature]]: Jaccard over
-  * these long arrays equals shingle-set Jaccard (minus a vanishing
-  * hash-collision error) at ~1/8 the shuffle width of string shingles.
-  * Output is distinct + sorted for cheap set operations downstream. */
-case class ShingleHashes(child: Expression, shingleN: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "shingle_hashes"
-
-  override def nullSafeEval(input: Any): Any = {
-    val hs = ShingleHash.windowHashes(input.asInstanceOf[ArrayData], shingleN)
+  /** Sort + dedup in place, returning the compacted prefix. */
+  private def sortedDistinct(hs: Array[Long]): Array[Long] = {
     java.util.Arrays.sort(hs)
-    // dedup in place
     var w = 0
     var i = 0
     while (i < hs.length) {
       if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
       i += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+    java.util.Arrays.copyOf(hs, w)
   }
 
-  override protected def withNewChildInternal(c: Expression): ShingleHashes =
-    copy(child = c)
-}
+  def shingleHashes(arr: ArrayData, shingleN: Int): ArrayData =
+    new GenericArrayData(sortedDistinct(windowHashes(arr, shingleN)))
 
-/** MinHash signature over the `shingleN`-word shingles of a token
-  * array: for each of k independent hash functions, the minimum hash
-  * over the shingle set. Shingling + all k lanes in ONE pass — no
-  * intermediate shingle strings exist at all.
-  *
-  * Output: array<long> of length k. Deterministic: no RNG, lane i's
-  * hash function is fixed by the lane index.
-  *
-  * Beyond-reference extension (the reference has no dedup surface;
-  * SURVEY §2.5). Standard MinHash-LSH construction per Broder '97.
-  */
-case class MinHashSignature(child: Expression, k: Int, shingleN: Int = 1)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "minhash_signature"
-
-  override def nullSafeEval(input: Any): Any = {
-    val hashes = ShingleHash.windowHashes(input.asInstanceOf[ArrayData],
-      shingleN)
+  def minhashSignature(arr: ArrayData, k: Int, shingleN: Int): ArrayData = {
+    val hashes = windowHashes(arr, shingleN)
     val sig = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < hashes.length) {
@@ -140,22 +115,8 @@ case class MinHashSignature(child: Expression, k: Int, shingleN: Int = 1)
     new GenericArrayData(sig)
   }
 
-  override protected def withNewChildInternal(c: Expression): MinHashSignature =
-    copy(child = c)
-}
-
-/** Distinct hashes of the character n-grams of a string — one pass
-  * over the UTF-8 bytes with a true rolling window (no substring
-  * allocation), for the n-gram-Jaccard dedup path. Strings shorter
-  * than n hash as a single whole-string gram. */
-case class CharNgramHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "char_ngram_hashes"
-
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].toLowerCase.getBytes
+  def charNgramHashes(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
     val len = bytes.length
     val count = if (len <= n) 1 else len - n + 1
     val hs = new Array[Long](count)
@@ -171,33 +132,10 @@ case class CharNgramHashes(child: Expression, n: Int)
       hs(pos) = Hash64.mix(h)
       pos += 1
     }
-    java.util.Arrays.sort(hs)
-    var w = 0
-    var i = 0
-    while (i < hs.length) {
-      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
-      i += 1
-    }
-    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+    new GenericArrayData(sortedDistinct(hs))
   }
 
-  override protected def withNewChildInternal(c: Expression): CharNgramHashes =
-    copy(child = c)
-}
-
-/** 64-bit SimHash of an array<string> token sequence (Charikar '02):
-  * each token votes ±1 on each of 64 bit positions according to its
-  * hash; the sign of each accumulated position is the output bit.
-  * Near-duplicate texts differ in few bits (small Hamming distance).
-  */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-  override def prettyName: String = "simhash64"
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def simhash64(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
@@ -222,24 +160,8 @@ case class SimHash64(child: Expression)
     out
   }
 
-  override protected def withNewChildInternal(c: Expression): SimHash64 =
-    copy(child = c)
-}
-
-/** Winnowing-style rolling-hash fingerprint of a string (Schleimer et
-  * al. '03, simplified): polynomial rolling hash over every k-char
-  * window, keeping the minimum window hash per document. Collisions of
-  * the minimum select the same "rarest" substring for near-identical
-  * texts, making this a cheap single-long blocking key.
-  */
-case class RollingHashMin(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-  override def prettyName: String = "rolling_hash_min"
-
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  def rollingHashMin(text: UTF8String, k: Int): Long = {
+    val bytes = text.getBytes
     val n = bytes.length
     if (n == 0) return 0L
     if (n <= k) return Hash64.mix(Hash64.hashBytes(bytes, 1L))
@@ -261,29 +183,7 @@ case class RollingHashMin(child: Expression, k: Int)
     minMixed
   }
 
-  override protected def withNewChildInternal(c: Expression): RollingHashMin =
-    copy(child = c)
-}
-
-/** Random-hyperplane LSH signature of an array<float> vector: bit p is
-  * the sign of <v, h_p>, where hyperplane component h_p[i] is a
-  * pseudo-random value in [-1, 1] derived from splitmix64(p, i) — no
-  * RNG state, so every executor derives identical hyperplanes and the
-  * signature is fully deterministic (resume/retry safe at scale).
-  *
-  * One fused pass: d × nbits multiply-adds per row, no intermediate
-  * arrays — replaces an nbits-fold stack of `aggregate`/`zip_with`
-  * higher-order functions that re-walked the vector per bit.
-  */
-case class HyperplaneBits(child: Expression, nbits: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(nbits > 0 && nbits <= 64, "nbits must be in 1..64")
-
-  override def dataType: DataType = LongType
-  override def prettyName: String = "hyperplane_bits"
-
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  def hyperplaneBits(v: ArrayData, nbits: Int): Long = {
     val d = v.numElements()
     val dots = new Array[Double](nbits)
     var i = 0
@@ -306,6 +206,153 @@ case class HyperplaneBits(child: Expression, nbits: Int)
     }
     out
   }
+}
+
+/** Base for sketch expressions whose codegen is a call into
+  * [[SketchKernels]] — subclasses provide the kernel invocation as a
+  * Java expression over the child's codegen value. */
+private[functions] trait KernelCallExpression extends UnaryExpression {
+  /** Java source for the kernel call, given the child value term. */
+  protected def kernelCall(childTerm: String): String
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${kernelCall(c)};")
+}
+
+/** Hashes of the `shingleN`-word shingles of a token array — the
+  * verification-side companion of [[MinHashSignature]]: Jaccard over
+  * these long arrays equals shingle-set Jaccard (minus a vanishing
+  * hash-collision error) at ~1/8 the shuffle width of string shingles.
+  * Output is distinct + sorted for cheap set operations downstream. */
+case class ShingleHashes(child: Expression, shingleN: Int)
+    extends KernelCallExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.shingleHashes(input.asInstanceOf[ArrayData], shingleN)
+
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.SketchKernels.shingleHashes($c, $shingleN)"
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
+/** MinHash signature over the `shingleN`-word shingles of a token
+  * array: for each of k independent hash functions, the minimum hash
+  * over the shingle set. Shingling + all k lanes in ONE pass — no
+  * intermediate shingle strings exist at all.
+  *
+  * Output: array<long> of length k. Deterministic: no RNG, lane i's
+  * hash function is fixed by the lane index.
+  *
+  * Beyond-reference extension (the reference has no dedup surface;
+  * SURVEY §2.5). Standard MinHash-LSH construction per Broder '97.
+  */
+case class MinHashSignature(child: Expression, k: Int, shingleN: Int = 1)
+    extends KernelCallExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.minhashSignature(input.asInstanceOf[ArrayData], k, shingleN)
+
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.SketchKernels.minhashSignature($c, $k, $shingleN)"
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+/** Distinct hashes of the character n-grams of a string — one pass
+  * over the UTF-8 bytes with a true rolling window (no substring
+  * allocation), for the n-gram-Jaccard dedup path. Strings shorter
+  * than n hash as a single whole-string gram. */
+case class CharNgramHashes(child: Expression, n: Int)
+    extends KernelCallExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_ngram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.charNgramHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.SketchKernels.charNgramHashes($c, $n)"
+
+  override protected def withNewChildInternal(c: Expression): CharNgramHashes =
+    copy(child = c)
+}
+
+/** 64-bit SimHash of an array<string> token sequence (Charikar '02):
+  * each token votes ±1 on each of 64 bit positions according to its
+  * hash; the sign of each accumulated position is the output bit.
+  * Near-duplicate texts differ in few bits (small Hamming distance).
+  */
+case class SimHash64(child: Expression)
+    extends KernelCallExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.SketchKernels.simhash64($c)"
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+/** Winnowing-style rolling-hash fingerprint of a string (Schleimer et
+  * al. '03, simplified): polynomial rolling hash over every k-char
+  * window, keeping the minimum window hash per document. Collisions of
+  * the minimum select the same "rarest" substring for near-identical
+  * texts, making this a cheap single-long blocking key.
+  */
+case class RollingHashMin(child: Expression, k: Int)
+    extends KernelCallExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash_min"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.rollingHashMin(input.asInstanceOf[UTF8String], k)
+
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.SketchKernels.rollingHashMin($c, $k)"
+
+  override protected def withNewChildInternal(c: Expression): RollingHashMin =
+    copy(child = c)
+}
+
+/** Random-hyperplane LSH signature of an array<float> vector: bit p is
+  * the sign of <v, h_p>, where hyperplane component h_p[i] is a
+  * pseudo-random value in [-1, 1] derived from splitmix64(p, i) — no
+  * RNG state, so every executor derives identical hyperplanes and the
+  * signature is fully deterministic (resume/retry safe at scale).
+  *
+  * One fused pass: d × nbits multiply-adds per row, no intermediate
+  * arrays — replaces an nbits-fold stack of `aggregate`/`zip_with`
+  * higher-order functions that re-walked the vector per bit.
+  */
+case class HyperplaneBits(child: Expression, nbits: Int)
+    extends KernelCallExpression {
+  require(nbits > 0 && nbits <= 64, "nbits must be in 1..64")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_bits"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.hyperplaneBits(input.asInstanceOf[ArrayData], nbits)
+
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.SketchKernels.hyperplaneBits($c, $nbits)"
 
   override protected def withNewChildInternal(c: Expression): HyperplaneBits =
     copy(child = c)

@@ -99,4 +99,32 @@ class ExpressionsSpec extends SparkSpec {
     // min over a superset of windows) — min can only decrease
     assert(hs(2) <= hs(0))
   }
+
+  test("sketch expressions stay inside one whole-stage-codegen span") {
+    // every sketch in one Project over the scan; `*(n)` marks a
+    // WholeStageCodegen stage — CodegenFallback exprs would strip it.
+    // Generated-code compilation is also exercised (codegen fallback
+    // produces identical results, so a compile failure would otherwise
+    // hide: interpreted and codegen paths share the SketchKernels
+    // methods, and this plan check pins the codegen path as active).
+    val docs = graft.Tables.documents(spark, Sf0001)
+    val toks = split(lower(col("text")), " ")
+    val df = docs.select(
+      HashFunctions.minhashSignature(toks, 64, 3).as("mh"),
+      HashFunctions.shingleHashes(toks, 3).as("sh"),
+      HashFunctions.charNgramHashes(col("text"), 8).as("ng"),
+      HashFunctions.simhash64(toks).as("si"),
+      HashFunctions.rollingHashMin(col("text"), 8).as("rh"))
+    assert(df.queryExecution.toRdd.count() == 500L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(1) Project") && l.contains("minhash_signature")),
+      s"sketch Project must be codegen'd:\n$plan")
+    val emb = graft.Tables.embeddings(spark, Sf0001)
+    val df2 = emb.select(
+      HashFunctions.hyperplaneBits(col("embedding"), 16).as("hb"))
+    assert(df2.queryExecution.toRdd.count() > 0)
+    assert(df2.queryExecution.executedPlan.toString.contains("*(1) Project"),
+      "hyperplane Project must be codegen'd")
+  }
 }
