@@ -422,6 +422,26 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // The SAME as-of join through the custom planner path (logical
+    // AsofJoinPlan → AsofJoinStrategy → sorted-merge AsofJoinExec,
+    // registered via SparkSessionExtensions): one Exchange + Sort per
+    // side, one forward-only merge pass per partition. Byte-identical
+    // to q_asof_join — shares its DuckDB ASOF JOIN oracle.
+    "q_asof_join_native" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("ts"))
+      val ord = t(s, d, "orders")
+        .groupBy(col("o_custkey"),
+          col("o_orderdate").cast("timestamp").as("o_ts"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      plans.AsofJoin.asofJoin(s, ev, ord, "user_id", "o_custkey",
+        "ts", "o_ts", Seq("o_orderkey"))
+        .select(col("event_id"),
+          coalesce(col("asof_o_orderkey"), lit(-1L)).as("last_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
     // Range join: lineitems shipped within 60 days of their order date.
     "q_range_join" -> ((s, d) => {
       val li = t(s, d, "lineitem")
@@ -669,9 +689,13 @@ object SparkEntry {
   // DuckDB oracle SQL — same tables, same column aliases, same ORDER BY.
   // ------------------------------------------------------------------
   // ann_brute_agg must be byte-identical to ann_brute (window top-k vs
-  // bounded-Aggregator top-k) — they share one oracle.
+  // bounded-Aggregator top-k), and q_asof_join_native to q_asof_join
+  // (custom sorted-merge SparkPlan vs composed union+window) — each
+  // pair shares one oracle.
   def oracleSql: Map[String, String] =
-    baseOracle + ("ann_brute_agg" -> baseOracle("ann_brute"))
+    baseOracle +
+      ("ann_brute_agg" -> baseOracle("ann_brute")) +
+      ("q_asof_join_native" -> baseOracle("q_asof_join"))
 
   private def baseOracle: Map[String, String] = Map(
     "q_filter_project" ->

@@ -19,8 +19,10 @@ object Tables {
     * with this conf ts arrives as a nanosecond-epoch long and callers
     * convert explicitly (see SparkEntry events queries). Set once at
     * session build — loaders are pure. */
-  val sessionConf: Map[String, String] =
-    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+  val sessionConf: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // custom planner surface (as-of join strategy + pruning rule)
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
