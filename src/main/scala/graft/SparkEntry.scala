@@ -132,6 +132,26 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Co-located join over BUCKETED tables: both sides bucketed on the
+    // join key (8 buckets, sorted), so the sort-merge join consumes the
+    // bucket layout directly — ZERO hash Exchanges in the plan (the
+    // only exchange is the final presentation ORDER BY); the per-key
+    // aggregation also rides the bucket partitioning. This is the
+    // 100-TB fact-to-fact join shape: pay the shuffle once at write
+    // time, never again per query. Plan shape is test-gated
+    // (StorageAndSkewSpec).
+    "q_bucketed_join" -> ((s, d) => {
+      val c = s.table(ops.StorageOps.bucketedTable(s, d, "customer",
+        "c_custkey"))
+      val o = s.table(ops.StorageOps.bucketedTable(s, d, "orders",
+        "o_custkey"))
+      c.join(o.hint("merge"), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Left-semi join (EXISTS).
     "q_semi_join" -> ((s, d) => {
       val c = t(s, d, "customer")
@@ -746,6 +766,14 @@ object SparkEntry {
         |              WHERE o.o_custkey = c.c_custkey
         |                AND o.o_totalprice > 400000.0)
         |ORDER BY c_custkey""".stripMargin,
+
+    // Bucketing changes the physical layout, never the result: the
+    // oracle is the plain co-keyed join over the original parquet.
+    "q_bucketed_join" ->
+      s"""SELECT c_custkey, count(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total_price
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer c

@@ -39,4 +39,38 @@ object StorageOps {
   def readPartition(spark: SparkSession, path: String,
       partitionCol: String, value: String): DataFrame =
     spark.read.parquet(path).filter(col(partitionCol) === value)
+
+  /** Ensure a bucketed+sorted managed-table copy of a driver table
+    * exists and return its name. Written once per (session, sfDir) —
+    * repeat calls (bench re-runs, multiple queries over the same
+    * layout) reuse the existing table, which is exactly how a
+    * production bucketed table amortizes its one write across every
+    * downstream shuffle-free join. */
+  def bucketedTable(spark: SparkSession, sfDir: String, name: String,
+      bucketCol: String, buckets: Int = 8): String = {
+    val tbl = s"graft_bkt_${name}_${math.abs(sfDir.hashCode.toLong)}"
+    if (!spark.catalog.tableExists(tbl)) {
+      // the metastore (derby) is per-JVM but the warehouse dir is not:
+      // a table location left by a previous process is invisible to
+      // this catalog and would fail the write — clear the stale copy
+      // (graft-owned derived artifact, deterministically rebuilt)
+      val loc = new java.io.File(
+        s"${spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")}/$tbl")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+      graft.Tables.load(spark, sfDir, name)
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, bucketCol)
+        .sortBy(bucketCol)
+        .format("parquet")
+        .saveAsTable(tbl)
+    }
+    tbl
+  }
 }

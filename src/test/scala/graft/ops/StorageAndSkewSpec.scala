@@ -58,6 +58,39 @@ class StorageAndSkewSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("q_bucketed_join plan: zero hash exchanges, bucketed scans, oracle-equal result") {
+    // clear leftovers from previous JVMs (fresh derby metastore does
+    // not know about stale table dirs)
+    val tbls = Seq("customer", "orders")
+      .map(n => s"graft_bkt_${n}_${math.abs(Sf0001.hashCode.toLong)}")
+    tbls.foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val dir = new java.io.File(s"/tmp/graft-warehouse/$tbl")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
+    val df = graft.SparkEntry.queries("q_bucketed_join")(spark, Sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join/agg must not hash-shuffle:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"scans must consume the bucket layout:\n$plan")
+    // layout must not change results: compare to the plain-parquet join
+    val plain = Tables.customer(spark, Sf0001)
+      .join(Tables.orders(spark, Sf0001),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("n_orders"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val bucketed = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(bucketed == plain && plain.nonEmpty)
+  }
+
   test("salted join equals plain join") {
     val li = Tables.lineitem(spark, Sf0001).limit(2000)
     val supp = Tables.supplier(spark, Sf0001)
