@@ -560,6 +560,74 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Explicit GROUPING SETS (finer than rollup/cube) via the SQL path.
+    "q_grouping_sets" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          |  coalesce(l_linestatus, 'ALL') AS ls,
+          |  count(*) AS n,
+          |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY rf, ls""".stripMargin)
+    }),
+
+    // RANGE window frame over event-time: 30-day trailing spend per
+    // customer — the frame is value-based (interval), not row-based.
+    "q_window_range" -> ((s, d) => {
+      t(s, d, "orders").filter(col("o_custkey") < 100)
+        .withColumn("trailing_30d",
+          expr("""cast(sum(cast(o_totalprice as decimal(18,2))) OVER (
+                 |  PARTITION BY o_custkey ORDER BY o_orderdate
+                 |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+                 |  as double)""".stripMargin))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("trailing_30d"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    }),
+
+    // Explode / lateral unnest: corpus word frequencies (the flat-map
+    // shape every tokenization pipeline starts with).
+    "q_explode" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) >= 4)
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w"))
+        .limit(20)
+    }),
+
+    // Analytic window battery: lead / lag / ntile / percent_rank /
+    // cume_dist under one deterministic total order.
+    "q_window_analytics" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders").filter(col("o_custkey") < 50)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"),
+          coalesce(lead(col("o_totalprice"), 1).over(w), lit(-1.0))
+            .as("next_price"),
+          coalesce(lag(col("o_totalprice"), 1).over(w), lit(-1.0))
+            .as("prev_price"),
+          ntile(4).over(w).cast("bigint").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
+    // Array aggregation: per-order sorted line numbers, serialized to a
+    // string so both engines hash identically.
+    "q_array_agg" -> ((s, d) => {
+      t(s, d, "lineitem").filter(col("l_orderkey") < 200)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          array_join(array_sort(collect_list(col("l_linenumber"))), ",")
+            .as("line_numbers"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_orderkey"))
+    }),
+
     // Exact distinct aggregation.
     "q_count_distinct" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -568,6 +636,40 @@ object SparkEntry {
           countDistinct(col("l_partkey")).as("n_part"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Approximate aggregates — the 100-TB workhorses: HyperLogLog++
+    // count-distinct (bounded memory vs exact's full hash table) and
+    // quantile sketch percentiles (one pass, mergeable). Sketch
+    // algorithms differ across engines, so no SQL oracle — accuracy is
+    // gated against the exact answers in ApproxOpsSpec (rel. error
+    // asserted), same pattern as the dedup recall gates.
+    "q_approx_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("nd_part"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("nd_supp"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+            .as("p50_price"),
+          expr("approx_percentile(l_extendedprice, 0.99, 10000)")
+            .as("p99_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Deterministic stratified sample: per-stratum Bernoulli sampling
+    // with a fixed seed (reproducible across runs/retries — a resume
+    // at 100 TB must not change the sample). Fraction accuracy and
+    // determinism are test-gated (ApproxOpsSpec).
+    "q_sample" -> ((s, d) => {
+      t(s, d, "orders")
+        .stat.sampleBy("o_orderpriority",
+          Map("1-URGENT" -> 0.2, "2-HIGH" -> 0.1, "3-MEDIUM" -> 0.05),
+          seed = 42L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_sampled"),
+          dsum(col("o_totalprice")).as("sampled_total"))
+        .orderBy(col("o_orderpriority"))
     }),
 
     // ---- similarity search ------------------------------------------
@@ -1094,6 +1196,50 @@ object SparkEntry {
         |  count(DISTINCT l_partkey) AS n_part,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_grouping_sets" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+         |  coalesce(l_linestatus, 'ALL') AS ls,
+         |  count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY rf, ls""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  cast(sum(cast(o_totalprice as decimal(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        |    as double) AS trailing_30d
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q_explode" ->
+      """SELECT w, count(*) AS n
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+        |      FROM documents)
+        |WHERE length(w) >= 4
+        |GROUP BY w ORDER BY n DESC, w LIMIT 20""".stripMargin,
+
+    "q_window_analytics" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  coalesce(lead(o_totalprice, 1) OVER w, -1.0) AS next_price,
+        |  coalesce(lag(o_totalprice, 1) OVER w, -1.0) AS prev_price,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q_array_agg" ->
+      """SELECT l_orderkey,
+        |  array_to_string(list_sort(list(l_linenumber)), ',')
+        |    AS line_numbers,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_orderkey < 200
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
     "q_events_hourly" ->
       s"""SELECT date_trunc('hour', ts) AS hour, event_type,
