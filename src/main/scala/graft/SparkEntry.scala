@@ -341,6 +341,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE-ish pre-token budget per source: letter/digit/punctuation run
+    // segmentation (the token-count estimate a training pipeline uses
+    // before paying for a real tokenizer).
+    "text_bpe_tokens" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(sum(TextOps.bpeTokenCount(col("text"))).as("bpe_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    }),
+
     // ---- training-data pipeline: dedup ------------------------------
 
     // Exact dedup: keep lowest doc_id per identical text.
@@ -1026,6 +1037,12 @@ object SparkEntry {
     "text_fingerprint" ->
       s"""SELECT doc_id, ${TextOps.sql.fingerprint} AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_tokens" ->
+      s"""SELECT source,
+         |  cast(sum(${TextOps.sql.bpeTokenCount}) as bigint) AS bpe_tokens,
+         |  count(*) AS n_docs
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies

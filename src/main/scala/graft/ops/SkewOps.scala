@@ -32,4 +32,22 @@ object SkewOps {
           saltedFact("__salt") === saltedDim("__salt"))
       .drop("__salt")
   }
+
+  /** Two-phase salted aggregation: groupBy (key, salt) first — the hot
+    * key's rows split across `salts` reducers — then re-aggregate the
+    * partials by key. `aggs` supplies BOTH phases for each output
+    * column (partial expression, merge expression over the partial's
+    * alias). Spark's own partial aggregation already splits map-side;
+    * explicit salting additionally splits the REDUCE side, which is
+    * what saves a stage whose single hot key exceeds one reducer. */
+  def saltedAgg(df: DataFrame, key: String, saltFrom: Column, salts: Int,
+      aggs: Seq[(Column, Column)]): DataFrame = {
+    val partialCols = aggs.map(_._1)
+    val mergeCols = aggs.map(_._2)
+    df.withColumn("__salt", pmod(hash(saltFrom), lit(salts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(partialCols.head, partialCols.tail: _*)
+      .groupBy(col(key))
+      .agg(mergeCols.head, mergeCols.tail: _*)
+  }
 }

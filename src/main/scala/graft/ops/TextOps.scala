@@ -33,6 +33,18 @@ object TextOps {
   def tokenCount(text: Column): Column =
     size(split(text, " ")).cast("bigint")
 
+  /** BPE-ish subword-boundary pattern: letter runs, digit runs, and
+    * punctuation runs each become one pre-token (the segmentation BPE
+    * vocabularies are trained over, minus lookahead constructs so the
+    * same pattern runs under Java regex and DuckDB's RE2). */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  /** BPE-ish pre-token count — the token-budget estimator a training
+    * pipeline uses when the real tokenizer is too expensive to run on
+    * every candidate document. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePattern)).cast("bigint")
+
   private def patCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
@@ -74,6 +86,8 @@ object TextOps {
   /** ANSI-SQL mirrors (DuckDB dialect) for the oracle. */
   object sql {
     val tokenCount = "cast(len(string_split(text, ' ')) as bigint)"
+    val bpeTokenCount =
+      "cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) as bigint)"
     def patCount(pattern: String): String =
       s"len(regexp_extract_all(text, '$pattern'))"
     val fingerprint =

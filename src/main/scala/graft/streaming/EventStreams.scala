@@ -71,6 +71,22 @@ object EventStreams {
         .dropDuplicatesWithinWatermark(Seq(idCol))
     else events.dropDuplicates(Seq(idCol))
 
+  /** Stream-static enrichment join + segment rollup: each event picks
+    * up its user's dimension attributes from a STATIC table (broadcast
+    * into every micro-batch — the dimension is re-read per batch, so a
+    * slowly-changing dim is picked up without restarting the query),
+    * then aggregates per segment. Works identically on batch input —
+    * the streaming==batch equivalence is the correctness gate. */
+  def enrichedSegmentStats(events: DataFrame,
+      customers: DataFrame): DataFrame = {
+    val dim = broadcast(customers
+      .select(col("c_custkey"), col("c_mktsegment")))
+    events
+      .join(dim, col("user_id") === col("c_custkey"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+  }
+
   /** One user event (typed view for stateful processing). */
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp,
       event_type: String, value: Double)

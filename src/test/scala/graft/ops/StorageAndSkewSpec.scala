@@ -91,6 +91,24 @@ class StorageAndSkewSpec extends SparkSpec {
     assert(bucketed == plain && plain.nonEmpty)
   }
 
+  test("salted aggregation equals plain aggregation") {
+    val li = Tables.lineitem(spark, Sf0001)
+    val plain = li.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).toString)).toSet
+    val salted = SkewOps.saltedAgg(li, "l_suppkey",
+      saltFrom = col("l_orderkey") * 10 + col("l_linenumber"), salts = 8,
+      aggs = Seq(
+        (count(lit(1)).as("pn"), sum(col("pn")).as("n")),
+        (sum(col("l_quantity").cast("decimal(18,2)")).as("pq"),
+          sum(col("pq")).as("q"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).toString)).toSet
+    assert(salted == plain && plain.nonEmpty)
+  }
+
   test("salted join equals plain join") {
     val li = Tables.lineitem(spark, Sf0001).limit(2000)
     val supp = Tables.supplier(spark, Sf0001)

@@ -53,6 +53,27 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join == batch enrichment join") {
+    val dir = Files.createTempDirectory("graft-enrich").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val customers = Tables.customer(spark, Sf0001)
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .parquet(dir)
+    val q = EventStreams.enrichedSegmentStats(stream, customers)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out")
+        .orderBy(col("segment")).collect()
+      val batch = EventStreams.enrichedSegmentStats(batchEvents, customers)
+        .orderBy(col("segment")).collect()
+      assert(streamed.length == batch.length && streamed.nonEmpty)
+      streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+    } finally q.stop()
+  }
+
   test("streaming sessionize emits timed-out sessions and evicts state") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-sess").toString
