@@ -38,6 +38,12 @@ class GraftContext(val spark: SparkSession) {
   def json(path: String): GraftFrame =
     new GraftFrame(spark.read.json(path))
 
+  /** ORC source (beyond-reference; the columnar alternative every
+    * large warehouse keeps alongside parquet — same pushdown/pruning
+    * machinery applies). */
+  def orc(path: String): GraftFrame =
+    new GraftFrame(spark.read.orc(path))
+
   /** In-memory source (reference `InMemoryDataSource`,
     * src/datasources/mod.rs:250-313 — minus its end-of-stream panic,
     * SURVEY §2.6 item 10). */

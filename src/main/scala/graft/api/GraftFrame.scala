@@ -95,6 +95,16 @@ class GraftFrame private[api] (val df: DataFrame) {
   def writeCsv(path: String, header: Boolean = true): Unit =
     df.write.mode("overwrite").option("header", header.toString).csv(path)
 
+  def writeOrc(path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** Attach named observation metrics (Spark `observe`): computed
+    * during execution at zero extra passes, surfaced via
+    * QueryExecutionListener — production pipeline observability
+    * (row counts per stage, quality averages) without a second job. */
+  def observe(name: String, exprs: Column*): GraftFrame =
+    new GraftFrame(df.observe(name, exprs.head, exprs.tail: _*))
+
   // ---- inspection / execution -------------------------------------
 
   /** The reference's `format(plan)` pretty-printer analogue

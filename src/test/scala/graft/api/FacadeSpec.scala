@@ -183,4 +183,30 @@ class FacadeSpec extends SparkSpec {
     src.writeCsv(dir)
     assert(ctx.csv(dir).count() == src.count())
   }
+
+  // ORC writer/source round-trip (beyond-reference columnar format).
+  test("writeOrc/orc round-trip preserves rows and schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc")
+      .toString + "/out"
+    val src = ctx.parquet(s"$Sf0001/customer.parquet")
+    src.writeOrc(dir)
+    val back = ctx.orc(dir)
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+  }
+
+  // Observation metrics: computed inside the job, no second pass.
+  test("observe surfaces named metrics from the executed job") {
+    val f = ctx.parquet(s"$Sf0001/customer.parquet")
+      .observe("gate", e.count(e.lit(1)).as("n_rows"))
+      .filter(e.col("c_mktsegment") === e.lit("BUILDING"))
+    // collect() executes THIS frame's QueryExecution (count() would
+    // build and run a separate aggregated plan whose metrics live on
+    // that other QueryExecution)
+    val filtered = f.collect().length
+    val metrics = f.df.queryExecution.observedMetrics
+    assert(metrics.contains("gate"))
+    // the observation sits BEFORE the filter: full input row count
+    assert(metrics("gate").getLong(0) > filtered.toLong)
+  }
 }
