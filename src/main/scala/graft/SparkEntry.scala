@@ -805,6 +805,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Aspect-preserving thumbnail-resize metadata (decode stub → fit
+    // into a 48px box; never upscale). Same partition-wise batch shape
+    // as a real pixel resize; the arithmetic is oracle-checked.
+    "multimodal_resize" -> ((s, d) => {
+      ops.Multimodal.resizeAll(s,
+        ops.Multimodal.mediaTable(t(s, d, "documents")), maxSide = 48)
+        .toDF()
+        .select(col("doc_id"), col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"),
+          col("out_width").cast("int").as("out_width"),
+          col("out_height").cast("int").as("out_height"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Feature extraction over binary payloads (stub embedding model:
+    // deterministic unit-norm 16-float signature; real model swaps in
+    // per-partition). Rows-only — invariants (unit norm, determinism,
+    // ANN composability) are MultimodalSpec-gated.
+    "multimodal_features" -> ((s, d) => {
+      ops.Multimodal.featureExtractAll(s,
+        ops.Multimodal.mediaTable(t(s, d, "documents")), dim = 16)
+        .toDF()
+        .select(col("doc_id"),
+          round(element_at(col("feature"), 1), 4).as("f0"),
+          size(col("feature")).cast("bigint").as("dim"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Opaque-binary column handling: bytes + content hash over a binary
     // payload column (text encoded as the stand-in payload; the decode
     // step itself is stubbed — see graft.ops.Multimodal).
@@ -1100,6 +1128,29 @@ object SparkEntry {
         |       WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
         |  strlen(text) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirrors MediaDecoder + resizeAll arithmetic. The scale factor is
+    // computed division-first (48.0 / longest, then multiply) in BOTH
+    // engines so the IEEE operation order — and any half-way rounding —
+    // is identical.
+    "multimodal_resize" ->
+      """WITH dec AS (
+        |  SELECT doc_id,
+        |    ascii(substr(text, 1, 1)) % 64 + 16 AS width,
+        |    ascii(substr(text, 2, 1)) % 64 + 16 AS height
+        |  FROM documents)
+        |SELECT doc_id,
+        |  cast(width as integer) AS width,
+        |  cast(height as integer) AS height,
+        |  cast(CASE WHEN greatest(width, height) <= 48 THEN width
+        |       ELSE greatest(1, cast(round(width *
+        |         (48.0 / greatest(width, height))) as integer)) END
+        |    as integer) AS out_width,
+        |  cast(CASE WHEN greatest(width, height) <= 48 THEN height
+        |       ELSE greatest(1, cast(round(height *
+        |         (48.0 / greatest(width, height))) as integer)) END
+        |    as integer) AS out_height
+        |FROM dec ORDER BY doc_id""".stripMargin,
 
     // n_frames = |slice(sequence(0, len-1, 10), 1, 5)| =
     // least(5, floor((len-1)/10) + 1) for len >= 1.

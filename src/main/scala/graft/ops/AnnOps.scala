@@ -204,28 +204,27 @@ object AnnOps {
     model
   }
 
-  /** IVF-probed approximate top-k: each query scans only the vectors
-    * assigned to its `nprobe` nearest centroids — candidate volume is
-    * corpus/nlist × nprobe on average, which is what survives a 100-TB
-    * corpus (the assignment column would be a partition/bucket key in
-    * a persisted index). */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, model: IvfModel, k: Int, nprobe: Int = 2): DataFrame = {
-    val assigned = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("vec"), nearestCentroid(col(vecCol), model).as("cid"))
-    // per query: nprobe best centroids, via lexicographic sort of
-    // (-sim, cid) structs
+  /** (query_id, query_vec, cid) probe rows: each query's `nprobe` most
+    * cosine-similar centroids, via lexicographic sort of (-sim, cid)
+    * structs. */
+  private def probeRows(queries: DataFrame, idCol: String, vecCol: String,
+      model: IvfModel, nprobe: Int): DataFrame = {
     val probeStructs = array(model.centroids.indices.map(i => struct(
       (-VectorFunctions.cosineSim(col("query_vec"), typedlit(
         model.centroids(i).toSeq))).as("negsim"),
       lit(i).as("cid"))): _*)
-    val probes = queries
+    queries
       .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
       .withColumn("probe_cids", transform(
         slice(array_sort(probeStructs), 1, nprobe),
         s => s.getField("cid")))
       .select(col("query_id"), col("query_vec"),
         explode(col("probe_cids")).as("cid"))
+  }
+
+  /** Shared probe→score→top-k tail of the IVF paths. */
+  private def ivfTail(assigned: DataFrame, probes: DataFrame,
+      k: Int): DataFrame = {
     val candidates = assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", VectorFunctions.cosineSim(col("query_vec"),
@@ -237,6 +236,46 @@ object AnnOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("sim"), 4).as("sim"))
+  }
+
+  /** IVF-probed approximate top-k: each query scans only the vectors
+    * assigned to its `nprobe` nearest centroids — candidate volume is
+    * corpus/nlist × nprobe on average, which is what survives a 100-TB
+    * corpus (see [[writeIvfIndex]] for the persisted layout where the
+    * assignment is a partition key). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, model: IvfModel, k: Int, nprobe: Int = 2): DataFrame = {
+    val assigned = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("vec"), nearestCentroid(col(vecCol), model).as("cid"))
+    ivfTail(assigned, probeRows(queries, idCol, vecCol, model, nprobe), k)
+  }
+
+  /** Persist the IVF index as a CELL-PARTITIONED parquet layout: each
+    * vector lives under its centroid's partition directory. A probe
+    * then reads nprobe/nlist of the files via partition pruning — the
+    * on-disk analogue of the inverted lists, and the layout a 100-TB
+    * index actually ships with. */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      model: IvfModel, path: String): Unit =
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
+      nearestCentroid(col(vecCol), model).as("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+
+  /** Top-k over a persisted IVF index: probe cells are resolved first
+    * (centroids are driver-side model metadata, probe set is
+    * nprobe x |queries| ints), then pushed as a STATIC partition filter
+    * — the scan lists only the probed cell directories
+    * (`PartitionFilters` in the plan, asserted in AnnOpsSpec), never
+    * touching the other inverted lists. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, idCol: String, vecCol: String,
+      model: IvfModel, k: Int, nprobe: Int = 2): DataFrame = {
+    val probes = probeRows(queries, idCol, vecCol, model, nprobe)
+    val probeCids = probes.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).sorted // metadata-sized, deterministic
+    val assigned = spark.read.parquet(path)
+      .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
+    ivfTail(assigned, probes, k)
   }
 
   /** (id, vec, band_id, band_val) rows for hyperplane-LSH blocking. */

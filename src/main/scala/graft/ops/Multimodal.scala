@@ -87,4 +87,59 @@ object Multimodal {
         org.apache.spark.sql.types.IntegerType)))
       .otherwise(slice(sequence(lit(0), length(content) - 1,
         lit(stride)), 1, maxFrames))
+
+  /** Resized metadata: the aspect-preserving fit of decoded dimensions
+    * into a `maxSide` bounding box. */
+  case class ResizedMeta(doc_id: Long, width: Int, height: Int,
+      out_width: Int, out_height: Int)
+
+  /** STUB resize — the metadata arithmetic of an aspect-preserving
+    * thumbnail pass (a real deployment decodes + scales pixels in the
+    * same partition-wise batch; the plumbing and the output schema are
+    * what Spark sees either way). Deterministic and oracle-checkable:
+    * out = round(dim * maxSide / longest), never upscaled. */
+  def resizeAll(spark: SparkSession, media: DataFrame,
+      maxSide: Int): Dataset[ResizedMeta] = {
+    import spark.implicits._
+    decodeAll(spark, media).mapPartitions { rows =>
+      rows.map { m =>
+        val longest = math.max(m.width, m.height)
+        val scale =
+          if (longest <= maxSide) 1.0 else maxSide.toDouble / longest
+        ResizedMeta(m.doc_id, m.width, m.height,
+          math.max(1, math.round(m.width * scale).toInt),
+          math.max(1, math.round(m.height * scale).toInt))
+      }
+    }
+  }
+
+  /** STUB feature extractor — stands in for an image/audio embedding
+    * model: a deterministic `dim`-float signature derived from payload
+    * bytes (FNV-hash per lane, normalized to unit length so downstream
+    * cosine ANN composes). Real deployments swap the body for an ONNX/
+    * JNI model call; the per-partition batch shape (amortized model
+    * load), the output schema (array<float>), and the unit-norm
+    * contract survive unchanged. */
+  case class MediaFeatures(doc_id: Long, feature: Array[Float])
+
+  def featureExtractAll(spark: SparkSession, media: DataFrame,
+      dim: Int = 16): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // per-partition model load would happen here, once
+      rows.map { r =>
+        val v = new Array[Float](dim)
+        var lane = 0
+        while (lane < dim) {
+          v(lane) = (graft.functions.Hash64.hashBytes(r.content, lane + 1L)
+            .toDouble / Long.MaxValue.toDouble).toFloat
+          lane += 1
+        }
+        val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+        val unit =
+          if (norm == 0.0) v else v.map(x => (x / norm).toFloat)
+        MediaFeatures(r.doc_id, unit)
+      }
+    }
+  }
 }

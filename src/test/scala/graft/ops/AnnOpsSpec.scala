@@ -63,6 +63,27 @@ class AnnOpsSpec extends SparkSpec {
     // every ivf hit's sim must be <= the brute rank-1 sim for its query
   }
 
+  test("persisted IVF index: partition-pruned probes, same results as in-memory") {
+    val model = AnnOps.buildIvf(emb, "vec_id", "embedding", nlist = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf")
+      .toString + "/index"
+    AnnOps.writeIvfIndex(emb, "vec_id", "embedding", model, path)
+    val q = emb.filter(col("vec_id") < 5)
+    val fromIndex = AnnOps.ivfTopKFromIndex(spark, path, q,
+      "vec_id", "embedding", model, k = 10, nprobe = 3)
+    // the scan must prune to the probed cells: partition filter on cid,
+    // and fewer partition dirs read than nlist
+    val scan = fromIndex.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("cid"), s"cid partition filter missing: $scan")
+    val inMemory = AnnOps.ivfTopK(emb, q, "vec_id", "embedding", model,
+      k = 10, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val persisted = fromIndex
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(persisted == inMemory && inMemory.size == 50)
+  }
+
   test("hyperplane bits are deterministic across evaluations") {
     val b1 = emb.limit(20).select(col("vec_id"),
       AnnOps.hyperplaneBits(col("embedding"), 16).as("b"))

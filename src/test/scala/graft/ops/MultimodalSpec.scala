@@ -35,4 +35,44 @@ class MultimodalSpec extends SparkSpec {
       frames.zip(frames.tail).foreach { case (a, b) => assert(b - a == 10) }
     }
   }
+
+  test("resize: aspect-preserving fit inside the box, never upscaled") {
+    val media = Multimodal.mediaTable(Tables.documents(spark, Sf0001))
+    val rows = Multimodal.resizeAll(spark, media, maxSide = 48).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.out_width <= 48 && r.out_height <= 48)
+      assert(r.out_width <= r.width && r.out_height <= r.height)
+      if (math.max(r.width, r.height) <= 48) {
+        assert(r.out_width == r.width && r.out_height == r.height)
+      } else {
+        // aspect ratio preserved within rounding
+        val in = r.width.toDouble / r.height
+        val out = r.out_width.toDouble / r.out_height
+        assert(math.abs(in - out) / in < 0.1, s"$r aspect drift")
+      }
+    }
+  }
+
+  test("feature extraction: unit-norm, deterministic, feeds cosine ANN") {
+    val media = Multimodal.mediaTable(Tables.documents(spark, Sf0001)
+      .limit(100))
+    val f1 = Multimodal.featureExtractAll(spark, media, dim = 16)
+    val rows = f1.collect()
+    assert(rows.length == 100)
+    rows.foreach { m =>
+      assert(m.feature.length == 16)
+      val norm = math.sqrt(m.feature.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-5, s"doc ${m.doc_id} norm $norm")
+    }
+    val again = Multimodal.featureExtractAll(spark, media, dim = 16)
+      .collect().map(m => m.doc_id -> m.feature.toSeq).toMap
+    rows.foreach(m => assert(again(m.doc_id) == m.feature.toSeq))
+    // composes with the ANN operators (same array<float> contract)
+    val df = f1.toDF().select(col("doc_id").as("vec_id"),
+      col("feature").as("embedding"))
+    val top = AnnOps.bruteForceTopK(df, df.filter(col("vec_id") < 2),
+      "vec_id", "embedding", 5)
+    assert(top.count() == 10)
+  }
 }
