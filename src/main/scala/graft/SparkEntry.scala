@@ -739,6 +739,18 @@ object SparkEntry {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // Click-attribution join (batch mirror of the watermarked
+    // stream-stream join in EventStreams.clickAttribution): each click
+    // paired with same-user views in the preceding 30 minutes.
+    "q_attribution" -> ((s, d) => {
+      val ev = streaming.EventStreams.canonicalEvents(t(s, d, "events"))
+      streaming.EventStreams.clickAttribution(ev, horizon = "4 hours")
+        .groupBy(col("click_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          max(col("view_id")).as("max_view"))
+        .orderBy(col("user_id"))
+    }),
+
     // Semi-structured JSON extraction from the props column.
     "q_events_json" -> ((s, d) => {
       t(s, d, "events")
@@ -1314,6 +1326,18 @@ object SparkEntry {
          |  count(*) AS n, ${dsumSql("value")} AS total_value
          |FROM events GROUP BY hour, event_type
          |ORDER BY hour, event_type""".stripMargin,
+
+    "q_attribution" ->
+      """WITH c AS (SELECT event_id, user_id, cast(ts as timestamp) AS ts
+        |           FROM events WHERE event_type = 'click'),
+        |     v AS (SELECT event_id, user_id, cast(ts as timestamp) AS ts
+        |           FROM events WHERE event_type = 'view')
+        |SELECT c.user_id AS user_id, count(*) AS n_pairs,
+        |  max(v.event_id) AS max_view
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND v.ts <= c.ts
+        |  AND v.ts >= c.ts - INTERVAL 4 HOUR
+        |GROUP BY c.user_id ORDER BY user_id""".stripMargin,
 
     "q_events_json" ->
       """SELECT event_type, count(*) AS n,

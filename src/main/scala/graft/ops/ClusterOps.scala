@@ -61,11 +61,13 @@ object ClusterOps {
         .join(labels.select(col("id").as("dst"), col("label").as("dl")),
           Seq("dst"))
         .groupBy(col("src")).agg(min(col("dl")).as("nl"))
+      // not checkpointed: the doubling self-join below references prop
+      // twice, and recomputing two cheap joins over the checkpointed
+      // labels/sym beats paying an extra materialization job per round
       val prop = labels
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint(true)
       // pointer doubling: label(v) <- label(label(v)) — labels are
       // always node ids (min over node ids), so the self-join resolves
       labels = prop

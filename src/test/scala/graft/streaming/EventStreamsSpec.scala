@@ -74,6 +74,28 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join == batch join") {
+    val dir = Files.createTempDirectory("graft-ss").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .parquet(dir)
+    val q = EventStreams.clickAttribution(stream)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out")
+        .select(col("click_id"), col("view_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = EventStreams.clickAttribution(batchEvents)
+        .select(col("click_id"), col("view_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming sessionize emits timed-out sessions and evicts state") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-sess").toString
