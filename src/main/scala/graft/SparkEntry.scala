@@ -389,6 +389,39 @@ object SparkEntry {
         "embedding").orderBy(col("vec_id"))
     }),
 
+    // Incremental dedup: a 20% "new ingest batch" checked against the
+    // other 80% THROUGH ITS PERSISTED SKETCH TABLES only (bands +
+    // hashed shingle sets — no corpus text re-read, no re-sketch): the
+    // shape a daily ingest at 100 TB actually runs. Rows-only; exact
+    // equivalence with full recompute is IncrementalDedupSpec-gated.
+    "dedup_incremental" -> ((s, d) => {
+      val all = t(s, d, "documents")
+      val corpus = all.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val fresh = all.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val pairs = ops.DedupOps.incrementalMinhashPairs(fresh,
+        ops.DedupOps.minhashBands(corpus, "doc_id", "text"),
+        ops.DedupOps.shingleSets(corpus, "doc_id", "text"),
+        "doc_id", "text")
+      // symmetrize so a new-vs-new pair credits BOTH endpoints (the
+      // final join against `fresh` drops corpus-side rows again)
+      val sym = pairs.select(explode(array(
+          struct(col("a").as("id"), col("b").as("partner")),
+          struct(col("b").as("id"), col("a").as("partner")))).as("e"),
+          col("jaccard"))
+        .select(col("e.id").as("doc_id"), col("e.partner").as("partner"),
+          col("jaccard"))
+      val perDoc = sym.filter(col("jaccard") >= 0.8)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dups"),
+          min(col("partner")).as("dup_partner"))
+      fresh.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          coalesce(col("dup_partner"), lit(-1L)).as("dup_partner"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Transitive cluster resolution under the ORACLE: connected
     // components over CHAIN edges linking consecutive doc_ids of each
     // identical-text group (built with one window pass — no unbounded

@@ -161,6 +161,70 @@ object DedupOps {
       .select(col("e.id").as("id"), col("e.partner").as("partner"),
         col(score))
 
+  /** The (id, band_id, band_hash) blocking table for a corpus — the
+    * persistable sketch artifact an INCREMENTAL pipeline keeps: at
+    * 100 TB you sketch each ingest batch once, append it here, and
+    * never re-read old payload text for dedup. */
+  def minhashBands(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame = {
+    val withSig = docs.select(col(idCol),
+      HashFunctions.minhashSignature(tokens(col(textCol)), k, shingleN)
+        .as("sig"))
+    bandExplode(withSig, idCol, k, bands)
+  }
+
+  /** The (id, shingles) verification table — the persisted companion of
+    * [[minhashBands]] (hashed longs, ~1/8 the corpus text width). */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame =
+    docs.select(col(idCol),
+      HashFunctions.shingleHashes(tokens(col(textCol)), shingleN)
+        .as("shingles"))
+
+  /** Incremental near-dup pairs: a NEW batch against an existing corpus
+    * represented ONLY by its persisted sketch tables ([[minhashBands]] +
+    * [[shingleSets]]) — no corpus text is re-read, no corpus re-sketch.
+    * Emits verified pairs touching the new batch: (new, corpus) pairs as
+    * (a=new_id, b=corpus_id) plus new-vs-new pairs (a<b). Corpus-side
+    * band buckets are compacted + capped (one degenerate band cannot go
+    * quadratic); ids must be disjoint across batch and corpus.
+    * Equivalence with the full-recompute pipeline on the union corpus is
+    * test-gated (IncrementalDedupSpec). */
+  def incrementalMinhashPairs(newDocs: DataFrame, corpusBands: DataFrame,
+      corpusShingles: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, shingleN: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    import graft.functions.BoundedCollectSet.boundedCollectSet
+    val newBands = minhashBands(newDocs, idCol, textCol, k, bands, shingleN)
+    val corpusBuckets = corpusBands
+      .groupBy(col("band_id"), col("band_hash"))
+      .agg(boundedCollectSet(col(idCol), maxBucket + 1).as("ids"))
+      .filter(size(col("ids")) <= maxBucket)
+    val newVsCorpus = newBands
+      .join(corpusBuckets, Seq("band_id", "band_hash"))
+      .select(col(idCol).as("a"), explode(col("ids")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val newVsNew = bucketPairs(newBands,
+      Seq(col("band_id"), col("band_hash")), idCol,
+      minN = 2, maxN = maxBucket)
+    val cand = newVsCorpus.union(newVsNew).distinct()
+      .localCheckpoint(true)
+    // verification: fresh shingles for the (small) new batch, persisted
+    // shingles for the corpus side
+    val sh = shingleSets(newDocs, idCol, textCol, shingleN)
+      .union(corpusShingles)
+    cand
+      .join(sh.select(col(idCol).as("a"), col("shingles").as("sh_a")),
+        Seq("a"))
+      .join(sh.select(col(idCol).as("b"), col("shingles").as("sh_b")),
+        Seq("b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /** Per-document near-dup summary via MinHash-LSH: candidate count,
     * verified-duplicate count at `threshold`, and the smallest verified
     * partner id (-1 if none). One row per input doc — stable output
