@@ -40,6 +40,25 @@ object StorageOps {
       partitionCol: String, value: String): DataFrame =
     spark.read.parquet(path).filter(col(partitionCol) === value)
 
+  /** Compact a parquet dataset to ~`targetFileBytes` files — the
+    * small-files fix: a 100-TB table accumulated from micro-batches or
+    * over-parallel writes degrades every scan (listing + open cost per
+    * file, tiny row groups defeat min/max skipping); periodic rewrite
+    * into right-sized files restores scan throughput. File count is
+    * derived from the actual on-disk byte size, not row counts. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(outPath != inPath, "compact to a new location, then swap")
+    val totalBytes = spark.read.parquet(inPath).inputFiles
+      .map(f => new java.io.File(
+        f.stripPrefix("file:")).length()).sum
+    val nFiles = math.max(1, (totalBytes / targetFileBytes).toInt +
+      (if (totalBytes % targetFileBytes > 0) 1 else 0))
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
+
   /** Ensure a bucketed+sorted managed-table copy of a driver table
     * exists and return its name. Written once per (session, sfDir) —
     * repeat calls (bench re-runs, multiple queries over the same

@@ -91,6 +91,43 @@ class StorageAndSkewSpec extends SparkSpec {
     assert(bucketed == plain && plain.nonEmpty)
   }
 
+  test("compact merges a fragmented dataset without changing data") {
+    val base = Files.createTempDirectory("graft-compact").toString
+    val orders = Tables.orders(spark, Sf0001)
+    orders.repartition(64).write.mode("overwrite")
+      .parquet(s"$base/fragmented")
+    val before = spark.read.parquet(s"$base/fragmented")
+    assert(before.inputFiles.length >= 32, "setup: should be fragmented")
+    StorageOps.compact(spark, s"$base/fragmented", s"$base/compacted")
+    val after = spark.read.parquet(s"$base/compacted")
+    assert(after.inputFiles.length < before.inputFiles.length / 4,
+      s"still ${after.inputFiles.length} files")
+    assert(after.count() == orders.count())
+    assert(after.select(sum(col("o_orderkey"))).head.getLong(0) ==
+      orders.select(sum(col("o_orderkey"))).head.getLong(0))
+  }
+
+  test("schema evolution: mergeSchema unions column sets across file versions") {
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/t"
+    val v1 = Tables.orders(spark, Sf0001)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val v2 = Tables.orders(spark, Sf0001)
+      .select(col("o_orderkey") + 1000000, col("o_totalprice"),
+        col("o_orderstatus"))
+      .toDF("o_orderkey", "o_totalprice", "o_orderstatus")
+    v1.write.parquet(s"$dir/p=1")
+    v2.write.parquet(s"$dir/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet ==
+      Set("o_orderkey", "o_totalprice", "o_orderstatus", "p"))
+    // old files surface the new column as null
+    assert(merged.filter(col("p") === 1)
+      .filter(col("o_orderstatus").isNotNull).count() == 0)
+    assert(merged.filter(col("p") === 2)
+      .filter(col("o_orderstatus").isNull).count() == 0)
+    assert(merged.count() == v1.count() + v2.count())
+  }
+
   test("salted aggregation equals plain aggregation") {
     val li = Tables.lineitem(spark, Sf0001)
     val plain = li.groupBy(col("l_suppkey"))
