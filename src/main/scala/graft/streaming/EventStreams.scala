@@ -112,6 +112,30 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
   }
 
+  /** Idempotent micro-batch write — the `foreachBatch` half of
+    * effectively-exactly-once delivery: each batch lands in its own
+    * `batch=<id>` directory with overwrite mode, so a REPLAYED batch
+    * (task retry, query restart from checkpoint) replaces its own
+    * prior output instead of appending duplicates. Public so the
+    * idempotence contract is testable outside a running query. */
+  def writeBatchIdempotent(batch: DataFrame, path: String,
+      batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+
+  /** Streaming parquet sink built on [[writeBatchIdempotent]] +
+    * checkpointing: Structured Streaming guarantees at-least-once
+    * delivery of each micro-batch to `foreachBatch`; idempotent batch
+    * output upgrades that to effectively exactly-once. */
+  def idempotentParquetSink(events: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        writeBatchIdempotent(batch.toDF(), path, batchId)
+      }
+      .start()
+
   /** One user event (typed view for stateful processing). */
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp,
       event_type: String, value: Double)
