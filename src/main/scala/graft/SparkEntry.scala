@@ -749,6 +749,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Same IVF search against the PERSISTED cell-partitioned index:
+    // probe cells resolve to a static partition filter, so the scan
+    // reads only nprobe/nlist of the files. Index written once per
+    // (process, SF) — deterministic build, safe to reuse. Rows-only.
+    "ann_ivf_index" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val model = ops.AnnOps.buildIvf(emb, "vec_id", "embedding", nlist = 8)
+      val path = s"/tmp/graft-ivf-index-${math.abs(d.hashCode.toLong)}"
+      if (!new java.io.File(path).exists()) {
+        ops.AnnOps.writeIvfIndex(emb, "vec_id", "embedding", model, path)
+      }
+      ops.AnnOps.ivfTopKFromIndex(s, path, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", model, k = 10, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // LSH-bucketed approximate top-10 (the 100-TB path; recall < 1 by
     // construction → rows-only check).
     "ann_lsh" -> ((s, d) => {
