@@ -831,7 +831,10 @@ object SparkEntry {
     // kept set is a subset of pipeline_curate's (exact dups are always
     // clustered together).
     "pipeline_curate_neardup" -> ((s, d) => {
-      val surviving = curateSurvivors(s, d)
+      // materialized once: the regex-heavy scoring pipeline is
+      // otherwise re-executed by every reference (sketching inside
+      // nearDupClusters + the final attribute join)
+      val surviving = curateSurvivors(s, d).localCheckpoint(true)
       ops.ClusterOps.nearDupClusters(surviving, "doc_id", "text")
         .filter(col("keep"))
         .select(col("doc_id"))
