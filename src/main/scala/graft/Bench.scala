@@ -50,7 +50,11 @@ object Bench {
       try {
         SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
         Right((System.nanoTime() - t0) / 1e9)
-      } catch { case e: Throwable => Left(s"$name: ${e.getMessage}") }
+      } catch {
+        // toString, not getMessage: NPEs and some Spark exceptions have a
+        // null message, which would yield an unidentifiable "name: null"
+        case e: Throwable => Left(s"$name: ${e.toString.take(200)}")
+      }
     }
 
     // Warm-up: run every query once at the smallest SF so JIT
@@ -90,18 +94,27 @@ object Bench {
         else (timings(1) - timings(0)) / median
       (name, median, rel)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // The driver captures only the LAST ~2000 characters of the build
+    // output and parses the JSON line out of that tail — a long line is
+    // silently truncated and the whole bench is unusable. Keep stdout to
+    // ONE compact line (2-decimal seconds; ~20 bytes/query) and put the
+    // full-precision timings + per-query spreads on stderr for humans.
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val spread = if (results.isEmpty) 0.0 else results.map(_._3).max
-    val spreads = results.map { case (k, _, r) =>
-      "\"" + k + "\":" + math.round(r * 1000) / 1000.0 }
-      .mkString("{", ",", "}")
     val failedJson = failed.reverse.distinct
       .map(s => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replace("\n", " ") + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"spread":$spread,"spreads":$spreads,"failed":$failedJson,"sf":"$sfDir"}""")
+    System.err.println("[bench] full precision: " + results
+      .map { case (k, v, r) => s"$k=$v(spread=${math.round(r * 1000) / 1000.0})" }
+      .mkString(" "))
+    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"runs":$runs,"spread":${f2(spread)},"failed":$failedJson,"sf":"$sfDir"}"""
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may exceed the driver's 2000-char output tail")
+    println(line)
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${failed.reverse.distinct.mkString("; ")}")
