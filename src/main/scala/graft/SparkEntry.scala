@@ -450,6 +450,78 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- TPC-H-shaped flagship compositions --------------------------
+    // Every join/agg/window primitive is oracle-green individually;
+    // these compose them into the classic multi-join decision-support
+    // shapes over the star schema — the strongest end-to-end
+    // correctness statement the testdata supports. Plans: dims
+    // broadcast, facts co-keyed shuffle joins, partial+final aggs,
+    // global top-k via TakeOrderedAndProject (no full sort).
+
+    // TPC-H Q3 shape: shipping-priority revenue — segment-filtered
+    // customers x pre-cutoff orders x post-cutoff lineitems, group by
+    // order, top-10 by revenue.
+    "q_tpch3" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1995-06-01").cast("date"))
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-06-01").cast("date"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: local-supplier revenue per nation — six-table
+    // star with the customer-nation == supplier-nation colocation
+    // predicate and a one-year order window.
+    "q_tpch5" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("date") &&
+          col("o_orderdate") < lit("1996-01-01").cast("date"))
+      val c = t(s, d, "customer")
+      val sup = t(s, d, "supplier")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region").filter(col("r_name") === "EUROPE")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q10 shape: returned-item revenue per customer — half-year
+    // order window, R-flagged lineitems, nation broadcast, top-20.
+    "q_tpch10" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("date") &&
+          col("o_orderdate") < lit("1995-07-01").cast("date"))
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // Full SQL path: Spark's parser + analyzer over registered temp
     // views, with graft's native expressions available as SQL functions
     // (the reference has no SQL surface at all — SURVEY §3).
@@ -751,12 +823,15 @@ object SparkEntry {
 
     // Same IVF search against the PERSISTED cell-partitioned index:
     // probe cells resolve to a static partition filter, so the scan
-    // reads only nprobe/nlist of the files. Index written once per
-    // (process, SF) — deterministic build, safe to reuse. Rows-only.
+    // reads only nprobe/nlist of the files. The cache path is keyed on
+    // a CONTENT signature of the source parquet (names + lengths +
+    // mtimes), so regenerated data at the same path gets a new key and
+    // a fresh index — a stale index can never be served. Rows-only.
     "ann_ivf_index" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val model = ops.AnnOps.buildIvf(emb, "vec_id", "embedding", nlist = 8)
-      val path = s"/tmp/graft-ivf-index-${math.abs(d.hashCode.toLong)}"
+      val sig = ops.StorageOps.contentSignature(s, s"$d/embeddings.parquet")
+      val path = s"/tmp/graft-ivf-index-${java.lang.Long.toHexString(sig)}"
       if (!new java.io.File(path).exists()) {
         ops.AnnOps.writeIvfIndex(emb, "vec_id", "embedding", model, path)
       }
@@ -798,6 +873,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"),
           max(col("view_id")).as("max_view"))
         .orderBy(col("user_id"))
+    }),
+
+    // Last-touch attribution: the nearest-only variant of
+    // q_attribution — each click resolves to its single most recent
+    // qualifying view (deterministic tie-break), under the oracle.
+    "q_attribution_last" -> ((s, d) => {
+      val ev = streaming.EventStreams.canonicalEvents(t(s, d, "events"))
+      streaming.EventStreams.lastTouchAttribution(ev, horizon = "4 hours")
+        .select(col("click_id"), col("user_id"), col("view_id"))
+        .orderBy(col("click_id"))
     }),
 
     // Semi-structured JSON extraction from the props column.
@@ -1390,6 +1475,64 @@ object SparkEntry {
         |  AND v.ts <= c.ts
         |  AND v.ts >= c.ts - INTERVAL 4 HOUR
         |GROUP BY c.user_id ORDER BY user_id""".stripMargin,
+
+    "q_attribution_last" ->
+      """WITH c AS (SELECT event_id, user_id, cast(ts as timestamp) AS ts
+        |           FROM events WHERE event_type = 'click'),
+        |     v AS (SELECT event_id, user_id, cast(ts as timestamp) AS ts
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT c.event_id AS click_id, c.user_id AS user_id,
+        |        v.event_id AS view_id,
+        |        row_number() OVER (PARTITION BY c.event_id
+        |          ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |      FROM c JOIN v ON c.user_id = v.user_id
+        |        AND v.ts <= c.ts
+        |        AND v.ts >= c.ts - INTERVAL 4 HOUR)
+        |SELECT click_id, user_id, view_id FROM p WHERE rn = 1
+        |ORDER BY click_id""".stripMargin,
+
+    "q_tpch3" ->
+      s"""SELECT l_orderkey,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+         |  o_orderdate, o_orderpriority
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < DATE '1995-06-01'
+         |  AND l_shipdate > DATE '1995-06-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderdate, l_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q_tpch5" ->
+      s"""SELECT n_name,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |  AND c_nationkey = s_nationkey
+         |JOIN nation   ON s_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |WHERE r_name = 'EUROPE'
+         |  AND o_orderdate >= DATE '1995-01-01'
+         |  AND o_orderdate < DATE '1996-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_tpch10" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= DATE '1995-01-01'
+         |  AND o_orderdate < DATE '1995-07-01'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
 
     "q_events_json" ->
       """SELECT event_type, count(*) AS n,

@@ -33,9 +33,30 @@ object ClusterOps {
     * fixpoint — one cheap aggregate per round decides termination.
     * At the propagation fixpoint adjacent nodes have equal labels, so
     * labels are constant per component and equal to its minimum id.
+    *
+    * Cost per round is exactly ONE Spark job: the new label table is
+    * localCheckpoint'ed LAZILY and the convergence aggregate is the
+    * action that materializes it — the sum rides the same job that
+    * truncates lineage (round 2's eager-checkpoint + separate-sum
+    * scheme ran 2 jobs/round and ~2x the wall-clock). Propagation is a
+    * single message aggregation (edge join + union + min groupBy).
+    *
+    * Fails LOUDLY instead of silently degrading: non-numeric id
+    * columns are rejected up front (a string id would defeat the
+    * decimal-sum convergence check and return all-singletons), and
+    * maxIter exhaustion before the fixpoint throws IllegalStateException
+    * rather than returning unconverged labels. `maxIter` must cover
+    * ~log2(component diameter) + 2 rounds — 15 covers any graph whose
+    * diameter fits in a long.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 15): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1 (got $maxIter)")
+    Seq("a", "b").foreach { c =>
+      val dt = edges.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"connectedComponents needs numeric edge ids; column '$c' is " +
+          s"$dt — hash non-numeric ids to longs first (xxhash64)")
+    }
     // symmetrized edge list, materialized once — every round re-reads
     // it, so it must not drag the upstream candidate pipeline along
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
@@ -45,7 +66,7 @@ object ClusterOps {
 
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: the first labelSum materializes it
 
     // exact decimal sum — Long would overflow at 1e10 ids x 1e10 values
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
@@ -56,25 +77,24 @@ object ClusterOps {
     var iter = 0
     var converged = prevSum.isEmpty // empty graph: nothing to do
     while (!converged && iter < maxIter) {
-      // 1-hop: label(v) <- min(label(v), min over neighbors' labels)
-      val nbrMin = sym
-        .join(labels.select(col("id").as("dst"), col("label").as("dl")),
-          Seq("dst"))
-        .groupBy(col("src")).agg(min(col("dl")).as("nl"))
-      // not checkpointed: the doubling self-join below references prop
-      // twice, and recomputing two cheap joins over the checkpointed
-      // labels/sym beats paying an extra materialization job per round
-      val prop = labels
-        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // 1-hop min-label propagation as ONE message aggregation:
+      // label(v) <- min(label(v), min over neighbors' labels)
+      val msgs = sym
+        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+        .select(col("dst").as("id"), col("label"))
+      val prop = msgs.union(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
       // pointer doubling: label(v) <- label(label(v)) — labels are
-      // always node ids (min over node ids), so the self-join resolves
+      // always node ids (min over node ids), so the self-join resolves.
+      // prop is referenced twice; recomputing its two cheap shuffles
+      // over the checkpointed labels/sym beats an extra job per round.
       labels = prop
         .join(prop.select(col("id").as("label"), col("label").as("ll")),
           Seq("label"), "left")
         .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      // the ONE action per round: materializes the lazy checkpoint AND
+      // decides convergence
       val s = labelSum(labels)
       converged = (s, prevSum) match {
         case (Some(a), Some(b)) => a.compareTo(b) == 0
@@ -83,6 +103,11 @@ object ClusterOps {
       prevSum = s
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter " +
+          "rounds — labels would be incomplete; raise maxIter " +
+          "(~log2(component diameter) + 2 rounds needed)")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

@@ -45,18 +45,45 @@ object StorageOps {
     * over-parallel writes degrades every scan (listing + open cost per
     * file, tiny row groups defeat min/max skipping); periodic rewrite
     * into right-sized files restores scan throughput. File count is
-    * derived from the actual on-disk byte size, not row counts. */
+    * derived from the actual on-disk byte size, not row counts — sized
+    * through the Hadoop FileSystem API, so the same code is correct on
+    * file:, hdfs: and s3a: URIs (inputFiles returns URI-encoded
+    * strings; a java.io.File of those silently reports length 0, which
+    * would collapse the whole dataset into one file). */
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     require(outPath != inPath, "compact to a new location, then swap")
-    val totalBytes = spark.read.parquet(inPath).inputFiles
-      .map(f => new java.io.File(
-        f.stripPrefix("file:")).length()).sum
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val totalBytes = spark.read.parquet(inPath).inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
     val nFiles = math.max(1, (totalBytes / targetFileBytes).toInt +
       (if (totalBytes % targetFileBytes > 0) 1 else 0))
     spark.read.parquet(inPath)
       .repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
+
+  /** Order-independent content signature of a dataset path: XOR of a
+    * per-file hash over (name, length, mtime), resolved through the
+    * Hadoop FileSystem API. Keys derived artifacts (e.g. a persisted
+    * ANN index) to the data they were built from, so regenerated
+    * source data at the same path can never be served from a stale
+    * cache — the signature changes, the artifact rebuilds. */
+  def contentSignature(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var h = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      val f = scala.util.hashing.MurmurHash3.productHash(
+        (st.getPath.getName, st.getLen, st.getModificationTime))
+      // XOR of per-file hashes: listing order is filesystem-dependent
+      h ^= f.toLong * 0x9E3779B97F4A7C15L
+    }
+    h
   }
 
   /** Ensure a bucketed+sorted managed-table copy of a driver table

@@ -71,14 +71,15 @@ object EventStreams {
         .dropDuplicatesWithinWatermark(Seq(idCol))
     else events.dropDuplicates(Seq(idCol))
 
-  /** Stream-stream self-join: pair each `click` event with the same
-    * user's nearest preceding `view` within `horizon` — the canonical
-    * attribution join. Both sides are watermarked and the join
-    * condition bounds the time range, so each side's state store holds
-    * only `horizon`+watermark of data (bounded state — the property
-    * that keeps this runnable forever at 100 TB/day ingest).
-    * Works identically on batch input (same join, no watermark);
-    * streaming==batch is the correctness gate. */
+  /** Stream-stream self-join: pair each `click` event with ALL of the
+    * same user's preceding `view`s within `horizon` (multi-touch
+    * attribution — one output row per qualifying view; see
+    * [[lastTouchAttribution]] for the nearest-only variant). Both sides
+    * are watermarked and the join condition bounds the time range, so
+    * each side's state store holds only `horizon`+watermark of data
+    * (bounded state — the property that keeps this runnable forever at
+    * 100 TB/day ingest). Works identically on batch input (same join,
+    * no watermark); streaming==batch is the correctness gate. */
   def clickAttribution(events: DataFrame,
       horizon: String = "30 minutes",
       watermark: String = "1 hour"): DataFrame = {
@@ -94,6 +95,28 @@ object EventStreams {
       col("click_user") === col("view_user") &&
         col("view_ts") <= col("click_ts") &&
         col("view_ts") >= col("click_ts") - expr(s"INTERVAL $horizon"))
+  }
+
+  /** Last-touch attribution: for each click, the SINGLE nearest
+    * preceding view within `horizon` (ties on view_ts broken by the
+    * highest view_id — fully deterministic). Built on
+    * [[clickAttribution]]'s bounded all-pairs join plus a per-click
+    * top-1; the candidate set per click is horizon-bounded, so the
+    * top-1 window shuffles only qualifying pairs, not raw events.
+    * Batch path — a streaming caller keeps the all-pairs join's
+    * bounded state and resolves last-touch downstream of the sink
+    * (a post-join top-1 would need a second stateful operator whose
+    * results could retract on late views). */
+  def lastTouchAttribution(events: DataFrame,
+      horizon: String = "30 minutes"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("click_id"))
+      .orderBy(col("view_ts").desc, col("view_id").desc)
+    clickAttribution(events, horizon)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("click_id"), col("click_user").as("user_id"),
+        col("view_id"), col("view_ts"))
   }
 
   /** Stream-static enrichment join + segment rollup: each event picks

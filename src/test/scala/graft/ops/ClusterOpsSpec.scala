@@ -49,6 +49,24 @@ class ClusterOpsSpec extends SparkSpec {
     assert(cc.keySet == parent.keySet)
   }
 
+  test("non-numeric edge ids are rejected up front") {
+    val edges = Seq(("x", "y"), ("y", "z")).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      ClusterOps.connectedComponents(edges)
+    }
+    assert(e.getMessage.contains("numeric"), e.getMessage)
+  }
+
+  test("maxIter exhaustion on a long chain fails loudly") {
+    // an 9-hop path cannot converge (and be OBSERVED converged) in one
+    // round — silently returning partial labels was the round-3 hazard
+    val edges = (1L to 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      ClusterOps.connectedComponents(edges, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("converge"), e.getMessage)
+  }
+
   test("cluster assignments cover isolated docs and mark keepers") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val edges = Seq((2L, 4L), (4L, 5L)).toDF("a", "b")

@@ -107,6 +107,38 @@ class StorageAndSkewSpec extends SparkSpec {
       orders.select(sum(col("o_orderkey"))).head.getLong(0))
   }
 
+  test("compact sizes URI-encoded paths correctly (no single-file collapse)") {
+    // a space in the directory name makes inputFiles return %20-encoded
+    // URIs: the old java.io.File sizing read those as 0 bytes and
+    // collapsed the whole dataset into ONE file regardless of size
+    val base = Files.createTempDirectory("graft compact uri").toString
+    val orders = Tables.orders(spark, Sf0001)
+    orders.repartition(16).write.mode("overwrite")
+      .parquet(s"$base/fragmented")
+    assert(spark.read.parquet(s"$base/fragmented").inputFiles
+      .exists(_.contains("%20")), "setup: paths should be URI-encoded")
+    // tiny target size: correct byte accounting MUST produce >1 file
+    StorageOps.compact(spark, s"$base/fragmented", s"$base/compacted",
+      targetFileBytes = 16L * 1024)
+    val after = spark.read.parquet(s"$base/compacted")
+    assert(after.inputFiles.length > 1,
+      s"byte sizing failed (got ${after.inputFiles.length} file)")
+    assert(after.count() == orders.count())
+  }
+
+  test("contentSignature changes when the underlying data changes") {
+    val base = Files.createTempDirectory("graft-sig").toString + "/t"
+    val orders = Tables.orders(spark, Sf0001)
+    orders.limit(100).write.mode("overwrite").parquet(base)
+    val sig1 = StorageOps.contentSignature(spark, base)
+    val sig1Again = StorageOps.contentSignature(spark, base)
+    assert(sig1 == sig1Again, "signature must be stable on unchanged data")
+    // regenerate in place with different content (the stale-cache case)
+    orders.limit(200).write.mode("overwrite").parquet(base)
+    val sig2 = StorageOps.contentSignature(spark, base)
+    assert(sig1 != sig2, "regenerated data must change the signature")
+  }
+
   test("schema evolution: mergeSchema unions column sets across file versions") {
     val dir = Files.createTempDirectory("graft-evolve").toString + "/t"
     val v1 = Tables.orders(spark, Sf0001)
