@@ -17,13 +17,32 @@ import org.apache.spark.sql.SparkSession
   *    one-time work — bucketed-table writes, per-plan codegen — stays
   *    out of the measurement), then SPARK_GRAFT_BENCH_RUNS timed runs
   *    (default 3); the reported per-query number is the MEDIAN, and
-  *    `spread`/`spreads` record the relative gap between the two
-  *    fastest runs per query (the median discards a single stray run —
-  *    GC pause, JIT hiccup — so the variance metric does too);
+  *    `spread` records the worst per-query relative gap between the
+  *    two fastest runs (the median discards a single stray run — GC
+  *    pause, JIT hiccup — so the variance metric does too);
   *  - queries run in sorted-name order for run-to-run comparability;
   *  - a query that throws fails the bench LOUDLY: it is listed in
   *    `failed` and the process exits nonzero — a regression cannot
   *    masquerade as a speedup by dropping out of the total.
+  *
+  * Output contract: the harness that runs this captures only the LAST
+  * ~2000 characters of the build output and parses the single JSON
+  * line out of that tail, so
+  *  - stdout gets exactly ONE compact JSON line, printed LAST, with
+  *    per-query keys ABBREVIATED by the prefix map below (full names
+  *    at 73+ queries overflow the tail); the line length is asserted
+  *    < 1500 chars so ~20 more queries still fit;
+  *  - the full-precision per-query timings and spreads go to stderr as
+  *    one SHORT line per query (never one long line that could buffer-
+  *    interleave after the JSON), flushed before the JSON prints, and
+  *    to BENCH_DETAIL.json (full names, full precision) for humans;
+  *  - error strings in `failed` have all control chars stripped so the
+  *    JSON line can never be broken by a multi-line exception message.
+  *
+  * Key abbreviation (documented in README): "q_" is dropped;
+  * "dedup_"->"dd_", "text_"->"tx_", "ann_"->"an_", "multimodal_"->
+  * "mm_", "pipeline_"->"pl_"; anything else (q1_agg) is unchanged.
+  * Uniqueness after abbreviation is asserted at runtime.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -94,27 +113,54 @@ object Bench {
         else (timings(1) - timings(0)) / median
       (name, median, rel)
     }
-    // The driver captures only the LAST ~2000 characters of the build
-    // output and parses the JSON line out of that tail — a long line is
-    // silently truncated and the whole bench is unusable. Keep stdout to
-    // ONE compact line (2-decimal seconds; ~20 bytes/query) and put the
-    // full-precision timings + per-query spreads on stderr for humans.
+    // See the scaladoc output contract: one compact abbreviated-key
+    // JSON line on stdout (printed last, length-asserted), short
+    // per-query lines + a full-detail file for humans.
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f2(v) }
+    def shortKey(name: String): String = Seq(
+      "dedup_" -> "dd_", "text_" -> "tx_", "ann_" -> "an_",
+      "multimodal_" -> "mm_", "pipeline_" -> "pl_", "q_" -> "")
+      .collectFirst { case (p, r) if name.startsWith(p) =>
+        r + name.stripPrefix(p) }
+      .getOrElse(name)
+    val shortKeys = results.map { case (k, _, _) => shortKey(k) }
+    require(shortKeys.distinct.length == shortKeys.length,
+      "abbreviated bench keys collide — fix the prefix map")
+    val qs = results.map { case (k, v, _) => "\"" + shortKey(k) + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val spread = if (results.isEmpty) 0.0 else results.map(_._3).max
-    val failedJson = failed.reverse.distinct
-      .map(s => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", " ") + "\"")
-      .mkString("[", ",", "]")
-    System.err.println("[bench] full precision: " + results
-      .map { case (k, v, r) => s"$k=$v(spread=${math.round(r * 1000) / 1000.0})" }
-      .mkString(" "))
+    // strip ALL control chars (<0x20): a multi-line or tab-bearing
+    // exception string must not be able to break the JSON line
+    def jstr(s: String): String = "\"" + s.replace("\\", "\\\\")
+      .replace("\"", "\\\"").map(c => if (c < ' ') ' ' else c) + "\""
+    val failedJson = failed.reverse.distinct.map(jstr).mkString("[", ",", "]")
+    // full precision for humans: one short stderr line per query (a
+    // single long line could buffer-interleave after the JSON and push
+    // it out of the output tail), plus a detail file with full names
+    results.foreach { case (k, v, r) =>
+      System.err.println(
+        f"[bench] $k%s = $v%.4f s (spread ${math.round(r * 1000) / 1000.0})")
+    }
+    val detail = results.map { case (k, v, r) =>
+      s""""$k":{"sec":$v,"spread":$r}""" }
+      .mkString(
+        s"""{"total_sec":$total,"runs":$runs,"sf":${jstr(sfDir)},"queries":{""",
+        ",", "}}")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        (detail + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail file write failed: ${e.toString}")
+    }
     val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"runs":$runs,"spread":${f2(spread)},"failed":$failedJson,"sf":"$sfDir"}"""
-    if (line.length > 1800)
-      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may exceed the driver's 2000-char output tail")
+    System.err.println(s"[bench] JSON line length: ${line.length} chars")
+    require(failed.nonEmpty || line.length < 1500,
+      s"bench JSON line ${line.length} chars — must stay < 1500 to " +
+        "survive the driver's 2000-char output tail with headroom")
+    System.err.flush()
     println(line)
+    System.out.flush()
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${failed.reverse.distinct.mkString("; ")}")
