@@ -849,6 +849,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Multi-probe variant: each query band also probes the buckets one
+    // sign-bit away — (bandBits+1)x candidates for measurably higher
+    // recall at an UNCHANGED index (RecallGatesSpec: >= 0.7 recall@10
+    // on realistic-gap data, and strictly >= the single-probe path on
+    // the near-uniform driver data). Rows-only check.
+    "ann_lsh_mp" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      ops.AnnOps.lshTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 10, probeHamming = 1)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- events (timestamped stream table, batch view) --------------
 
     // Tumbling-hour aggregation over the event stream. ts arrives as a

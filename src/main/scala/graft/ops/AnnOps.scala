@@ -100,11 +100,23 @@ object AnnOps {
     * driver data: see RecallGatesSpec / PLANS.md §recall), while WIDE
     * bands (8 bits) buy ~16x more selectivity and are the right setting
     * at 100 TB when the corpus has genuinely-close neighbors
-    * (cosine >= 0.8). */
+    * (cosine >= 0.8).
+    *
+    * `probeHamming = 1` turns on MULTI-PROBE: each query band also
+    * probes the `bandBits` bucket values at Hamming distance 1 (one
+    * sign bit flipped) — a (bandBits+1)x candidate-volume knob that
+    * buys recall WITHOUT re-hashing or widening the index, the
+    * standard trade (cf. Lv et al., "Multi-probe LSH", VLDB '07).
+    * Probing happens on the (broadcast) query side only; the corpus
+    * index is untouched, so the knob can be turned per query at an
+    * unchanged 100-TB index. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nbits: Int = 32, bandBits: Int = 4): DataFrame = {
+      vecCol: String, k: Int, nbits: Int = 32, bandBits: Int = 4,
+      probeHamming: Int = 0): DataFrame = {
     require(bandBits >= 1 && bandBits <= 32, "bandBits must be in 1..32")
     require(nbits % bandBits == 0, "nbits must be a multiple of bandBits")
+    require(probeHamming >= 0 && probeHamming <= 1,
+      "probeHamming must be 0 (exact band) or 1 (flip one bit)")
     val nBands = nbits / bandBits
     val mask = (1L << bandBits) - 1
     def withBands(df: DataFrame, side: String): DataFrame = {
@@ -119,7 +131,19 @@ object AnnOps {
         .withColumnRenamed("pos", "band_id")
         .withColumnRenamed("col", "band_val")
     }
-    val qb = broadcast(withBands(queries, "query"))
+    val qbExact = withBands(queries, "query")
+    val qbProbed =
+      if (probeHamming == 0) qbExact
+      else {
+        // the probe set per band: the exact value plus every value one
+        // flipped sign bit away (bit positions are static → a plain
+        // column array, no expr-parsing)
+        val probeVals = array((col("band_val") +: (0 until bandBits).map(
+          b => col("band_val").bitwiseXOR(lit(1L << b)))): _*)
+        qbExact.select(col("query_id"), col("query_vec"), col("band_id"),
+          explode(probeVals).as("band_val"))
+      }
+    val qb = broadcast(qbProbed)
     val cb = withBands(corpus, "neighbor")
     val candidates = cb.join(qb, Seq("band_id", "band_val"))
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -123,12 +123,75 @@ class RecallGatesSpec extends SparkSpec {
     info(f"ann_lsh recall@10 = $lshRecall%.4f")
     assert(lshRecall >= 0.45, f"lsh recall@10 $lshRecall%.4f below gate")
 
+    // multi-probe on the SAME near-uniform data: more candidates can
+    // only help — must dominate the single-probe operating point
+    val mp = AnnOps.lshTopK(emb, q, "vec_id", "embedding", 10,
+      probeHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val mpRecall = (brute intersect mp).size.toDouble / brute.size
+    info(f"ann_lsh_mp recall@10 = $mpRecall%.4f (single-probe $lshRecall%.4f)")
+    assert(mpRecall >= lshRecall,
+      f"multi-probe $mpRecall%.4f must not trail single-probe $lshRecall%.4f")
+
     val model = AnnOps.buildIvf(emb, "vec_id", "embedding", nlist = 8)
-    val ivf = AnnOps.ivfTopK(emb, q, "vec_id", "embedding", model,
+    // nprobe sweep: recall must be monotone-ish in probes; the declared
+    // operating point (nprobe=3) keeps its floor
+    val sweep = Seq(2, 3, 4).map { np =>
+      val ivf = AnnOps.ivfTopK(emb, q, "vec_id", "embedding", model,
+        k = 10, nprobe = np)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      np -> (brute intersect ivf).size.toDouble / brute.size
+    }
+    sweep.foreach { case (np, r) =>
+      info(f"ann_ivf recall@10 (nprobe=$np) = $r%.4f") }
+    val ivfRecall = sweep.find(_._1 == 3).get._2
+    assert(ivfRecall >= 0.5, f"ivf recall@10 $ivfRecall%.4f below gate")
+    assert(sweep.last._2 >= ivfRecall,
+      "raising nprobe must not lose recall")
+  }
+
+  test("multi-probe LSH and IVF reach recall@10 >= 0.7 on realistic-gap data") {
+    // the driver embeddings are near-uniform (max natural cosine 0.48)
+    // — an operating point measured there says little about a corpus
+    // with genuinely-close neighbors. Plant 10 perturbed copies of
+    // each query vector (cosine ~0.999): the exact top-10 is then the
+    // planted set, and the approximate paths must retrieve >= 70% of
+    // it — the knob a user needs when 0.5-recall isn't enough.
+    import spark.implicits._
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect()
+    var seed = 0xb0a710adL // fixed seed: determinism is what matters
+    val planted = qs.flatMap { case (id, v) =>
+      (0 until 10).map { i =>
+        val w = v.map { x =>
+          seed = seed * 6364136223846793005L + 1442695040888963407L
+          val u = ((seed >>> 40).toInt.toDouble / (1 << 24)) * 2.0 - 1.0
+          (x * (1.0 + 0.03 * u)).toFloat
+        }
+        (100000L + id * 100 + i, w)
+      }
+    }
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .union(planted.toSeq.toDF("vec_id", "embedding"))
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = AnnOps.bruteForceTopK(corpus, q, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(brute.size == 50)
+
+    val mp = AnnOps.lshTopK(corpus, q, "vec_id", "embedding", 10,
+      probeHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val mpRecall = (brute intersect mp).size.toDouble / brute.size
+    info(f"ann_lsh_mp recall@10 on realistic gaps = $mpRecall%.4f")
+    assert(mpRecall >= 0.7, f"multi-probe LSH recall $mpRecall%.4f below 0.7")
+
+    val model = AnnOps.buildIvf(corpus, "vec_id", "embedding", nlist = 8)
+    val ivf = AnnOps.ivfTopK(corpus, q, "vec_id", "embedding", model,
       k = 10, nprobe = 3)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val ivfRecall = (brute intersect ivf).size.toDouble / brute.size
-    info(f"ann_ivf recall@10 (nprobe=3) = $ivfRecall%.4f")
-    assert(ivfRecall >= 0.5, f"ivf recall@10 $ivfRecall%.4f below gate")
+    info(f"ann_ivf recall@10 on realistic gaps (nprobe=3) = $ivfRecall%.4f")
+    assert(ivfRecall >= 0.7, f"IVF recall $ivfRecall%.4f below 0.7")
   }
 }
