@@ -39,9 +39,10 @@ import org.apache.spark.sql.SparkSession
   *  - error strings in `failed` have all control chars stripped so the
   *    JSON line can never be broken by a multi-line exception message.
   *
-  * Key abbreviation (documented in README): "q_" is dropped;
-  * "dedup_"->"dd_", "text_"->"tx_", "ann_"->"an_", "multimodal_"->
-  * "mm_", "pipeline_"->"pl_"; anything else (q1_agg) is unchanged.
+  * Key abbreviation (documented in README): "q_window_"->"w_",
+  * "q_events_"->"ev_", then "q_" is dropped; "dedup_"->"dd_",
+  * "text_"->"tx_", "ann_"->"an_", "multimodal_"->"mm_",
+  * "pipeline_"->"pl_"; anything else (q1_agg) is unchanged.
   * Uniqueness after abbreviation is asserted at runtime.
   */
 object Bench {
@@ -116,8 +117,16 @@ object Bench {
     // See the scaladoc output contract: one compact abbreviated-key
     // JSON line on stdout (printed last, length-asserted), short
     // per-query lines + a full-detail file for humans.
-    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // 2-decimal seconds with trailing zeros stripped ("0.20" -> "0.2",
+    // "1.00" -> "1") — still valid JSON numbers, ~0.5 chars/query saved
+    def f2(v: Double): String = {
+      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      if (s.contains('.'))
+        s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      else s
+    }
     def shortKey(name: String): String = Seq(
+      "q_window_" -> "w_", "q_events_" -> "ev_",
       "dedup_" -> "dd_", "text_" -> "tx_", "ann_" -> "an_",
       "multimodal_" -> "mm_", "pipeline_" -> "pl_", "q_" -> "")
       .collectFirst { case (p, r) if name.startsWith(p) =>

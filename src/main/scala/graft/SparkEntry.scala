@@ -352,6 +352,26 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // PII exposure + redaction under the oracle: per-doc counts of
+    // email/URL/phone-shaped spans and the md5 of the redacted text
+    // (hashing the redacted text makes the oracle verify the FULL
+    // replacement output, not just the counts).
+    "text_pii" -> ((s, d) => {
+      TextOps.piiCounts(t(s, d, "documents"), col("text"))
+        .select(col("doc_id"), col("n_urls"), col("n_emails"),
+          col("n_phones"),
+          md5(TextOps.piiRedact(col("text"))).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition rule: repeated-token fraction per doc.
+    "text_repetition" -> ((s, d) => {
+      TextOps.repetitionStats(t(s, d, "documents"), col("text"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("rep_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- training-data pipeline: dedup ------------------------------
 
     // Exact dedup: keep lowest doc_id per identical text.
@@ -520,6 +540,19 @@ object SparkEntry {
           .as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+    }),
+
+    // Eval-set decontamination sweep: every 50th doc plays the eval
+    // set; each remaining corpus doc reports its distinct shared
+    // 3-token shingles and a contamination flag. Rows-only (the
+    // shingle-hash kernel has no ANSI mirror); exact equivalence vs a
+    // raw-shingle intersection ground truth is spec-gated.
+    "pipeline_decontaminate" -> ((s, d) => {
+      val all = t(s, d, "documents")
+      val evalSet = all.filter(pmod(col("doc_id"), lit(50)) === 0)
+      val corpus = all.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      ops.DedupOps.evalOverlap(corpus, evalSet, "doc_id", "text")
+        .orderBy(col("doc_id"))
     }),
 
     // Full SQL path: Spark's parser + analyzer over registered temp
@@ -1232,6 +1265,26 @@ object SparkEntry {
          |  cast(sum(${TextOps.sql.bpeTokenCount}) as bigint) AS bpe_tokens,
          |  count(*) AS n_docs
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_pii" ->
+      s"""SELECT doc_id,
+         |  cast(${TextOps.sql.patCount(TextOps.sql.url)} as bigint)
+         |    AS n_urls,
+         |  cast(${TextOps.sql.patCount(TextOps.sql.email)} as bigint)
+         |    AS n_emails,
+         |  cast(${TextOps.sql.patCount(TextOps.sql.phone)} as bigint)
+         |    AS n_phones,
+         |  md5(${TextOps.sql.piiRedact}) AS redacted_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""SELECT doc_id,
+         |  ${TextOps.sql.tokenCount} AS n_tokens,
+         |  cast(len(list_distinct(string_split(text, ' '))) as bigint)
+         |    AS n_distinct,
+         |  round(1.0 - cast(len(list_distinct(string_split(text, ' ')))
+         |    as double) / len(string_split(text, ' ')), 4) AS rep_frac
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies

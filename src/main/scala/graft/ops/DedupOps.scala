@@ -181,6 +181,39 @@ object DedupOps {
       HashFunctions.shingleHashes(tokens(col(textCol)), shingleN)
         .as("shingles"))
 
+  /** Eval-set decontamination: per corpus document, the number of
+    * distinct `shingleN`-token shingles shared with ANY document of an
+    * evaluation set, and a flag at `minOverlap` — the contamination
+    * sweep a training pipeline runs before a data release (eval
+    * examples leaking into training data inflate benchmarks).
+    *
+    * Scale shape: the eval side is tiny relative to the corpus, so its
+    * distinct shingle-hash set is BROADCAST; the corpus side is one
+    * pass — explode distinct shingle hashes, broadcast-hash-join
+    * against the eval set, count per doc. No shuffle of text, no
+    * corpus self-join; the corpus is read once. Shingles move as
+    * 64-bit hashes ([[graft.functions.HashExpressions.ShingleHashes]],
+    * codegen'd); exactness vs raw-shingle ground truth is
+    * ContaminationAndPiiSpec-gated. */
+  def evalOverlap(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, minOverlap: Int = 2): DataFrame = {
+    def grams(df: DataFrame) =
+      HashFunctions.shingleHashes(tokens(col(textCol)), shingleN)
+    val corpusGrams = corpus.select(col(idCol),
+      explode(grams(corpus)).as("g")) // kernel output is already distinct
+    val evalGrams = evalSet.select(explode(grams(evalSet)).as("g"))
+      .distinct()
+    val overlap = corpusGrams.join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col(idCol))
+      .join(overlap, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap)
+          .as("contaminated"))
+  }
+
   /** Incremental near-dup pairs: a NEW batch against an existing corpus
     * represented ONLY by its persisted sketch tables ([[minhashBands]] +
     * [[shingleSets]]) — no corpus text is re-read, no corpus re-sketch.

@@ -83,6 +83,44 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(split(text, " ")))))
 
+  /** PII patterns — Java-regex + RE2 compatible (no lookahead), shared
+    * with the oracle mirrors below. Redaction order matters and is
+    * fixed: URL first (URLs can embed '@' and digit runs), then email,
+    * then phone. */
+  val UrlPattern = "https?://[^ ]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}\\b"
+
+  /** Per-document PII exposure counts (emails / URLs / phone-shaped
+    * numbers) — the signals a curation gate thresholds on before
+    * documents reach a training set. */
+  def piiCounts(df: DataFrame, text: Column): DataFrame = df
+    .withColumn("n_urls", patCount(text, UrlPattern).cast("bigint"))
+    .withColumn("n_emails", patCount(text, EmailPattern).cast("bigint"))
+    .withColumn("n_phones", patCount(text, PhonePattern).cast("bigint"))
+
+  /** Redact PII in place (typed placeholder per class). Pure column
+    * expression — at 100 TB this runs inside the scan stage. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Repetition metrics (Gopher-style quality rule): distinct-token
+    * count and the repeated-token fraction 1 - distinct/total. High
+    * rep_frac marks boilerplate / keyword-stuffed documents. */
+  def repetitionStats(df: DataFrame, text: Column): DataFrame = {
+    val nTokens = tokenCount(text)
+    val nDistinct = size(array_distinct(split(text, " "))).cast("bigint")
+    df.withColumn("n_tokens", nTokens)
+      .withColumn("n_distinct", nDistinct)
+      .withColumn("rep_frac",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"),
+          4))
+  }
+
   /** ANSI-SQL mirrors (DuckDB dialect) for the oracle. */
   object sql {
     val tokenCount = "cast(len(string_split(text, ' ')) as bigint)"
@@ -92,6 +130,16 @@ object TextOps {
       s"len(regexp_extract_all(text, '$pattern'))"
     val fingerprint =
       "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))"
+    // PII mirrors: identical patterns and the SAME redaction order as
+    // piiRedact (URL, then email, then phone); 'g' = replace all, which
+    // is Spark regexp_replace's default.
+    val url = "https?://[^ ]+"
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}\\b"
+    val piiRedact =
+      s"regexp_replace(regexp_replace(regexp_replace(text, " +
+        s"'$url', '<URL>', 'g'), '$email', '<EMAIL>', 'g'), " +
+        s"'$phone', '<PHONE>', 'g')"
     // DuckDB regex strings use the same \b / \x{...} syntax as Java here,
     // but single-backslash escaping inside SQL literals.
     val stopword = "\\b(the|a)\\b"
