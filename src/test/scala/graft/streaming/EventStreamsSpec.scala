@@ -116,6 +116,35 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("last-touch resolved downstream of the streaming all-pairs sink == batch lastTouchAttribution") {
+    // the documented streaming shape: the bounded all-pairs join runs
+    // IN the stream, last-touch top-1 resolves on the sink's output —
+    // together they must equal the batch lastTouchAttribution
+    val dir = Files.createTempDirectory("graft-lt").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .parquet(dir)
+    val q = EventStreams.clickAttribution(stream)
+      .writeStream.format("memory").queryName("lt_pairs")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("click_id"))
+        .orderBy(col("view_ts").desc, col("view_id").desc)
+      val downstream = spark.table("lt_pairs")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("click_id"), col("view_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = EventStreams.lastTouchAttribution(batchEvents)
+        .select(col("click_id"), col("view_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(downstream.nonEmpty)
+      assert(downstream == batch)
+    } finally q.stop()
+  }
+
   test("streaming sessionize emits timed-out sessions and evicts state") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-sess").toString
