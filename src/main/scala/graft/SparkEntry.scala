@@ -633,6 +633,32 @@ object SparkEntry {
         .orderBy(col("c_custkey"), col("big_orderkey"))
     }),
 
+    // Full-outer join: every customer and every high-value order, with
+    // -1 sentinels where the other side is absent.
+    "q_full_outer" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_acctbal") > 9000.0)
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 400000.0)
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), lit(-1L)).as("cust"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("ord"))
+        .orderBy(col("cust"), col("ord"))
+    }),
+
+    // Explicit reduce-side salting (SkewOps.saltedAgg): the hot-key
+    // mitigation a 100-TB aggregation needs when one key exceeds a
+    // reducer. Salting must not change results — the oracle is the
+    // PLAIN group-by, so the equality is hash-checked per round.
+    "q_salted_agg" -> ((s, d) => {
+      ops.SkewOps.saltedAgg(t(s, d, "lineitem"), "l_suppkey",
+        saltFrom = col("l_orderkey") * 10 + col("l_linenumber"), salts = 8,
+        aggs = Seq(
+          (count(lit(1)).as("pn"), sum(col("pn")).as("n")),
+          (sum(col("l_quantity").cast(DecimalType(18, 2))).as("pq"),
+            sum(col("pq")).cast("double").as("sum_qty"))))
+        .orderBy(col("l_suppkey"))
+    }),
+
     // CUBE grouping sets.
     "q_cube" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -1422,6 +1448,22 @@ object SparkEntry {
         |  (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
         |  ON c.c_custkey = o.o_custkey
         |ORDER BY c_custkey, big_orderkey""".stripMargin,
+
+    "q_full_outer" ->
+      """SELECT coalesce(c_custkey, -1) AS cust,
+        |  coalesce(o_orderkey, -1) AS ord
+        |FROM (SELECT * FROM customer WHERE c_acctbal > 9000.0) c
+        |FULL OUTER JOIN
+        |  (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY cust, ord""".stripMargin,
+
+    // Salting is a physical-layout trick only: the oracle is the plain
+    // group-by.
+    "q_salted_agg" ->
+      s"""SELECT l_suppkey, count(*) AS n,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
 
     "q_cube" ->
       s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
