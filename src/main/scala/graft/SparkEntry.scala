@@ -202,6 +202,42 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // Native session_window sessionization (Spark's built-in gap
+    // windows, usable batch AND streaming) — same 30-minute gap as
+    // q_sessionize; the oracle rebuilds sessions via lag/cumsum with
+    // the session_window boundary rule (a gap of EXACTLY the window
+    // size starts a new session; end = last event + gap).
+    "q_session_window" -> ((s, d) => {
+      val ev = streaming.EventStreams.canonicalEvents(t(s, d, "events"))
+        .select(col("user_id"), col("ts"), col("value"))
+      ev.groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"),
+          col("total_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // CDC-style upsert/merge (StorageOps.upsert): doubled-price
+    // updates overwrite their base rows by key, shifted-key rows
+    // append, untouched base rows persist — verified row-exactly by
+    // the full-outer-coalesce oracle.
+    "q_upsert" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val base = o.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+      val updates = o.filter(pmod(col("o_orderkey"), lit(3)) === 1)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+        .union(o.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_totalprice")))
+      ops.StorageOps.upsert(base, updates, "o_orderkey")
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- sorts / windows / set ops / grouping extensions ------------
 
     // Ranking window: top-3 line items per return flag.
@@ -1178,6 +1214,45 @@ object SparkEntry {
         |  cast(sum(n_ev) as bigint) AS n_events,
         |  cast(sum(cast(tv as decimal(18,2))) as double) AS total_value
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // session_window boundary rule: gap >= 30min starts a NEW session
+    // (q_sessionize's hand-rolled variant uses strictly-greater; the
+    // native operator opens a new session at exact-gap boundaries);
+    // session_end = last event + gap.
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, cast(ts as timestamp) AS ts, value
+        |           FROM events),
+        |m AS (SELECT user_id, ts, value,
+        |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |               IS NULL
+        |             OR epoch_us(ts) - epoch_us(lag(ts)
+        |               OVER (PARTITION BY user_id ORDER BY ts))
+        |               >= 1800000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e),
+        |s AS (SELECT user_id, ts, value,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx
+        |      FROM m)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  cast(sum(cast(value as decimal(18,2))) as double) AS total_value
+        |FROM s GROUP BY user_id, sidx
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_upsert" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |b AS (SELECT * FROM o WHERE o_orderkey % 3 <> 0),
+        |u AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+        |      FROM o WHERE o_orderkey % 3 = 1
+        |      UNION ALL
+        |      SELECT o_orderkey + 10000000, o_totalprice
+        |      FROM o WHERE o_orderkey % 3 = 0)
+        |SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice
+        |FROM b FULL OUTER JOIN u ON b.o_orderkey = u.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_window_topk" ->
       """SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice

@@ -65,6 +65,24 @@ object StorageOps {
       .write.mode(SaveMode.Overwrite).parquet(outPath)
   }
 
+  /** CDC-style upsert (MERGE): rows of `updates` replace base rows
+    * with the same `key`; unmatched update keys append; unmatched base
+    * rows persist. The snapshot-compaction primitive for a parquet
+    * lake without a table format: implemented as one full-outer join
+    * on the key (a single co-keyed shuffle at any scale) with
+    * column-wise coalesce, updates winning. Both sides must share the
+    * schema. */
+  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    require(base.columns.sameElements(updates.columns),
+      s"upsert needs identical schemas (base ${base.columns.mkString(",")} " +
+        s"vs updates ${updates.columns.mkString(",")})")
+    val b = base.alias("b")
+    val u = updates.alias("u")
+    b.join(u, col(s"b.$key") === col(s"u.$key"), "full_outer")
+      .select(base.columns.map(c =>
+        coalesce(col(s"u.$c"), col(s"b.$c")).as(c)).toSeq: _*)
+  }
+
   /** Order-independent content signature of a dataset path: XOR of a
     * per-file hash over (name, length, mtime), resolved through the
     * Hadoop FileSystem API. Keys derived artifacts (e.g. a persisted

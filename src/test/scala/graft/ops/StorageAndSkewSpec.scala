@@ -126,6 +126,19 @@ class StorageAndSkewSpec extends SparkSpec {
     assert(after.count() == orders.count())
   }
 
+  test("upsert: updates replace, new keys append, untouched rows persist") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq((2L, "B"), (9L, "Z")).toDF("k", "v")
+    val merged = StorageOps.upsert(base, updates, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(merged.toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c"), (9L, "Z")))
+    val e = intercept[IllegalArgumentException] {
+      StorageOps.upsert(base, updates.toDF("k", "other"), "k")
+    }
+    assert(e.getMessage.contains("identical schemas"))
+  }
+
   test("contentSignature changes when the underlying data changes") {
     val base = Files.createTempDirectory("graft-sig").toString + "/t"
     val orders = Tables.orders(spark, Sf0001)
