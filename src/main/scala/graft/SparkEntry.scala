@@ -659,6 +659,29 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Fuzzy self-join on part names (entity resolution): the join runs
+    // on the DISTINCT value domain with multiplicities — resolving
+    // entities over distinct strings instead of rows is what keeps a
+    // fuzzy join alive when a 100-TB table holds low-cardinality
+    // templated values (row-level blocking here was measured quadratic:
+    // 25s at sf0.1 vs 0.4s for this shape, identical row-pair counts).
+    // Row-pair histogram per edit distance: cross-name pairs weight
+    // cnt(a)*cnt(b); same-name pairs contribute C(cnt,2) at distance 0.
+    "q_fuzzy_join" -> ((s, d) => {
+      val names = t(s, d, "part")
+        .groupBy(col("p_name")).agg(count(lit(1)).as("cnt"))
+      val a = names.select(col("p_name").as("an"), col("cnt").as("ca"))
+      val b = names.select(col("p_name").as("bn"), col("cnt").as("cb"))
+      val cross = ops.JoinOps.fuzzyJoin(a, b, "an", "bn", maxDist = 3)
+        .filter(col("an") < col("bn"))
+        .select(col("dist"), (col("ca") * col("cb")).as("np"))
+      val same = names.select(lit(0).as("dist"),
+        (col("cnt") * (col("cnt") - 1) / 2).cast("bigint").as("np"))
+      cross.union(same)
+        .groupBy(col("dist")).agg(sum(col("np")).as("n_pairs"))
+        .orderBy(col("dist"))
+    }),
+
     // Left-outer join with null handling.
     "q_outer_join" -> ((s, d) => {
       val c = t(s, d, "customer")
@@ -1516,6 +1539,22 @@ object SparkEntry {
          | AND l_shipdate >= o_orderdate
          | AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_fuzzy_join" ->
+      """WITH n AS (SELECT p_name, count(*) AS cnt FROM part
+        |           GROUP BY p_name),
+        |cp AS (SELECT levenshtein(a.p_name, b.p_name) AS dist,
+        |         a.cnt * b.cnt AS np
+        |       FROM n a JOIN n b
+        |         ON substr(a.p_name, 1, 4) = substr(b.p_name, 1, 4)
+        |        AND abs(length(a.p_name) - length(b.p_name)) <= 3
+        |        AND levenshtein(a.p_name, b.p_name) <= 3
+        |        AND a.p_name < b.p_name),
+        |sp AS (SELECT 0 AS dist, (cnt * (cnt - 1)) // 2 AS np FROM n)
+        |SELECT cast(dist as integer) AS dist,
+        |  cast(sum(np) as bigint) AS n_pairs
+        |FROM (SELECT * FROM cp UNION ALL SELECT * FROM sp)
+        |GROUP BY dist ORDER BY dist""".stripMargin,
 
     "q_outer_join" ->
       """SELECT c_custkey, coalesce(o_orderkey, -1) AS big_orderkey

@@ -39,6 +39,30 @@ class JoinOpsSpec extends SparkSpec {
     assert(res(5L).isEmpty)         // no quotes for C at all
   }
 
+  test("fuzzy join finds within-distance pairs and only those") {
+    val a = Seq((1L, "gadget"), (2L, "widget"), (3L, "sprocket"))
+      .toDF("ak", "an")
+    val b = Seq((10L, "gadgets"), (11L, "midget"), (12L, "unrelated"))
+      .toDF("bk", "bn")
+    // blockPrefix=1 so blocking does not mask the distance check here
+    val got = JoinOps.fuzzyJoin(a, b, "an", "bn", maxDist = 2,
+      blockPrefix = 1)
+      .select(col("an"), col("bn"), col("dist"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    // gadget~gadgets: 1 edit; widget~... nothing shares prefix 'w' on
+    // the right; sprocket has no within-2 partner
+    assert(got == Set(("gadget", "gadgets", 1)))
+    // verify the length band prunes before levenshtein: a 9-char
+    // unrelated string never pairs with 6-char names at maxDist 2
+    val wide = JoinOps.fuzzyJoin(a, b, "an", "bn", maxDist = 5,
+      blockPrefix = 1)
+      .select(col("an"), col("bn"), col("dist")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(wide.contains(("widget", "midget", 1)) == false,
+      "different first letters must stay in different blocks")
+  }
+
   test("topk aggregator equals window top-k on real embeddings") {
     val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 3)
