@@ -33,6 +33,55 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops too-late events from windowed aggregation") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-late").toString
+    def write(rows: Seq[(Long, String, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .write.mode("append").parquet(dir)
+    // batch 1: an event at 10:00 and one at 14:00 — the 14:00 event
+    // advances the watermark to 12:00 (2h delay)
+    write(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 1.0, "{}"),
+      (2L, "2024-01-01 14:00:00", 1L, "view", 1.0, "{}")))
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = EventStreams.windowedStats(stream)
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: one event at 09:30 (before the 12:00 watermark — its
+      // 09:00 window is closed and must be DROPPED) and one at 15:00
+      write(Seq(
+        (3L, "2024-01-01 09:30:00", 1L, "view", 100.0, "{}"),
+        (4L, "2024-01-01 15:00:00", 1L, "view", 1.0, "{}")))
+      q.processAllAvailable()
+      // advance the watermark far enough to close and emit everything
+      write(Seq((5L, "2024-01-02 00:00:00", 1L, "view", 1.0, "{}")))
+      q.processAllAvailable()
+      val out = spark.table("late_out")
+        .select(col("window_start"), col("n"), col("total_value"))
+        .collect()
+        .map(r => r.getTimestamp(0).toString ->
+          ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      // the 10:00 window closed with only event 1; the late 09:30
+      // event (value 100) appears in NO window
+      assert(out("2024-01-01 10:00:00.0") == ((1L, 1.0)), out.toString)
+      assert(!out.contains("2024-01-01 09:00:00.0"), out.toString)
+      assert(out.values.map(_._2).sum < 100.0,
+        s"late event leaked into a window: $out")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed events") {
     val dir = Files.createTempDirectory("graft-dedup").toString
     // stage the same events twice — a replayed source
