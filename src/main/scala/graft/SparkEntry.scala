@@ -862,6 +862,24 @@ object SparkEntry {
         .orderBy(col("l_orderkey"))
     }),
 
+    // Higher-order (lambda) array functions — transform / filter /
+    // aggregate over per-order quantity arrays, all codegen-friendly
+    // built-ins (the functional core a columnar pipeline uses instead
+    // of UDFs), mirrored exactly by DuckDB's list lambdas.
+    "q_lambda_funcs" -> ((s, d) => {
+      t(s, d, "lineitem").filter(col("l_orderkey") < 200)
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_list(col("l_quantity").cast("int")))
+          .as("qtys"))
+        .select(col("l_orderkey"),
+          expr("aggregate(qtys, 0L, (acc, x) -> acc + x)").as("sum_q"),
+          array_join(transform(col("qtys"), x => x * 2), ",")
+            .as("doubled"),
+          size(filter(col("qtys"), x => x > 25)).cast("bigint")
+            .as("n_big"))
+        .orderBy(col("l_orderkey"))
+    }),
+
     // Exact distinct aggregation.
     "q_count_distinct" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -1627,6 +1645,18 @@ object SparkEntry {
         |  cast(sum(cast(l_quantity as decimal(18,2)))
         |    FILTER (WHERE l_linestatus = 'O') as double) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_lambda_funcs" ->
+      """WITH g AS (SELECT l_orderkey,
+        |             list_sort(list(cast(l_quantity as integer))) AS qtys
+        |           FROM lineitem WHERE l_orderkey < 200
+        |           GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  cast(list_aggregate(qtys, 'sum') as bigint) AS sum_q,
+        |  array_to_string(list_transform(qtys, x -> x * 2), ',')
+        |    AS doubled,
+        |  cast(len(list_filter(qtys, x -> x > 25)) as bigint) AS n_big
+        |FROM g ORDER BY l_orderkey""".stripMargin,
 
     "q_count_distinct" ->
       """SELECT l_returnflag,
