@@ -862,6 +862,25 @@ object SparkEntry {
         .orderBy(col("l_orderkey"))
     }),
 
+    // NULL-semantics conformance battery: manufactured nulls flow
+    // through count(*) vs count(col), null-skipping sums, IS NULL
+    // filters, and null-safe equality (the reference's declared
+    // Null==Null→true semantic, SURVEY §1.2 — here via Spark's <=> /
+    // ANSI IS NOT DISTINCT FROM).
+    "q_null_semantics" -> ((s, d) => {
+      val li = t(s, d, "lineitem").withColumn("qn",
+        when(col("l_discount") === 0.0, lit(null))
+          .otherwise(col("l_quantity")))
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("qn")).as("n_nonnull"),
+          dsum(col("qn")).as("sum_nonnull"),
+          count(when(col("qn").isNull, 1)).as("n_null"),
+          count(when(col("qn") <=> lit(null), 1)).as("n_nullsafe"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Higher-order (lambda) array functions — transform / filter /
     // aggregate over per-order quantity arrays, all codegen-friendly
     // built-ins (the functional core a columnar pipeline uses instead
@@ -1645,6 +1664,19 @@ object SparkEntry {
         |  cast(sum(cast(l_quantity as decimal(18,2)))
         |    FILTER (WHERE l_linestatus = 'O') as double) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_null_semantics" ->
+      s"""WITH li AS (SELECT l_returnflag,
+         |  CASE WHEN l_discount = 0.0 THEN NULL ELSE l_quantity END AS qn
+         |  FROM lineitem)
+         |SELECT l_returnflag,
+         |  count(*) AS n_rows,
+         |  count(qn) AS n_nonnull,
+         |  ${dsumSql("qn")} AS sum_nonnull,
+         |  count(*) FILTER (WHERE qn IS NULL) AS n_null,
+         |  count(*) FILTER (WHERE qn IS NOT DISTINCT FROM NULL)
+         |    AS n_nullsafe
+         |FROM li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_lambda_funcs" ->
       """WITH g AS (SELECT l_orderkey,
