@@ -47,6 +47,36 @@ import org.apache.spark.sql.SparkSession
   * Uniqueness after abbreviation is asserted at runtime.
   */
 object Bench {
+
+  /** Documented stdout key abbreviation (see README): an exact-name
+    * table for the longest query names, then prefix rules. Uniqueness
+    * and worst-case line length over the declared query set are gated
+    * in BenchContractSpec, so a colliding or line-overflowing new
+    * query fails at `sbt test` rather than at bench time. */
+  private val exactKeys = Map(
+    "q_asof_join_native" -> "aj_nat", "q_asof_join" -> "aj",
+    "q_attribution_last" -> "attr_l", "q_attribution" -> "attr",
+    "q_scalar_subquery" -> "subq", "q_count_distinct" -> "cntd",
+    "q_grouping_sets" -> "gsets", "q_null_semantics" -> "nulls",
+    "q_lambda_funcs" -> "hof", "q_session_window" -> "swin",
+    "q_sessionize" -> "sess", "q_datetime_funcs" -> "dtf",
+    "q_window_analytics" -> "w_anl", "q_filter_project" -> "fproj",
+    "q_join_broadcast" -> "jbc", "q_bucketed_join" -> "bktj",
+    "dedup_clusters_exact" -> "dd_ccx", "dedup_clusters" -> "dd_cc",
+    "dedup_ngram_jaccard" -> "dd_ngram", "dedup_incremental" -> "dd_incr",
+    "dedup_embedding" -> "dd_emb", "multimodal_features" -> "mm_feat",
+    "pipeline_curate_neardup" -> "pl_cnd", "pipeline_curate" -> "pl_cur",
+    "pipeline_decontaminate" -> "pl_dec")
+
+  private[graft] def shortKey(name: String): String =
+    exactKeys.getOrElse(name, Seq(
+      "q_window_" -> "w_", "q_events_" -> "ev_",
+      "dedup_" -> "dd_", "text_" -> "tx_", "ann_" -> "an_",
+      "multimodal_" -> "mm_", "pipeline_" -> "pl_", "q_" -> "")
+      .collectFirst { case (p, r) if name.startsWith(p) =>
+        r + name.stripPrefix(p) }
+      .getOrElse(name))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -126,13 +156,6 @@ object Bench {
         s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
       else s
     }
-    def shortKey(name: String): String = Seq(
-      "q_window_" -> "w_", "q_events_" -> "ev_",
-      "dedup_" -> "dd_", "text_" -> "tx_", "ann_" -> "an_",
-      "multimodal_" -> "mm_", "pipeline_" -> "pl_", "q_" -> "")
-      .collectFirst { case (p, r) if name.startsWith(p) =>
-        r + name.stripPrefix(p) }
-      .getOrElse(name)
     val shortKeys = results.map { case (k, _, _) => shortKey(k) }
     require(shortKeys.distinct.length == shortKeys.length,
       "abbreviated bench keys collide — fix the prefix map")
