@@ -44,6 +44,17 @@ class GraftContext(val spark: SparkSession) {
   def orc(path: String): GraftFrame =
     new GraftFrame(spark.read.orc(path))
 
+  /** Binary-file source (beyond-reference): one row per file with
+    * (path, modificationTime, length, content) — the ingestion path
+    * for raw multimodal payloads (images/audio/video) before they
+    * become the binary columns [[graft.ops.Multimodal]] processes.
+    * `pathGlobFilter` bounds the listing; Spark parallelizes the file
+    * reads, so a 100-TB media drop ingests embarrassingly parallel. */
+  def binaryFiles(path: String, glob: String = "*"): GraftFrame =
+    new GraftFrame(spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path))
+
   /** In-memory source (reference `InMemoryDataSource`,
     * src/datasources/mod.rs:250-313 — minus its end-of-stream panic,
     * SURVEY §2.6 item 10). */

@@ -156,6 +156,29 @@ class FacadeSpec extends SparkSpec {
       .head.getAs[Long]("v") == 2L)
   }
 
+  // Binary-file source: the raw multimodal ingestion path.
+  test("binaryFiles source reads payload bytes with glob filtering") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin")
+    java.nio.file.Files.write(dir.resolve("a.img"),
+      Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(dir.resolve("b.img"), Array[Byte](5, 6))
+    java.nio.file.Files.writeString(dir.resolve("skip.txt"), "not media")
+    val frame = ctx.binaryFiles(dir.toString, glob = "*.img")
+    val rows = frame.collect()
+      .map(r => (new java.io.File(r.getAs[String]("path")).getName,
+        r.getAs[Array[Byte]]("content").toSeq))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq(("a.img", Seq[Byte](1, 2, 3, 4)),
+      ("b.img", Seq[Byte](5, 6))), rows.toSeq.toString)
+    // composes with the multimodal decode stub: binary content column
+    val meta = graft.ops.Multimodal.decodeAll(ctx.spark,
+      frame.df.select(
+        org.apache.spark.sql.functions.xxhash64(e.col("path"))
+          .as("doc_id"),
+        e.col("content")))
+    assert(meta.count() == 2)
+  }
+
   // Extension wrappers: rollup/cube/dedup/asof through the frame API.
   test("frame extension wrappers: rollup, cube, dedup, asofJoin") {
     val f = ctx.csv(resource("employee.csv"))
