@@ -269,6 +269,31 @@ object SparkEntry {
           col("l_linenumber"))
     }),
 
+    // Value histogram (fixed-width buckets via portable integer
+    // arithmetic) — the data-profiling pass a curation pipeline runs
+    // before choosing filters; one partial+final aggregation.
+    "q_histogram" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000.0).cast("bigint")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("bucket_total"))
+        .orderBy(col("bucket"))
+    }),
+
+    // UNION ALL bag semantics (vs q_union's set semantics): duplicates
+    // must survive; checked through an aggregate over the bag.
+    "q_union_all" -> ((s, d) => {
+      val hi = t(s, d, "orders").filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey").as("k"))
+      val urgent = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("k"))
+      hi.union(urgent)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    }),
+
     // Set operations.
     "q_union" -> ((s, d) => {
       t(s, d, "customer").select(col("c_nationkey").as("nk"))
@@ -1332,6 +1357,19 @@ object SparkEntry {
         |    AS running_qty
         |FROM lineitem WHERE l_suppkey < 5
         |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_histogram" ->
+      s"""SELECT cast(floor(o_totalprice / 50000.0) as bigint) AS bucket,
+         |  count(*) AS n, ${dsumSql("o_totalprice")} AS bucket_total
+         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_union_all" ->
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000.0
+        |  UNION ALL
+        |  SELECT o_custkey AS k FROM orders
+        |  WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY k ORDER BY k""".stripMargin,
 
     "q_union" ->
       """SELECT c_nationkey AS nk FROM customer
