@@ -433,6 +433,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // TF-IDF keyword extraction: highest-scoring term per document
+    // (ties broken by term), the relevance signal a curation pipeline
+    // uses for topic tagging. Ordering uses the ROUNDED score so both
+    // engines agree even at a last-ulp ln() difference.
+    "text_tfidf_top" -> ((s, d) => {
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      TextOps.tfidf(t(s, d, "documents"), "doc_id", "text")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("term").as("top_term"),
+          col("tfidf").as("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- training-data pipeline: dedup ------------------------------
 
     // Exact dedup: keep lowest doc_id per identical text.
@@ -1464,6 +1479,26 @@ object SparkEntry {
          |  cast(sum(${TextOps.sql.bpeTokenCount}) as bigint) AS bpe_tokens,
          |  count(*) AS n_docs
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_tfidf_top" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |ft AS (SELECT doc_id, term, count(*) AS tf FROM terms
+        |       WHERE length(term) >= 4 GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM ft GROUP BY term),
+        |scored AS (
+        |  SELECT ft.doc_id, ft.term,
+        |    round(ft.tf * ln(((SELECT count(*) FROM documents) + 1.0)
+        |                     / (dfreq.df + 1.0)), 6) AS tfidf
+        |  FROM ft JOIN dfreq ON ft.term = dfreq.term),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term AS top_term, tfidf AS score
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "text_pii" ->
       s"""SELECT doc_id,

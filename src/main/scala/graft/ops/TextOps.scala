@@ -121,6 +121,28 @@ object TextOps {
           4))
   }
 
+  /** Per-(doc, term) TF-IDF over whitespace tokens: tf = in-doc term
+    * count, idf = ln((N+1)/(df+1)) with N = corpus size and df = docs
+    * containing the term. Shape: one explode + two aggregations + one
+    * join on term (the df table is vocabulary-sized — broadcastable at
+    * any corpus scale); no UDFs, `minLen` bounds the token stream.
+    * Scores are rounded to 6 places so cross-engine comparisons (and
+    * the per-doc top-term ordering) never hinge on a last-ulp
+    * difference in ln(). */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 4): DataFrame = {
+    val n = docs.count() // one scalar to the driver — metadata-sized
+    val terms = docs.select(col(idCol),
+        explode(split(lower(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) >= minLen)
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(docFreq, Seq("term"))
+      .withColumn("tfidf",
+        round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
+  }
+
   /** ANSI-SQL mirrors (DuckDB dialect) for the oracle. */
   object sql {
     val tokenCount = "cast(len(string_split(text, ' ')) as bigint)"
