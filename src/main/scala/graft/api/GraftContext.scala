@@ -44,6 +44,12 @@ class GraftContext(val spark: SparkSession) {
   def orc(path: String): GraftFrame =
     new GraftFrame(spark.read.orc(path))
 
+  /** Raw text-lines source (beyond-reference): one row per line in a
+    * single `value` column — the rawest document-ingest format (one
+    * document per line) before any schema exists. */
+  def text(path: String): GraftFrame =
+    new GraftFrame(spark.read.text(path))
+
   /** Binary-file source (beyond-reference): one row per file with
     * (path, modificationTime, length, content) — the ingestion path
     * for raw multimodal payloads (images/audio/video) before they

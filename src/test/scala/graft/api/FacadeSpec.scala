@@ -156,6 +156,17 @@ class FacadeSpec extends SparkSpec {
       .head.getAs[Long]("v") == 2L)
   }
 
+  // Raw text-lines source: one document per line, single value column.
+  test("text source reads one row per line") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-text")
+    java.nio.file.Files.writeString(dir.resolve("docs.txt"),
+      "first doc\nsecond doc\nthird doc\n")
+    val frame = ctx.text(dir.toString)
+    assert(frame.df.columns.toSeq == Seq("value"))
+    val lines = frame.collect().map(_.getString(0)).sorted
+    assert(lines.toSeq == Seq("first doc", "second doc", "third doc"))
+  }
+
   // Binary-file source: the raw multimodal ingestion path.
   test("binaryFiles source reads payload bytes with glob filtering") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bin")
