@@ -64,7 +64,9 @@ object Bench {
     "q_join_broadcast" -> "jbc", "q_bucketed_join" -> "bktj",
     "dedup_clusters_exact" -> "dd_ccx", "dedup_clusters" -> "dd_cc",
     "dedup_ngram_jaccard" -> "dd_ngram", "dedup_incremental" -> "dd_incr",
-    "dedup_embedding" -> "dd_emb", "multimodal_features" -> "mm_feat",
+    "dedup_embedding" -> "dd_emb", "dedup_canonical" -> "dd_canon",
+    "text_ngram_freq" -> "tx_ngf", "q_quantile_bucket" -> "qbkt",
+    "multimodal_features" -> "mm_feat",
     "pipeline_curate_neardup" -> "pl_cnd", "pipeline_curate" -> "pl_cur",
     "pipeline_decontaminate" -> "pl_dec")
 

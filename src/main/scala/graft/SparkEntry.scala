@@ -448,12 +448,48 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus-level bigram frequency (top-50): the n-gram statistics
+    // pass behind boilerplate detection and contamination screens.
+    // Grams are built with transform/sequence over the token array (no
+    // UDF, stays in codegen) and counted by one hash aggregation over
+    // the exploded grams; partial map-side counts collapse the heavy
+    // hitters before the shuffle.
+    "text_ngram_freq" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      val grams = transform(
+        when(size(words) >= 2, sequence(lit(0), size(words) - 2))
+          .otherwise(array().cast("array<int>")),
+        i => concat_ws(" ",
+          element_at(words, i + 1), element_at(words, i + 2)))
+      t(s, d, "documents")
+        .select(explode(grams).as("gram"))
+        .groupBy(col("gram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram"))
+        .limit(50)
+    }),
+
     // ---- training-data pipeline: dedup ------------------------------
 
     // Exact dedup: keep lowest doc_id per identical text.
     "dedup_exact" -> ((s, d) => {
       t(s, d, "documents")
         .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Canonical-form exact dedup: case-fold, strip punctuation,
+    // collapse whitespace, THEN hash — catches "same doc, different
+    // formatting" copies that byte-exact dedup misses, at exact-dedup
+    // cost (one hash shuffle, no pairwise work). Only the 16-byte md5
+    // of the canonical form moves through the shuffle, not the text.
+    "dedup_canonical" -> ((s, d) => {
+      val canon = md5(trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+      t(s, d, "documents")
+        .groupBy(canon.as("canon_md5"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
         .select(col("doc_id"), col("n_copies"))
         .orderBy(col("doc_id"))
@@ -615,6 +651,56 @@ object SparkEntry {
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
           .as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q4 shape: order-priority checking — orders in a one-quarter
+    // window with at least one LATE lineitem. The testdata has no
+    // commit/receipt dates, so "late" = shipped >30 days after the
+    // order date; the correlated EXISTS lowers to one LEFT SEMI join
+    // (no row duplication, lineitem never leaves the join).
+    "q_tpch4" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1995-07-01").cast("date") &&
+          col("o_orderdate") < lit("1995-10-01").cast("date"))
+      val li = t(s, d, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > date_add(o("o_orderdate"), 30), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q14 shape: promo revenue share over one ship month — a
+    // broadcast join against the part dim collapsed to a single global
+    // ratio. Both sums ride one partial+final aggregation; decimal
+    // sums keep the ratio shuffle-order-exact.
+    "q_tpch14" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-09-01").cast("date") &&
+          col("l_shipdate") < lit("1995-10-01").cast("date"))
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(broadcast(t(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)), 4) /
+          dsum(rev, 4), 4).as("promo_revenue"))
+    }),
+
+    // TPC-H Q18 shape: large-volume customers — per-order quantity
+    // aggregation, HAVING-style threshold BEFORE the joins (the filter
+    // shrinks the fact side to ~1% ahead of the shuffle), then
+    // orders x customer attribution and a global top-20.
+    "q_tpch18" -> ((s, d) => {
+      val big = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+      big.join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(20)
     }),
 
@@ -806,6 +892,25 @@ object SparkEntry {
           round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
           round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("c"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Per-language length deciles (ntile) with per-bucket stats — the
+    // quality-stratification pass ahead of mixture sampling. The
+    // window partitions by language, so the sort is per-group and
+    // shuffles once on lang; a GLOBAL decile at 100 TB would instead
+    // use approx_percentile boundaries + range bucketing (the
+    // approx path is exercised by q_approx_agg). Ties are broken by
+    // doc_id so bucket assignment is deterministic.
+    "q_quantile_bucket" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      t(s, d, "documents")
+        .withColumn("bucket", ntile(10).over(w))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"), col("bucket"))
     }),
 
     // Correlated scalar subquery through the SQL path.
@@ -1114,6 +1219,45 @@ object SparkEntry {
         .select(col("doc_id"), col("pred_lang"), col("n_tokens"),
           col("quality_score"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic domain-mixture sampling: down-weight tail sources
+    // to a target mix with a multiplicative-hash keep rule
+    // (doc_id * 2654435761 mod 2^32 — Knuth '73) — reproducible across
+    // runs and engines, no RNG state, and decorrelated from the id
+    // sequence (a plain doc_id mod rule aliases with this corpus's
+    // id↔source striping). One aggregation, no shuffle of text.
+    "pipeline_mix" -> ((s, d) => {
+      val bucket = pmod(pmod(col("doc_id") * lit(2654435761L),
+        lit(4294967296L)), lit(10))
+      val rate = when(col("source").isin("src0", "src1", "src2", "src3"),
+        lit(10)).otherwise(lit(3)) // head sources 100%, tail 30%
+      t(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(bucket < rate, 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
+    // Training-shard packing: per language, pack documents (in doc_id
+    // order) into ~4k-token shards by running token count — the
+    // dataloader-sharding step after curation. The running sum is a
+    // per-language window (one shuffle on lang, no global sort); at
+    // 100 TB the partition key would widen to (lang, date-bucket) so
+    // no single language serializes, at the cost of shard-boundary
+    // resets per bucket.
+    "pipeline_shard" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("shard_id",
+          floor((sum(col("n_tokens")).over(w) - 1) / 4096.0).cast("bigint"))
+        .groupBy(col("lang"), col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("shard_tokens"))
+        .orderBy(col("lang"), col("shard_id"))
     }),
 
     // The production variant: same quality gate, but dedup removes
@@ -1889,6 +2033,81 @@ object SparkEntry {
          |GROUP BY c_custkey, c_name, n_name
          |ORDER BY revenue DESC, c_custkey
          |LIMIT 20""".stripMargin,
+
+    "q_tpch4" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1995-07-01'
+        |  AND o_orderdate < DATE '1995-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch14" ->
+      s"""SELECT round(100.0 *
+         |  ${dsumSql("CASE WHEN p_type = 'PROMO' THEN " +
+            "l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", 4)} /
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)}, 4)
+         |  AS promo_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= DATE '1995-09-01'
+         |  AND l_shipdate < DATE '1995-10-01'""".stripMargin,
+
+    "q_tpch18" ->
+      s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+         |  sum_qty
+         |FROM (SELECT l_orderkey, ${dsumSql("l_quantity")} AS sum_qty
+         |      FROM lineitem GROUP BY l_orderkey) b
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE sum_qty > 250.0
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "dedup_canonical" ->
+      """SELECT doc_id, n_copies FROM (
+        |  SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS canon,
+        |    min(doc_id) AS doc_id, count(*) AS n_copies
+        |  FROM documents GROUP BY canon)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_ngram_freq" ->
+      """WITH g AS (
+        |  SELECT w[i] || ' ' || w[i+1] AS gram
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents) d,
+        |       LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)
+        |)
+        |SELECT gram, count(*) AS n FROM g
+        |GROUP BY gram ORDER BY n DESC, gram LIMIT 50""".stripMargin,
+
+    "pipeline_mix" ->
+      """SELECT source, count(*) AS n_total,
+        |  cast(sum(CASE WHEN (doc_id * 2654435761) % 4294967296 % 10 <
+        |      (CASE WHEN source IN ('src0','src1','src2','src3')
+        |            THEN 10 ELSE 3 END)
+        |    THEN 1 ELSE 0 END) as bigint) AS n_kept
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "pipeline_shard" ->
+      s"""WITH c AS (
+         |  SELECT lang, doc_id, ${TextOps.sql.tokenCount} AS n_tokens,
+         |    sum(${TextOps.sql.tokenCount}) OVER (PARTITION BY lang
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM documents)
+         |SELECT lang, cast(floor((cum - 1) / 4096.0) as bigint) AS shard_id,
+         |  count(*) AS n_docs, cast(sum(n_tokens) as bigint) AS shard_tokens
+         |FROM c GROUP BY lang, shard_id ORDER BY lang, shard_id""".stripMargin,
+
+    "q_quantile_bucket" ->
+      """SELECT lang, bucket, count(*) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM (SELECT lang, n_chars, doc_id,
+        |        ntile(10) OVER (PARTITION BY lang
+        |          ORDER BY n_chars, doc_id) AS bucket
+        |      FROM documents)
+        |GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
 
     "q_events_json" ->
       """SELECT event_type, count(*) AS n,
