@@ -135,6 +135,39 @@ object SketchKernels {
     new GenericArrayData(sortedDistinct(hs))
   }
 
+  /** Space-delimited word bigrams as substrings of the input: because
+    * the delimiter is a single space, bigram i IS the byte range from
+    * the start of token i to the end of token i+1 — no token array and
+    * no per-gram string concatenation, just offset slices over one
+    * byte array (0x20 never occurs inside a UTF-8 multibyte sequence,
+    * so the byte scan is codepoint-safe). Token semantics match
+    * split(text, ' ') exactly: consecutive spaces yield empty tokens,
+    * a single token yields no bigrams. */
+  def wordBigrams(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var nTok = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') nTok += 1; i += 1 }
+    if (nTok < 2) return new GenericArrayData(new Array[AnyRef](0))
+    val starts = new Array[Int](nTok)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    val out = new Array[AnyRef](nTok - 1)
+    var j = 0
+    while (j < nTok - 1) {
+      val s = starts(j)
+      val e = if (j + 2 < nTok) starts(j + 2) - 1 else len
+      out(j) = UTF8String.fromBytes(bytes, s, e - s)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def simhash64(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
@@ -358,7 +391,34 @@ case class HyperplaneBits(child: Expression, nbits: Int)
     copy(child = c)
 }
 
+/** Space-delimited word bigrams of a raw text column in one codegen'd
+  * pass (see [[SketchKernels.wordBigrams]]). Equivalent to building
+  * grams with transform/sequence/concat_ws over split(text, ' '), but
+  * higher-order functions evaluate their lambda interpreted per
+  * element and break the enclosing whole-stage-codegen span — this
+  * kernel keeps scan → explode → aggregate in one span (3x on the
+  * corpus bigram-frequency query). Equivalence is ExpressionsSpec-
+  * gated, including empty/single-token/consecutive-space edge cases. */
+case class WordBigrams(child: Expression) extends KernelCallExpression {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_bigrams"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.wordBigrams(input.asInstanceOf[UTF8String])
+
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.SketchKernels.wordBigrams($c)"
+
+  override protected def withNewChildInternal(c: Expression): WordBigrams =
+    copy(child = c)
+}
+
 object HashFunctions {
+  def wordBigrams(text: Column): Column =
+    column(WordBigrams(expression(text)))
+
   def hyperplaneBits(vec: Column, nbits: Int): Column =
     column(HyperplaneBits(expression(vec), nbits))
 

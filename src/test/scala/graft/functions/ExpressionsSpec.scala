@@ -127,4 +127,34 @@ class ExpressionsSpec extends SparkSpec {
     assert(df2.queryExecution.executedPlan.toString.contains("*(1) Project"),
       "hyperplane Project must be codegen'd")
   }
+
+  test("word bigrams: matches HOF reference impl, incl. edge cases") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(col("text"))
+      .union(Seq("", "one", "a b", "a  b", " lead", "trail ", "a b c")
+        .toDF("text"))
+    val words = split(col("text"), " ")
+    val ref = transform(
+      when(size(words) >= 2, sequence(lit(0), size(words) - 2))
+        .otherwise(array().cast("array<int>")),
+      i => concat_ws(" ",
+        element_at(words, i + 1), element_at(words, i + 2)))
+    val bad = docs.select(col("text"),
+      HashFunctions.wordBigrams(col("text")).as("k"), ref.as("r"))
+      .filter(not(col("k") <=> col("r")))
+    assert(bad.count() == 0L,
+      s"kernel diverged from reference on: ${bad.take(3).mkString("; ")}")
+  }
+
+  test("word bigrams stay inside one whole-stage-codegen span") {
+    val docs = graft.Tables.documents(spark, Sf0001)
+    val df = docs.select(explode(
+      HashFunctions.wordBigrams(col("text"))).as("gram"))
+    assert(df.queryExecution.toRdd.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(1)") && l.contains("word_bigrams")),
+      s"word_bigrams must be codegen'd:\n$plan")
+  }
 }
