@@ -66,6 +66,7 @@ object Bench {
     "dedup_ngram_jaccard" -> "dd_ngram", "dedup_incremental" -> "dd_incr",
     "dedup_embedding" -> "dd_emb", "dedup_canonical" -> "dd_canon",
     "text_ngram_freq" -> "tx_ngf", "q_quantile_bucket" -> "qbkt",
+    "text_heavy_hitters" -> "tx_hh",
     "multimodal_features" -> "mm_feat",
     "pipeline_curate_neardup" -> "pl_cnd", "pipeline_curate" -> "pl_cur",
     "pipeline_decontaminate" -> "pl_dec")

@@ -466,6 +466,34 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // Frequency-threshold heavy hitters (grams occurring in >= 0.1% of
+    // all gram slots), two-pass: (1) a Misra-Gries sketch aggregate
+    // finds a <= k candidate superset while moving only one fixed-size
+    // summary per partition — at 100 TB nothing token-sized ever
+    // shuffles; (2) an exact recount of the candidates (broadcast
+    // semi-join) + the integer threshold makes the output EXACTLY the
+    // true heavy-hitter set — deterministic and oracle-checkable even
+    // though the sketch itself is partition-order-sensitive (the MG
+    // guarantee puts every key with freq > N/(k+1) in the candidates;
+    // k = 2048 >> 1/0.001). Totals compare as n*1000 >= N in exact
+    // integer arithmetic — no float threshold at the boundary.
+    "text_heavy_hitters" -> ((s, d) => {
+      val grams = t(s, d, "documents").select(
+        explode(graft.functions.HashFunctions
+          .wordBigrams(col("text"))).as("gram"))
+      val cands = grams
+        .agg(graft.functions.MisraGries.mgKeys(col("gram"), 2048).as("ks"))
+        .select(explode(col("ks")).as("gram"))
+      val total = grams.agg(count(lit(1)).as("total"))
+      grams.join(broadcast(cands), Seq("gram"), "left_semi")
+        .groupBy(col("gram"))
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .filter(col("n") * 1000 >= col("total"))
+        .select(col("gram"), col("n"))
+        .orderBy(col("n").desc, col("gram"))
+    }),
+
     // ---- training-data pipeline: dedup ------------------------------
 
     // Exact dedup: keep lowest doc_id per identical text.
@@ -2077,6 +2105,17 @@ object SparkEntry {
         |)
         |SELECT gram, count(*) AS n FROM g
         |GROUP BY gram ORDER BY n DESC, gram LIMIT 50""".stripMargin,
+
+    "text_heavy_hitters" ->
+      """WITH g AS (
+        |  SELECT w[i] || ' ' || w[i+1] AS gram
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents) d,
+        |       LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)
+        |)
+        |SELECT gram, count(*) AS n FROM g
+        |GROUP BY gram
+        |HAVING count(*) * 1000 >= (SELECT count(*) FROM g)
+        |ORDER BY n DESC, gram""".stripMargin,
 
     "pipeline_mix" ->
       """SELECT source, count(*) AS n_total,
