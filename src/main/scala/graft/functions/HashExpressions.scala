@@ -168,6 +168,22 @@ object SketchKernels {
     new GenericArrayData(out)
   }
 
+  /** 32-bit Morton (z-order) code from two 16-bit normalized values:
+    * bit-spread each and interleave (a gets the odd bits). Rows sorted
+    * by this value are clustered in BOTH dimensions at once, so
+    * per-file min/max stats are tight on either column. */
+  def interleave16(a: Long, b: Long): Long =
+    (spread16(a) << 1) | spread16(b)
+
+  private def spread16(vIn: Long): Long = {
+    var v = vIn & 0xffffL
+    v = (v | (v << 8)) & 0x00ff00ffL
+    v = (v | (v << 4)) & 0x0f0f0f0fL
+    v = (v | (v << 2)) & 0x33333333L
+    v = (v | (v << 1)) & 0x55555555L
+    v
+  }
+
   def simhash64(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
@@ -415,9 +431,33 @@ case class WordBigrams(child: Expression) extends KernelCallExpression {
     copy(child = c)
 }
 
+/** 32-bit Morton (z-order) code of two 16-bit-normalized long columns
+  * (see [[SketchKernels.interleave16]]) — the clustering key behind
+  * [[graft.ops.StorageOps.zorderWrite]]. */
+case class ZOrderValue(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder_value"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.interleave16(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SketchKernels.interleave16($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): ZOrderValue = copy(left = l, right = r)
+}
+
 object HashFunctions {
   def wordBigrams(text: Column): Column =
     column(WordBigrams(expression(text)))
+
+  def zorderValue(a: Column, b: Column): Column =
+    column(ZOrderValue(expression(a), expression(b)))
 
   def hyperplaneBits(vec: Column, nbits: Int): Column =
     column(HyperplaneBits(expression(vec), nbits))
