@@ -40,10 +40,11 @@ import org.apache.spark.sql.SparkSession
   *  - error strings in `failed` have all control chars stripped so the
   *    JSON line can never be broken by a multi-line exception message.
   *
-  * Key abbreviation (documented in README): "q_window_"->"w_",
-  * "q_events_"->"ev_", then "q_" is dropped; "dedup_"->"dd_",
-  * "text_"->"tx_", "ann_"->"an_", "multimodal_"->"mm_",
-  * "pipeline_"->"pl_"; anything else (q1_agg) is unchanged.
+  * Key abbreviation (documented in README): an exact-name table for
+  * long names, then single-letter prefixes — "q_window_"->"w_",
+  * "q_events_"->"e_", then "q_" is dropped; "dedup_"->"d_",
+  * "text_"->"t_", "ann_"->"a_", "multimodal_"->"m_",
+  * "pipeline_"->"p_"; anything else (q1_agg) is unchanged.
   * Uniqueness after abbreviation is asserted at runtime.
   */
 object Bench {
@@ -54,28 +55,38 @@ object Bench {
     * in BenchContractSpec, so a colliding or line-overflowing new
     * query fails at `sbt test` rather than at bench time. */
   private val exactKeys = Map(
-    "q_asof_join_native" -> "aj_nat", "q_asof_join" -> "aj",
-    "q_attribution_last" -> "attr_l", "q_attribution" -> "attr",
+    "q_asof_join_native" -> "ajn", "q_asof_join" -> "aj",
+    "q_attribution_last" -> "atl", "q_attribution" -> "att",
     "q_scalar_subquery" -> "subq", "q_count_distinct" -> "cntd",
     "q_grouping_sets" -> "gsets", "q_null_semantics" -> "nulls",
     "q_lambda_funcs" -> "hof", "q_session_window" -> "swin",
     "q_sessionize" -> "sess", "q_datetime_funcs" -> "dtf",
     "q_window_analytics" -> "w_anl", "q_filter_project" -> "fproj",
     "q_join_broadcast" -> "jbc", "q_bucketed_join" -> "bktj",
-    "dedup_clusters_exact" -> "dd_ccx", "dedup_clusters" -> "dd_cc",
-    "dedup_ngram_jaccard" -> "dd_ngram", "dedup_incremental" -> "dd_incr",
-    "dedup_embedding" -> "dd_emb", "dedup_canonical" -> "dd_canon",
-    "text_ngram_freq" -> "tx_ngf", "q_quantile_bucket" -> "qbkt",
-    "text_heavy_hitters" -> "tx_hh",
-    "multimodal_features" -> "mm_feat",
-    "pipeline_curate_neardup" -> "pl_cnd", "pipeline_curate" -> "pl_cur",
-    "pipeline_decontaminate" -> "pl_dec")
+    "q_events_resample" -> "e_rsmp", "q_events_hourly" -> "e_hr",
+    "q_limit_topk" -> "topk", "q_math_funcs" -> "mathf",
+    "q_approx_agg" -> "apx", "q_salted_agg" -> "salted",
+    "q_string_agg" -> "sagg", "q_full_outer" -> "fout",
+    "q_outer_join" -> "ojoin", "q_range_join" -> "rjoin",
+    "q_histogram" -> "hist", "q_intersect" -> "isect",
+    "q_distinct" -> "dist", "q_union_all" -> "uall",
+    "q_quantile_bucket" -> "qbkt", "q_fuzzy_join" -> "fzj",
+    "dedup_clusters_exact" -> "d_ccx", "dedup_clusters" -> "d_cc",
+    "dedup_ngram_jaccard" -> "d_ngram", "dedup_incremental" -> "d_incr",
+    "dedup_embedding" -> "d_emb", "dedup_canonical" -> "d_canon",
+    "text_ngram_freq" -> "t_ngf", "text_heavy_hitters" -> "t_hh",
+    "text_token_count" -> "t_tok", "text_fingerprint" -> "t_fp",
+    "text_repetition" -> "t_rep", "text_bpe_tokens" -> "t_bpe",
+    "text_tfidf_top" -> "t_tfidf",
+    "multimodal_features" -> "m_feat",
+    "pipeline_curate_neardup" -> "p_cnd", "pipeline_curate" -> "p_cur",
+    "pipeline_decontaminate" -> "p_dec")
 
   private[graft] def shortKey(name: String): String =
     exactKeys.getOrElse(name, Seq(
-      "q_window_" -> "w_", "q_events_" -> "ev_",
-      "dedup_" -> "dd_", "text_" -> "tx_", "ann_" -> "an_",
-      "multimodal_" -> "mm_", "pipeline_" -> "pl_", "q_" -> "")
+      "q_window_" -> "w_", "q_events_" -> "e_",
+      "dedup_" -> "d_", "text_" -> "t_", "ann_" -> "a_",
+      "multimodal_" -> "m_", "pipeline_" -> "p_", "q_" -> "")
       .collectFirst { case (p, r) if name.startsWith(p) =>
         r + name.stripPrefix(p) }
       .getOrElse(name))

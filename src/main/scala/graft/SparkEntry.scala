@@ -729,6 +729,19 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // TPC-H Q6 shape: forecasting-revenue change — a pure
+    // filter-and-aggregate with every predicate pushed to the scan;
+    // the classic "can the engine skip most of the fact table" probe.
+    "q_tpch6" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("date") &&
+          col("l_shipdate") < lit("1996-01-01").cast("date") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount"), 4)
+          .as("revenue"))
+    }),
+
     // Eval-set decontamination sweep: every 50th doc plays the eval
     // set; each remaining corpus doc reports its distinct shared
     // 3-token shingles and a contamination flag. Rows-only (the
@@ -1229,6 +1242,58 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(get_json_object(col("props"), "$.k").cast("bigint")).as("sum_k"))
         .orderBy(col("event_type"))
+    }),
+
+    // Time-series gap-fill / resample: hourly event counts per type
+    // over the FULL hour spine (zero rows where nothing happened) —
+    // the densification step before any rate/anomaly math. The spine
+    // is time-range x type cardinality, INDEPENDENT of row count, so
+    // at 100 TB it is still a broadcast-sized frame joined against
+    // the (already aggregated) hourly counts; the fact table is read
+    // once. ts is int64 nanos (TESTDATA.md); hour ids stay integer
+    // until the final render to timestamp.
+    "q_events_resample" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("hr", expr("ts div 3600000000000"))
+      val bounds = ev.agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+      val hours = bounds
+        .select(explode(sequence(col("mn"), col("mx"))).as("hr"))
+      val types = ev.select(col("event_type")).distinct()
+      val counts = ev.groupBy(col("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      hours.crossJoin(types)
+        .join(counts, Seq("hr", "event_type"), "left")
+        .select(timestamp_micros(col("hr") * lit(3600000000L)).as("hour"),
+          col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // Column-level data profile (rows, non-null, distinct, min/max) in
+    // ONE pass over the table: the warehouse health-check every
+    // ingest runs. Multiple exact count-distincts share the scan via
+    // Catalyst's Expand-based rewrite; stack() unpivots the single
+    // result row into one row per column. Numeric min/max round(4) to
+    // stay engine-portable; string columns profile counts only.
+    "q_profile" -> ((s, d) => {
+      t(s, d, "orders").agg(
+        count(lit(1)).as("nr"),
+        count(col("o_custkey")).as("nn1"),
+        countDistinct(col("o_custkey")).as("nd1"),
+        round(min(col("o_custkey")).cast("double"), 4).as("mn1"),
+        round(max(col("o_custkey")).cast("double"), 4).as("mx1"),
+        count(col("o_orderstatus")).as("nn2"),
+        countDistinct(col("o_orderstatus")).as("nd2"),
+        count(col("o_totalprice")).as("nn3"),
+        countDistinct(col("o_totalprice")).as("nd3"),
+        round(min(col("o_totalprice")), 4).as("mn3"),
+        round(max(col("o_totalprice")), 4).as("mx3"))
+        .selectExpr("stack(3, " +
+          "'o_custkey', nr, nn1, nd1, mn1, mx1, " +
+          "'o_orderstatus', nr, nn2, nd2, " +
+          "cast(null as double), cast(null as double), " +
+          "'o_totalprice', nr, nn3, nd3, mn3, mx3) " +
+          "as (col, n_rows, n_nonnull, n_distinct, min_num, max_num)")
+        .orderBy(col("col"))
     }),
 
     // Flagship end-to-end curation pipeline: score → quality-filter →
@@ -2088,6 +2153,44 @@ object SparkEntry {
          |JOIN customer ON o_custkey = c_custkey
          |WHERE sum_qty > 250.0
          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_tpch6" ->
+      s"""SELECT ${dsumSql("l_extendedprice * l_discount", 4)} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= DATE '1995-01-01'
+         |  AND l_shipdate < DATE '1996-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin,
+
+    "q_events_resample" ->
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS mn,
+        |             date_trunc('hour', max(ts)) AS mx FROM events),
+        |hours AS (SELECT unnest(generate_series(mn, mx,
+        |            INTERVAL 1 HOUR)) AS hr FROM b),
+        |types AS (SELECT DISTINCT event_type AS et FROM events),
+        |c AS (SELECT date_trunc('hour', ts) AS hr, event_type,
+        |        count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT h.hr AS hour, t.et AS event_type,
+        |  cast(coalesce(c.n, 0) as bigint) AS n
+        |FROM hours h CROSS JOIN types t
+        |LEFT JOIN c ON c.hr = h.hr AND c.event_type = t.et
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "q_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'o_custkey' AS col, count(*) AS n_rows,
+        |    count(o_custkey) AS n_nonnull,
+        |    count(distinct o_custkey) AS n_distinct,
+        |    round(min(o_custkey), 4) AS min_num,
+        |    round(max(o_custkey), 4) AS max_num FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', count(*),
+        |    count(o_orderstatus), count(distinct o_orderstatus),
+        |    cast(NULL as double), cast(NULL as double) FROM orders
+        |  UNION ALL SELECT 'o_totalprice', count(*),
+        |    count(o_totalprice), count(distinct o_totalprice),
+        |    round(min(o_totalprice), 4), round(max(o_totalprice), 4)
+        |  FROM orders)
+        |ORDER BY col""".stripMargin,
 
     "dedup_canonical" ->
       """SELECT doc_id, n_copies FROM (
