@@ -57,6 +57,39 @@ final class MGBuffer(val k: Int) {
     counts.iterator.collect { case (s, c) if c > base => (s, c - base) }
 }
 
+object MGBuffer {
+  /** Base-normalized (key, effective-count) wire format — shared by the
+    * batch aggregate's shuffle serialization and the streaming
+    * operator's state store. */
+  def toBytes(buf: MGBuffer): Array[Byte] = {
+    val entries = buf.effective.map { case (s, c) =>
+      (s.getBytes(StandardCharsets.UTF_8), c)
+    }.toArray
+    val bb = ByteBuffer.allocate(
+      4 + entries.map(e => 4 + e._1.length + 8).sum)
+    bb.putInt(entries.length)
+    entries.foreach { case (b, c) =>
+      bb.putInt(b.length); bb.put(b); bb.putLong(c)
+    }
+    bb.array()
+  }
+
+  def fromBytes(bytes: Array[Byte], k: Int): MGBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new MGBuffer(k)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val b = new Array[Byte](len)
+      bb.get(b)
+      out.counts(new String(b, StandardCharsets.UTF_8)) = bb.getLong
+      i += 1
+    }
+    out
+  }
+}
+
 /** Misra-Gries heavy-hitters candidate keys over a string column — the
   * fixed-size mergeable-summary aggregate (Misra & Gries '82; merge
   * rule per Agarwal et al., PODS '12: add counts, then subtract the
@@ -121,33 +154,11 @@ case class MisraGriesKeys(
     new GenericArrayData(keys.map(s => UTF8String.fromString(s): Any))
   }
 
-  override def serialize(buf: MGBuffer): Array[Byte] = {
-    val entries = buf.effective.map { case (s, c) =>
-      (s.getBytes(StandardCharsets.UTF_8), c)
-    }.toArray
-    val bb = ByteBuffer.allocate(
-      4 + entries.map(e => 4 + e._1.length + 8).sum)
-    bb.putInt(entries.length)
-    entries.foreach { case (b, c) =>
-      bb.putInt(b.length); bb.put(b); bb.putLong(c)
-    }
-    bb.array()
-  }
+  override def serialize(buf: MGBuffer): Array[Byte] =
+    MGBuffer.toBytes(buf)
 
-  override def deserialize(bytes: Array[Byte]): MGBuffer = {
-    val bb = ByteBuffer.wrap(bytes)
-    val out = new MGBuffer(k)
-    val n = bb.getInt
-    var i = 0
-    while (i < n) {
-      val len = bb.getInt
-      val b = new Array[Byte](len)
-      bb.get(b)
-      out.counts(new String(b, StandardCharsets.UTF_8)) = bb.getLong
-      i += 1
-    }
-    out
-  }
+  override def deserialize(bytes: Array[Byte]): MGBuffer =
+    MGBuffer.fromBytes(bytes, k)
 
   override def withNewMutableAggBufferOffset(o: Int): MisraGriesKeys =
     copy(mutableAggBufferOffset = o)

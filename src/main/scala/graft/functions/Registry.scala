@@ -37,5 +37,12 @@ object Registry {
       es => RollingHashMin(es(0), intArg(es(1), "k")), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_bits",
       es => HyperplaneBits(es(0), intArg(es(1), "nbits")), "built-in")
+    reg.createOrReplaceTempFunction("word_bigrams",
+      es => WordBigrams(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("zorder_value",
+      es => ZOrderValue(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("misra_gries_keys",
+      es => MisraGriesKeys(es(0), intArg(es(1), "k"))
+        .toAggregateExpression(), "built-in")
   }
 }

@@ -174,6 +174,39 @@ object EventStreams {
     * cannot reference a private class. */
   case class SessionState(start: Long, end: Long, n: Long, total: Double)
 
+  case class GroupItem(group: String, item: String)
+  case class GroupCandidates(group: String, candidates: Array[String])
+
+  /** Streaming heavy-hitter candidates per group: one Misra-Gries
+    * summary ([[graft.functions.MGBuffer]] — the SAME sketch and wire
+    * format as the batch [[graft.functions.MisraGriesKeys]] aggregate)
+    * per key in the state store, updated each micro-batch. State per
+    * key is <= k entries REGARDLESS of stream length — the streaming
+    * analogue of "nothing token-sized ever shuffles": nothing
+    * item-sized is ever stored. The MG containment guarantee holds
+    * across batch boundaries (the summary after n batches equals a
+    * batch MG run over the concatenated stream), so each emitted
+    * candidate list contains every item with frequency > N/(k+1) of
+    * the stream so far; exact counts come from the same two-pass
+    * recount as the batch path. Update output mode: each micro-batch
+    * re-emits the refreshed list per touched group. */
+  def heavyHitterCandidates(spark: SparkSession, items: Dataset[GroupItem],
+      k: Int): Dataset[GroupCandidates] = {
+    import spark.implicits._
+    import graft.functions.MGBuffer
+    items.groupByKey(_.group)
+      .mapGroupsWithState[Array[Byte], GroupCandidates](
+        GroupStateTimeout.NoTimeout) {
+        (group: String, rows: Iterator[GroupItem],
+         state: GroupState[Array[Byte]]) =>
+          val buf = state.getOption.map(MGBuffer.fromBytes(_, k))
+            .getOrElse(new MGBuffer(k))
+          rows.foreach(r => buf.add(r.item, 1L))
+          state.update(MGBuffer.toBytes(buf))
+          GroupCandidates(group, buf.effective.map(_._1).toArray.sorted)
+      }
+  }
+
   private def toMicros(ts: java.sql.Timestamp): Long =
     math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 

@@ -147,6 +147,22 @@ class ExpressionsSpec extends SparkSpec {
       s"kernel diverged from reference on: ${bad.take(3).mkString("; ")}")
   }
 
+  test("round-5 expressions are reachable from the SQL path") {
+    import spark.implicits._
+    Registry.registerAll(spark)
+    Seq(("a b c", 3L, 7L)).toDF("text", "x", "y")
+      .createOrReplaceTempView("r5_sql_v")
+    val r = spark.sql(
+      """SELECT word_bigrams(text) AS bg, zorder_value(x, y) AS z,
+        |  misra_gries_keys(text, 4) OVER () AS mg
+        |FROM r5_sql_v""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("a b", "b c"))
+    // interleave(3=0b11, 7=0b111): a on odd bits -> 0b1010, b on even
+    // bits -> 0b10101; union = 0b11111 = 31
+    assert(r.getLong(1) == 31L)
+    assert(r.getSeq[String](2) == Seq("a b c"))
+  }
+
   test("word bigrams stay inside one whole-stage-codegen span") {
     val docs = graft.Tables.documents(spark, Sf0001)
     val df = docs.select(explode(

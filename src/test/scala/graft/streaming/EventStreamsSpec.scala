@@ -33,6 +33,56 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming MG heavy-hitter candidates keep the containment guarantee") {
+    import spark.implicits._
+    import EventStreams.{GroupItem, GroupCandidates}
+    val dir = Files.createTempDirectory("graft-hh").toString
+    // skewed per-group items: hot user 7 everywhere, tail spread out
+    def rows(offset: Int) = (0 until 600).map { i =>
+      val g = s"g${i % 2}"
+      val item = if (i % 3 == 0) "hot7" else s"u${offset + i}"
+      GroupItem(g, item)
+    }
+    rows(0).toDF().write.mode("overwrite").parquet(dir)
+
+    val k = 8
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[GroupItem]].schema)
+      .parquet(dir).as[GroupItem]
+    val out = EventStreams.heavyHitterCandidates(spark, stream, k)
+    val captured =
+      scala.collection.mutable.ArrayBuffer[(Long, GroupCandidates)]()
+    val q = out.writeStream.outputMode("update")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[GroupCandidates], id: Long) =>
+        captured.synchronized {
+          captured ++= batch.collect().map((id, _))
+        }; ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      rows(1000).toDF().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(captured.map(_._1).distinct.size == 2, "expected 2 batches")
+      // final state per group = its emission in the LAST batch it saw
+      val finalCands = captured.groupBy(_._2.group).map { case (g, rs) =>
+        g -> rs.maxBy(_._1)._2.candidates.toSet
+      }
+      val all = rows(0) ++ rows(1000)
+      all.groupBy(_.group).foreach { case (g, items) =>
+        val n = items.size
+        val heavy = items.groupBy(_.item).collect {
+          case (it, xs) if xs.size > n.toDouble / (k + 1) => it
+        }
+        assert(heavy.nonEmpty, "fixture must have a heavy item")
+        val missing = heavy.filterNot(finalCands(g))
+        assert(missing.isEmpty,
+          s"group $g lost guaranteed heavy items: ${missing.mkString(",")}")
+        assert(finalCands(g).size <= k)
+      }
+    } finally q.stop()
+  }
+
   test("watermark drops too-late events from windowed aggregation") {
     import java.sql.Timestamp
     import spark.implicits._
