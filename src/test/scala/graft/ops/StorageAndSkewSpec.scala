@@ -203,4 +203,42 @@ class StorageAndSkewSpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(plain.toSeq == salted.toSeq)
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (skew=true)") {
+    import spark.implicits._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      // force a shuffle join and make the skew detector fire at
+      // testdata scale (defaults target multi-GB partitions)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "32KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 70% of fact rows share one key — the stall-one-reducer shape
+      val fact = (0 until 60000).map(i =>
+        (if (i % 10 < 7) 0L else (i % 997).toLong, s"payload$i"))
+        .toDF("k", "payload")
+      val dim = (0L until 997L).map(k => (k, s"dim$k")).toDF("k", "name")
+      val joined = fact.join(dim, Seq("k"))
+      // execute THIS plan (count() would compile a different one), then
+      // read the adaptive final plan off the same queryExecution
+      val qe = joined.queryExecution
+      assert(qe.toRdd.count() == 60000L)
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the skewed join (skew=true) in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
