@@ -729,6 +729,71 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // TPC-H Q7 shape: volume shipping between two regions (the
+    // testdata's nations are too thin at sf0.001 for a nation pair) —
+    // a 7-table chain where both nation/region lookups broadcast and
+    // the bidirectional pair predicate filters AFTER the dim joins;
+    // year comes from the shipdate, grouped with the region pair.
+    "q_tpch7" -> ((s, d) => {
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      val supSide = t(s, d, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("r_name").as("supp_region"))
+      val custSide = t(s, d, "customer")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("r_name").as("cust_region"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("date") &&
+          col("l_shipdate") < lit("1997-01-01").cast("date"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supSide), col("l_suppkey") === col("s_suppkey"))
+        .join(custSide, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_region") === "EUROPE" &&
+            col("cust_region") === "ASIA") ||
+          (col("supp_region") === "ASIA" &&
+            col("cust_region") === "EUROPE"))
+        .groupBy(col("supp_region"), col("cust_region"),
+          year(col("l_shipdate")).cast("bigint").as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("supp_region"), col("cust_region"), col("l_year"))
+    }),
+
+    // TPC-H Q8 shape: national market share — the widest flagship
+    // (8-table star). The inner select builds (year, volume, supplier
+    // nation) once; the share is a conditional-over-total ratio of two
+    // decimal-exact sums in ONE aggregation pass.
+    "q_tpch8" -> ((s, d) => {
+      val n = t(s, d, "nation")
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val custAmerica = t(s, d, "customer")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")
+            .filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val suppNation = t(s, d, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").filter(col("p_type") === "ECONOMY")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= lit("1995-01-01").cast("date") &&
+              col("o_orderdate") < lit("1997-01-01").cast("date")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(custAmerica, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(round(
+          dsum(when(col("nation") === "NATION_3", vol).otherwise(lit(0.0)), 4) /
+            dsum(vol, 4), 4).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
     // TPC-H Q6 shape: forecasting-revenue change — a pure
     // filter-and-aggregate with every predicate pushed to the scan;
     // the classic "can the engine skip most of the fact table" probe.
@@ -2161,6 +2226,46 @@ object SparkEntry {
          |  AND l_shipdate < DATE '1996-01-01'
          |  AND l_discount BETWEEN 0.05 AND 0.07
          |  AND l_quantity < 24""".stripMargin,
+
+    "q_tpch7" ->
+      s"""SELECT supp_region, cust_region, l_year,
+         |  ${dsumSql("volume", 4)} AS revenue FROM (
+         |  SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+         |    cast(extract(year from l_shipdate) as bigint) AS l_year,
+         |    l_extendedprice * (1.0 - l_discount) AS volume
+         |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+         |  WHERE ((r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA')
+         |      OR (r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE'))
+         |    AND l_shipdate >= DATE '1995-01-01'
+         |    AND l_shipdate < DATE '1997-01-01')
+         |GROUP BY supp_region, cust_region, l_year
+         |ORDER BY supp_region, cust_region, l_year""".stripMargin,
+
+    "q_tpch8" ->
+      s"""SELECT o_year, round(
+         |  ${dsumSql("CASE WHEN nation = 'NATION_3' THEN volume " +
+            "ELSE 0.0 END", 4)} / ${dsumSql("volume", 4)}, 4)
+         |  AS mkt_share FROM (
+         |  SELECT cast(extract(year from o_orderdate) as bigint) AS o_year,
+         |    l_extendedprice * (1.0 - l_discount) AS volume,
+         |    n2.n_name AS nation
+         |  FROM part JOIN lineitem ON p_partkey = l_partkey
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |  JOIN region ON n1.n_regionkey = r_regionkey
+         |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+         |    AND o_orderdate >= DATE '1995-01-01'
+         |    AND o_orderdate < DATE '1997-01-01')
+         |GROUP BY o_year ORDER BY o_year""".stripMargin,
 
     "q_events_resample" ->
       """WITH b AS (SELECT date_trunc('hour', min(ts)) AS mn,
