@@ -253,6 +253,34 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("rn"))
     }),
 
+    // The same per-group top-3, through the bounded TopK aggregator
+    // instead of a window: map-side partial top-k means each partition
+    // ships <= 3 rows per group to the merge, where the window path
+    // shuffles EVERY row of the group for the sort — the scale choice
+    // when groups are huge and k is small. (l_orderkey, l_linenumber)
+    // packs into one long (linenumber < 10) so the aggregator's
+    // (score, id) tie-break reproduces the window's ordering exactly;
+    // byte-identical output, same oracle as q_window_topk.
+    "q_topk_agg" -> ((s, d) => {
+      import s.implicits._
+      val scored = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey") * 10 + col("l_linenumber"))
+        .as[(String, Double, Long)]
+      val topk = new functions.Aggregators.TopK(3)
+      scored.groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(topk.toColumn.name("topk"))
+        .toDF("l_returnflag", "topk")
+        .select(col("l_returnflag"), posexplode(col("topk")))
+        .select(col("l_returnflag"),
+          (col("pos") + 1).cast("bigint").as("rn"),
+          expr("col._2 div 10").as("l_orderkey"),
+          pmod(col("col._2"), lit(10L)).cast("bigint").as("l_linenumber"),
+          col("col._1").as("l_extendedprice"))
+        .orderBy(col("l_returnflag"), col("rn"))
+    }),
+
     // Running-total analytic window (exact decimal accumulation).
     "q_window_running" -> ((s, d) => {
       val w = Window.partitionBy(col("l_suppkey"))
@@ -1511,7 +1539,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     baseOracle +
       ("ann_brute_agg" -> baseOracle("ann_brute")) +
-      ("q_asof_join_native" -> baseOracle("q_asof_join"))
+      ("q_asof_join_native" -> baseOracle("q_asof_join")) +
+      ("q_topk_agg" -> baseOracle("q_window_topk"))
 
   private def baseOracle: Map[String, String] = Map(
     "q_filter_project" ->
