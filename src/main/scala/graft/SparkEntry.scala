@@ -822,6 +822,45 @@ object SparkEntry {
         .orderBy(col("o_year"))
     }),
 
+    // TPC-H Q13 shape: customer order-count distribution — LEFT join
+    // with a non-key join predicate (priority filter belongs IN the
+    // join condition, not a WHERE, or no-order customers vanish), then
+    // two stacked aggregations. count(o_orderkey) counts matches only
+    // (nulls skipped) — the left-join + count-column idiom.
+    "q_tpch13" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      val perCust = c.join(o,
+          c("c_custkey") === o("o_custkey") &&
+            o("o_orderpriority") =!= "1-URGENT", "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q22 shape: wealthy-but-idle customers — an uncorrelated
+    // scalar subquery (global average, one broadcast scalar) AND a
+    // NOT EXISTS that lowers to a LEFT ANTI join against the filtered
+    // orders side. Grouped by segment (the testdata's c_name encodes
+    // no country code).
+    "q_tpch22" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val recent = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("date"))
+        .select(col("o_custkey"))
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg(avg(col("c_acctbal")).as("ab"))
+      c.join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // TPC-H Q6 shape: forecasting-revenue change — a pure
     // filter-and-aggregate with every predicate pushed to the scan;
     // the classic "can the engine skip most of the fact table" probe.
@@ -2295,6 +2334,25 @@ object SparkEntry {
          |    AND o_orderdate >= DATE '1995-01-01'
          |    AND o_orderdate < DATE '1997-01-01')
          |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q_tpch13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch22" ->
+      s"""SELECT c_mktsegment, count(*) AS numcust,
+         |  ${dsumSql("c_acctbal")} AS totacctbal
+         |FROM customer
+         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+         |                   WHERE c_acctbal > 0.0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey
+         |                    AND o_orderdate >= DATE '2000-01-01')
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_events_resample" ->
       """WITH b AS (SELECT date_trunc('hour', min(ts)) AS mn,
