@@ -73,9 +73,13 @@ object ClusterOps {
       Option(df.agg(sum(col("label").cast(DecimalType(38, 0)))).head()
         .getDecimal(0))
 
-    var prevSum = labelSum(labels)
+    // no pre-loop baseline job: on a non-empty edge set round 1 ALWAYS
+    // decreases the sum (some endpoint adopts a smaller neighbor id),
+    // so an initial sum could never detect convergence — round 1's sum
+    // becomes the baseline instead, saving one job per call
+    var prevSum: Option[java.math.BigDecimal] = None
     var iter = 0
-    var converged = prevSum.isEmpty // empty graph: nothing to do
+    var converged = false
     while (!converged && iter < maxIter) {
       // 1-hop min-label propagation as ONE message aggregation:
       // label(v) <- min(label(v), min over neighbors' labels)
@@ -98,7 +102,8 @@ object ClusterOps {
       val s = labelSum(labels)
       converged = (s, prevSum) match {
         case (Some(a), Some(b)) => a.compareTo(b) == 0
-        case _ => true
+        case (None, _) => true // empty graph: nothing to label
+        case (Some(_), None) => false // round 1 set the baseline
       }
       prevSum = s
       iter += 1
