@@ -822,6 +822,44 @@ object SparkEntry {
         .orderBy(col("o_year"))
     }),
 
+    // TPC-H Q17 shape: small-quantity-order revenue — the correlated
+    // per-part average subquery decorrelates into a per-part aggregate
+    // joined back. The brand filter (broadcast, ~0.5% of parts) is
+    // applied BEFORE the per-part aggregate: partkey determines brand,
+    // so averaging over the brand-filtered lineitems equals the
+    // correlated average while reading 200x fewer rows into it; the
+    // tiny aggregate then broadcasts back onto the same filtered scan.
+    "q_tpch17" -> ((s, d) => {
+      val p = broadcast(t(s, d, "part")
+        .filter(col("p_brand") === "Brand#19").select(col("p_partkey")))
+      val liB = t(s, d, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey"))
+      val halfAvg = liB.groupBy(col("l_partkey").as("pk"))
+        .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
+      liB.join(broadcast(halfAvg), col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < col("half_avg"))
+        .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    }),
+
+    // TPC-H Q19 shape: discounted revenue under an OR-of-ANDs
+    // predicate — the disjunction stays one scan + one broadcast join
+    // (no union of three subqueries); the part-side conjuncts prune
+    // the broadcast build side.
+    "q_tpch19" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val p = t(s, d, "part")
+      def arm(brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =
+        col("p_brand") === brand &&
+          col("p_size").between(szLo, szHi) &&
+          col("l_quantity") >= qLo && col("l_quantity") <= qHi
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(arm("Brand#19", 1, 15, 1, 30) ||
+          arm("Brand#23", 10, 30, 10, 40) ||
+          arm("Brand#11", 20, 50, 20, 50))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+    }),
+
     // TPC-H Q13 shape: customer order-count distribution — LEFT join
     // with a non-key join predicate (priority filter belongs IN the
     // join condition, not a WHERE, or no-order customers vanish), then
@@ -2334,6 +2372,24 @@ object SparkEntry {
          |    AND o_orderdate >= DATE '1995-01-01'
          |    AND o_orderdate < DATE '1997-01-01')
          |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q_tpch17" ->
+      s"""SELECT ${dsumSql("l_extendedprice")} / 7.0 AS avg_yearly
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE p_brand = 'Brand#19'
+         |  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+         |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+
+    "q_tpch19" ->
+      s"""SELECT ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)}
+         |  AS revenue
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity >= 1 AND l_quantity <= 30)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+         |       AND l_quantity >= 10 AND l_quantity <= 40)
+         |   OR (p_brand = 'Brand#11' AND p_size BETWEEN 20 AND 50
+         |       AND l_quantity >= 20 AND l_quantity <= 50)""".stripMargin,
 
     "q_tpch13" ->
       """SELECT c_count, count(*) AS custdist FROM (
