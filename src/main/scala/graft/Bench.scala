@@ -71,6 +71,13 @@ object Bench {
     "q_histogram" -> "hist", "q_intersect" -> "isect",
     "q_distinct" -> "dist", "q_union_all" -> "uall",
     "q_quantile_bucket" -> "qbkt", "q_fuzzy_join" -> "fzj",
+    "ann_ivf_index" -> "a_ivfx", "ann_brute_agg" -> "a_bragg",
+    "q_window_running" -> "w_run", "text_quality" -> "t_qual",
+    "q_semi_join" -> "sjoin", "q_anti_join" -> "ajoin",
+    "q_part_join" -> "pjoin", "dedup_simhash" -> "d_sim",
+    "dedup_minhash" -> "d_min", "q_case_expr" -> "case",
+    "q_array_agg" -> "arrag", "q_topk_agg" -> "tkagg",
+    "text_langid" -> "t_lang", "q_sql_path" -> "sqlp",
     "dedup_clusters_exact" -> "d_ccx", "dedup_clusters" -> "d_cc",
     "dedup_ngram_jaccard" -> "d_ngram", "dedup_incremental" -> "d_incr",
     "dedup_embedding" -> "d_emb", "dedup_canonical" -> "d_canon",
