@@ -39,6 +39,39 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(p5.contains("EqualTo(r_name,EUROPE)"), p5)
   }
 
+  test("round-5 tpch plans: semi/anti lowering, pushed predicates, one-agg ratios") {
+    def plan(q: String) =
+      SparkEntry.queries(q)(spark, Sf0001).queryExecution.executedPlan.toString
+
+    val p4 = plan("q_tpch4") // EXISTS must be ONE semi join, no dedup
+    assert(p4.contains("LeftSemi"), p4)
+    assert(!p4.contains("HashAggregate(keys=[o_orderkey"), p4)
+
+    val p6 = plan("q_tpch6") // every predicate reaches the scan
+    // (toString truncates the PushedFilters list, so assert the head of
+    // the pushed list + the full predicate set on the Filter node)
+    assert(p6.contains("PushedFilters: [IsNotNull(l_shipdate)"), p6)
+    assert(p6.contains(">= 0.05") && p6.contains("< 24.0"), p6)
+
+    val p19 = plan("q_tpch19") // OR-of-ANDs: one scan of lineitem, one join
+    assert("Scan parquet".r.findAllIn(p19).size == 2, p19) // lineitem + part
+    assert(p19.contains("BroadcastHashJoin"), p19)
+
+    val p22 = plan("q_tpch22") // NOT EXISTS lowers to anti join
+    assert(p22.contains("LeftAnti"), p22)
+    assert(p22.contains("GreaterThanOrEqual(o_orderdate"), p22)
+
+    val p8 = plan("q_tpch8") // membership as semi join; ONE final agg pair
+    assert(p8.contains("LeftSemi"), p8)
+    assert(p8.contains("EqualTo(p_type,ECONOMY)"), p8)
+
+    val p17 = plan("q_tpch17") // brand filter pushed on BOTH lineitem reads
+    assert(p17.contains("EqualTo(p_brand,Brand#19)"), p17)
+
+    val p13 = plan("q_tpch13") // left join keeps no-order customers
+    assert(p13.contains("LeftOuter") || p13.contains("BuildRight, false"), p13)
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
