@@ -912,6 +912,37 @@ object SparkEntry {
           .as("revenue"))
     }),
 
+    // TPC-H Q15 shape: top-revenue supplier — a quarterly per-supplier
+    // revenue view joined back on its own scalar max (view-over-
+    // aggregate + uncorrelated scalar subquery). The view's aggregation
+    // shuffle is planned once and REUSED by the max branch
+    // (ReusedExchange — plan-gated in FidelitySpec), so the fact table
+    // is scanned once; the max is a broadcast single-row join against
+    // the |suppliers|-sized view, and only the winning row(s) join the
+    // supplier dim. Ties on max revenue are all returned (spec
+    // semantics), made deterministic by the decimal-exact revenue sum.
+    "q_tpch15" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate") < lit("1996-04-01").cast("date") &&
+          // explicit, though implied by the final join: keeps the max
+          // branch's subtree CANONICALLY IDENTICAL to the join
+          // branch's (which infers IsNotNull from its equi-join), so
+          // AQE reuses one shuffle stage instead of scanning the fact
+          // table twice
+          col("l_suppkey").isNotNull)
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("total_revenue"))
+      val top = rev.join(
+        broadcast(rev.agg(max(col("total_revenue")).as("mr"))),
+        col("total_revenue") === col("mr"))
+      t(s, d, "supplier")
+        .join(broadcast(top), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // Eval-set decontamination sweep: every 50th doc plays the eval
     // set; each remaining corpus doc reports its distinct shared
     // 3-token shingles and a contamination flag. Rows-only (the
@@ -1119,6 +1150,32 @@ object SparkEntry {
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
         .orderBy(col("lang"), col("bucket"))
+    }),
+
+    // GLOBAL decile bucketing, the 100-TB way: a global ntile would
+    // sort the whole corpus into one ordered sequence (a single-
+    // reducer bottleneck); instead, one approx_percentile pass yields
+    // 9 boundary values (a broadcast scalar array), and bucket
+    // assignment is an embarrassingly-parallel range comparison — one
+    // small-agg job + one map-side pass + one 10-group aggregation.
+    // Rows-only check (the sketch boundaries have no ANSI mirror);
+    // QuantileSpec gates equivalence vs the exact global ntile at
+    // sf0.001 and non-overlapping monotone bucket ranges.
+    "q_quantile_global" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bounds = docs.agg(
+        percentile_approx(col("n_chars"),
+          array((1 to 9).map(i => lit(i / 10.0)): _*),
+          lit(10000)).as("bs"))
+      docs.join(broadcast(bounds))
+        .withColumn("bucket",
+          (size(filter(col("bs"), b => b < col("n_chars"))) + 1)
+            .cast("bigint"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("bucket"))
     }),
 
     // Correlated scalar subquery through the SQL path.
@@ -1520,6 +1577,62 @@ object SparkEntry {
         .orderBy(col("lang"), col("shard_id"))
     }),
 
+    // The COMPOSED end-to-end pipeline: quality gate → exact dedup →
+    // eval-set decontamination → PII redaction → deterministic mixture
+    // sampling → per-language shard packing, as one declared query.
+    // Every stage is individually oracle- or spec-checked; this entry
+    // checks the composition (PipelineSpec proves it equals the
+    // stage-by-stage recomputation at sf0.001).
+    //
+    // Scale audit: the corpus is scanned ONCE — the cheap quality gate
+    // runs on the scan, and its survivors are materialized
+    // (localCheckpoint) before the expensive stages, so shingle
+    // sketching, PII regexes and shard packing all run on survivor
+    // rows only. The eval set is a second 2%-selectivity scan standing
+    // in for a separate (always much smaller) eval table. No stage
+    // shuffles text except the survivor checkpoint itself; the
+    // decontamination join moves hashed longs, the shard window
+    // shuffles (lang, id, token-count) triples.
+    "pipeline_full" -> ((s, d) => {
+      val evalSet = t(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(50)) === 0)
+      // stage 1+2: quality gate, then exact-fingerprint dedup
+      // (keep-lowest-id), on the non-eval corpus
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val survivors = curateSurvivors(s, d)
+        .filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("source"), col("pred_lang"), col("text"))
+        .localCheckpoint(true)
+      // stage 3: drop docs sharing >= 2 eval-set shingles
+      val clean = survivors.join(
+        ops.DedupOps.evalOverlap(survivors, evalSet, "doc_id", "text")
+          .filter(!col("contaminated")).select(col("doc_id")),
+        Seq("doc_id"))
+      // stage 4: PII redaction (train on redacted text)
+      val redacted = clean.withColumn("red", TextOps.piiRedact(col("text")))
+      // stage 5: mixture sampling — head sources 100%, tail 30%
+      // (Knuth multiplicative hash; see pipeline_mix)
+      val bucket = pmod(pmod(col("doc_id") * lit(2654435761L),
+        lit(4294967296L)), lit(10))
+      val rate = when(col("source").isin("src0", "src1", "src2", "src3"),
+        lit(10)).otherwise(lit(3))
+      val sampled = redacted.filter(bucket < rate)
+      // stage 6: pack into ~4k-token shards per predicted language
+      val ws = Window.partitionBy(col("pred_lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sampled
+        .select(col("pred_lang"), col("doc_id"),
+          TextOps.tokenCount(col("red")).as("n_tokens"))
+        .withColumn("shard_id",
+          floor((sum(col("n_tokens")).over(ws) - 1) / 4096.0).cast("bigint"))
+        .groupBy(col("pred_lang"), col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("shard_tokens"))
+        .orderBy(col("pred_lang"), col("shard_id"))
+    }),
+
     // The production variant: same quality gate, but dedup removes
     // whole NEAR-dup clusters (MinHash-LSH pairs at Jaccard >= 0.8 →
     // connected components → keep-lowest-id), not just exact
@@ -1603,6 +1716,26 @@ object SparkEntry {
           octet_length(col("text")).cast("bigint").as("n_bytes"),
           sha2(col("text").cast("binary"), 256).as("content_hash"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Z-order clustered storage under the oracle: rewrite a lineitem
+    // projection z-ordered on (l_partkey, l_suppkey), read the copy
+    // back through a two-dimension predicate, and hash-match the SAME
+    // predicate over the original parquet — data identity under
+    // re-layout. The measured file-skipping win of the layout itself
+    // (~sqrt(1/nFiles) per-file coverage on BOTH dims) is ZorderSpec's
+    // gate; this entry proves the rewrite is lossless.
+    "q_zorder_read" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_zorder_" +
+        math.abs(d.hashCode.toLong)
+      ops.StorageOps.zorderWrite(li, path, "l_partkey", "l_suppkey", 16)
+      s.read.parquet(path)
+        .filter(col("l_partkey") <= 200 && col("l_suppkey") <= 20)
+        .orderBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"))
     })
   )
 
@@ -2500,6 +2633,30 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |  cast(sum(cast(regexp_extract(props, '"k": ([0-9]+)', 1)
         |        as bigint)) as bigint) AS sum_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_tpch15" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey,
+         |    ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)}
+         |      AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= DATE '1996-01-01'
+         |    AND l_shipdate < DATE '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    // identity under re-layout: the oracle never sees the z-ordered
+    // copy — it runs the same predicate over the ORIGINAL parquet
+    "q_zorder_read" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+        |  l_extendedprice
+        |FROM lineitem
+        |WHERE l_partkey <= 200 AND l_suppkey <= 20
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_quantity,
+        |  l_extendedprice""".stripMargin
   )
 }

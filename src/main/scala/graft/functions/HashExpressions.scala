@@ -433,10 +433,16 @@ case class WordBigrams(child: Expression) extends KernelCallExpression {
 
 /** 32-bit Morton (z-order) code of two 16-bit-normalized long columns
   * (see [[SketchKernels.interleave16]]) — the clustering key behind
-  * [[graft.ops.StorageOps.zorderWrite]]. */
+  * [[graft.ops.StorageOps.zorderWrite]]. Declares long inputs so a
+  * SQL-path call with int (or other) arguments gets an analysis-time
+  * implicit cast instead of an interpreted-eval ClassCastException
+  * that the widening codegen path would mask. */
 case class ZOrderValue(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
+  // covariant override: AbstractDataType is private[sql]
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
   override def dataType: DataType = LongType
   override def prettyName: String = "zorder_value"
 

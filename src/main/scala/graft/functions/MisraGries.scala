@@ -32,22 +32,26 @@ final class MGBuffer(val k: Int) {
     minStored = if (counts.isEmpty) Long.MaxValue else counts.values.min
   }
 
-  def add(key: String, w: Long): Unit = {
+  /** Record one occurrence of `key` (unit weight only: the weighted
+    * miss path would have to bound the decrement by the smallest live
+    * margin to preserve the N/(k+1) guarantee, and no caller needs
+    * weights — so the API does not offer them). */
+  def add(key: String): Unit = {
     counts.get(key) match {
       case Some(c) =>
-        counts(key) = c + w
+        counts(key) = c + 1L
         // minStored may now underestimate (the min entry moved up) —
         // safe: it only triggers an early purge, which recomputes it
       case None =>
         if (counts.size >= k && base >= minStored) purge()
         if (counts.size < k) {
-          val stored = base + w
+          val stored = base + 1L
           counts(key) = stored
           if (stored < minStored) minStored = stored
         } else {
           // MG decrement-all, amortized: the new key is not inserted
-          // and every live counter conceptually drops by min(w, margin)
-          base += w
+          // and every live counter conceptually drops by one
+          base += 1L
         }
     }
   }
@@ -79,13 +83,23 @@ object MGBuffer {
     val out = new MGBuffer(k)
     val n = bb.getInt
     var i = 0
+    var minLoaded = Long.MaxValue
     while (i < n) {
       val len = bb.getInt
       val b = new Array[Byte](len)
       bb.get(b)
-      out.counts(new String(b, StandardCharsets.UTF_8)) = bb.getLong
+      val c = bb.getLong
+      out.counts(new String(b, StandardCharsets.UTF_8)) = c
+      if (c < minLoaded) minLoaded = c
       i += 1
     }
+    // Restore the lazy purge floor: leaving it at Long.MaxValue would
+    // make `base >= minStored` unreachable on a restored FULL summary,
+    // so dead entries would never purge and no new key could ever be
+    // admitted — a heavy hitter first appearing after a state-store
+    // round-trip (streaming micro-batch 2+) would be lost, breaking
+    // the MG containment guarantee across batches.
+    out.minStored = minLoaded
     out
   }
 }
@@ -128,7 +142,7 @@ case class MisraGriesKeys(
   override def update(buf: MGBuffer, input: InternalRow): MGBuffer = {
     val v = child.eval(input)
     // copy out of the (possibly reused) UnsafeRow-backed UTF8String
-    if (v != null) buf.add(v.asInstanceOf[UTF8String].toString, 1L)
+    if (v != null) buf.add(v.asInstanceOf[UTF8String].toString)
     buf
   }
 

@@ -17,8 +17,18 @@ object Registry {
       s"$what must be an integer literal, got $other")
   }
 
-  /** Register all graft functions on the session (idempotent). */
+  // weak keys: registration must not pin a stopped session in memory
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Register all graft functions on the session (idempotent — a
+    * second call on the same session is a no-op, so repeated query
+    * construction cannot spam "function replaced a previously
+    * registered function" warnings onto stderr, which sbt re-buffers
+    * into the bench output tail). */
   def registerAll(spark: SparkSession): Unit = {
+    if (registered.put(spark, java.lang.Boolean.TRUE) != null) return
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim",
       es => CosineSimilarity(es(0), es(1)), "built-in")

@@ -53,14 +53,19 @@ object StorageOps {
       max(col(colA)).cast("double").as("mxa"),
       min(col(colB)).cast("double").as("mnb"),
       max(col(colB)).cast("double").as("mxb")).head()
+    // empty input or an all-null cluster column has null min/max —
+    // getDouble would NPE with no useful message; constant-normalize
+    // that dimension instead (every row lands in one z-slice, which is
+    // the only correct layout for a column with no value spread)
+    def stat(i: Int): Double = if (s.isNullAt(i)) 0.0 else s.getDouble(i)
     def norm(c: String, mn: Double, mx: Double) =
       if (!(mx > mn)) lit(0L)
       else least(lit(65535L), greatest(lit(0L),
-        (((col(c).cast("double") - mn) / (mx - mn)) * 65535.0)
-          .cast("long")))
+        (((coalesce(col(c).cast("double"), lit(mn)) - mn) / (mx - mn))
+          * 65535.0).cast("long")))
     val z = graft.functions.HashFunctions.zorderValue(
-      norm(colA, s.getDouble(0), s.getDouble(1)),
-      norm(colB, s.getDouble(2), s.getDouble(3)))
+      norm(colA, stat(0), stat(1)),
+      norm(colB, stat(2), stat(3)))
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

@@ -175,6 +175,8 @@ object EventStreams {
   case class SessionState(start: Long, end: Long, n: Long, total: Double)
 
   case class GroupItem(group: String, item: String)
+  case class GroupItemTs(group: String, item: String,
+      ts: java.sql.Timestamp)
   case class GroupCandidates(group: String, candidates: Array[String])
 
   /** Streaming heavy-hitter candidates per group: one Misra-Gries
@@ -189,7 +191,13 @@ object EventStreams {
     * candidate list contains every item with frequency > N/(k+1) of
     * the stream so far; exact counts come from the same two-pass
     * recount as the batch path. Update output mode: each micro-batch
-    * re-emits the refreshed list per touched group. */
+    * re-emits the refreshed list per touched group.
+    *
+    * State is bounded PER GROUP but never expires, so this variant is
+    * for batch inputs and bounded group domains; a production stream
+    * with an unbounded group domain uses
+    * [[heavyHitterCandidatesExpiring]], which evicts idle groups on an
+    * event-time timeout. */
   def heavyHitterCandidates(spark: SparkSession, items: Dataset[GroupItem],
       k: Int): Dataset[GroupCandidates] = {
     import spark.implicits._
@@ -201,9 +209,53 @@ object EventStreams {
          state: GroupState[Array[Byte]]) =>
           val buf = state.getOption.map(MGBuffer.fromBytes(_, k))
             .getOrElse(new MGBuffer(k))
-          rows.foreach(r => buf.add(r.item, 1L))
+          rows.foreach(r => buf.add(r.item))
           state.update(MGBuffer.toBytes(buf))
           GroupCandidates(group, buf.effective.map(_._1).toArray.sorted)
+      }
+  }
+
+  /** [[heavyHitterCandidates]] with idle-group eviction — the
+    * production streaming shape: per-group state is <= k entries AND
+    * the group domain itself is bounded (active groups only), the same
+    * two-bound discipline as [[sessionize]]. A group idle for `idleMs`
+    * of EVENT time (watermark passes its last item + idleMs) emits one
+    * final empty-candidates tombstone and its state is removed; if the
+    * group reappears later its sketch restarts, so the containment
+    * guarantee is scoped to each contiguous active period — the price
+    * of bounded state, exactly like dedupStream's horizon caveat.
+    * Callers must set `withWatermark("ts", ...)` on the input (Spark
+    * requires a watermark for event-time timeouts). */
+  def heavyHitterCandidatesExpiring(spark: SparkSession,
+      items: Dataset[GroupItemTs], k: Int,
+      idleMs: Long = 60 * 60 * 1000L): Dataset[GroupCandidates] = {
+    import spark.implicits._
+    import graft.functions.MGBuffer
+    items.groupByKey(_.group)
+      .mapGroupsWithState[Array[Byte], GroupCandidates](
+        GroupStateTimeout.EventTimeTimeout) {
+        (group: String, rows: Iterator[GroupItemTs],
+         state: GroupState[Array[Byte]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            GroupCandidates(group, Array.empty)
+          } else {
+            val buf = state.getOption.map(MGBuffer.fromBytes(_, k))
+              .getOrElse(new MGBuffer(k))
+            var lastMs = Long.MinValue
+            rows.foreach { r =>
+              buf.add(r.item)
+              val t = r.ts.getTime
+              if (t > lastMs) lastMs = t
+            }
+            state.update(MGBuffer.toBytes(buf))
+            // idle deadline in event time; a watermark that has already
+            // passed it would make setTimeoutTimestamp throw, so clamp
+            // to just past the current watermark (fires next batch)
+            state.setTimeoutTimestamp(
+              math.max(lastMs + idleMs, state.getCurrentWatermarkMs() + 1))
+            GroupCandidates(group, buf.effective.map(_._1).toArray.sorted)
+          }
       }
   }
 

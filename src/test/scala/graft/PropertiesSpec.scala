@@ -74,7 +74,7 @@ class PropertiesSpec extends SparkSpec {
     } yield (k, keys)
     samples(gen, 24).foreach { case (k, keys) =>
       val buf = new MGBuffer(k)
-      keys.foreach(buf.add(_, 1L))
+      keys.foreach(buf.add(_))
       val live = buf.effective.map(_._1).toSet
       assert(live.size <= k, s"k=$k exceeded: ${live.size}")
       val counts = keys.groupBy(identity).map { case (s, xs) => s -> xs.size }
@@ -102,8 +102,8 @@ class PropertiesSpec extends SparkSpec {
     } yield (keys, cut)
     samples(gen, 16).foreach { case (keys, cut) =>
       val (l, r) = keys.splitAt(cut)
-      val b1 = new MGBuffer(16); l.foreach(b1.add(_, 1L))
-      val b2 = new MGBuffer(16); r.foreach(b2.add(_, 1L))
+      val b1 = new MGBuffer(16); l.foreach(b1.add(_))
+      val b2 = new MGBuffer(16); r.foreach(b2.add(_))
       val merged = agg.merge(b1, b2)
       val live = merged.effective.map(_._1).toSet
       assert(live.size <= 16)

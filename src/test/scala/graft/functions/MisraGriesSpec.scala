@@ -60,11 +60,33 @@ class MisraGriesSpec extends SparkSpec {
       s"two-pass $twoPass != exact $exact")
   }
 
+  test("a deserialized FULL summary still admits new keys (minStored restore)") {
+    // regression: fromBytes used to leave the lazy purge floor at
+    // Long.MaxValue, so a restored full summary could never purge dead
+    // entries or admit a new key — a heavy hitter first appearing
+    // after a state-store round-trip was silently lost
+    val k = 4
+    val buf = new MGBuffer(k)
+    // four live keys (margin 1 each after two decrements) — the wire
+    // format only carries LIVE entries, so the fixture must end live
+    Seq("a", "b", "c", "d").foreach(s => (0 until 3).foreach(_ => buf.add(s)))
+    buf.add("x"); buf.add("y") // two misses: base → 2, margin → 1
+    val restored = MGBuffer.fromBytes(MGBuffer.toBytes(buf), k)
+    assert(restored.counts.size == k, "fixture must restore a full summary")
+    (0 until 100).foreach(_ => restored.add("late_hot"))
+    val eff = restored.effective.toMap
+    assert(eff.contains("late_hot"),
+      s"new heavy key not admitted after round-trip: $eff")
+    // MG error bound: effective count within N/(k+1) of truth for the
+    // post-restore stream (100 adds of late_hot + restored mass)
+    assert(eff("late_hot") > 0L && eff("late_hot") <= 100L)
+  }
+
   test("serialize/deserialize round-trips live entries") {
     val agg = MisraGriesKeys(
       org.apache.spark.sql.catalyst.expressions.Literal("x"), 4)
     val buf = new MGBuffer(4)
-    Seq("a", "a", "a", "b", "b", "c", "d", "e", "e").foreach(buf.add(_, 1L))
+    Seq("a", "a", "a", "b", "b", "c", "d", "e", "e").foreach(buf.add(_))
     val back = agg.deserialize(agg.serialize(buf))
     assert(back.effective.toMap == buf.effective.toMap)
   }

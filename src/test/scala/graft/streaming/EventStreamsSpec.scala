@@ -83,6 +83,103 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming MG admits a heavy key that first appears in batch 2") {
+    // regression for the fromBytes minStored bug: batch 1 fills the
+    // per-group summary with tail keys, the state-store round-trip
+    // restores a FULL buffer, and the true heavy key arrives only in
+    // batch 2 — it must still enter the sketch (MG containment)
+    import spark.implicits._
+    import EventStreams.{GroupItem, GroupCandidates}
+    val dir = Files.createTempDirectory("graft-hh-late").toString
+    val k = 4
+    (0 until 40).map(i => GroupItem("g", s"tail$i"))
+      .toDF().write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[GroupItem]].schema)
+      .parquet(dir).as[GroupItem]
+    val out = EventStreams.heavyHitterCandidates(spark, stream, k)
+    val captured =
+      scala.collection.mutable.ArrayBuffer[(Long, GroupCandidates)]()
+    val q = out.writeStream.outputMode("update")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[GroupCandidates], id: Long) =>
+        captured.synchronized {
+          captured ++= batch.collect().map((id, _))
+        }; ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // batch 2: late_hot is heavy over the WHOLE stream
+      // (60 > 110/(k+1) = 22) but was absent from batch 1
+      ((0 until 60).map(_ => GroupItem("g", "late_hot")) ++
+        (0 until 10).map(i => GroupItem("g", s"tail2_$i")))
+        .toDF().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val last = captured.maxBy(_._1)._2
+      assert(last.candidates.contains("late_hot"),
+        s"late heavy key lost after state round-trip: " +
+          last.candidates.mkString(","))
+    } finally q.stop()
+  }
+
+  test("expiring MG heavy hitters evict idle groups on event-time timeout") {
+    import spark.implicits._
+    import EventStreams.{GroupItemTs, GroupCandidates}
+    val dir = Files.createTempDirectory("graft-hh-exp").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00")
+    def at(plusMin: Int) =
+      new java.sql.Timestamp(t0.getTime + plusMin * 60000L)
+    def gi(g: String, item: String, plusMin: Int) =
+      GroupItemTs(g, item, at(plusMin))
+    // batch 1: groups a and b both active; hot_b is heavy in b
+    val b1 = (0 until 30).map(_ => gi("b", "hot_b", 0)) ++
+      (0 until 10).map(i => gi("b", s"bt$i", 0)) ++
+      (0 until 10).map(i => gi("a", s"at$i", 0))
+    b1.toDF().write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[GroupItemTs]].schema)
+      .parquet(dir)
+      .withWatermark("ts", "1 minute")
+      .as[GroupItemTs]
+    val out = EventStreams.heavyHitterCandidatesExpiring(
+      spark, stream, k = 8, idleMs = 30 * 60 * 1000L)
+    val captured =
+      scala.collection.mutable.ArrayBuffer[(Long, GroupCandidates)]()
+    val q = out.writeStream.outputMode("update")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[GroupCandidates], id: Long) =>
+        captured.synchronized {
+          captured ++= batch.collect().map((id, _))
+        }; ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // batch 2: only b stays active, 10 hours later — the watermark
+      // moves past a's last item + 30 min idle → a times out
+      ((0 until 5).map(_ => gi("b", "hot_b", 600)))
+        .toDF().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      q.processAllAvailable() // timeout evaluated against new watermark
+      val aEmissions = captured.filter(_._2.group == "a")
+      assert(aEmissions.map(_._1).max >= 1,
+        s"no post-batch-1 emission for idle group a: $aEmissions")
+      val aFinal = aEmissions.maxBy(_._1)._2
+      assert(aFinal.candidates.isEmpty,
+        s"idle group a not evicted: ${aFinal.candidates.mkString(",")}")
+      // active group keeps the containment guarantee for its period
+      val bFinal = captured.filter(_._2.group == "b").maxBy(_._1)._2
+      assert(bFinal.candidates.contains("hot_b"))
+      // batch 3: a reappears — its sketch restarted from empty
+      ((0 until 3).map(_ => gi("a", "a_new", 601)))
+        .toDF().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val aBack = captured.filter(_._2.group == "a").maxBy(_._1)._2
+      assert(aBack.candidates.toSeq == Seq("a_new"),
+        s"reappeared group must restart fresh: " +
+          aBack.candidates.mkString(","))
+    } finally q.stop()
+  }
+
   test("watermark drops too-late events from windowed aggregation") {
     import java.sql.Timestamp
     import spark.implicits._
