@@ -133,10 +133,20 @@ class Round6Spec extends SparkSpec {
     val qe = SparkEntry.queries("pipeline_full")(spark, Sf0001)
       .queryExecution
     qe.toRdd.count()
-    val shuffles = qe.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
-        e.child.schema.fieldNames.toSeq
+    // under AQE the root is an AdaptiveSparkPlanExec and each exchange
+    // lives inside a QueryStageExec — a plain collect on the root sees
+    // neither, so descend explicitly
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def shuffleInputs(p: SparkPlan): Seq[Seq[String]] = p match {
+      case a: AdaptiveSparkPlanExec => shuffleInputs(a.executedPlan)
+      case q: QueryStageExec => shuffleInputs(q.plan)
+      case s: ShuffleExchangeExec =>
+        s.child.schema.fieldNames.toSeq +: shuffleInputs(s.child)
+      case other => other.children.flatMap(shuffleInputs)
     }
+    val shuffles = shuffleInputs(qe.executedPlan)
     assert(shuffles.nonEmpty)
     shuffles.foreach { fields =>
       assert(!fields.contains("text") && !fields.contains("red"),
