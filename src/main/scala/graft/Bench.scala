@@ -95,7 +95,9 @@ object Bench {
     "text_tfidf_top" -> "t_tf",
     "multimodal_features" -> "m_ft",
     "pipeline_curate_neardup" -> "p_cnd", "pipeline_curate" -> "p_cur",
-    "pipeline_decontaminate" -> "p_dec")
+    "pipeline_decontaminate" -> "p_dec",
+    "text_bm25" -> "t_bm", "q_anomaly" -> "anom",
+    "q_skew_join" -> "skj", "q_tvt_split" -> "tvt")
 
   private[graft] def shortKey(name: String): String =
     exactKeys.getOrElse(name, Seq(

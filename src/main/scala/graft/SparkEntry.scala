@@ -476,6 +476,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 retrieval scoring against a fixed query bag (top-20 docs) —
+    // the ranked-search primitive behind corpus exploration and
+    // targeted filtering. The term stream is filtered to the bag
+    // BEFORE the tf aggregation, df is a |bag|-row broadcast, and
+    // N/avgdl travel as one broadcast stats row — the only full-corpus
+    // pass is the scan itself (see TextOps.bm25).
+    "text_bm25" -> ((s, d) => {
+      TextOps.bm25(t(s, d, "documents"), "doc_id", "text",
+        Seq("spark", "join", "window"))
+    }),
+
     // Corpus-level bigram frequency (top-50): the n-gram statistics
     // pass behind boilerplate detection and contamination screens.
     // Grams come from the codegen'd WordBigrams kernel (byte-offset
@@ -1083,6 +1094,27 @@ object SparkEntry {
         .orderBy(col("l_suppkey"))
     }),
 
+    // Salted fact⋈dim equi-join (SkewOps.saltedJoin): event_type has
+    // only 5 values, each ~20% of the fact — at cluster scale a plain
+    // shuffle join lands the whole table on 5 reducers. Salting splits
+    // every hot key `salts` ways (dim rows replicate — dims are small
+    // by definition, facts are not). The oracle is the PLAIN join:
+    // hash-matching it proves the salted plan is row-identical.
+    "q_skew_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val dim = ev.select(col("event_type").as("et")).distinct()
+        .withColumn("type_weight", length(col("et")).cast("double"))
+      // shuffle_hash hint: the testdata dim would otherwise broadcast
+      // (making the salt vacuous locally); the scenario being modeled
+      // is a dim big enough to shuffle
+      ops.SkewOps.saltedJoin(ev, dim.hint("shuffle_hash"), "event_type",
+        "et", saltFrom = col("event_id"), salts = 8)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value") * col("type_weight")).as("weighted_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // CUBE grouping sets.
     "q_cube" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -1229,6 +1261,25 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
           col("trailing_30d"))
         .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    }),
+
+    // SCD2 (slowly-changing-dimension type 2) build from an order
+    // event log: per customer, collapse runs of equal priority, then
+    // validity intervals [valid_from, valid_to) via lead; the open row
+    // flags is_current. Both windows share one (custkey, date, key)
+    // sort order, so ONE shuffle+sort feeds the whole build — the
+    // standard CDC-to-dimension shape at warehouse scale.
+    "q_scd2" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders").filter(col("o_custkey") < 200)
+        .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+        .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderpriority").as("value"),
+          col("o_orderdate").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy(col("o_custkey"), col("valid_from"), col("value"))
     }),
 
     // Explode / lateral unnest: corpus word frequencies (the flat-map
@@ -1386,6 +1437,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Product-quantization ANN: vectors compress to m=8 codeword ids
+    // (the 64-float embedding becomes 8 small ints — the form a 100-TB
+    // index actually keeps in memory), candidates score via m
+    // table lookups against a per-query ADC table (codes-only scan),
+    // and only the refine*k shortlist fetches true vectors for an
+    // exact re-rank. Rows-only; recall vs the exact baseline is
+    // AnnOpsSpec-gated. See AnnOps.buildPq/pqTopK.
+    "ann_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val model = ops.AnnOps.buildPq(emb, "vec_id", "embedding",
+        m = 8, k = 64)
+      ops.AnnOps.pqTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", model, k = 10, refine = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Same IVF search against the PERSISTED cell-partitioned index:
     // probe cells resolve to a static partition filter, so the scan
     // reads only nprobe/nlist of the files. The cache path is keyed on
@@ -1438,6 +1505,28 @@ object SparkEntry {
         .groupBy(timestamp_micros(hourUs).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
         .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // Hourly-count anomaly flags (z-score > 2 per event type): the
+    // monitoring query over an event firehose. Per-type mean/stddev
+    // come from a tiny aggregate broadcast back onto the hourly frame
+    // — NOT a whole-partition window, whose parallelism would be
+    // capped at the (small) number of types at cluster scale. Counts
+    // are integers, so the double stats are exact and the rounded
+    // z-scores cross-engine stable.
+    "q_anomaly" -> ((s, d) => {
+      val hourUs = expr("ts div 3600000000000") * lit(3600000000L)
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"), timestamp_micros(hourUs).as("hour"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(avg(col("n")).as("mu"), stddev_samp(col("n")).as("sd"))
+      hourly.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", (col("n") - col("mu")) / col("sd"))
+        .filter(abs(col("z")) > 2.0)
+        .select(col("event_type"), col("hour"),
+          col("n").cast("bigint").as("n"), round(col("z"), 4).as("z"))
+        .orderBy(col("event_type"), col("hour"))
     }),
 
     // Click-attribution join (batch mirror of the watermarked
@@ -1554,6 +1643,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_total"),
           sum(when(bucket < rate, 1L).otherwise(0L)).as("n_kept"))
         .orderBy(col("source"))
+    }),
+
+    // Deterministic stratified train/val/test split: the same Knuth
+    // multiplicative hash as pipeline_mix buckets doc_id mod 100 into
+    // 80/10/10. No RNG state, engine-portable, assignment stable under
+    // any repartitioning — re-running the split on a grown corpus
+    // never moves an old document between splits. Stratification is
+    // just the split being independent of lang (verified by the
+    // per-language breakdown this query emits).
+    "q_tvt_split" -> ((s, d) => {
+      val bucket = pmod(pmod(col("doc_id") * lit(2654435761L),
+        lit(4294967296L)), lit(100))
+      t(s, d, "documents")
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"))
+        .orderBy(col("lang"), col("split"))
     }),
 
     // Training-shard packing: per language, pack documents (in doc_id
@@ -2038,6 +2147,32 @@ object SparkEntry {
         |SELECT doc_id, term AS top_term, tfidf AS score
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    "text_bm25" ->
+      """WITH dl AS (
+        |  SELECT doc_id,
+        |    cast(len(string_split(lower(text), ' ')) as double) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT cast(count(*) as double) AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, cast(count(*) as double) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |        FROM documents)
+        |  WHERE term IN ('spark', 'join', 'window')
+        |  GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, cast(count(*) as double) AS df
+        |          FROM tf GROUP BY term)
+        |SELECT tf.doc_id,
+        |  round(sum(
+        |    ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+        |    (tf.tf * (1.2 + 1.0)) /
+        |    (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 4)
+        |    AS score
+        |FROM tf
+        |JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
     "text_pii" ->
       s"""SELECT doc_id,
          |  cast(${TextOps.sql.patCount(TextOps.sql.url)} as bigint)
@@ -2227,6 +2362,18 @@ object SparkEntry {
          |  ${dsumSql("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
 
+    // the PLAIN join — hash-matching it proves the salted plan is
+    // row-identical to unsalted semantics
+    "q_skew_join" ->
+      s"""WITH dim AS (
+         |  SELECT DISTINCT event_type AS et,
+         |    cast(length(event_type) as double) AS type_weight
+         |  FROM events)
+         |SELECT event_type, count(*) AS n,
+         |  ${dsumSql("value * type_weight")} AS weighted_value
+         |FROM events JOIN dim ON event_type = et
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_cube" ->
       s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
          |  coalesce(l_linestatus, 'ALL') AS ls,
@@ -2325,6 +2472,21 @@ object SparkEntry {
         |FROM orders WHERE o_custkey < 100
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
 
+    "q_scd2" ->
+      """WITH ch AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders WHERE o_custkey < 200)
+        |SELECT o_custkey, o_orderpriority AS value,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+        |FROM ch WHERE prev IS NULL OR prev <> o_orderpriority
+        |ORDER BY o_custkey, valid_from, value""".stripMargin,
+
     "q_explode" ->
       """SELECT w, count(*) AS n
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
@@ -2357,6 +2519,20 @@ object SparkEntry {
          |  count(*) AS n, ${dsumSql("value")} AS total_value
          |FROM events GROUP BY hour, event_type
          |ORDER BY hour, event_type""".stripMargin,
+
+    "q_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    cast(count(*) as double) AS n
+        |  FROM events GROUP BY event_type, hour),
+        |stats AS (
+        |  SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+        |  FROM hourly GROUP BY event_type)
+        |SELECT hourly.event_type, hour, cast(n as bigint) AS n,
+        |  round((n - mu) / sd, 4) AS z
+        |FROM hourly JOIN stats USING (event_type)
+        |WHERE abs((n - mu) / sd) > 2.0
+        |ORDER BY event_type, hour""".stripMargin,
 
     "q_attribution" ->
       """WITH c AS (SELECT event_id, user_id, cast(ts as timestamp) AS ts
@@ -2608,6 +2784,16 @@ object SparkEntry {
         |            THEN 10 ELSE 3 END)
         |    THEN 1 ELSE 0 END) as bigint) AS n_kept
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_tvt_split" ->
+      """SELECT lang,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs, cast(sum(n_chars) as bigint) AS n_chars
+        |FROM (SELECT lang, n_chars,
+        |        (doc_id * 2654435761) % 4294967296 % 100 AS b
+        |      FROM documents)
+        |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
     "pipeline_shard" ->
       s"""WITH c AS (

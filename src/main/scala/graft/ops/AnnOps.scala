@@ -345,4 +345,169 @@ object AnnOps {
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("max_cosine"), lit(-1.0)).as("max_cosine"))
   }
+
+  // ---- product quantization (PQ) -----------------------------------
+
+  /** Product-quantization model: `m` codebooks of `k` codewords, each
+    * over a `dsub`-dimensional subvector slice (Jégou et al., TPAMI
+    * 2011 — public literature; independent implementation). At scale
+    * the index stores only the per-vector code array — with m=8 and
+    * k<=256 a 64-float (256-byte) embedding compresses to 8 bytes,
+    * and scoring a candidate costs m table lookups instead of a
+    * dim-element dot product. */
+  case class PqModel(dsub: Int, codebooks: Array[Array[Array[Float]]]) {
+    def m: Int = codebooks.length
+  }
+
+  /** (mi, book) rows — one per subspace, each carrying the codebook as
+    * array<struct<cw array<float>, nrm double>> with |cw|^2
+    * precomputed. The codebook travels as BROADCAST DATA, not as a
+    * literal expression tree: m*k codewords inlined as expressions
+    * (the naive formulation) blow codegen past the JIT's method
+    * limits and force interpreted fallback, and a k=256 production
+    * codebook would not compile at all. */
+  private def booksDf(corpus: DataFrame, model: PqModel): DataFrame = {
+    val sess = corpus.sparkSession
+    import sess.implicits._
+    model.codebooks.zipWithIndex.toSeq
+      .map { case (book, mi) =>
+        (mi, book.toSeq.map(cw =>
+          (cw.toSeq, cw.map(x => x.toDouble * x.toDouble).sum)))
+      }
+      .toDF("mi", "raw")
+      .select(col("mi"), transform(col("raw"), e =>
+        struct(e.getField("_1").as("cw"), e.getField("_2").as("nrm")))
+        .as("book"))
+  }
+
+  /** (id, mi, sub) rows: each vector split into its m subvector
+    * slices. */
+  private def subvecs(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, dsub: Int): DataFrame =
+    corpus.select(col(idCol), posexplode(array((0 until m).map(mi =>
+        slice(col(vecCol), mi * dsub + 1, dsub)): _*)))
+      .withColumnRenamed("pos", "mi")
+      .withColumnRenamed("col", "sub")
+
+  /** 0-based index of the L2-nearest codeword in the `book` column:
+    * argmin |v-c|^2 == argmax (2 v.c - |c|^2). One fused-dot-product
+    * pass per codeword ([[graft.functions.DotProduct]] inside the
+    * lambda); first-minimum tie-break keeps assignment deterministic. */
+  private def nearestInBook(sub: Column, book: Column): Column = {
+    val scores = transform(book, e =>
+      lit(2.0) * VectorFunctions.dot(sub, e.getField("cw")) -
+        e.getField("nrm"))
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  /** Build a PQ model: m deterministic L2 k-means runs, all advanced
+    * in ONE Spark job per Lloyd iteration — subvector rows join the
+    * broadcast codebook table on subspace id, assign, and aggregate
+    * per-dimension means; only m*k*dsub floats reach the driver per
+    * step. Seeds are the k lowest-hash corpus rows, sliced. */
+  def buildPq(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 64, iters: Int = 2): PqModel = {
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val seeds = corpus
+      .orderBy(abs(hash(col(idCol))), col(idCol))
+      .limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    var books = Array.tabulate(m)(mi =>
+      seeds.map(_.slice(mi * dsub, (mi + 1) * dsub)))
+    val sv = subvecs(corpus, idCol, vecCol, m, dsub)
+    (0 until iters).foreach { _ =>
+      val dims = sv
+        .join(broadcast(booksDf(corpus, PqModel(dsub, books))), Seq("mi"))
+        .select(col("mi"), nearestInBook(col("sub"), col("book")).as("cid"),
+          col("sub"))
+        .select(col("mi"), col("cid"), posexplode(col("sub")))
+        .groupBy(col("mi"), col("cid"), col("pos"))
+        .agg(avg(col("col")).as("v"))
+        .groupBy(col("mi"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          col("v")))), s => s.getField("v").cast("float")).as("cw"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray)
+        .toMap
+      books = Array.tabulate(m)(mi => books(mi).indices.map(ci =>
+        dims.getOrElse((mi, ci), books(mi)(ci))).toArray)
+    }
+    PqModel(dsub, books)
+  }
+
+  /** (id, codes) rows: each vector encoded as its m nearest-codeword
+    * indices — the only per-vector state the scale-path index stores.
+    * One broadcast join + one shuffle on id. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame =
+    subvecs(corpus, idCol, vecCol, model.m, model.dsub)
+      .join(broadcast(booksDf(corpus, model)), Seq("mi"))
+      .select(col(idCol), col("mi"),
+        nearestInBook(col("sub"), col("book")).as("cid"))
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("mi"),
+        col("cid")))), s => s.getField("cid")).as("codes"))
+
+  /** PQ asymmetric-distance top-k with exact re-ranking.
+    *
+    * Phase 1 (ADC over codes only): each query builds one m x k
+    * inner-product table against the broadcast codebooks, and a
+    * candidate's approximate score is m table lookups summed via
+    * zip_with/aggregate — the corpus-side scan touches only the code
+    * array, never the raw embeddings. Embeddings here are unit-norm,
+    * so inner product == cosine and the ADC ranking is principled.
+    *
+    * Phase 2 (refine): the top refine*k candidates per query join
+    * back to the corpus BY ID to fetch their true vectors for an
+    * exact cosine re-rank — at 100 TB this is the only stage that
+    * reads full vectors, and it reads O(queries x refine x k) of
+    * them. Output matches the other ANN paths: (query_id, rank,
+    * neighbor_id, sim). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, model: PqModel, k: Int,
+      refine: Int = 4): DataFrame = {
+    val encoded = pqEncode(corpus, idCol, vecCol, model)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+    // per-query ADC lookup tables, assembled from the same broadcast
+    // codebook rows the index was built from
+    val qtabs = subvecs(
+        queries.select(col(idCol).as("query_id"), col(vecCol)),
+        "query_id", vecCol, model.m, model.dsub)
+      .join(broadcast(booksDf(queries, model)), Seq("mi"))
+      .select(col("query_id"), col("mi"),
+        transform(col("book"), e =>
+          VectorFunctions.dot(col("sub"), e.getField("cw"))).as("tab"))
+      .groupBy(col("query_id"))
+      .agg(transform(array_sort(collect_list(struct(col("mi"),
+        col("tab")))), s => s.getField("tab")).as("qtab"))
+    val adc = encoded.crossJoin(broadcast(qtabs))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("qtab"),
+          (c, tab) => element_at(tab, c + 1)),
+        lit(0.0), (acc, x) => acc + x))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val shortlist = adc
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= k * refine)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = shortlist
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("vec")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("query_vec"))), Seq("query_id"))
+      .withColumn("sim",
+        VectorFunctions.cosineSim(col("query_vec"), col("vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    exact
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
 }

@@ -143,6 +143,47 @@ object TextOps {
         round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
   }
 
+  /** BM25 relevance of each document against a bag of query terms
+    * (Robertson-Sparck Jones probabilistic weighting; the BM25+ idf
+    * form ln(1 + (N-df+0.5)/(df+0.5)) keeps weights positive for
+    * terms in over half the corpus).
+    *
+    * Shape for scale: the term stream is filtered to the query bag
+    * BEFORE the tf aggregation (the explode feeds a codegen'd filter,
+    * so only matching tokens reach the shuffle), df is a
+    * |query-bag|-row aggregate, and N/avgdl travel as one broadcast
+    * stats row — no driver-side counts, no second corpus pass beyond
+    * the doc-length projection. Scores round to 4 places so the
+    * cross-engine top-k cut never hinges on a last-ulp ln()/division
+    * difference. Output: (doc_id, score), the `topK` best, ties broken
+    * by doc id. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topK: Int = 20, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val dl = docs.select(col(idCol),
+      size(split(lower(col(textCol)), " ")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col(idCol),
+        explode(split(lower(col(textCol)), " ")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df_), Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("w")), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** ANSI-SQL mirrors (DuckDB dialect) for the oracle. */
   object sql {
     val tokenCount = "cast(len(string_split(text, ' ')) as bigint)"
