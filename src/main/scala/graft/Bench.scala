@@ -97,7 +97,14 @@ object Bench {
     "pipeline_curate_neardup" -> "p_cnd", "pipeline_curate" -> "p_cur",
     "pipeline_decontaminate" -> "p_dec",
     "text_bm25" -> "t_bm", "q_anomaly" -> "anom",
-    "q_skew_join" -> "skj", "q_tvt_split" -> "tvt")
+    "q_skew_join" -> "skj", "q_tvt_split" -> "tvt",
+    "q_cast_agg" -> "cag", "multimodal_resize" -> "m_rs",
+    "multimodal_frames" -> "m_fr", "multimodal_decode" -> "m_dc",
+    "ann_lsh_mp" -> "a_mp", "pipeline_shard" -> "p_sh",
+    "dedup_exact" -> "d_ex", "ann_brute" -> "a_br",
+    "q_sample" -> "smp", "q_rollup" -> "rup",
+    "q_having" -> "hav", "q_except" -> "exc",
+    "q_events_sliding" -> "esl", "q_hll_distinct" -> "hll")
 
   private[graft] def shortKey(name: String): String =
     exactKeys.getOrElse(name, Seq(

@@ -1389,6 +1389,29 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Incremental distinct counting via MERGEABLE HLL sketches
+    // (DataSketches, built into Spark 4): per-source token sketches
+    // are the persisted artifact at scale — any source combination's
+    // distinct count then comes from unioning kilobyte sketches, with
+    // NO corpus re-read (the pre-aggregated metric-tile pattern).
+    // Rows-only; the 5%-of-exact accuracy and the stored-sketch-union
+    // == direct-sketch equivalence are Round6bSpec-gated.
+    "q_hll_distinct" -> ((s, d) => {
+      val sk = t(s, d, "documents")
+        .select(col("source"),
+          explode(split(lower(col("text")), " ")).as("term"))
+        .groupBy(col("source"))
+        .agg(hll_sketch_agg(col("term"), 12).as("sk"),
+          count(lit(1)).as("n_tokens"))
+      val total = sk.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("est_distinct_all"))
+      sk.select(col("source"), col("n_tokens"),
+          hll_sketch_estimate(col("sk")).as("est_distinct"))
+        .crossJoin(broadcast(total))
+        .orderBy(col("source"))
+    }),
+
     // Deterministic stratified sample: per-stratum Bernoulli sampling
     // with a fixed seed (reproducible across runs/retries — a resume
     // at 100 TB must not change the sample). Fraction accuracy and
@@ -1527,6 +1550,19 @@ object SparkEntry {
         .select(col("event_type"), col("hour"),
           col("n").cast("bigint").as("n"), round(col("z"), 4).as("z"))
         .orderBy(col("event_type"), col("hour"))
+    }),
+
+    // Hopping (sliding) window counts: 1-hour windows every 30
+    // minutes — each event lands in exactly 2 windows. Same operator
+    // serves streaming inputs (EventStreams.windowedStats; the
+    // streaming==batch equivalence is EventStreamsSpec-gated); counts
+    // only in the declared output so the oracle compare stays exact.
+    "q_events_sliding" -> ((s, d) => {
+      val ev = streaming.EventStreams.canonicalEvents(t(s, d, "events"))
+      streaming.EventStreams
+        .windowedStats(ev, "1 hour", slide = Some("30 minutes"))
+        .select(col("window_start").as("ws"), col("event_type"), col("n"))
+        .orderBy(col("ws"), col("event_type"))
     }),
 
     // Click-attribution join (batch mirror of the watermarked
@@ -2519,6 +2555,14 @@ object SparkEntry {
          |  count(*) AS n, ${dsumSql("value")} AS total_value
          |FROM events GROUP BY hour, event_type
          |ORDER BY hour, event_type""".stripMargin,
+
+    // each event belongs to the two 30-min-aligned windows covering it
+    "q_events_sliding" ->
+      """SELECT make_timestamp(
+        |    (epoch_us(ts) // 1800000000 - o) * 1800000000) AS ws,
+        |  event_type, count(*) AS n
+        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o)
+        |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
 
     "q_anomaly" ->
       """WITH hourly AS (

@@ -37,15 +37,24 @@ object EventStreams {
   def canonicalEvents(raw: DataFrame): DataFrame =
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
-  /** Tumbling-window count/sum per event type with late-data handling.
-    * Works on both batch and streaming inputs. */
+  /** Tumbling (or, with `slide`, hopping) window count/sum per event
+    * type with late-data handling. Works on both batch and streaming
+    * inputs. A hopping window assigns each event to
+    * window/slide overlapping windows — state and output volume scale
+    * by that factor, which is why slide defaults off. */
   def windowedStats(events: DataFrame, window: String = "1 hour",
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours",
+      slide: Option[String] = None): DataFrame = {
     val in =
       if (events.isStreaming) events.withWatermark("ts", watermark)
       else events
-    in.groupBy(org.apache.spark.sql.functions.window(col("ts"), window)
-        .as("win"), col("event_type"))
+    val win = slide match {
+      case Some(s) =>
+        org.apache.spark.sql.functions.window(col("ts"), window, s)
+      case None =>
+        org.apache.spark.sql.functions.window(col("ts"), window)
+    }
+    in.groupBy(win.as("win"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("win.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))

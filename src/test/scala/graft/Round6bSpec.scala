@@ -89,6 +89,36 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  test("q_hll_distinct: estimates within 5% of exact; stored-sketch union == direct sketch") {
+    val docs = Tables.documents(spark, Sf0001)
+    val terms = docs.select(col("source"),
+      explode(split(lower(col("text")), " ")).as("term"))
+
+    val rows = SparkEntry.queries("q_hll_distinct")(spark, Sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    val exactBySource = terms.groupBy(col("source"))
+      .agg(countDistinct(col("term")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (src, est, _) =>
+      val exact = exactBySource(src)
+      assert(math.abs(est - exact).toDouble / exact < 0.05,
+        s"$src: est $est vs exact $exact")
+    }
+    val exactAll = terms.select(col("term")).distinct().count()
+    val estAll = rows.head._3
+    assert(math.abs(estAll - exactAll).toDouble / exactAll < 0.05,
+      s"union estimate $estAll vs exact $exactAll")
+
+    // mergeability: unioning the PERSISTED per-source sketches must
+    // equal sketching the whole corpus directly — the property that
+    // lets a 100-TB pipeline answer from kilobyte sketch tiles
+    val direct = terms
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("term"), 12)))
+      .head.getLong(0)
+    assert(estAll == direct,
+      s"stored-sketch union $estAll != direct sketch $direct")
+  }
+
   test("text_bm25: only term-matching docs score, and scores are positive") {
     val terms = Set("spark", "join", "window")
     val res = SparkEntry.queries("text_bm25")(spark, Sf0001)

@@ -33,6 +33,33 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hopping-window stats == batch hopping-window stats") {
+    val dir = Files.createTempDirectory("graft-hop").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .parquet(dir)
+    val q = EventStreams
+      .windowedStats(stream, "1 hour", slide = Some("30 minutes"))
+      .writeStream.format("memory").queryName("hop_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hop_out")
+        .orderBy(col("window_start"), col("event_type")).collect()
+      val batch = EventStreams
+        .windowedStats(batchEvents, "1 hour", slide = Some("30 minutes"))
+        .orderBy(col("window_start"), col("event_type")).collect()
+      assert(streamed.length == batch.length && streamed.nonEmpty)
+      // every event lands in exactly window/slide = 2 windows
+      val nEvents = batchEvents.count()
+      val totalCount = batch.map(_.getLong(2)).sum
+      assert(totalCount == 2 * nEvents,
+        s"hopping windows must double-count: $totalCount vs $nEvents")
+      streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+    } finally q.stop()
+  }
+
   test("streaming MG heavy-hitter candidates keep the containment guarantee") {
     import spark.implicits._
     import EventStreams.{GroupItem, GroupCandidates}
