@@ -104,7 +104,8 @@ object Bench {
     "dedup_exact" -> "d_ex", "ann_brute" -> "a_br",
     "q_sample" -> "smp", "q_rollup" -> "rup",
     "q_having" -> "hav", "q_except" -> "exc",
-    "q_events_sliding" -> "esl", "q_hll_distinct" -> "hll")
+    "q_events_sliding" -> "esl", "q_hll_distinct" -> "hll",
+    "q_lang_confusion" -> "lcm")
 
   private[graft] def shortKey(name: String): String =
     exactKeys.getOrElse(name, Seq(

@@ -424,6 +424,16 @@ object SparkEntry {
         .orderBy(col("pred_lang"))
     }),
 
+    // Language-ID confusion matrix against the labeled lang column —
+    // the model-eval aggregate a curation pipeline reports before
+    // trusting pred_lang downstream (diagonal = agreement).
+    "q_lang_confusion" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(col("lang"), TextOps.langId(col("text")).as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred_lang"))
+    }),
+
     "text_fingerprint" -> ((s, d) => {
       t(s, d, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
@@ -2152,6 +2162,24 @@ object SparkEntry {
          |            ELSE 'de' END AS pred_lang,
          |  count(*) AS n
          |FROM scored GROUP BY pred_lang ORDER BY pred_lang""".stripMargin,
+
+    "q_lang_confusion" ->
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |         ${TextOps.sql.patCount(TextOps.sql.en)} AS s_en,
+         |         ${TextOps.sql.patCount(TextOps.sql.fr)} AS s_fr,
+         |         ${TextOps.sql.patCount(TextOps.sql.es)} AS s_es,
+         |         ${TextOps.sql.patCount(TextOps.sql.de)} AS s_de,
+         |         ${TextOps.sql.patCount(TextOps.sql.zh)} AS s_zh
+         |  FROM documents)
+         |SELECT lang, CASE WHEN s_zh > 0 THEN 'zh'
+         |            WHEN s_en >= greatest(s_fr, s_es, s_de) THEN 'en'
+         |            WHEN s_fr >= greatest(s_es, s_de) THEN 'fr'
+         |            WHEN s_es >= s_de THEN 'es'
+         |            ELSE 'de' END AS pred_lang,
+         |  count(*) AS n
+         |FROM scored GROUP BY lang, pred_lang
+         |ORDER BY lang, pred_lang""".stripMargin,
 
     "text_fingerprint" ->
       s"""SELECT doc_id, ${TextOps.sql.fingerprint} AS fp

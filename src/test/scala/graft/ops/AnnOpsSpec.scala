@@ -118,6 +118,15 @@ class AnnOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"pq refine-recall too low: $recall")
   }
 
+  test("pq encode is invariant to input partitioning") {
+    val model = AnnOps.buildPq(emb, "vec_id", "embedding", m = 8, k = 16)
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      AnnOps.pqEncode(df, "vec_id", "embedding", model)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc(emb) == enc(emb.repartition(7)),
+      "codes must not depend on physical partitioning")
+  }
+
   test("hyperplane bits are deterministic across evaluations") {
     val b1 = emb.limit(20).select(col("vec_id"),
       AnnOps.hyperplaneBits(col("embedding"), 16).as("b"))
