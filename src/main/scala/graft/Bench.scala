@@ -218,19 +218,26 @@ object Bench {
       System.err.println(
         f"[bench] $k%s = $v%.4f s (spread ${math.round(r * 1000) / 1000.0})")
     }
-    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"runs":$runs,"spread":${f2(spread)},"failed":$failedJson,"sf":"$sfDir"}"""
+    // the detail file is the ONLY full-precision record — a failed
+    // write must leave a visible trace even in silent driver runs, so
+    // it is flagged INSIDE the stdout JSON line (stderr is off-limits
+    // there and a silent drop would read as "record exists")
+    var detailErr = ""
+    val lineBase = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"runs":$runs,"spread":${f2(spread)},"failed":$failedJson,"sf":"$sfDir""""
     val detail = results.map { case (k, v, r) =>
       s""""$k":{"sec":$v,"spread":$r}""" }
       .mkString(
-        s"""{"total_sec":$total,"runs":$runs,"sf":${jstr(sfDir)},"stdout_line_chars":${line.length},"queries":{""",
+        s"""{"total_sec":$total,"runs":$runs,"sf":${jstr(sfDir)},"stdout_line_chars":${lineBase.length + 1},"queries":{""",
         ",", "}}")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         (detail + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
+      detailErr = ",\"detail_write\":\"failed\""
       if (verbose)
         System.err.println(s"[bench] detail file write failed: ${e.toString}")
     }
+    val line = lineBase + detailErr + "}"
     if (verbose)
       System.err.println(s"[bench] JSON line length: ${line.length} chars")
     // hard gate well under the 2000-char tail (sbt prints ~50 more

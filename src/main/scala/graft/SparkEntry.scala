@@ -34,6 +34,15 @@ object SparkEntry {
   private def dsumSql(expr: String, scale: Int = 2): String =
     s"cast(sum(cast($expr as decimal(18,$scale))) as double)"
 
+  /** Knuth multiplicative-hash bucket in [0, n): deterministic, no RNG
+    * state, engine-portable (the SQL mirrors spell out the same
+    * arithmetic), stable under repartitioning and corpus growth. ONE
+    * definition — q_tvt_split / pipeline_mix / pipeline_full must
+    * agree or split/sample assignment silently drifts between them
+    * (the specs recompute it independently on purpose). */
+  private def knuthBucket(c: Column, n: Int): Column =
+    pmod(pmod(c * lit(2654435761L), lit(4294967296L)), lit(n))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_join_agg")(spark, "/root/testdata/sf0.001")
@@ -937,7 +946,7 @@ object SparkEntry {
     // revenue view joined back on its own scalar max (view-over-
     // aggregate + uncorrelated scalar subquery). The view's aggregation
     // shuffle is planned once and REUSED by the max branch
-    // (ReusedExchange — plan-gated in FidelitySpec), so the fact table
+    // (ReusedExchange — plan-gated in Round6Spec), so the fact table
     // is scanned once; the max is a broadcast single-row join against
     // the |suppliers|-sized view, and only the winning row(s) join the
     // supplier dim. Ties on max revenue are all returned (spec
@@ -1556,7 +1565,10 @@ object SparkEntry {
         .agg(avg(col("n")).as("mu"), stddev_samp(col("n")).as("sd"))
       hourly.join(broadcast(stats), Seq("event_type"))
         .withColumn("z", (col("n") - col("mu")) / col("sd"))
-        .filter(abs(col("z")) > 2.0)
+        // sd = 0 (a perfectly constant-rate type) would make z = 0/0 =
+        // NaN, and NaN compares GREATER than 2.0 under Spark's total
+        // ordering — guard so a constant type is never flagged
+        .filter(col("sd") > 0.0 && abs(col("z")) > 2.0)
         .select(col("event_type"), col("hour"),
           col("n").cast("bigint").as("n"), round(col("z"), 4).as("z"))
         .orderBy(col("event_type"), col("hour"))
@@ -1680,8 +1692,7 @@ object SparkEntry {
     // sequence (a plain doc_id mod rule aliases with this corpus's
     // id↔source striping). One aggregation, no shuffle of text.
     "pipeline_mix" -> ((s, d) => {
-      val bucket = pmod(pmod(col("doc_id") * lit(2654435761L),
-        lit(4294967296L)), lit(10))
+      val bucket = knuthBucket(col("doc_id"), 10)
       val rate = when(col("source").isin("src0", "src1", "src2", "src3"),
         lit(10)).otherwise(lit(3)) // head sources 100%, tail 30%
       t(s, d, "documents")
@@ -1699,8 +1710,7 @@ object SparkEntry {
     // just the split being independent of lang (verified by the
     // per-language breakdown this query emits).
     "q_tvt_split" -> ((s, d) => {
-      val bucket = pmod(pmod(col("doc_id") * lit(2654435761L),
-        lit(4294967296L)), lit(100))
+      val bucket = knuthBucket(col("doc_id"), 100)
       t(s, d, "documents")
         .withColumn("split",
           when(bucket < 80, "train").when(bucket < 90, "val")
@@ -1748,6 +1758,12 @@ object SparkEntry {
     // shuffles text except the survivor checkpoint itself; the
     // decontamination join moves hashed longs, the shard window
     // shuffles (lang, id, token-count) triples.
+    //
+    // The checkpoint is EAGER (runs at query construction) and its
+    // blocks are reclaimed by the ContextCleaner when the frame goes
+    // unreferenced — the deliberate trade for running stages 1-2
+    // exactly once per build; callers that only want the plan
+    // (Explain) pay the stage-1/2 cost too.
     "pipeline_full" -> ((s, d) => {
       val evalSet = t(s, d, "documents")
         .filter(pmod(col("doc_id"), lit(50)) === 0)
@@ -1769,8 +1785,7 @@ object SparkEntry {
       val redacted = clean.withColumn("red", TextOps.piiRedact(col("text")))
       // stage 5: mixture sampling — head sources 100%, tail 30%
       // (Knuth multiplicative hash; see pipeline_mix)
-      val bucket = pmod(pmod(col("doc_id") * lit(2654435761L),
-        lit(4294967296L)), lit(10))
+      val bucket = knuthBucket(col("doc_id"), 10)
       val rate = when(col("source").isin("src0", "src1", "src2", "src3"),
         lit(10)).otherwise(lit(3))
       val sampled = redacted.filter(bucket < rate)
@@ -1884,8 +1899,11 @@ object SparkEntry {
       val li = t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"), col("l_extendedprice"))
+      // per-application path: two JVMs on the same machine + sfDir
+      // must not race overwrite-vs-read on a shared directory (and an
+      // sfDir hashCode collision must not serve the wrong dataset)
       val path = s"${sys.props("java.io.tmpdir")}/graft_zorder_" +
-        math.abs(d.hashCode.toLong)
+        s"${s.sparkContext.applicationId}_${math.abs(d.hashCode.toLong)}"
       ops.StorageOps.zorderWrite(li, path, "l_partkey", "l_suppkey", 16)
       s.read.parquet(path)
         .filter(col("l_partkey") <= 200 && col("l_suppkey") <= 20)
@@ -2603,7 +2621,7 @@ object SparkEntry {
         |SELECT hourly.event_type, hour, cast(n as bigint) AS n,
         |  round((n - mu) / sd, 4) AS z
         |FROM hourly JOIN stats USING (event_type)
-        |WHERE abs((n - mu) / sd) > 2.0
+        |WHERE sd > 0.0 AND abs((n - mu) / sd) > 2.0
         |ORDER BY event_type, hour""".stripMargin,
 
     "q_attribution" ->

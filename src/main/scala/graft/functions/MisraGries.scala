@@ -29,8 +29,16 @@ final class MGBuffer(val k: Int) {
 
   private def purge(): Unit = {
     counts.filterInPlace { case (_, c) => c > base }
-    minStored = if (counts.isEmpty) Long.MaxValue else counts.values.min
+    resetPurgeFloor()
   }
+
+  /** Recompute the lazy purge floor from `counts` — REQUIRED after any
+    * code path that writes `counts` directly (deserialization, merge):
+    * a floor left at Long.MaxValue on a full summary makes
+    * `base >= minStored` unreachable, so dead entries never purge and
+    * no new key can ever be admitted. */
+  private[functions] def resetPurgeFloor(): Unit =
+    minStored = if (counts.isEmpty) Long.MaxValue else counts.values.min
 
   /** Record one occurrence of `key` (unit weight only: the weighted
     * miss path would have to bound the decrement by the smallest live
@@ -83,23 +91,19 @@ object MGBuffer {
     val out = new MGBuffer(k)
     val n = bb.getInt
     var i = 0
-    var minLoaded = Long.MaxValue
     while (i < n) {
       val len = bb.getInt
       val b = new Array[Byte](len)
       bb.get(b)
       val c = bb.getLong
       out.counts(new String(b, StandardCharsets.UTF_8)) = c
-      if (c < minLoaded) minLoaded = c
       i += 1
     }
-    // Restore the lazy purge floor: leaving it at Long.MaxValue would
-    // make `base >= minStored` unreachable on a restored FULL summary,
-    // so dead entries would never purge and no new key could ever be
-    // admitted — a heavy hitter first appearing after a state-store
-    // round-trip (streaming micro-batch 2+) would be lost, breaking
-    // the MG containment guarantee across batches.
-    out.minStored = minLoaded
+    // restore the lazy purge floor — see resetPurgeFloor: a heavy
+    // hitter first appearing after a state-store round-trip
+    // (streaming micro-batch 2+) would otherwise never be admitted,
+    // breaking the MG containment guarantee across batches
+    out.resetPurgeFloor()
     out
   }
 }
@@ -160,6 +164,11 @@ case class MisraGriesKeys(
       val d = sums.values.toArray.sortBy(-_).apply(k)
       sums.foreach { case (s, c) => if (c > d) out.counts(s) = c - d }
     }
+    // counts were written directly — restore the purge floor so a
+    // merged buffer stays safe to add() into (today merged buffers
+    // only feed eval/serialize, but the invariant must not depend on
+    // that; this is the same hazard fromBytes guards against)
+    out.resetPurgeFloor()
     out
   }
 

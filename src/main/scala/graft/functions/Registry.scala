@@ -28,7 +28,12 @@ object Registry {
     * registered function" warnings onto stderr, which sbt re-buffers
     * into the bench output tail). */
   def registerAll(spark: SparkSession): Unit = {
-    if (registered.put(spark, java.lang.Boolean.TRUE) != null) return
+    // registration is re-runnable (createOrReplaceTempFunction), so on
+    // a race two threads may both register — harmless; what must NOT
+    // happen is marking the session done BEFORE the registrations all
+    // succeed (a partial failure would latch every later call into a
+    // no-op with functions missing), so the put comes LAST
+    if (registered.containsKey(spark)) return
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim",
       es => CosineSimilarity(es(0), es(1)), "built-in")
@@ -54,5 +59,6 @@ object Registry {
     reg.createOrReplaceTempFunction("misra_gries_keys",
       es => MisraGriesKeys(es(0), intArg(es(1), "k"))
         .toAggregateExpression(), "built-in")
+    registered.put(spark, java.lang.Boolean.TRUE)
   }
 }
