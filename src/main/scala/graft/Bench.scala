@@ -105,7 +105,7 @@ object Bench {
     "q_sample" -> "smp", "q_rollup" -> "rup",
     "q_having" -> "hav", "q_except" -> "exc",
     "q_events_sliding" -> "esl", "q_hll_distinct" -> "hll",
-    "q_lang_confusion" -> "lcm")
+    "q_lang_confusion" -> "lcm", "q_event_compact" -> "ecp")
 
   private[graft] def shortKey(name: String): String =
     exactKeys.getOrElse(name, Seq(

@@ -1549,6 +1549,27 @@ object SparkEntry {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // Event-log compaction / debounce: drop events repeating the same
+    // (user, type) within 5 minutes of the previous occurrence — the
+    // at-source thinning step before sessionization or feature
+    // extraction. Lag-based (throttle against the previous RAW event:
+    // deterministic and one window pass; a throttle against the
+    // previous KEPT event would be a stateful chain — that shape
+    // lives in streaming sessionize). Output: per-type keep counts.
+    "q_event_compact" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("tsc"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("tsc", timestamp_micros(expr("ts div 1000")))
+        .withColumn("prev", lag(col("tsc"), 1).over(w))
+        .withColumn("kept", col("prev").isNull ||
+          unix_micros(col("tsc")) - unix_micros(col("prev")) > 300000000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("event_type"))
+    }),
+
     // Hourly-count anomaly flags (z-score > 2 per event type): the
     // monitoring query over an event firehose. Per-type mean/stddev
     // come from a tiny aggregate broadcast back onto the hourly frame
@@ -2609,6 +2630,17 @@ object SparkEntry {
         |  event_type, count(*) AS n
         |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o)
         |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+
+    "q_event_compact" ->
+      """WITH x AS (
+        |  SELECT event_type, epoch_us(ts) AS tus,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_total,
+        |  cast(sum(CASE WHEN prev IS NULL OR tus - prev > 300000000
+        |    THEN 1 ELSE 0 END) as bigint) AS n_kept
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_anomaly" ->
       """WITH hourly AS (

@@ -193,7 +193,7 @@ object AnnOps {
 
   /** Column: index of the centroid most cosine-similar to `vec`. */
   private def nearestCentroid(vec: Column, model: IvfModel): Column = {
-    val sims = array(model.centroids.map(c =>
+    val sims = array(model.centroids.toIndexedSeq.map(c =>
       VectorFunctions.cosineSim(vec, typedlit(c.toSeq))): _*)
     (array_position(sims, array_max(sims)) - 1).cast("int")
   }
@@ -298,7 +298,7 @@ object AnnOps {
     val probeCids = probes.select(col("cid")).distinct()
       .collect().map(_.getInt(0)).sorted // metadata-sized, deterministic
     val assigned = spark.read.parquet(path)
-      .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
+      .filter(col("cid").isin(probeCids.toIndexedSeq.map(Integer.valueOf): _*))
     ivfTail(assigned, probes, k)
   }
 
@@ -407,7 +407,7 @@ object AnnOps {
     * step. Seeds are the k lowest-hash corpus rows, sliced. */
   def buildPq(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, k: Int = 64, iters: Int = 2): PqModel = {
-    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     val seeds = corpus

@@ -79,7 +79,7 @@ object JoinOps {
     unioned
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select((left.columns.map(col) ++
+      .select((left.columns.toIndexedSeq.map(col) ++
         rightCols.map(c => col(s"__asof.$c").as(s"asof_$c"))): _*)
   }
 }

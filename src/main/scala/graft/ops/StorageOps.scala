@@ -136,7 +136,10 @@ object StorageOps {
     var h = 0L
     while (it.hasNext) {
       val st = it.next()
-      val f = scala.util.hashing.MurmurHash3.productHash(
+      // caseClassHash (productHash is deprecated); the exact hash
+      // function is not part of any persisted contract — a signature
+      // change only forces a one-time index rebuild
+      val f = scala.util.hashing.MurmurHash3.caseClassHash(
         (st.getPath.getName, st.getLen, st.getModificationTime))
       // XOR of per-file hashes: listing order is filesystem-dependent
       h ^= f.toLong * 0x9E3779B97F4A7C15L
