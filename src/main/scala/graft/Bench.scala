@@ -105,7 +105,8 @@ object Bench {
     "q_sample" -> "smp", "q_rollup" -> "rup",
     "q_having" -> "hav", "q_except" -> "exc",
     "q_events_sliding" -> "esl", "q_hll_distinct" -> "hll",
-    "q_lang_confusion" -> "lcm", "q_event_compact" -> "ecp")
+    "q_lang_confusion" -> "lcm", "q_event_compact" -> "ecp",
+    "q_funnel" -> "fnl")
 
   private[graft] def shortKey(name: String): String =
     exactKeys.getOrElse(name, Seq(

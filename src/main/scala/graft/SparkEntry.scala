@@ -1549,6 +1549,34 @@ object SparkEntry {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // Ordered-funnel analysis (view → click-within-24h →
+    // purchase-within-24h): per user, each step's timestamp is the
+    // FIRST occurrence strictly after the previous step and inside
+    // its conversion window — three conditional-min aggregation
+    // passes, each a co-keyed join+agg on user_id (the sequential
+    // dependency is inherent to funnel semantics; all three shuffles
+    // share the user_id key, so at cluster scale they pipeline over
+    // one partitioning). Output: one row of per-step user counts
+    // (150 → 60 → 25 at sf0.01).
+    "q_funnel" -> ((s, d) => {
+      val dayNs = 86400000000000L // ts is an epoch-nanos long here
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id"))
+        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + dayNs)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter(col("ts") > col("t2") && col("ts") <= col("t2") + dayNs)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      s1.agg(count(lit(1)).as("n_view"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_view_click_purchase")))
+    }),
+
     // Event-log compaction / debounce: drop events repeating the same
     // (user, type) within 5 minutes of the previous occurrence — the
     // at-source thinning step before sessionization or feature
@@ -2630,6 +2658,23 @@ object SparkEntry {
         |  event_type, count(*) AS n
         |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o)
         |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL '24 hours'
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |         AND e.ts <= s2.t2 + INTERVAL '24 hours'
+        |       GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM s1) AS n_view,
+        |  (SELECT count(*) FROM s2) AS n_view_click,
+        |  (SELECT count(*) FROM s3) AS n_view_click_purchase""".stripMargin,
 
     "q_event_compact" ->
       """WITH x AS (
