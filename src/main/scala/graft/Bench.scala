@@ -106,7 +106,11 @@ object Bench {
     "q_having" -> "hav", "q_except" -> "exc",
     "q_events_sliding" -> "esl", "q_hll_distinct" -> "hll",
     "q_lang_confusion" -> "lcm", "q_event_compact" -> "ecp",
-    "q_funnel" -> "fnl")
+    "q_funnel" -> "fnl", "q1_agg" -> "q1",
+    "pipeline_full" -> "p_fl", "multimodal_meta" -> "m_mt",
+    "text_token_count" -> "t_tk", "text_repetition" -> "t_rp",
+    "text_ngram_freq" -> "t_ng", "text_bpe_tokens" -> "t_bp",
+    "q_union" -> "uni", "q_stats" -> "sts", "q_pivot" -> "pvt")
 
   private[graft] def shortKey(name: String): String =
     exactKeys.getOrElse(name, Seq(
