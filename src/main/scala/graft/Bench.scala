@@ -110,7 +110,8 @@ object Bench {
     "pipeline_full" -> "p_fl", "multimodal_meta" -> "m_mt",
     "text_token_count" -> "t_tk", "text_repetition" -> "t_rp",
     "text_ngram_freq" -> "t_ng", "text_bpe_tokens" -> "t_bp",
-    "q_union" -> "uni", "q_stats" -> "sts", "q_pivot" -> "pvt")
+    "q_union" -> "uni", "q_stats" -> "sts", "q_pivot" -> "pvt",
+    "q_weighted_sample" -> "wsm")
 
   private[graft] def shortKey(name: String): String =
     exactKeys.getOrElse(name, Seq(

@@ -40,8 +40,11 @@ object SparkEntry {
     * definition — q_tvt_split / pipeline_mix / pipeline_full must
     * agree or split/sample assignment silently drifts between them
     * (the specs recompute it independently on purpose). */
+  private def knuthHash(c: Column): Column =
+    pmod(c * lit(2654435761L), lit(4294967296L))
+
   private def knuthBucket(c: Column, n: Int): Column =
-    pmod(pmod(c * lit(2654435761L), lit(4294967296L)), lit(n))
+    pmod(knuthHash(c), lit(n))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1770,6 +1773,23 @@ object SparkEntry {
         .orderBy(col("lang"), col("split"))
     }),
 
+    // Deterministic weighted sampling (Efraimidis-Spirakis A-Res key:
+    // u^(1/w) with u a hash-derived uniform, w = n_chars): the top-k
+    // by key IS a sample where inclusion probability is proportional
+    // to weight — no RNG state, reproducible under repartitioning and
+    // resume, and at scale the top-k runs as the usual bounded
+    // partial-topk merge, never a global sort. Keys round to 10
+    // places (cut gap measured 3e-6 at sf0.01) so the cross-engine
+    // cut never hinges on a pow() ulp.
+    "q_weighted_sample" -> ((s, d) => {
+      val u = (knuthHash(col("doc_id")) + 1) / lit(4294967296.0)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          round(pow(u, lit(1.0) / col("n_chars")), 10).as("k"))
+        .orderBy(col("k").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Training-shard packing: per language, pack documents (in doc_id
     // order) into ~4k-token shards by running token count — the
     // dataloader-sharding step after curation. The running sum is a
@@ -2961,6 +2981,12 @@ object SparkEntry {
         |        (doc_id * 2654435761) % 4294967296 % 100 AS b
         |      FROM documents)
         |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "q_weighted_sample" ->
+      """SELECT doc_id,
+        |  round(pow((((doc_id * 2654435761) % 4294967296) + 1)
+        |    / 4294967296.0, 1.0 / n_chars), 10) AS k
+        |FROM documents ORDER BY k DESC, doc_id LIMIT 20""".stripMargin,
 
     "pipeline_shard" ->
       s"""WITH c AS (

@@ -119,6 +119,33 @@ class Round6bSpec extends SparkSpec {
       s"stored-sketch union $estAll != direct sketch $direct")
   }
 
+  test("q_weighted_sample matches an independent driver-side A-Res computation") {
+    val got = SparkEntry.queries("q_weighted_sample")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map { r =>
+        val id = r.getLong(0); val w = r.getLong(1)
+        val u = (math.floorMod(id * 2654435761L, 4294967296L) + 1) /
+          4294967296.0
+        val k = BigDecimal(math.pow(u, 1.0 / w))
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, k)
+      }
+      .sortBy { case (id, k) => (-k, id) }
+      .take(20).toSeq
+    assert(got == want)
+    // heavier docs must be overrepresented: mean weight of the sample
+    // strictly above the corpus mean (A-Res inclusion ~ weight)
+    val byId = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sampleMean = got.map(g => byId(g._1)).sum.toDouble / got.size
+    val corpusMean = byId.values.sum.toDouble / byId.size
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
+  }
+
   test("text_bm25: only term-matching docs score, and scores are positive") {
     val terms = Set("spark", "join", "window")
     val res = SparkEntry.queries("text_bm25")(spark, Sf0001)
