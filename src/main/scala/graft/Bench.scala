@@ -111,7 +111,7 @@ object Bench {
     "text_token_count" -> "t_tk", "text_repetition" -> "t_rp",
     "text_ngram_freq" -> "t_ng", "text_bpe_tokens" -> "t_bp",
     "q_union" -> "uni", "q_stats" -> "sts", "q_pivot" -> "pvt",
-    "q_weighted_sample" -> "wsm")
+    "q_weighted_sample" -> "wsm", "ann_ivfpq" -> "a_ip")
 
   private[graft] def shortKey(name: String): String =
     exactKeys.getOrElse(name, Seq(

@@ -1498,6 +1498,23 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-PQ composition — the production 100-TB ANN shape: IVF cells
+    // bound WHICH candidates are scanned (nprobe/nlist of the
+    // corpus), PQ codes bound the BYTES per candidate (8 ints, no raw
+    // vectors), exact re-rank bounds full-vector reads to the
+    // shortlist. Rows-only; recall gated in AnnOpsSpec (the coarse
+    // quantizer caps recall on the near-uniform driver embeddings,
+    // same as plain IVF — PLANS.md §recall).
+    "ann_ivfpq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val ivf = ops.AnnOps.buildIvf(emb, "vec_id", "embedding", nlist = 8)
+      val pq = ops.AnnOps.buildPq(emb, "vec_id", "embedding",
+        m = 8, k = 64)
+      ops.AnnOps.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", ivf, pq, k = 10, nprobe = 6, refine = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Same IVF search against the PERSISTED cell-partitioned index:
     // probe cells resolve to a static partition filter, so the scan
     // reads only nprobe/nlist of the files. The cache path is keyed on

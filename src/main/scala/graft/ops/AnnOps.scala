@@ -451,6 +451,43 @@ object AnnOps {
       .agg(transform(array_sort(collect_list(struct(col("mi"),
         col("cid")))), s => s.getField("cid")).as("codes"))
 
+  /** IVF-PQ composition — the shape a production 100-TB ANN index
+    * actually ships: the coarse quantizer (IVF cells) bounds WHICH
+    * candidates are scanned (nprobe/nlist of the corpus), the PQ
+    * codes bound the BYTES per scanned candidate (m small ints, no
+    * raw vectors), and the exact re-rank bounds the full-vector reads
+    * to O(queries x refine x k) fetched by id. Composes the existing
+    * [[buildIvf]] cell assignment with [[pqEncode]]/ADC scoring; with
+    * the [[writeIvfIndex]] layout the cell probe becomes partition
+    * pruning on disk. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, ivf: IvfModel, pq: PqModel, k: Int,
+      nprobe: Int = 2, refine: Int = 4): DataFrame = {
+    val cells = corpus.select(col(idCol).as("neighbor_id"),
+      nearestCentroid(col(vecCol), ivf).as("cid"))
+    val encoded = pqEncode(corpus, idCol, vecCol, pq)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+      .join(cells, Seq("neighbor_id"))
+    val probes = probeRows(queries, idCol, vecCol, ivf, nprobe)
+      .select(col("query_id"), col("cid"))
+    val qtabs = pqQueryTables(queries, idCol, vecCol, pq)
+    val adc = encoded
+      .join(broadcast(probes), Seq("cid"))
+      .join(broadcast(qtabs), Seq("query_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("qtab"),
+          (c, tab) => element_at(tab, c + 1)),
+        lit(0.0), (acc, x) => acc + x))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val shortlist = adc
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= k * refine)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(shortlist, corpus, queries, idCol, vecCol, k)
+  }
+
   /** PQ asymmetric-distance top-k with exact re-ranking.
     *
     * Phase 1 (ADC over codes only): each query builds one m x k
@@ -471,19 +508,8 @@ object AnnOps {
       refine: Int = 4): DataFrame = {
     val encoded = pqEncode(corpus, idCol, vecCol, model)
       .select(col(idCol).as("neighbor_id"), col("codes"))
-    // per-query ADC lookup tables, assembled from the same broadcast
-    // codebook rows the index was built from
-    val qtabs = subvecs(
-        queries.select(col(idCol).as("query_id"), col(vecCol)),
-        "query_id", vecCol, model.m, model.dsub)
-      .join(broadcast(booksDf(queries, model)), Seq("mi"))
-      .select(col("query_id"), col("mi"),
-        transform(col("book"), e =>
-          VectorFunctions.dot(col("sub"), e.getField("cw"))).as("tab"))
-      .groupBy(col("query_id"))
-      .agg(transform(array_sort(collect_list(struct(col("mi"),
-        col("tab")))), s => s.getField("tab")).as("qtab"))
-    val adc = encoded.crossJoin(broadcast(qtabs))
+    val adc = encoded.crossJoin(broadcast(
+        pqQueryTables(queries, idCol, vecCol, model)))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adc", aggregate(
         zip_with(col("codes"), col("qtab"),
@@ -495,6 +521,30 @@ object AnnOps {
       .withColumn("arank", row_number().over(wAdc))
       .filter(col("arank") <= k * refine)
       .select(col("query_id"), col("neighbor_id"))
+    exactRerank(shortlist, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** (query_id, qtab) — each query's m x k ADC inner-product table,
+    * assembled from the same broadcast codebook rows the index was
+    * built from. */
+  private def pqQueryTables(queries: DataFrame, idCol: String,
+      vecCol: String, model: PqModel): DataFrame =
+    subvecs(queries.select(col(idCol).as("query_id"), col(vecCol)),
+        "query_id", vecCol, model.m, model.dsub)
+      .join(broadcast(booksDf(queries, model)), Seq("mi"))
+      .select(col("query_id"), col("mi"),
+        transform(col("book"), e =>
+          VectorFunctions.dot(col("sub"), e.getField("cw"))).as("tab"))
+      .groupBy(col("query_id"))
+      .agg(transform(array_sort(collect_list(struct(col("mi"),
+        col("tab")))), s => s.getField("tab")).as("qtab"))
+
+  /** Fetch true vectors for a (query_id, neighbor_id) shortlist BY ID
+    * and exact-cosine re-rank to the final top-k — the only stage of
+    * the PQ paths that reads full vectors. */
+  private def exactRerank(shortlist: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
     val exact = shortlist
       .join(corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).as("vec")), Seq("neighbor_id"))

@@ -60,6 +60,22 @@ object EventStreams {
         col("n"), col("total_value"))
   }
 
+  /** Anomaly flags over windowed counts: |z| > threshold against a
+    * STATIC per-type baseline (mu, sd) — the stream-static monitor
+    * shape, where baselines are recomputed offline from history and
+    * broadcast while flags flow with the stream. Works on a streaming
+    * OR batch `windowed` frame (the batch mirror is `q_anomaly`,
+    * which derives its baseline from the same frame it flags). A
+    * type with sd = 0 is never flagged (z would be 0/0 = NaN, and NaN
+    * compares greater than the threshold under Spark's ordering). */
+  def anomalyFlags(windowed: DataFrame, stats: DataFrame,
+      threshold: Double = 2.0): DataFrame =
+    windowed.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (col("n") - col("mu")) / col("sd"))
+      .filter(col("sd") > 0.0 && abs(col("z")) > threshold)
+      .select(col("window_start"), col("event_type"), col("n"),
+        round(col("z"), 4).as("z"))
+
   /** Streaming deduplication on an id column: drops repeats of
     * already-seen ids — including a retried event re-sent with a
     * refreshed timestamp (the at-least-once-producer case), via

@@ -118,6 +118,24 @@ class AnnOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"pq refine-recall too low: $recall")
   }
 
+  test("ivf-pq: cell-pruned ADC keeps most of the coarse quantizer's recall") {
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = AnnOps.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = AnnOps.buildIvf(emb, "vec_id", "embedding", nlist = 8)
+    val pq = AnnOps.buildPq(emb, "vec_id", "embedding", m = 8, k = 64)
+    val got = AnnOps.ivfPqTopK(emb, q, "vec_id", "embedding", ivf, pq,
+      k = 10, nprobe = 6, refine = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got.size == 50)
+    val recall = (brute intersect got).size.toDouble / brute.size
+    // measured 0.78 at this config: the coarse quantizer is the
+    // binding constraint on the near-uniform driver data (plain IVF
+    // behaves the same — see PLANS.md §recall); PQ + refine loses
+    // almost nothing on top of it
+    assert(recall >= 0.6, s"ivf-pq recall too low: $recall")
+  }
+
   test("pq encode is invariant to input partitioning") {
     val model = AnnOps.buildPq(emb, "vec_id", "embedding", m = 8, k = 16)
     def enc(df: org.apache.spark.sql.DataFrame) =

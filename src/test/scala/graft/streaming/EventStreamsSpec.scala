@@ -60,6 +60,34 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming anomaly flags == batch anomaly flags (static baseline)") {
+    val dir = Files.createTempDirectory("graft-anom").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    // the static baseline: per-type mean/stddev of hourly counts,
+    // computed batch-side (the offline-recomputed history profile)
+    val stats = EventStreams.windowedStats(batchEvents)
+      .groupBy(col("event_type"))
+      .agg(avg(col("n").cast("double")).as("mu"),
+        stddev_samp(col("n").cast("double")).as("sd"))
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .parquet(dir)
+    val q = EventStreams
+      .anomalyFlags(EventStreams.windowedStats(stream), stats)
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("anom_out")
+        .orderBy(col("window_start"), col("event_type")).collect()
+      val batch = EventStreams
+        .anomalyFlags(EventStreams.windowedStats(batchEvents), stats)
+        .orderBy(col("window_start"), col("event_type")).collect()
+      assert(streamed.nonEmpty && streamed.length == batch.length)
+      streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+    } finally q.stop()
+  }
+
   test("streaming MG heavy-hitter candidates keep the containment guarantee") {
     import spark.implicits._
     import EventStreams.{GroupItem, GroupCandidates}
