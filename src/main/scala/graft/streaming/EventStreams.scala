@@ -284,6 +284,55 @@ object EventStreams {
       }
   }
 
+  /** Per-user funnel progress: how many ordered steps are reached. */
+  case class FunnelProgress(user_id: Long, stage: Int)
+
+  /** Funnel accumulator; epoch micros, Long.MaxValue = step unset. */
+  case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+  /** Streaming ordered-funnel tracker (view → click → purchase, each
+    * step within `windowMs` of the previous): per-user state is three
+    * timestamps, each update emits the user's currently-reached stage
+    * (Update mode). Mirrors `q_funnel`'s batch conditional-min
+    * cascade exactly for in-order delivery (each micro-batch is
+    * sorted in-handler, so the first eligible event per step IS the
+    * minimum); a cross-batch straggler that would have changed an
+    * earlier step's minimum is the usual bounded-state horizon
+    * caveat — the batch query is the backfill that settles it.
+    * Streaming == batch equivalence is EventStreamsSpec-gated. */
+  def funnelStages(spark: SparkSession, events: Dataset[UserEvent],
+      windowMs: Long = 24 * 3600 * 1000L): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    val wUs = windowMs * 1000L
+    val Unset = Long.MaxValue
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelProgress](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent],
+         state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(
+            FunnelState(Unset, Unset, Unset))
+          rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_type))
+            .foreach { e =>
+              val t = toMicros(e.ts)
+              e.event_type match {
+                case "view" if s.t1 == Unset =>
+                  s = s.copy(t1 = t)
+                case "click" if s.t1 != Unset && s.t2 == Unset &&
+                    t > s.t1 && t <= s.t1 + wUs =>
+                  s = s.copy(t2 = t)
+                case "purchase" if s.t2 != Unset && s.t3 == Unset &&
+                    t > s.t2 && t <= s.t2 + wUs =>
+                  s = s.copy(t3 = t)
+                case _ => ()
+              }
+            }
+          state.update(s)
+          FunnelProgress(uid,
+            Seq(s.t1, s.t2, s.t3).count(_ != Unset))
+      }
+  }
+
   private def toMicros(ts: java.sql.Timestamp): Long =
     math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 

@@ -88,6 +88,58 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel stages == batch conditional-min cascade") {
+    import spark.implicits._
+    import EventStreams.UserEvent
+    val dir = Files.createTempDirectory("graft-funnel").toString
+    val typed = batchEvents
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[UserEvent]
+    typed.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[UserEvent]].schema)
+      .parquet(dir).as[UserEvent]
+    val q = EventStreams.funnelStages(spark, stream)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_out")
+        .groupBy(col("user_id")).agg(max(col("stage")).as("stage"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+      // batch reference: the q_funnel conditional-min cascade
+      val dayNs = 86400000000000L
+      val ev = Tables.events(spark, Sf0001)
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id"))
+        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + dayNs)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter(col("ts") > col("t2") && col("ts") <= col("t2") + dayNs)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      val u1 = s1.collect().map(_.getLong(0)).toSet
+      val u2 = s2.collect().map(_.getLong(0)).toSet
+      val u3 = s3.collect().map(_.getLong(0)).toSet
+      val batchStage = u1.map(u =>
+        u -> (if (u3(u)) 3 else if (u2(u)) 2 else 1)).toMap
+
+      assert(streamed.nonEmpty)
+      batchStage.foreach { case (u, st) =>
+        assert(streamed.getOrElse(u, 0) == st,
+          s"user $u: streaming ${streamed.get(u)} vs batch $st")
+      }
+      // users never seen in the funnel tables must be at stage 0
+      streamed.foreach { case (u, st) =>
+        if (!u1(u)) assert(st == 0, s"user $u: stage $st without a view")
+      }
+    } finally q.stop()
+  }
+
   test("streaming MG heavy-hitter candidates keep the containment guarantee") {
     import spark.implicits._
     import EventStreams.{GroupItem, GroupCandidates}
