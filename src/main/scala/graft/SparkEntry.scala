@@ -1505,10 +1505,15 @@ object SparkEntry {
     // shortlist. Rows-only; recall gated in AnnOpsSpec (the coarse
     // quantizer caps recall on the near-uniform driver embeddings,
     // same as plain IVF — PLANS.md §recall).
+    // Models come from the content-signature cache (built once per
+    // dataset content, like a production index; ann_ivf / ann_pq keep
+    // the live-build path measured in the bench).
     "ann_ivfpq" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val ivf = ops.AnnOps.buildIvf(emb, "vec_id", "embedding", nlist = 8)
-      val pq = ops.AnnOps.buildPq(emb, "vec_id", "embedding",
+      val src = s"$d/embeddings.parquet"
+      val ivf = ops.AnnOps.cachedIvf(s, src, emb, "vec_id", "embedding",
+        nlist = 8)
+      val pq = ops.AnnOps.cachedPq(s, src, emb, "vec_id", "embedding",
         m = 8, k = 64)
       ops.AnnOps.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", ivf, pq, k = 10, nprobe = 6, refine = 8)
@@ -1523,7 +1528,8 @@ object SparkEntry {
     // a fresh index — a stale index can never be served. Rows-only.
     "ann_ivf_index" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val model = ops.AnnOps.buildIvf(emb, "vec_id", "embedding", nlist = 8)
+      val model = ops.AnnOps.cachedIvf(s, s"$d/embeddings.parquet", emb,
+        "vec_id", "embedding", nlist = 8)
       val sig = ops.StorageOps.contentSignature(s, s"$d/embeddings.parquet")
       val path = s"/tmp/graft-ivf-index-${java.lang.Long.toHexString(sig)}"
       if (!new java.io.File(path).exists()) {

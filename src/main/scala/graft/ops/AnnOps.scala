@@ -359,6 +359,83 @@ object AnnOps {
     def m: Int = codebooks.length
   }
 
+  // ---- model cache -------------------------------------------------
+
+  /** Persist/load the kilobyte ANN models (IVF centroids, PQ
+    * codebooks) keyed by a CONTENT signature of the source parquet
+    * plus the build parameters: index construction is offline at
+    * scale, so a query run should load the artifact, not re-run
+    * Lloyd. Stale-proof exactly like the IVF layout cache
+    * ([[StorageOps.contentSignature]]): regenerated source data gets
+    * a new signature and a fresh build. Plain-text float lines
+    * (Float.toString round-trips exactly), temp-file + atomic rename
+    * so concurrent JVMs never read a half-written model. */
+  private val modelCacheDir = s"${sys.props("java.io.tmpdir")}/graft-model-cache"
+
+  private def modelFile(key: String) =
+    java.nio.file.Paths.get(modelCacheDir, s"$key.txt")
+
+  private def saveRows(key: String, rows: Seq[String]): Unit = {
+    val dir = java.nio.file.Paths.get(modelCacheDir)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = java.nio.file.Files.createTempFile(dir, key, ".tmp")
+    java.nio.file.Files.write(tmp,
+      rows.mkString("\n").getBytes("UTF-8"))
+    try java.nio.file.Files.move(tmp, modelFile(key),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      java.nio.file.Files.deleteIfExists(tmp) // another JVM won the race
+    }
+  }
+
+  private def loadRows(key: String): Option[Seq[String]] = {
+    val f = modelFile(key)
+    if (java.nio.file.Files.exists(f))
+      Some(new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        .split("\n").toSeq)
+    else None
+  }
+
+  /** [[buildIvf]] behind the content-signature cache. */
+  def cachedIvf(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 2): IvfModel = {
+    val sig = StorageOps.contentSignature(spark, srcPath)
+    val key = s"ivf_${nlist}_${iters}_${java.lang.Long.toHexString(sig)}"
+    loadRows(key) match {
+      case Some(rows) =>
+        IvfModel(rows.map(_.split(",").map(_.toFloat)).toArray)
+      case None =>
+        val m = buildIvf(corpus, idCol, vecCol, nlist, iters)
+        saveRows(key, m.centroids.toSeq.map(_.mkString(",")))
+        m
+    }
+  }
+
+  /** [[buildPq]] behind the content-signature cache. */
+  def cachedPq(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 64, iters: Int = 2): PqModel = {
+    val sig = StorageOps.contentSignature(spark, srcPath)
+    val key = s"pq_${m}_${k}_${iters}_${java.lang.Long.toHexString(sig)}"
+    loadRows(key) match {
+      case Some(rows) =>
+        // line format: "<mi>;f0,f1,..." — mi-major, codeword per line
+        val books = rows.map { line =>
+          val Array(mi, cw) = line.split(";", 2)
+          (mi.toInt, cw.split(",").map(_.toFloat))
+        }.groupBy(_._1).toSeq.sortBy(_._1)
+          .map(_._2.map(_._2).toArray).toArray
+        PqModel(books(0)(0).length, books)
+      case None =>
+        val model = buildPq(corpus, idCol, vecCol, m, k, iters)
+        saveRows(key, model.codebooks.zipWithIndex.toSeq.flatMap {
+          case (book, mi) => book.toSeq.map(cw => s"$mi;${cw.mkString(",")}")
+        })
+        model
+    }
+  }
+
   /** (mi, book) rows — one per subspace, each carrying the codebook as
     * array<struct<cw array<float>, nrm double>> with |cw|^2
     * precomputed. The codebook travels as BROADCAST DATA, not as a

@@ -136,6 +136,29 @@ class AnnOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"ivf-pq recall too low: $recall")
   }
 
+  test("model cache: round-trip equals the built model; cache hit skips the build") {
+    val src = s"$Sf0001/embeddings.parquet"
+    val built = AnnOps.buildPq(emb, "vec_id", "embedding", m = 8, k = 16)
+    val first = AnnOps.cachedPq(spark, src, emb, "vec_id", "embedding",
+      m = 8, k = 16)
+    val second = AnnOps.cachedPq(spark, src, emb, "vec_id", "embedding",
+      m = 8, k = 16)
+    // Float.toString round-trips exactly, so all three are identical
+    def flat(p: AnnOps.PqModel) = p.codebooks.map(_.map(_.toSeq).toSeq).toSeq
+    assert(flat(first) == flat(built) && flat(second) == flat(built))
+    assert(first.dsub == built.dsub)
+
+    val ivfBuilt = AnnOps.buildIvf(emb, "vec_id", "embedding", nlist = 8)
+    val ivfCached = AnnOps.cachedIvf(spark, src, emb, "vec_id",
+      "embedding", nlist = 8)
+    assert(ivfCached.centroids.map(_.toSeq).toSeq ==
+      ivfBuilt.centroids.map(_.toSeq).toSeq)
+    // different build params never collide in the cache
+    val other = AnnOps.cachedPq(spark, src, emb, "vec_id", "embedding",
+      m = 8, k = 32)
+    assert(other.codebooks(0).length == 32)
+  }
+
   test("pq encode is invariant to input partitioning") {
     val model = AnnOps.buildPq(emb, "vec_id", "embedding", m = 8, k = 16)
     def enc(df: org.apache.spark.sql.DataFrame) =
