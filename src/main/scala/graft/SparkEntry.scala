@@ -39,9 +39,31 @@ object SparkEntry {
     * arithmetic), stable under repartitioning and corpus growth. ONE
     * definition — q_tvt_split / pipeline_mix / pipeline_full must
     * agree or split/sample assignment silently drifts between them
-    * (the specs recompute it independently on purpose). */
-  private def knuthHash(c: Column): Column =
-    pmod(c * lit(2654435761L), lit(4294967296L))
+    * (the specs recompute it independently on purpose).
+    *
+    * Computed as (id mod 2^32) * 2654435761 mod 2^32 via a 16-bit
+    * hi/lo split so no intermediate product exceeds ~2^48: the naive
+    * `id * 2654435761` overflows signed 64-bit once id exceeds
+    * ~3.46e9 and throws under ANSI mode — exactly the id range a
+    * grown corpus reaches. The split form is bit-identical to the
+    * naive formula for every id (hi*A*2^16 + lo*A ≡ x*A mod 2^32),
+    * so existing split/sample assignments never move. */
+  private[graft] def knuthHash(c: Column): Column = {
+    val x  = pmod(c.cast("long"), lit(4294967296L))
+    val hi = shiftright(x, 16)               // x < 2^32 ⇒ plain >> is unsigned
+    val lo = x.bitwiseAND(lit(65535L))
+    pmod(lo * lit(2654435761L)
+      + pmod(hi * lit(2654435761L), lit(65536L)) * lit(65536L),
+      lit(4294967296L))
+  }
+
+  /** The same arithmetic as [[knuthHash]], spelled out for the DuckDB
+    * oracle mirrors. Kept adjacent so the two definitions cannot
+    * drift silently. */
+  private[graft] def knuthHashSql(c: String): String =
+    s"(((($c % 4294967296) & 65535) * 2654435761 + " +
+      s"(((($c % 4294967296) >> 16) * 2654435761) % 65536) * 65536) " +
+      "% 4294967296)"
 
   private def knuthBucket(c: Column, n: Int): Column =
     pmod(knuthHash(c), lit(n))
@@ -2988,28 +3010,28 @@ object SparkEntry {
         |ORDER BY n DESC, gram""".stripMargin,
 
     "pipeline_mix" ->
-      """SELECT source, count(*) AS n_total,
-        |  cast(sum(CASE WHEN (doc_id * 2654435761) % 4294967296 % 10 <
-        |      (CASE WHEN source IN ('src0','src1','src2','src3')
-        |            THEN 10 ELSE 3 END)
-        |    THEN 1 ELSE 0 END) as bigint) AS n_kept
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+      s"""SELECT source, count(*) AS n_total,
+         |  cast(sum(CASE WHEN ${knuthHashSql("doc_id")} % 10 <
+         |      (CASE WHEN source IN ('src0','src1','src2','src3')
+         |            THEN 10 ELSE 3 END)
+         |    THEN 1 ELSE 0 END) as bigint) AS n_kept
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_tvt_split" ->
-      """SELECT lang,
-        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
-        |       ELSE 'test' END AS split,
-        |  count(*) AS n_docs, cast(sum(n_chars) as bigint) AS n_chars
-        |FROM (SELECT lang, n_chars,
-        |        (doc_id * 2654435761) % 4294967296 % 100 AS b
-        |      FROM documents)
-        |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+      s"""SELECT lang,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  count(*) AS n_docs, cast(sum(n_chars) as bigint) AS n_chars
+         |FROM (SELECT lang, n_chars,
+         |        ${knuthHashSql("doc_id")} % 100 AS b
+         |      FROM documents)
+         |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
     "q_weighted_sample" ->
-      """SELECT doc_id,
-        |  round(pow((((doc_id * 2654435761) % 4294967296) + 1)
-        |    / 4294967296.0, 1.0 / n_chars), 10) AS k
-        |FROM documents ORDER BY k DESC, doc_id LIMIT 20""".stripMargin,
+      s"""SELECT doc_id,
+         |  round(pow((${knuthHashSql("doc_id")} + 1)
+         |    / 4294967296.0, 1.0 / n_chars), 10) AS k
+         |FROM documents ORDER BY k DESC, doc_id LIMIT 20""".stripMargin,
 
     "pipeline_shard" ->
       s"""WITH c AS (
