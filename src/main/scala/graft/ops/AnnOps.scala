@@ -369,15 +369,42 @@ object AnnOps {
     * ([[StorageOps.contentSignature]]): regenerated source data gets
     * a new signature and a fresh build. Plain-text float lines
     * (Float.toString round-trips exactly), temp-file + atomic rename
-    * so concurrent JVMs never read a half-written model. */
-  private val modelCacheDir = s"${sys.props("java.io.tmpdir")}/graft-model-cache"
+    * so concurrent JVMs never read a half-written model.
+    *
+    * The directory is per-user and created 0700 (like
+    * spark.local.dir's per-app dirs) so another local user can
+    * neither read the models nor pre-plant files this framework
+    * would trust; each cache key carries a `_v1` format token so a
+    * change to the build algorithm or line format bumps the version
+    * and can never deserialize a stale-layout file. */
+  private val modelCacheDir =
+    s"${sys.props("java.io.tmpdir")}/graft-model-cache-${sys.props("user.name")}"
+
+  /** Bump when buildIvf/buildPq or the model line format changes. */
+  private val ModelFormatVersion = "v1"
 
   private def modelFile(key: String) =
     java.nio.file.Paths.get(modelCacheDir, s"$key.txt")
 
-  private def saveRows(key: String, rows: Seq[String]): Unit = {
+  private def createCacheDir(): java.nio.file.Path = {
     val dir = java.nio.file.Paths.get(modelCacheDir)
-    java.nio.file.Files.createDirectories(dir)
+    try {
+      import java.nio.file.attribute.PosixFilePermissions
+      java.nio.file.Files.createDirectories(dir,
+        PosixFilePermissions.asFileAttribute(
+          PosixFilePermissions.fromString("rwx------")))
+      // createDirectories ignores the attribute when the dir already
+      // exists — re-assert so a pre-existing open dir is closed too
+      java.nio.file.Files.setPosixFilePermissions(dir,
+        PosixFilePermissions.fromString("rwx------"))
+    } catch { case _: UnsupportedOperationException =>
+      java.nio.file.Files.createDirectories(dir) // non-POSIX FS
+    }
+    dir
+  }
+
+  private def saveRows(key: String, rows: Seq[String]): Unit = {
+    val dir = createCacheDir()
     val tmp = java.nio.file.Files.createTempFile(dir, key, ".tmp")
     java.nio.file.Files.write(tmp,
       rows.mkString("\n").getBytes("UTF-8"))
@@ -401,7 +428,7 @@ object AnnOps {
       srcPath: String, corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 2): IvfModel = {
     val sig = StorageOps.contentSignature(spark, srcPath)
-    val key = s"ivf_${nlist}_${iters}_${java.lang.Long.toHexString(sig)}"
+    val key = s"ivf_${ModelFormatVersion}_${nlist}_${iters}_${java.lang.Long.toHexString(sig)}"
     loadRows(key) match {
       case Some(rows) =>
         IvfModel(rows.map(_.split(",").map(_.toFloat)).toArray)
@@ -417,7 +444,7 @@ object AnnOps {
       srcPath: String, corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, k: Int = 64, iters: Int = 2): PqModel = {
     val sig = StorageOps.contentSignature(spark, srcPath)
-    val key = s"pq_${m}_${k}_${iters}_${java.lang.Long.toHexString(sig)}"
+    val key = s"pq_${ModelFormatVersion}_${m}_${k}_${iters}_${java.lang.Long.toHexString(sig)}"
     loadRows(key) match {
       case Some(rows) =>
         // line format: "<mi>;f0,f1,..." — mi-major, codeword per line
