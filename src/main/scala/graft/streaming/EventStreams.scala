@@ -299,37 +299,72 @@ object EventStreams {
     * minimum); a cross-batch straggler that would have changed an
     * earlier step's minimum is the usual bounded-state horizon
     * caveat — the batch query is the backfill that settles it.
-    * Streaming == batch equivalence is EventStreamsSpec-gated. */
+    * Streaming == batch equivalence is EventStreamsSpec-gated.
+    *
+    * State eviction (streaming): a user is evicted once the watermark
+    * passes the point where their funnel can no longer advance — the
+    * last reached step + `windowMs` (a later click/purchase would be
+    * outside the step window), or immediately after completion (t3
+    * set) or for users with no reached step. The eviction emission
+    * repeats the user's final stage, so downstream consumers keyed on
+    * user_id see an idempotent last value. Streaming callers must set
+    * `withWatermark("ts", ...)`; in batch mode timeouts never fire and
+    * state lives for the single batch only. */
   def funnelStages(spark: SparkSession, events: Dataset[UserEvent],
       windowMs: Long = 24 * 3600 * 1000L): Dataset[FunnelProgress] = {
     import spark.implicits._
     val wUs = windowMs * 1000L
     val Unset = Long.MaxValue
+    val streaming = events.isStreaming
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[FunnelState, FunnelProgress](
-        GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[FunnelState, FunnelProgress](timeoutConf) {
         (uid: Long, rows: Iterator[UserEvent],
          state: GroupState[FunnelState]) =>
-          var s = state.getOption.getOrElse(
-            FunnelState(Unset, Unset, Unset))
-          rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_type))
-            .foreach { e =>
-              val t = toMicros(e.ts)
-              e.event_type match {
-                case "view" if s.t1 == Unset =>
-                  s = s.copy(t1 = t)
-                case "click" if s.t1 != Unset && s.t2 == Unset &&
-                    t > s.t1 && t <= s.t1 + wUs =>
-                  s = s.copy(t2 = t)
-                case "purchase" if s.t2 != Unset && s.t3 == Unset &&
-                    t > s.t2 && t <= s.t2 + wUs =>
-                  s = s.copy(t3 = t)
-                case _ => ()
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            FunnelProgress(uid,
+              Seq(s.t1, s.t2, s.t3).count(_ != Unset))
+          } else {
+            var s = state.getOption.getOrElse(
+              FunnelState(Unset, Unset, Unset))
+            rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_type))
+              .foreach { e =>
+                val t = toMicros(e.ts)
+                e.event_type match {
+                  case "view" if s.t1 == Unset =>
+                    s = s.copy(t1 = t)
+                  case "click" if s.t1 != Unset && s.t2 == Unset &&
+                      t > s.t1 && t <= s.t1 + wUs =>
+                    s = s.copy(t2 = t)
+                  case "purchase" if s.t2 != Unset && s.t3 == Unset &&
+                      t > s.t2 && t <= s.t2 + wUs =>
+                    s = s.copy(t3 = t)
+                  case _ => ()
+                }
               }
+            state.update(s)
+            if (streaming) {
+              // deadline: last reached step + window, clamped past the
+              // current watermark (setTimeoutTimestamp throws on an
+              // already-passed deadline); complete or never-started
+              // funnels cannot advance, so they expire next batch
+              val lastStepUs =
+                Seq(s.t1, s.t2, s.t3).filter(_ != Unset)
+                  .foldLeft(Long.MinValue)(math.max)
+              val deadlineMs =
+                if (s.t3 != Unset || lastStepUs == Long.MinValue)
+                  state.getCurrentWatermarkMs() + 1
+                else math.max(math.floorDiv(lastStepUs, 1000L) + windowMs,
+                  state.getCurrentWatermarkMs() + 1)
+              state.setTimeoutTimestamp(deadlineMs)
             }
-          state.update(s)
-          FunnelProgress(uid,
-            Seq(s.t1, s.t2, s.t3).count(_ != Unset))
+            FunnelProgress(uid,
+              Seq(s.t1, s.t2, s.t3).count(_ != Unset))
+          }
       }
   }
 

@@ -99,7 +99,9 @@ class EventStreamsSpec extends SparkSpec {
 
     val stream = spark.readStream
       .schema(implicitly[org.apache.spark.sql.Encoder[UserEvent]].schema)
-      .parquet(dir).as[UserEvent]
+      .parquet(dir)
+      .withWatermark("ts", "1 minute")
+      .as[UserEvent]
     val q = EventStreams.funnelStages(spark, stream)
       .writeStream.format("memory").queryName("funnel_out")
       .outputMode("update").start()
@@ -284,6 +286,64 @@ class EventStreamsSpec extends SparkSpec {
       assert(aBack.candidates.toSeq == Seq("a_new"),
         s"reappeared group must restart fresh: " +
           aBack.candidates.mkString(","))
+    } finally q.stop()
+  }
+
+  test("streaming funnel evicts users whose funnel can no longer advance") {
+    import spark.implicits._
+    import EventStreams.{UserEvent, FunnelProgress}
+    val dir = Files.createTempDirectory("graft-funnel-exp").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00")
+    def at(plusMin: Int) =
+      new java.sql.Timestamp(t0.getTime + plusMin * 60000L)
+    def ev(uid: Long, typ: String, plusMin: Int) =
+      UserEvent(uid, at(plusMin), typ, 1.0)
+    // batch 1: user 1 reaches stage 2 (view+click); user 2 completes
+    // the funnel (stage 3); user 3 only views
+    Seq(ev(1L, "view", 0), ev(1L, "click", 1),
+      ev(2L, "view", 0), ev(2L, "click", 1), ev(2L, "purchase", 2),
+      ev(3L, "view", 0))
+      .toDF().write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[UserEvent]].schema)
+      .parquet(dir)
+      .withWatermark("ts", "1 minute")
+      .as[UserEvent]
+    // 30-minute step window so the timeline stays short
+    val out = EventStreams.funnelStages(spark, stream,
+      windowMs = 30 * 60 * 1000L)
+    val captured =
+      scala.collection.mutable.ArrayBuffer[(Long, FunnelProgress)]()
+    val q = out.writeStream.outputMode("update")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[FunnelProgress], id: Long) =>
+        captured.synchronized {
+          captured ++= batch.collect().map((id, _))
+        }; ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // batch 2: an unrelated user 10 hours later advances the
+      // watermark far past every batch-1 deadline
+      Seq(ev(99L, "view", 600)).toDF().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      q.processAllAvailable() // timeouts evaluated against new watermark
+      // each evicted user re-emits their final stage on timeout
+      def lastStage(uid: Long): Int =
+        captured.filter(_._2.user_id == uid).maxBy(_._1)._2.stage
+      assert(lastStage(1L) == 2)
+      assert(lastStage(2L) == 3)
+      assert(lastStage(3L) == 1)
+      val postB1 = captured.filter { case (bid, p) =>
+        bid >= 1 && Set(1L, 2L, 3L).contains(p.user_id) }
+      assert(postB1.nonEmpty, "no eviction emissions after batch 1")
+      // batch 3: user 1 reappears with a purchase that WOULD have been
+      // stage 3 pre-eviction — evicted state restarts at 0, and a
+      // purchase alone advances nothing (the batch query backfills)
+      Seq(ev(1L, "purchase", 601)).toDF().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(lastStage(1L) == 0,
+        "evicted user must restart from empty state")
     } finally q.stop()
   }
 
