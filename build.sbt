@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr through verbatim instead of
+// re-buffering them through sbt's logger: the logger prefixes every
+// stdout line with "[info] " (which breaks machine parsing of
+// graft.Bench's JSON line) and re-orders late-flushed stderr after
+// stdout (which truncated the round-4/5 bench records).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
