@@ -574,6 +574,17 @@ object AnnOps {
       .join(cells, Seq("neighbor_id"))
     val probes = probeRows(queries, idCol, vecCol, ivf, nprobe)
       .select(col("query_id"), col("cid"))
+    adcRerank(encoded, probes, queries, idCol, vecCol, pq, corpus,
+      k, refine)
+  }
+
+  /** Shared ADC → shortlist → exact-re-rank tail of the IVF-PQ paths:
+    * score (cid, codes) candidate rows against each probing query's
+    * ADC table, keep the top refine*k per query, fetch true vectors by
+    * id for the exact re-rank. */
+  private def adcRerank(encoded: DataFrame, probes: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, pq: PqModel,
+      corpus: DataFrame, k: Int, refine: Int): DataFrame = {
     val qtabs = pqQueryTables(queries, idCol, vecCol, pq)
     val adc = encoded
       .join(broadcast(probes), Seq("cid"))
@@ -590,6 +601,41 @@ object AnnOps {
       .filter(col("arank") <= k * refine)
       .select(col("query_id"), col("neighbor_id"))
     exactRerank(shortlist, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Persist the IVF-PQ index: (neighbor_id, codes) rows partitioned
+    * by IVF cell — the production 100-TB artifact in full. Per vector
+    * the index stores only the id and m code ints (the 64-float
+    * embedding never leaves the corpus), and the cell directory
+    * structure makes a probe a partition-pruned scan. */
+  def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      ivf: IvfModel, pq: PqModel, path: String): Unit = {
+    val cells = corpus.select(col(idCol).as("neighbor_id"),
+      nearestCentroid(col(vecCol), ivf).as("cid"))
+    pqEncode(corpus, idCol, vecCol, pq)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+      .join(cells, Seq("neighbor_id"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+  }
+
+  /** Top-k over a persisted IVF-PQ index: probe cells resolve to a
+    * STATIC partition filter (the scan lists only the probed cell
+    * directories — `PartitionFilters` in the plan, AnnOpsSpec-gated),
+    * the ADC scan reads only (neighbor_id, codes), and full vectors
+    * are fetched from the CORPUS by id for the refine*k shortlist —
+    * the only full-vector reads in the whole search. */
+  def ivfPqTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, ivf: IvfModel, pq: PqModel, k: Int,
+      nprobe: Int = 2, refine: Int = 4): DataFrame = {
+    val probes = probeRows(queries, idCol, vecCol, ivf, nprobe)
+      .select(col("query_id"), col("cid"))
+    val probeCids = probes.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).sorted // metadata-sized, deterministic
+    val encoded = spark.read.parquet(path)
+      .filter(col("cid").isin(probeCids.toIndexedSeq.map(Integer.valueOf): _*))
+    adcRerank(encoded, probes, queries, idCol, vecCol, pq, corpus,
+      k, refine)
   }
 
   /** PQ asymmetric-distance top-k with exact re-ranking.

@@ -16,6 +16,29 @@ import org.apache.spark.sql.functions._
   */
 object StorageOps {
 
+  /** Per-user 0700 scratch root for derived artifacts (persisted
+    * index layouts, z-order copies). A predictable name under the
+    * shared /tmp would let another local user pre-plant an artifact
+    * the framework then trusts — the same hazard as the ANN model
+    * cache, closed the same way. */
+  def scratchPath(name: String): String = {
+    val root = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft-scratch-${sys.props("user.name")}")
+    try {
+      import java.nio.file.attribute.PosixFilePermissions
+      java.nio.file.Files.createDirectories(root,
+        PosixFilePermissions.asFileAttribute(
+          PosixFilePermissions.fromString("rwx------")))
+      // createDirectories ignores the attribute when the dir already
+      // exists — re-assert so a pre-existing open dir is closed too
+      java.nio.file.Files.setPosixFilePermissions(root,
+        PosixFilePermissions.fromString("rwx------"))
+    } catch { case _: UnsupportedOperationException =>
+      java.nio.file.Files.createDirectories(root) // non-POSIX FS
+    }
+    s"$root/$name"
+  }
+
   /** Write `df` as parquet hive-partitioned by `partitionCol`. */
   def writePartitioned(df: DataFrame, path: String,
       partitionCol: String): Unit =

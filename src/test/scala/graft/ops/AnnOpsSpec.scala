@@ -136,6 +136,30 @@ class AnnOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"ivf-pq recall too low: $recall")
   }
 
+  test("persisted IVF-PQ index: partition-pruned ADC, same results as in-memory") {
+    val ivf = AnnOps.buildIvf(emb, "vec_id", "embedding", nlist = 8)
+    val pq = AnnOps.buildPq(emb, "vec_id", "embedding", m = 8, k = 64)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq")
+      .toString + "/index"
+    AnnOps.writeIvfPqIndex(emb, "vec_id", "embedding", ivf, pq, path)
+    // the artifact stores only (neighbor_id, codes) + the cid partition
+    // column — never raw vectors
+    val stored = spark.read.parquet(path)
+    assert(stored.columns.sorted.toSeq == Seq("cid", "codes", "neighbor_id"))
+    val q = emb.filter(col("vec_id") < 5)
+    val fromIndex = AnnOps.ivfPqTopKFromIndex(spark, path, emb, q,
+      "vec_id", "embedding", ivf, pq, k = 10, nprobe = 6, refine = 8)
+    val scan = fromIndex.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("cid"), s"cid partition filter missing: $scan")
+    val inMemory = AnnOps.ivfPqTopK(emb, q, "vec_id", "embedding", ivf, pq,
+      k = 10, nprobe = 6, refine = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val persisted = fromIndex
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(persisted == inMemory && inMemory.size == 50)
+  }
+
   test("model cache: round-trip equals the built model; cache hit skips the build") {
     val src = s"$Sf0001/embeddings.parquet"
     val built = AnnOps.buildPq(emb, "vec_id", "embedding", m = 8, k = 16)
