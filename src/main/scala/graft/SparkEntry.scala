@@ -1553,12 +1553,40 @@ object SparkEntry {
       val model = ops.AnnOps.cachedIvf(s, s"$d/embeddings.parquet", emb,
         "vec_id", "embedding", nlist = 8)
       val sig = ops.StorageOps.contentSignature(s, s"$d/embeddings.parquet")
-      val path = s"/tmp/graft-ivf-index-${java.lang.Long.toHexString(sig)}"
+      val path = ops.StorageOps.scratchPath(
+        s"ivf-index-${java.lang.Long.toHexString(sig)}")
       if (!new java.io.File(path).exists()) {
         ops.AnnOps.writeIvfIndex(emb, "vec_id", "embedding", model, path)
       }
       ops.AnnOps.ivfTopKFromIndex(s, path, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", model, k = 10, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF-PQ against the PERSISTED index — the full production shape:
+    // the on-disk artifact stores only (id, codes) partitioned by IVF
+    // cell, a probe is a partition-pruned scan of nprobe/nlist cell
+    // directories reading m code ints per candidate, and the refine*k
+    // shortlist fetches true vectors from the CORPUS by id. Index and
+    // models are keyed on the content signature, so regenerated data
+    // can never be served a stale layout. Rows-only (recall gated in
+    // AnnOpsSpec, equality-vs-in-memory too).
+    "ann_ivfpq_index" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val src = s"$d/embeddings.parquet"
+      val ivf = ops.AnnOps.cachedIvf(s, src, emb, "vec_id", "embedding",
+        nlist = 8)
+      val pq = ops.AnnOps.cachedPq(s, src, emb, "vec_id", "embedding",
+        m = 8, k = 64)
+      val sig = ops.StorageOps.contentSignature(s, src)
+      val path = ops.StorageOps.scratchPath(
+        s"ivfpq-index-${java.lang.Long.toHexString(sig)}")
+      if (!new java.io.File(path).exists()) {
+        ops.AnnOps.writeIvfPqIndex(emb, "vec_id", "embedding", ivf, pq, path)
+      }
+      ops.AnnOps.ivfPqTopKFromIndex(s, path, emb,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", ivf, pq,
+        k = 10, nprobe = 6, refine = 8)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1835,6 +1863,54 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Per-stratum weighted sampling: the q_weighted_sample A-Res key
+    // ranked WITHIN language — 5 docs per stratum, inclusion
+    // probability proportional to n_chars inside each language, so a
+    // small language is never crowded out by a large one. One shuffle
+    // on lang; at 100 TB the per-group top-k swaps the window for the
+    // bounded TopK aggregator exactly like q_topk_agg (same oracle
+    // shape), so no group ever sorts its full membership.
+    "q_weighted_stratified" -> ((s, d) => {
+      val u = (knuthHash(col("doc_id")) + 1) / lit(4294967296.0)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("k").desc, col("doc_id"))
+      t(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          round(pow(u, lit(1.0) / col("n_chars")), 10).as("k"))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 5)
+        .select(col("lang"), col("rnk"), col("doc_id"), col("k"))
+        .orderBy(col("lang"), col("rnk"))
+    }),
+
+    // RAG-style document chunking: fixed-size character windows
+    // (size 120) every `stride` 80 chars — the retrieval-prep step
+    // after curation. Pure column arithmetic (chunk count from the doc
+    // length, sequence+explode for chunk ids, substr for the slice):
+    // no UDF and NO SHUFFLE — narrow transforms only, so at 100 TB it
+    // streams map-side at parquet-scan speed (the ORDER BY here is
+    // only the oracle contract). The 16-byte md5 travels instead of
+    // the chunk text, so anything downstream (dedup of chunks, a
+    // shuffle to an embedding stage) moves fixed-width columns.
+    "q_chunk" -> ((s, d) => {
+      val size = 120
+      val stride = 80
+      val nChunks = lit(1L) + greatest(lit(0L),
+        ceil((length(col("text")) - lit(size)).cast("double") / stride)
+          .cast("long"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text"), nChunks.as("n_chunks"))
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+        .withColumn("chunk",
+          col("text").substr(col("chunk_id").cast("int") * stride + 1,
+            lit(size)))
+        .select(col("doc_id"), col("chunk_id"),
+          length(col("chunk")).as("chunk_chars"),
+          md5(col("chunk").cast("binary")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // Training-shard packing: per language, pack documents (in doc_id
     // order) into ~4k-token shards by running token count — the
     // dataloader-sharding step after curation. The running sum is a
@@ -2013,11 +2089,12 @@ object SparkEntry {
       val li = t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"), col("l_extendedprice"))
-      // per-application path: two JVMs on the same machine + sfDir
-      // must not race overwrite-vs-read on a shared directory (and an
-      // sfDir hashCode collision must not serve the wrong dataset)
-      val path = s"${sys.props("java.io.tmpdir")}/graft_zorder_" +
-        s"${s.sparkContext.applicationId}_${math.abs(d.hashCode.toLong)}"
+      // per-application path under the per-user 0700 scratch root: two
+      // JVMs on the same machine + sfDir must not race
+      // overwrite-vs-read on a shared directory (and an sfDir hashCode
+      // collision must not serve the wrong dataset)
+      val path = ops.StorageOps.scratchPath(
+        s"zorder_${s.sparkContext.applicationId}_${math.abs(d.hashCode.toLong)}")
       ops.StorageOps.zorderWrite(li, path, "l_partkey", "l_suppkey", 16)
       s.read.parquet(path)
         .filter(col("l_partkey") <= 200 && col("l_suppkey") <= 20)
@@ -3032,6 +3109,26 @@ object SparkEntry {
          |  round(pow((${knuthHashSql("doc_id")} + 1)
          |    / 4294967296.0, 1.0 / n_chars), 10) AS k
          |FROM documents ORDER BY k DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_weighted_stratified" ->
+      s"""SELECT lang, rnk, doc_id, k FROM (
+         |  SELECT lang, doc_id, k,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY k DESC, doc_id) AS rnk
+         |  FROM (SELECT lang, doc_id,
+         |          round(pow((${knuthHashSql("doc_id")} + 1)
+         |            / 4294967296.0, 1.0 / n_chars), 10) AS k
+         |        FROM documents))
+         |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+
+    "q_chunk" ->
+      """SELECT doc_id, i AS chunk_id,
+        |  length(substring(text, cast(i*80+1 as int), 120)) AS chunk_chars,
+        |  md5(substring(text, cast(i*80+1 as int), 120)) AS chunk_md5
+        |FROM documents, LATERAL unnest(generate_series(0,
+        |  greatest(0, cast(ceil((length(text)-120)/80.0) as bigint))))
+        |  AS t(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "pipeline_shard" ->
       s"""WITH c AS (

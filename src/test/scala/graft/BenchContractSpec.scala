@@ -24,8 +24,10 @@ class BenchContractSpec extends AnyFunSuite {
     val estimate = fixed + perQuery
     info(s"estimated worst-case line: $estimate chars " +
       s"(${SparkEntry.queries.size} queries)")
-    assert(estimate < 1700,
+    // runtime gate is 1800 (see Bench.scala — with StdoutOutput only
+    // sbt's ~60-char [success] footer follows the line in the tail)
+    assert(estimate < 1800,
       s"estimated bench line $estimate chars would trip the runtime " +
-        "1700-char gate — widen the abbreviation map before adding queries")
+        "1800-char gate — widen the abbreviation map before adding queries")
   }
 }
