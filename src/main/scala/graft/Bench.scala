@@ -112,7 +112,8 @@ object Bench {
     "q_union" -> "uni", "q_stats" -> "sts", "q_pivot" -> "pvt",
     "q_weighted_sample" -> "wsm", "ann_ivfpq" -> "a_ip",
     "ann_ivfpq_index" -> "aipx", "q_weighted_stratified" -> "wst",
-    "q_chunk" -> "chk")
+    "q_chunk" -> "chk", "multimodal_phash" -> "m_ph",
+    "pipeline_pack" -> "p_pk", "dedup_substrings" -> "d_sub")
 
   private[graft] def shortKey(name: String): String =
     exactKeys.getOrElse(name, Seq(

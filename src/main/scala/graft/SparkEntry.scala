@@ -1932,6 +1932,64 @@ object SparkEntry {
         .orderBy(col("lang"), col("shard_id"))
     }),
 
+    // Sequence packing: q_chunk's bounded chunks greedily packed into
+    // ~512-token training sequences per language (running token sum →
+    // sequence id) — the chunk/pack composition a pretraining
+    // dataloader runs after curation. Chunking bounds every unit at
+    // 120 chars, so unlike whole-doc sharding no single document can
+    // overflow a sequence. The chunk step is shuffle-free; packing is
+    // one shuffle on lang (at 100 TB the key widens to (lang, bucket)
+    // exactly like pipeline_shard, same trade documented there).
+    "pipeline_pack" -> ((s, d) => {
+      val size = 120
+      val stride = 80
+      val nChunks = lit(1L) + greatest(lit(0L),
+        ceil((length(col("text")) - lit(size)).cast("double") / stride)
+          .cast("long"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .select(col("lang"), col("doc_id"), col("text"),
+          nChunks.as("n_chunks"))
+        .select(col("lang"), col("doc_id"), col("text"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+        .withColumn("n_tokens", TextOps.tokenCount(
+          col("text").substr(col("chunk_id").cast("int") * stride + 1,
+            lit(size))))
+        .withColumn("seq_id",
+          floor((sum(col("n_tokens")).over(w) - 1) / 512.0).cast("bigint"))
+        .groupBy(col("lang"), col("seq_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("seq_tokens"))
+        .orderBy(col("lang"), col("seq_id"))
+    }),
+
+    // Cross-document repeated-span detection: word 8-grams appearing
+    // in >= 2 distinct documents — the repeated-substring signal that
+    // surfaces boilerplate and near-duplicate passages (the planted
+    // near-dups in this corpus light it up). All codegen'd built-ins
+    // (split / transform / slice / array_join); the df-style HAVING
+    // n_docs >= 2 prunes the long unique tail before the top-k, and at
+    // 100 TB the gram string is replaced by its xxhash64 so the
+    // shuffle moves 8-byte keys (same trade as dedup_canonical,
+    // documented in PLANS.md).
+    "dedup_substrings" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 8) // Spark sequence() would reverse
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("w")) - 8),
+          i => array_join(slice(col("w"), i + lit(1), lit(8)), " ")))
+          .as("gram"))
+        .groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n").desc, col("gram"))
+        .limit(50)
+    }),
+
     // The COMPOSED end-to-end pipeline: quality gate → exact dedup →
     // eval-set decontamination → PII redaction → deterministic mixture
     // sampling → per-language shard packing, as one declared query.
@@ -2075,6 +2133,20 @@ object SparkEntry {
           col("doc_id"),
           octet_length(col("text")).cast("bigint").as("n_bytes"),
           sha2(col("text").cast("binary"), 256).as("content_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Perceptual-hash near-duplicate detection over binary payloads —
+    // the image analogue of dedup_simhash: a stubbed average-hash (64
+    // sampled "pixels", mean threshold; a real codec swaps into the
+    // same partition-wise batch), 8×8-bit banded blocking, exact
+    // Hamming verify ≤ 7. Candidate volume is bucket-bounded, the
+    // verify moves only 16-byte (id, hash) pairs — payload bytes never
+    // shuffle. Rows-only; planted-duplicate detection and determinism
+    // are MultimodalSpec-gated.
+    "multimodal_phash" -> ((s, d) => {
+      ops.Multimodal.phashDupSummary(s,
+        ops.Multimodal.mediaTable(t(s, d, "documents")))
         .orderBy(col("doc_id"))
     }),
 
@@ -3129,6 +3201,36 @@ object SparkEntry {
         |  greatest(0, cast(ceil((length(text)-120)/80.0) as bigint))))
         |  AS t(i)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "pipeline_pack" ->
+      """WITH ch AS (
+        |  SELECT lang, doc_id, i AS chunk_id,
+        |    cast(len(string_split(
+        |      substring(text, cast(i*80+1 as int), 120), ' '))
+        |      as bigint) AS n_tokens
+        |  FROM documents, LATERAL unnest(generate_series(0,
+        |    greatest(0, cast(ceil((length(text)-120)/80.0) as bigint))))
+        |    AS t(i)
+        |), cum AS (
+        |  SELECT lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY doc_id, chunk_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM ch)
+        |SELECT lang, cast(floor((c - 1) / 512.0) as bigint) AS seq_id,
+        |  count(*) AS n_chunks, cast(sum(n_tokens) as bigint) AS seq_tokens
+        |FROM cum GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin,
+
+    "dedup_substrings" ->
+      """WITH g AS (
+        |  SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |        FROM documents) d,
+        |       LATERAL unnest(generate_series(1, len(w) - 7)) AS t(i)
+        |)
+        |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n
+        |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n DESC, gram LIMIT 50""".stripMargin,
 
     "pipeline_shard" ->
       s"""WITH c AS (

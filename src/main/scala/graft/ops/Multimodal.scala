@@ -122,6 +122,79 @@ object Multimodal {
     * contract survive unchanged. */
   case class MediaFeatures(doc_id: Long, feature: Array[Float])
 
+  /** Perceptual 64-bit hash row. */
+  case class MediaHash(doc_id: Long, phash: Long)
+
+  /** STUB perceptual hash (average-hash shape): stands in for
+    * decode → grayscale → 8×8 downsample → mean-threshold. Samples 64
+    * deterministic "pixels" from the payload (the unsigned byte at
+    * offset floor(i·len/64)), thresholds at their mean, packs 64 bits.
+    * Identical payloads collide exactly, and a small payload edit
+    * flips few sampled pixels, so near-identical images land within a
+    * small Hamming distance — the property the banded blocking in
+    * [[phashDupSummary]] exploits. A real deployment swaps the pixel
+    * source for a codec call inside the same partition-wise batch;
+    * the packing, banding, and verification are unchanged. */
+  def perceptualHashAll(spark: SparkSession,
+      media: DataFrame): Dataset[MediaHash] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val len = r.content.length
+        val px = new Array[Int](64)
+        var i = 0
+        while (i < 64) {
+          px(i) = if (len == 0) 0 else r.content(i * len / 64) & 0xff
+          i += 1
+        }
+        val mean = px.sum.toDouble / 64.0
+        var h = 0L
+        i = 0
+        while (i < 64) {
+          if (px(i) > mean) h |= (1L << i)
+          i += 1
+        }
+        MediaHash(r.doc_id, h)
+      }
+    }
+  }
+
+  /** Per-image near-dup summary over perceptual hashes: 8×8-bit banded
+    * blocking (any pair within Hamming 7 shares ≥1 band — pigeonhole)
+    * + exact Hamming verify — the image analogue of
+    * [[DedupOps.simhashSummary]], over binary payloads. Stable
+    * one-row-per-image shape; hot buckets capped at `maxBucket`. */
+  def phashDupSummary(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 7, maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming <= 7,
+      "8x8-bit banding only guarantees pairs within Hamming 7")
+    val withH = perceptualHashAll(spark, media).toDF("doc_id", "phash")
+    val bandVals = (0 until 8).map(b =>
+      shiftrightunsigned(col("phash"), b * 8).bitwiseAND(lit(0xffL)))
+    val banded = withH
+      .select(col("doc_id"), posexplode(array(bandVals: _*)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_val")
+    val pairs = DedupOps.bucketPairs(banded,
+      Seq(col("band_id"), col("band_val")), "doc_id",
+      minN = 2, maxN = maxBucket)
+    val verified = pairs
+      .join(withH.select(col("doc_id").as("a"), col("phash").as("ph_a")),
+        Seq("a"))
+      .join(withH.select(col("doc_id").as("b"), col("phash").as("ph_b")),
+        Seq("b"))
+      .filter(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= maxHamming)
+    // pairs are a<b; explode both directions for the per-image view
+    val sym = verified.select(explode(array(
+        struct(col("a").as("id")), struct(col("b").as("id")))).as("e"))
+      .select(col("e.id").as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_near"))
+    withH
+      .join(sym, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), col("phash"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+  }
+
   def featureExtractAll(spark: SparkSession, media: DataFrame,
       dim: Int = 16): Dataset[MediaFeatures] = {
     import spark.implicits._

@@ -54,6 +54,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("perceptual hash: deterministic; planted byte-identical payloads collide") {
+    import spark.implicits._
+    val base = Multimodal.mediaTable(Tables.documents(spark, Sf0001)
+      .limit(100))
+    // plant an exact duplicate of doc 0's payload under a fresh id
+    val dup = base.filter(col("doc_id") === 0)
+      .select(lit(100000L).as("doc_id"), col("content"))
+    val media = base.union(dup)
+    val hashes = Multimodal.perceptualHashAll(spark, media)
+      .collect().map(h => h.doc_id -> h.phash).toMap
+    assert(hashes(100000L) == hashes(0L),
+      "identical payloads must hash identically")
+    val again = Multimodal.perceptualHashAll(spark, media)
+      .collect().map(h => h.doc_id -> h.phash).toMap
+    assert(again == hashes, "phash must be deterministic")
+
+    val sum = Multimodal.phashDupSummary(spark, media)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sum.size == 101, "one row per image, always")
+    assert(sum(0L) >= 1 && sum(100000L) >= 1,
+      s"planted duplicate not detected: ${sum(0L)}, ${sum(100000L)}")
+  }
+
   test("feature extraction: unit-norm, deterministic, feeds cosine ANN") {
     val media = Multimodal.mediaTable(Tables.documents(spark, Sf0001)
       .limit(100))
