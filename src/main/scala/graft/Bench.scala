@@ -113,7 +113,8 @@ object Bench {
     "q_weighted_sample" -> "wsm", "ann_ivfpq" -> "a_ip",
     "ann_ivfpq_index" -> "aipx", "q_weighted_stratified" -> "wst",
     "q_chunk" -> "chk", "multimodal_phash" -> "m_ph",
-    "pipeline_pack" -> "p_pk", "dedup_substrings" -> "d_sub")
+    "pipeline_pack" -> "p_pk", "dedup_substrings" -> "d_sub",
+    "pipeline_decon_bloom" -> "p_db")
 
   private[graft] def shortKey(name: String): String =
     exactKeys.getOrElse(name, Seq(

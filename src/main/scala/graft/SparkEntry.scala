@@ -1011,6 +1011,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Decontamination behind a BLOOM-GATED first stage: the eval set's
+    // shingle hashes compress to a broadcast bloom filter, the corpus
+    // gram stream is pruned map-side inside codegen (no false
+    // negatives possible), and only the surviving sliver reaches the
+    // exact join — the shape that scales to an eval set too large to
+    // broadcast as a hash table. Byte-identical to
+    // pipeline_decontaminate (spec-gated equality); rows-only here
+    // (xxhash shingles are not DuckDB-reproducible, same as the exact
+    // variant).
+    "pipeline_decon_bloom" -> ((s, d) => {
+      val all = t(s, d, "documents")
+      val evalSet = all.filter(pmod(col("doc_id"), lit(50)) === 0)
+      val corpus = all.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      ops.DedupOps.evalOverlapBloom(corpus, evalSet, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Full SQL path: Spark's parser + analyzer over registered temp
     // views, with graft's native expressions available as SQL functions
     // (the reference has no SQL surface at all — SURVEY §3).
@@ -1867,9 +1884,10 @@ object SparkEntry {
     // ranked WITHIN language — 5 docs per stratum, inclusion
     // probability proportional to n_chars inside each language, so a
     // small language is never crowded out by a large one. One shuffle
-    // on lang; at 100 TB the per-group top-k swaps the window for the
-    // bounded TopK aggregator exactly like q_topk_agg (same oracle
-    // shape), so no group ever sorts its full membership.
+    // on lang, and the plan's partial WindowGroupLimit (Spark's
+    // rank-limit pushdown) caps the map side at 5 rows per (partition,
+    // lang) BEFORE the exchange — the bounded top-k path is automatic
+    // here, no full group membership ever sorts or shuffles.
     "q_weighted_stratified" -> ((s, d) => {
       val u = (knuthHash(col("doc_id")) + 1) / lit(4294967296.0)
       val w = Window.partitionBy(col("lang"))

@@ -214,6 +214,51 @@ object DedupOps {
           .as("contaminated"))
   }
 
+  /** [[evalOverlap]] with a BLOOM-GATED first stage — the
+    * large-eval-set / incremental shape. The eval set's distinct
+    * shingle hashes compress into a bloom filter (~1.2 MB at 1M grams,
+    * 1% fpp — vs broadcasting the full hash table), the corpus-side
+    * gram stream drops every hash the filter rejects MAP-SIDE before
+    * any join, and only the surviving sliver joins the exact eval
+    * grams to kill the false positives. Output is IDENTICAL to
+    * [[evalOverlap]] (spec-gated): the bloom has no false negatives by
+    * construction, and its false positives die in the exact join. The
+    * filter bytes are a reusable artifact — build once per eval-set
+    * release, decontaminate every new corpus batch against it with no
+    * eval re-read (the probe is a broadcast literal inside codegen,
+    * same machinery as Spark's runtime bloom join gates). */
+  def evalOverlapBloom(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3,
+      minOverlap: Int = 2, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    def grams(df: DataFrame) =
+      HashFunctions.shingleHashes(tokens(col(textCol)), shingleN)
+    val evalGrams = evalSet.select(explode(grams(evalSet)).as("g"))
+      .distinct()
+      .localCheckpoint(true) // referenced twice: filter build + exact join
+    val nGrams = math.max(1L, evalGrams.count())
+    val bf = evalGrams.stat.bloomFilter("g", nGrams, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val gate = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bos.toByteArray, BinaryType),
+      ColumnBridge.expression(col("g"))))
+    val candidates = corpus
+      .select(col(idCol), explode(grams(corpus)).as("g"))
+      .filter(gate)
+    val overlap = candidates.join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col(idCol))
+      .join(overlap, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap)
+          .as("contaminated"))
+  }
+
   /** Incremental near-dup pairs: a NEW batch against an existing corpus
     * represented ONLY by its persisted sketch tables ([[minhashBands]] +
     * [[shingleSets]]) — no corpus text is re-read, no corpus re-sketch.

@@ -168,7 +168,12 @@ object Multimodal {
       maxHamming: Int = 7, maxBucket: Int = 1000): DataFrame = {
     require(maxHamming <= 7,
       "8x8-bit banding only guarantees pairs within Hamming 7")
+    // (id, phash) is 16 bytes/image and referenced four times (banding,
+    // two verification joins, final summary join) — materialize the one
+    // full-corpus decode+hash pass instead of re-running it per
+    // reference (same trade as DedupOps.simhashSummary)
     val withH = perceptualHashAll(spark, media).toDF("doc_id", "phash")
+      .localCheckpoint(true)
     val bandVals = (0 until 8).map(b =>
       shiftrightunsigned(col("phash"), b * 8).bitwiseAND(lit(0xffL)))
     val banded = withH

@@ -45,6 +45,22 @@ class ContaminationAndPiiSpec extends SparkSpec {
     assert(got.keySet.size == corpus.count())
   }
 
+  test("evalOverlapBloom is byte-identical to evalOverlap") {
+    val docs = graft.Tables.documents(spark, Sf0001)
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val exact = toMap(
+      DedupOps.evalOverlap(corpus, evalSet, "doc_id", "text"))
+    val bloom = toMap(
+      DedupOps.evalOverlapBloom(corpus, evalSet, "doc_id", "text"))
+    assert(bloom == exact,
+      "bloom gate must not change the decontamination result")
+    assert(exact.values.exists(_._2), "fixture must contain contamination")
+  }
+
   test("evalOverlap flags a planted leak and clears unrelated docs") {
     val evalSet = Seq((900L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")
