@@ -2157,8 +2157,9 @@ object SparkEntry {
     // Perceptual-hash near-duplicate detection over binary payloads —
     // the image analogue of dedup_simhash: a stubbed average-hash (64
     // sampled "pixels", mean threshold; a real codec swaps into the
-    // same partition-wise batch), 8×8-bit banded blocking, exact
-    // Hamming verify ≤ 7. Candidate volume is bucket-bounded, the
+    // same partition-wise batch), 4×16-bit banded blocking, exact
+    // Hamming verify ≤ 3 (simhash's discipline; 8-bit bands measured
+    // quadratic — see scaladoc). Candidate volume is bucket-bounded, the
     // verify moves only 16-byte (id, hash) pairs — payload bytes never
     // shuffle. Rows-only; planted-duplicate detection and determinism
     // are MultimodalSpec-gated.

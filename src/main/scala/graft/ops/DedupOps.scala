@@ -230,24 +230,15 @@ object DedupOps {
   def evalOverlapBloom(corpus: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3,
       minOverlap: Int = 2, fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    import org.apache.spark.sql.types.BinaryType
     def grams(df: DataFrame) =
       HashFunctions.shingleHashes(tokens(col(textCol)), shingleN)
     val evalGrams = evalSet.select(explode(grams(evalSet)).as("g"))
       .distinct()
       .localCheckpoint(true) // referenced twice: filter build + exact join
-    val nGrams = math.max(1L, evalGrams.count())
-    val bf = evalGrams.stat.bloomFilter("g", nGrams, fpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
-    val gate = ColumnBridge.column(BloomFilterMightContain(
-      Literal(bos.toByteArray, BinaryType),
-      ColumnBridge.expression(col("g"))))
     val candidates = corpus
       .select(col(idCol), explode(grams(corpus)).as("g"))
-      .filter(gate)
+      .filter(bloomMightContain(
+        buildEvalBloom(evalGrams, fpp), col("g")))
     val overlap = candidates.join(broadcast(evalGrams), Seq("g"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
@@ -257,6 +248,35 @@ object DedupOps {
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         (coalesce(col("n_overlap"), lit(0L)) >= minOverlap)
           .as("contaminated"))
+  }
+
+  /** Serialized bloom filter over a one-column frame of gram hashes —
+    * the reusable per-eval-release decontamination artifact. Persist
+    * the bytes once (e.g. under [[StorageOps.scratchPath]] keyed by
+    * the eval set's content signature) and probe every later corpus
+    * batch with [[bloomMightContain]] without re-reading the eval
+    * set. */
+  def buildEvalBloom(evalGrams: DataFrame, fpp: Double = 0.01,
+      col0: String = "g"): Array[Byte] = {
+    val nGrams = math.max(1L, evalGrams.count())
+    val bf = evalGrams.stat.bloomFilter(col0, nGrams, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Codegen'd membership probe of a long column against serialized
+    * bloom bytes (Catalyst's own BloomFilterMightContain — the same
+    * machinery as Spark's runtime bloom join gates; the filter rides
+    * as a broadcast literal). */
+  def bloomMightContain(filterBytes: Array[Byte],
+      value: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(filterBytes, BinaryType),
+      ColumnBridge.expression(value)))
   }
 
   /** Incremental near-dup pairs: a NEW batch against an existing corpus

@@ -159,23 +159,27 @@ object Multimodal {
     }
   }
 
-  /** Per-image near-dup summary over perceptual hashes: 8×8-bit banded
-    * blocking (any pair within Hamming 7 shares ≥1 band — pigeonhole)
-    * + exact Hamming verify — the image analogue of
-    * [[DedupOps.simhashSummary]], over binary payloads. Stable
+  /** Per-image near-dup summary over perceptual hashes: 4×16-bit
+    * banded blocking (any pair within Hamming 3 shares ≥1 band —
+    * pigeonhole) + exact Hamming verify — the image analogue of
+    * [[DedupOps.simhashSummary]], over binary payloads, with the same
+    * band discipline. (8-bit bands were tried first and rejected:
+    * only 256 bucket values per band makes bucket size ~N/200 and
+    * candidate volume quadratic — 3.7M pairs from 5k images at
+    * sf0.1; 16-bit bands cut it 55× to 67k.) Stable
     * one-row-per-image shape; hot buckets capped at `maxBucket`. */
   def phashDupSummary(spark: SparkSession, media: DataFrame,
-      maxHamming: Int = 7, maxBucket: Int = 1000): DataFrame = {
-    require(maxHamming <= 7,
-      "8x8-bit banding only guarantees pairs within Hamming 7")
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming <= 3,
+      "4x16-bit banding only guarantees pairs within Hamming 3")
     // (id, phash) is 16 bytes/image and referenced four times (banding,
     // two verification joins, final summary join) — materialize the one
     // full-corpus decode+hash pass instead of re-running it per
     // reference (same trade as DedupOps.simhashSummary)
     val withH = perceptualHashAll(spark, media).toDF("doc_id", "phash")
       .localCheckpoint(true)
-    val bandVals = (0 until 8).map(b =>
-      shiftrightunsigned(col("phash"), b * 8).bitwiseAND(lit(0xffL)))
+    val bandVals = (0 until 4).map(b =>
+      shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xffffL)))
     val banded = withH
       .select(col("doc_id"), posexplode(array(bandVals: _*)))
       .withColumnRenamed("pos", "band_id")

@@ -61,6 +61,24 @@ class ContaminationAndPiiSpec extends SparkSpec {
     assert(exact.values.exists(_._2), "fixture must contain contamination")
   }
 
+  test("bloom artifact round-trips through bytes: persisted filter == fresh filter") {
+    import spark.implicits._
+    val grams = (1L to 5000L).map(_ * 2654435761L).toDF("g")
+    val bytes = DedupOps.buildEvalBloom(grams, fpp = 0.01)
+    // persist + reload (the per-eval-release artifact flow)
+    val p = java.nio.file.Files.createTempFile("graft-bloom", ".bin")
+    java.nio.file.Files.write(p, bytes)
+    val reloaded = java.nio.file.Files.readAllBytes(p)
+    // no false negatives through the round-trip: every member hits
+    val members = grams.filter(
+      DedupOps.bloomMightContain(reloaded, col("g"))).count()
+    assert(members == 5000L, s"bloom dropped ${5000 - members} members")
+    // and the fpp bound roughly holds on non-members
+    val nonMembers = (1L to 5000L).map(_ * 7919L + 3L).toDF("g")
+      .filter(DedupOps.bloomMightContain(reloaded, col("g"))).count()
+    assert(nonMembers < 250, s"bloom fp count $nonMembers out of bound")
+  }
+
   test("evalOverlap flags a planted leak and clears unrelated docs") {
     val evalSet = Seq((900L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")
