@@ -59,11 +59,16 @@ object SparkEntry {
 
   /** The same arithmetic as [[knuthHash]], spelled out for the DuckDB
     * oracle mirrors. Kept adjacent so the two definitions cannot
-    * drift silently. */
-  private[graft] def knuthHashSql(c: String): String =
-    s"(((($c % 4294967296) & 65535) * 2654435761 + " +
-      s"(((($c % 4294967296) >> 16) * 2654435761) % 65536) * 65536) " +
+    * drift silently. SQL `%` keeps the dividend's sign while
+    * [[knuthHash]] uses pmod, so the id reduction is double-modded to
+    * stay non-negative for negative ids too (every later operand is
+    * then non-negative, matching the Column form bit for bit). */
+  private[graft] def knuthHashSql(c: String): String = {
+    val x = s"(($c % 4294967296 + 4294967296) % 4294967296)"
+    s"((($x & 65535) * 2654435761 + " +
+      s"((($x >> 16) * 2654435761) % 65536) * 65536) " +
       "% 4294967296)"
+  }
 
   private def knuthBucket(c: Column, n: Int): Column =
     pmod(knuthHash(c), lit(n))
@@ -1563,18 +1568,21 @@ object SparkEntry {
     // probe cells resolve to a static partition filter, so the scan
     // reads only nprobe/nlist of the files. The cache path is keyed on
     // a CONTENT signature of the source parquet (names + lengths +
-    // mtimes), so regenerated data at the same path gets a new key and
-    // a fresh index — a stale index can never be served. Rows-only.
+    // mtimes) PLUS the build params and format version — regenerated
+    // data, a parameter change, or an algorithm bump each get a fresh
+    // index; the write is atomic (scratch dir + rename) so a crashed
+    // or concurrent writer can never leave a partial artifact that
+    // exists() would then trust. Rows-only.
     "ann_ivf_index" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val model = ops.AnnOps.cachedIvf(s, s"$d/embeddings.parquet", emb,
         "vec_id", "embedding", nlist = 8)
       val sig = ops.StorageOps.contentSignature(s, s"$d/embeddings.parquet")
       val path = ops.StorageOps.scratchPath(
-        s"ivf-index-${java.lang.Long.toHexString(sig)}")
-      if (!new java.io.File(path).exists()) {
-        ops.AnnOps.writeIvfIndex(emb, "vec_id", "embedding", model, path)
-      }
+        s"ivf-index-${ops.AnnOps.ModelFormatVersion}_n8_" +
+          java.lang.Long.toHexString(sig))
+      ops.AnnOps.ensureIndex(path)(tmp =>
+        ops.AnnOps.writeIvfIndex(emb, "vec_id", "embedding", model, tmp))
       ops.AnnOps.ivfTopKFromIndex(s, path, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", model, k = 10, nprobe = 3)
         .orderBy(col("query_id"), col("rank"))
@@ -1585,9 +1593,12 @@ object SparkEntry {
     // cell, a probe is a partition-pruned scan of nprobe/nlist cell
     // directories reading m code ints per candidate, and the refine*k
     // shortlist fetches true vectors from the CORPUS by id. Index and
-    // models are keyed on the content signature, so regenerated data
-    // can never be served a stale layout. Rows-only (recall gated in
-    // AnnOpsSpec, equality-vs-in-memory too).
+    // models are keyed on the content signature + build params +
+    // format version, and the index write is atomic (scratch dir +
+    // rename) — regenerated data, changed params, an algorithm bump,
+    // or a crashed writer can never serve a stale or partial layout.
+    // Rows-only (recall gated in AnnOpsSpec, equality-vs-in-memory
+    // too).
     "ann_ivfpq_index" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val src = s"$d/embeddings.parquet"
@@ -1597,10 +1608,10 @@ object SparkEntry {
         m = 8, k = 64)
       val sig = ops.StorageOps.contentSignature(s, src)
       val path = ops.StorageOps.scratchPath(
-        s"ivfpq-index-${java.lang.Long.toHexString(sig)}")
-      if (!new java.io.File(path).exists()) {
-        ops.AnnOps.writeIvfPqIndex(emb, "vec_id", "embedding", ivf, pq, path)
-      }
+        s"ivfpq-index-${ops.AnnOps.ModelFormatVersion}_n8_m8_k64_" +
+          java.lang.Long.toHexString(sig))
+      ops.AnnOps.ensureIndex(path)(tmp =>
+        ops.AnnOps.writeIvfPqIndex(emb, "vec_id", "embedding", ivf, pq, tmp))
       ops.AnnOps.ivfPqTopKFromIndex(s, path, emb,
         emb.filter(col("vec_id") < 5), "vec_id", "embedding", ivf, pq,
         k = 10, nprobe = 6, refine = 8)

@@ -295,11 +295,19 @@ object AnnOps {
       path: String, queries: DataFrame, idCol: String, vecCol: String,
       model: IvfModel, k: Int, nprobe: Int = 2): DataFrame = {
     val probes = probeRows(queries, idCol, vecCol, model, nprobe)
+    ivfTail(prunedIndexScan(spark, path, probes), probes, k)
+  }
+
+  /** Scan a cell-partitioned index with the probe set resolved to a
+    * STATIC partition filter: probe cids are metadata-sized (collected
+    * deterministically), so the scan lists only the probed cell
+    * directories. Shared by the IVF and IVF-PQ persisted paths. */
+  private def prunedIndexScan(spark: org.apache.spark.sql.SparkSession,
+      path: String, probes: DataFrame): DataFrame = {
     val probeCids = probes.select(col("cid")).distinct()
-      .collect().map(_.getInt(0)).sorted // metadata-sized, deterministic
-    val assigned = spark.read.parquet(path)
+      .collect().map(_.getInt(0)).sorted
+    spark.read.parquet(path)
       .filter(col("cid").isin(probeCids.toIndexedSeq.map(Integer.valueOf): _*))
-    ivfTail(assigned, probes, k)
   }
 
   /** (id, vec, band_id, band_val) rows for hyperplane-LSH blocking. */
@@ -371,40 +379,53 @@ object AnnOps {
     * (Float.toString round-trips exactly), temp-file + atomic rename
     * so concurrent JVMs never read a half-written model.
     *
-    * The directory is per-user and created 0700 (like
-    * spark.local.dir's per-app dirs) so another local user can
-    * neither read the models nor pre-plant files this framework
-    * would trust; each cache key carries a `_v1` format token so a
-    * change to the build algorithm or line format bumps the version
-    * and can never deserialize a stale-layout file. */
-  private val modelCacheDir =
-    s"${sys.props("java.io.tmpdir")}/graft-model-cache-${sys.props("user.name")}"
+    * The cache lives under [[StorageOps.scratchPath]]'s per-user 0700
+    * root (the root's mode protects every artifact beneath it — one
+    * hardening site, not two) so another local user can neither read
+    * the models nor pre-plant files this framework would trust; each
+    * cache key carries a `_v1` format token so a change to the build
+    * algorithm or line format bumps the version and can never
+    * deserialize a stale-layout file. */
+  private def modelCacheDir = StorageOps.scratchPath("model-cache")
 
-  /** Bump when buildIvf/buildPq or the model line format changes. */
-  private val ModelFormatVersion = "v1"
+  /** Bump when buildIvf/buildPq or the model line format changes.
+    * Persisted index layouts embed it in their paths too, so an
+    * algorithm change can never be served a stale on-disk index. */
+  private[graft] val ModelFormatVersion = "v1"
+
+  /** Materialize a persisted index layout at `path` exactly once,
+    * ATOMICALLY: the layout is written to a scratch sibling and
+    * directory-renamed into place, so a crashed writer can never
+    * leave a partial artifact that `exists()` would then trust
+    * forever, and two concurrent JVMs cannot overwrite-vs-scan race
+    * (the rename loser just discards its copy) — the same discipline
+    * as the model cache's temp-file + atomic rename. */
+  def ensureIndex(path: String)(write: String => Unit): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val target = Paths.get(path)
+    if (!Files.exists(target)) {
+      val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString
+      write(tmp)
+      try Files.move(Paths.get(tmp), target,
+        StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case (_: java.nio.file.FileAlreadyExistsException) |
+             (_: java.nio.file.DirectoryNotEmptyException) |
+             (_: java.nio.file.AccessDeniedException) =>
+          // another JVM won the race; discard our copy
+          Files.walk(Paths.get(tmp))
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.deleteIfExists(f))
+      }
+    }
+  }
 
   private def modelFile(key: String) =
     java.nio.file.Paths.get(modelCacheDir, s"$key.txt")
 
-  private def createCacheDir(): java.nio.file.Path = {
-    val dir = java.nio.file.Paths.get(modelCacheDir)
-    try {
-      import java.nio.file.attribute.PosixFilePermissions
-      java.nio.file.Files.createDirectories(dir,
-        PosixFilePermissions.asFileAttribute(
-          PosixFilePermissions.fromString("rwx------")))
-      // createDirectories ignores the attribute when the dir already
-      // exists — re-assert so a pre-existing open dir is closed too
-      java.nio.file.Files.setPosixFilePermissions(dir,
-        PosixFilePermissions.fromString("rwx------"))
-    } catch { case _: UnsupportedOperationException =>
-      java.nio.file.Files.createDirectories(dir) // non-POSIX FS
-    }
-    dir
-  }
-
   private def saveRows(key: String, rows: Seq[String]): Unit = {
-    val dir = createCacheDir()
+    val dir = java.nio.file.Paths.get(modelCacheDir)
+    java.nio.file.Files.createDirectories(dir)
     val tmp = java.nio.file.Files.createTempFile(dir, key, ".tmp")
     java.nio.file.Files.write(tmp,
       rows.mkString("\n").getBytes("UTF-8"))
@@ -630,12 +651,8 @@ object AnnOps {
       nprobe: Int = 2, refine: Int = 4): DataFrame = {
     val probes = probeRows(queries, idCol, vecCol, ivf, nprobe)
       .select(col("query_id"), col("cid"))
-    val probeCids = probes.select(col("cid")).distinct()
-      .collect().map(_.getInt(0)).sorted // metadata-sized, deterministic
-    val encoded = spark.read.parquet(path)
-      .filter(col("cid").isin(probeCids.toIndexedSeq.map(Integer.valueOf): _*))
-    adcRerank(encoded, probes, queries, idCol, vecCol, pq, corpus,
-      k, refine)
+    adcRerank(prunedIndexScan(spark, path, probes), probes, queries,
+      idCol, vecCol, pq, corpus, k, refine)
   }
 
   /** PQ asymmetric-distance top-k with exact re-ranking.

@@ -355,10 +355,24 @@ object DedupOps {
     val withSh = docs.select(col(idCol),
       HashFunctions.simhash64(tokens(col(textCol))).as("simhash"))
       .localCheckpoint(true)
-    // 4 bands of 16 bits: any pair within Hamming 3 shares ≥1 band.
+    hammingNearDupSummary(withSh, idCol, "simhash", maxHamming, maxBucket)
+  }
+
+  /** Shared banded-Hamming near-dup tail over any (id, 64-bit hash)
+    * frame: 4×16-bit band blocking (any pair within Hamming 3 shares
+    * ≥1 band — pigeonhole), capped bucket expansion, popcount
+    * verification over re-joined hashes, symmetric per-id counts.
+    * Callers ([[simhashSummary]], `Multimodal.phashDupSummary`) pass a
+    * MATERIALIZED hash frame — it is referenced three more times
+    * here. */
+  private[ops] def hammingNearDupSummary(withHash: DataFrame,
+      idCol: String, hashCol: String, maxHamming: Int,
+      maxBucket: Int): DataFrame = {
+    require(maxHamming <= 3,
+      "4x16-bit banding only guarantees pairs within Hamming 3")
     val bandVals = (0 until 4).map(b =>
-      shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)))
-    val banded = withSh.select(col(idCol),
+      shiftrightunsigned(col(hashCol), b * 16).bitwiseAND(lit(0xffffL)))
+    val banded = withHash.select(col(idCol),
       posexplode(array(bandVals: _*)))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_val")
@@ -368,15 +382,15 @@ object DedupOps {
     val pairs = bucketPairs(banded, Seq(col("band_id"), col("band_val")),
       idCol, minN = 2, maxN = maxBucket)
     val near = pairs
-      .join(withSh.select(col(idCol).as("a"), col("simhash").as("sh_a")),
+      .join(withHash.select(col(idCol).as("a"), col(hashCol).as("h_a")),
         Seq("a"))
-      .join(withSh.select(col(idCol).as("b"), col("simhash").as("sh_b")),
+      .join(withHash.select(col(idCol).as("b"), col(hashCol).as("h_b")),
         Seq("b"))
-      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming)
+      .filter(bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= maxHamming)
     val sym = near.select(explode(array(col("a"), col("b"))).as("id"))
     val counts = sym.groupBy(col("id")).agg(count(lit(1)).as("n_near"))
-    withSh.join(counts.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .select(col(idCol), col("simhash"),
+    withHash.join(counts.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col(hashCol),
         coalesce(col("n_near"), lit(0L)).as("n_near"))
   }
 

@@ -144,7 +144,10 @@ object Multimodal {
         val px = new Array[Int](64)
         var i = 0
         while (i < 64) {
-          px(i) = if (len == 0) 0 else r.content(i * len / 64) & 0xff
+          // long arithmetic: i * len overflows Int past ~34 MB payloads
+          px(i) =
+            if (len == 0) 0
+            else r.content((i.toLong * len / 64).toInt) & 0xff
           i += 1
         }
         val mean = px.sum.toDouble / 64.0
@@ -170,38 +173,15 @@ object Multimodal {
     * one-row-per-image shape; hot buckets capped at `maxBucket`. */
   def phashDupSummary(spark: SparkSession, media: DataFrame,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    require(maxHamming <= 3,
-      "4x16-bit banding only guarantees pairs within Hamming 3")
     // (id, phash) is 16 bytes/image and referenced four times (banding,
     // two verification joins, final summary join) — materialize the one
     // full-corpus decode+hash pass instead of re-running it per
-    // reference (same trade as DedupOps.simhashSummary)
+    // reference, then share DedupOps' banded-Hamming tail (one band
+    // discipline, not two)
     val withH = perceptualHashAll(spark, media).toDF("doc_id", "phash")
       .localCheckpoint(true)
-    val bandVals = (0 until 4).map(b =>
-      shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xffffL)))
-    val banded = withH
-      .select(col("doc_id"), posexplode(array(bandVals: _*)))
-      .withColumnRenamed("pos", "band_id")
-      .withColumnRenamed("col", "band_val")
-    val pairs = DedupOps.bucketPairs(banded,
-      Seq(col("band_id"), col("band_val")), "doc_id",
-      minN = 2, maxN = maxBucket)
-    val verified = pairs
-      .join(withH.select(col("doc_id").as("a"), col("phash").as("ph_a")),
-        Seq("a"))
-      .join(withH.select(col("doc_id").as("b"), col("phash").as("ph_b")),
-        Seq("b"))
-      .filter(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= maxHamming)
-    // pairs are a<b; explode both directions for the per-image view
-    val sym = verified.select(explode(array(
-        struct(col("a").as("id")), struct(col("b").as("id")))).as("e"))
-      .select(col("e.id").as("id"))
-      .groupBy(col("id")).agg(count(lit(1)).as("n_near"))
-    withH
-      .join(sym, col("doc_id") === col("id"), "left")
-      .select(col("doc_id"), col("phash"),
-        coalesce(col("n_near"), lit(0L)).as("n_near"))
+    DedupOps.hammingNearDupSummary(withH, "doc_id", "phash",
+      maxHamming, maxBucket)
   }
 
   def featureExtractAll(spark: SparkSession, media: DataFrame,

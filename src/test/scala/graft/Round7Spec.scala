@@ -64,7 +64,8 @@ class Round7Spec extends SparkSpec {
 
   test("knuthHashSql mirrors knuthHash exactly (Spark SQL evaluation)") {
     import spark.implicits._
-    val ids = Seq(0L, 65535L, 65536L, 3460000001L, 5000000000L)
+    val ids = Seq(0L, 65535L, 65536L, 3460000001L, 5000000000L,
+      -7L, -65536L, -4294967297L)
     val df = ids.toDF("id")
     df.createOrReplaceTempView("khs_ids")
     val viaSql = spark.sql(
