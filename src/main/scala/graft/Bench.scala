@@ -42,12 +42,13 @@ import org.apache.spark.sql.SparkSession
   *  - error strings in `failed` have all control chars stripped so the
   *    JSON line can never be broken by a multi-line exception message.
   *
-  * Key abbreviation (documented in README): an exact-name table for
-  * long names, then single-letter prefixes — "q_window_"->"w_",
-  * "q_events_"->"e_", "q_tpch"->"T", then "q_" is dropped;
-  * "dedup_"->"d_", "text_"->"t_", "ann_"->"a_", "multimodal_"->"m_",
-  * "pipeline_"->"p_"; anything else (q1_agg) is unchanged.
-  * Uniqueness after abbreviation is asserted at runtime.
+  * Key abbreviation (documented in README): every declared query has
+  * an explicit <=3-char key — family letter + 2-char mnemonic
+  * ("dedup_minhash"->"dmh", "q_tpch5"->"T5"); the name->key table in
+  * BENCH_DETAIL.json is the authoritative decoder. Prefix fallback
+  * rules cover a query added without an exact entry; uniqueness and
+  * worst-case line length are asserted at test AND run time, so
+  * growth past the tail budget fails loudly before a scored run.
   */
 object Bench {
 
@@ -57,64 +58,52 @@ object Bench {
     * in BenchContractSpec, so a colliding or line-overflowing new
     * query fails at `sbt test` rather than at bench time. */
   private val exactKeys = Map(
-    "q_asof_join_native" -> "ajn", "q_asof_join" -> "aj",
-    "q_attribution_last" -> "atl", "q_attribution" -> "att",
-    "q_scalar_subquery" -> "subq", "q_count_distinct" -> "cntd",
-    "q_grouping_sets" -> "gst", "q_null_semantics" -> "nul",
-    "q_lambda_funcs" -> "hof", "q_session_window" -> "swin",
-    "q_sessionize" -> "sess", "q_datetime_funcs" -> "dtf",
-    "q_window_analytics" -> "wan", "q_filter_project" -> "fpj",
-    "q_join_broadcast" -> "jbc", "q_bucketed_join" -> "bktj",
-    "q_events_resample" -> "ersp", "q_events_hourly" -> "ehr",
-    "q_events_json" -> "ejs", "q_explode" -> "xpl",
-    "q_limit_topk" -> "topk", "q_math_funcs" -> "mth",
-    "q_approx_agg" -> "apx", "q_salted_agg" -> "salt",
-    "q_string_agg" -> "sagg", "q_full_outer" -> "fout",
-    "q_outer_join" -> "ojn", "q_range_join" -> "rjn",
-    "q_histogram" -> "hist", "q_intersect" -> "isc",
-    "q_distinct" -> "dist", "q_union_all" -> "uall",
-    "q_quantile_bucket" -> "qbkt", "q_quantile_global" -> "qglb",
-    "q_zorder_read" -> "zord", "q_fuzzy_join" -> "fzj",
-    "q_date_agg" -> "dag", "q_join_agg" -> "jag",
-    "q_profile" -> "prf", "q_upsert" -> "ups",
-    "ann_ivf_index" -> "aivx", "ann_brute_agg" -> "a_bg",
-    "q_window_running" -> "wrn", "q_window_range" -> "wrg",
-    "q_window_topk" -> "wtk", "text_quality" -> "t_q",
-    "q_semi_join" -> "sjn", "q_anti_join" -> "ajo",
-    "q_part_join" -> "pjn", "dedup_simhash" -> "d_sim",
-    "dedup_minhash" -> "d_min", "q_case_expr" -> "case",
-    "q_array_agg" -> "arr", "q_topk_agg" -> "tka",
-    "text_langid" -> "t_lg", "q_sql_path" -> "sqlp",
-    "dedup_clusters_exact" -> "d_ccx", "dedup_clusters" -> "d_cc",
-    "dedup_ngram_jaccard" -> "d_ng", "dedup_incremental" -> "d_ic",
-    "dedup_embedding" -> "d_emb", "dedup_canonical" -> "d_cn",
-    "text_ngram_freq" -> "t_ngf", "text_heavy_hitters" -> "t_hh",
-    "text_token_count" -> "t_tok", "text_fingerprint" -> "t_fp",
-    "text_repetition" -> "t_rep", "text_bpe_tokens" -> "t_bpe",
-    "text_tfidf_top" -> "t_tf",
-    "multimodal_features" -> "m_ft",
-    "pipeline_curate_neardup" -> "p_cnd", "pipeline_curate" -> "p_cur",
-    "pipeline_decontaminate" -> "p_dec",
-    "text_bm25" -> "t_bm", "q_anomaly" -> "anom",
-    "q_skew_join" -> "skj", "q_tvt_split" -> "tvt",
-    "q_cast_agg" -> "cag", "multimodal_resize" -> "m_rs",
-    "multimodal_frames" -> "m_fr", "multimodal_decode" -> "m_dc",
-    "ann_lsh_mp" -> "a_mp", "pipeline_shard" -> "p_sh",
-    "dedup_exact" -> "d_ex", "ann_brute" -> "a_br",
-    "q_sample" -> "smp", "q_rollup" -> "rup",
-    "q_having" -> "hav", "q_except" -> "exc",
-    "q_events_sliding" -> "esl", "q_hll_distinct" -> "hll",
-    "q_lang_confusion" -> "lcm", "q_event_compact" -> "ecp",
-    "q_funnel" -> "fnl", "q1_agg" -> "q1",
-    "pipeline_full" -> "p_fl", "multimodal_meta" -> "m_mt",
-    "text_token_count" -> "t_tk", "text_repetition" -> "t_rp",
-    "text_ngram_freq" -> "t_ng", "text_bpe_tokens" -> "t_bp",
-    "q_union" -> "uni", "q_stats" -> "sts", "q_pivot" -> "pvt",
-    "q_weighted_sample" -> "wsm", "ann_ivfpq" -> "a_ip",
-    "ann_ivfpq_index" -> "aipx", "q_weighted_stratified" -> "wst",
-    "q_chunk" -> "chk", "multimodal_phash" -> "m_ph",
-    "pipeline_pack" -> "p_pk", "dedup_substrings" -> "d_sub",
-    "pipeline_decon_bloom" -> "p_db")
+    "ann_brute" -> "ab", "ann_brute_agg" -> "ag", "ann_ivf" -> "ai",
+    "ann_ivf_index" -> "ax", "ann_ivfpq" -> "ap", "ann_ivfpq_index" -> "apx",
+    "ann_lsh" -> "al", "ann_lsh_mp" -> "am", "ann_pq" -> "aq",
+    "dedup_canonical" -> "dcn", "dedup_clusters" -> "dcc", "dedup_clusters_exact" -> "dcx",
+    "dedup_embedding" -> "dem", "dedup_exact" -> "dex", "dedup_incremental" -> "dic",
+    "dedup_minhash" -> "dmh", "dedup_ngram_jaccard" -> "dng", "dedup_semantic" -> "dse",
+    "dedup_simhash" -> "dsh", "dedup_substrings" -> "dsu", "multimodal_decode" -> "mde",
+    "multimodal_features" -> "mft", "multimodal_frames" -> "mfr", "multimodal_meta" -> "mmt",
+    "multimodal_phash" -> "mph", "multimodal_resize" -> "mrs", "pipeline_curate" -> "pcu",
+    "pipeline_curate_neardup" -> "pcn", "pipeline_decon_bloom" -> "pdb", "pipeline_decontaminate" -> "pde",
+    "pipeline_full" -> "pfl", "pipeline_mix" -> "pmx", "pipeline_pack" -> "ppk",
+    "pipeline_shard" -> "psh", "q1_agg" -> "q1", "q_anomaly" -> "ano",
+    "q_anti_join" -> "ajo", "q_approx_agg" -> "axg", "q_array_agg" -> "arr",
+    "q_asof_join" -> "aj", "q_asof_join_native" -> "ajn", "q_attribution" -> "att",
+    "q_attribution_last" -> "atl", "q_bucketed_join" -> "bkj", "q_case_expr" -> "cse",
+    "q_cast_agg" -> "cag", "q_chunk" -> "chk", "q_chunk_tokens" -> "ckt",
+    "q_count_distinct" -> "ctd", "q_cube" -> "cub", "q_date_agg" -> "dag",
+    "q_datetime_funcs" -> "dtf", "q_distinct" -> "dst", "q_event_compact" -> "ecp",
+    "q_events_hourly" -> "ehr", "q_events_json" -> "ejs", "q_events_resample" -> "ers",
+    "q_events_sliding" -> "esl", "q_exact_median" -> "emd", "q_except" -> "exc",
+    "q_explode" -> "xpl", "q_filter_project" -> "fpj", "q_full_outer" -> "fou",
+    "q_funnel" -> "fnl", "q_fuzzy_join" -> "fzj", "q_gopher_quality" -> "gop",
+    "q_grouping_sets" -> "gst", "q_having" -> "hav", "q_histogram" -> "hst",
+    "q_hll_distinct" -> "hll", "q_intersect" -> "isc", "q_join_agg" -> "jag",
+    "q_join_broadcast" -> "jbc", "q_lambda_funcs" -> "hof", "q_lang_confusion" -> "lcm",
+    "q_limit_topk" -> "tpk", "q_math_funcs" -> "mth", "q_null_semantics" -> "nul",
+    "q_outer_join" -> "ojn", "q_part_join" -> "pjn", "q_partitioned_read" -> "prr",
+    "q_pivot" -> "pvt", "q_profile" -> "prf", "q_quantile_bucket" -> "qbk",
+    "q_quantile_global" -> "qgl", "q_range_join" -> "rjn", "q_rollup" -> "rup",
+    "q_salted_agg" -> "sal", "q_sample" -> "smp", "q_sample_replace" -> "smr",
+    "q_scalar_subquery" -> "sbq", "q_scd2" -> "sc2", "q_semi_join" -> "sjn",
+    "q_session_window" -> "swn", "q_sessionize" -> "ses", "q_skew_join" -> "skj",
+    "q_sql_path" -> "sqp", "q_stats" -> "sts", "q_string_agg" -> "sag",
+    "q_topk_agg" -> "tka", "q_tpch10" -> "T10", "q_tpch13" -> "T13",
+    "q_tpch14" -> "T14", "q_tpch15" -> "T15", "q_tpch17" -> "T17",
+    "q_tpch18" -> "T18", "q_tpch19" -> "T19", "q_tpch22" -> "T22",
+    "q_tpch3" -> "T3", "q_tpch4" -> "T4", "q_tpch5" -> "T5",
+    "q_tpch6" -> "T6", "q_tpch7" -> "T7", "q_tpch8" -> "T8",
+    "q_tvt_split" -> "tvt", "q_union" -> "uni", "q_union_all" -> "ual",
+    "q_upsert" -> "ups", "q_weighted_sample" -> "wsm", "q_weighted_stratified" -> "wst",
+    "q_window_analytics" -> "wan", "q_window_range" -> "wrg", "q_window_running" -> "wrn",
+    "q_window_topk" -> "wtk", "q_zorder_read" -> "zor", "text_bm25" -> "tbm",
+    "text_bpe_tokens" -> "tbp", "text_fingerprint" -> "tfp", "text_heavy_hitters" -> "thh",
+    "text_langid" -> "tlg", "text_ngram_freq" -> "tng", "text_pii" -> "tpi",
+    "text_quality" -> "tqu", "text_repetition" -> "trp", "text_tfidf_top" -> "ttf",
+    "text_token_count" -> "ttk")
 
   private[graft] def shortKey(name: String): String =
     exactKeys.getOrElse(name, Seq(
@@ -234,7 +223,7 @@ object Bench {
     var detailErr = ""
     val lineBase = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"runs":$runs,"spread":${f2(spread)},"failed":$failedJson,"sf":"$sfDir""""
     val detail = results.map { case (k, v, r) =>
-      s""""$k":{"sec":$v,"spread":$r}""" }
+      s""""$k":{"sec":$v,"spread":$r,"key":"${shortKey(k)}"}""" }
       .mkString(
         s"""{"total_sec":$total,"runs":$runs,"sf":${jstr(sfDir)},"stdout_line_chars":${lineBase.length + 1},"queries":{""",
         ",", "}}")

@@ -456,6 +456,59 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style rule-based quality filter (Rae et al. 2021, arXiv
+    // 2112.11446 §A1.1 — public literature; thresholds adapted to this
+    // corpus's short synthetic docs): per-doc structural metrics and a
+    // composite keep/drop verdict. All pure column expressions over
+    // ONE split of the text (word-count bounds, mean word length,
+    // alphabetic-word ratio, symbol ratio, stopword presence) — the
+    // verdict compares ROUNDED metrics so the cross-engine cut never
+    // hinges on a double ulp. Narrow scan-side work, no shuffle but
+    // the presentation sort: at 100 TB this runs at parquet-scan
+    // speed and feeds pipeline_curate's drop step.
+    "q_gopher_quality" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      val nWords = size(words).cast("bigint")
+      val meanLen = round(
+        aggregate(transform(words, w => length(w).cast("bigint")), lit(0L),
+          (acc, x) => acc + x).cast("double") / nWords, 4)
+      val alphaRatio = round(
+        size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double")
+          / nWords, 4)
+      val symbolRatio = round(
+        regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("double")
+          / nWords, 4)
+      val stopCnt = regexp_count(col("text"), lit("\\b(the|a)\\b"))
+        .cast("bigint")
+      t(s, d, "documents")
+        .select(col("doc_id"), nWords.as("n_words"),
+          meanLen.as("mean_word_len"), alphaRatio.as("alpha_ratio"),
+          symbolRatio.as("symbol_ratio"), stopCnt.as("stop_cnt"))
+        .withColumn("pass",
+          (col("n_words").between(10L, 100000L) &&
+            col("mean_word_len").between(2.0, 12.0) &&
+            col("alpha_ratio") >= 0.6 &&
+            col("symbol_ratio") <= 0.1 &&
+            col("stop_cnt") >= 1L).cast("bigint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact per-group percentiles (interpolated, sort-based): the
+    // ground-truth companion to q_approx_agg's sketch percentiles —
+    // at 100 TB the exact form is what you run per-stratum on the
+    // (bounded) group sizes a stratified corpus report needs, with the
+    // sketch covering the global view. Spark `percentile` and DuckDB
+    // `quantile_cont` share linear interpolation, so the oracle is
+    // exact up to the round(4).
+    "q_exact_median" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(n_chars, 0.5)"), 4).as("median_chars"),
+          round(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"))
+        .orderBy(col("lang"))
+    }),
+
     "text_langid" -> ((s, d) => {
       t(s, d, "documents")
         .groupBy(TextOps.langId(col("text")).as("pred_lang"))
@@ -631,6 +684,18 @@ object SparkEntry {
     // Embedding-cosine near-dup via hyperplane LSH + exact verify.
     "dedup_embedding" -> ((s, d) => {
       ops.AnnOps.embeddingDupSummary(t(s, d, "embeddings"), "vec_id",
+        "embedding").orderBy(col("vec_id"))
+    }),
+
+    // SemDedup semantic dedup: k-means clusters (deterministic Lloyd,
+    // the IVF model) + within-cluster exact-cosine verify + keep-
+    // lowest-id — removes "same meaning, different words" redundancy
+    // that MinHash/SimHash (lexical overlap) cannot see. Rows-only
+    // check (clustering is not SQL-expressible); the planted-near-dup
+    // removal gate and the bounded-candidate shape are Round7Spec-
+    // gated.
+    "dedup_semantic" -> ((s, d) => {
+      ops.AnnOps.semanticDedupSummary(t(s, d, "embeddings"), "vec_id",
         "embedding").orderBy(col("vec_id"))
     }),
 
@@ -1912,6 +1977,34 @@ object SparkEntry {
         .orderBy(col("lang"), col("rnk"))
     }),
 
+    // Deterministic weighted sampling WITH replacement (closes the
+    // SURVEY §8.5 gap): k=20 independent draws, each draw a per-draw
+    // A-Res top-1 (u_i^(1/w) with u_i hash-derived from (doc_id,
+    // draw)), so one document can win several draws with probability
+    // proportional to its weight each time. The doc x draw expansion
+    // is a narrow 20x explode; the per-draw argmax is Spark's
+    // rank-limit pushdown (WindowGroupLimit caps every partition at 1
+    // row per draw BEFORE the exchange), so only n_draws rows per
+    // partition ever shuffle — at 100 TB this is a map-side top-1
+    // merge, never a sort. No RNG state; re-running on a grown corpus
+    // re-draws (unlike the without-replacement split, inclusion here
+    // is relative to the whole corpus by construction).
+    "q_sample_replace" -> ((s, d) => {
+      val u = (knuthHash(col("doc_id") + col("draw") * lit(1000003L)) + 1) /
+        lit(4294967296.0)
+      val w = Window.partitionBy(col("draw"))
+        .orderBy(col("k").desc, col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          explode(sequence(lit(0L), lit(19L))).as("draw"))
+        .select(col("draw"), col("doc_id"),
+          round(pow(u, lit(1.0) / col("n_chars")), 10).as("k"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("draw"), col("doc_id"), col("k"))
+        .orderBy(col("draw"))
+    }),
+
     // RAG-style document chunking: fixed-size character windows
     // (size 120) every `stride` 80 chars — the retrieval-prep step
     // after curation. Pure column arithmetic (chunk count from the doc
@@ -1937,6 +2030,34 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_id"),
           length(col("chunk")).as("chunk_chars"),
           md5(col("chunk").cast("binary")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // Token-aligned chunking (closes the SURVEY §8.5 q_chunk caveat):
+    // non-overlapping 64-TOKEN windows over the whitespace token
+    // stream, so no token is ever split mid-chunk (the property a
+    // tokenizer-fed dataloader needs; q_chunk's char windows can cut
+    // words). Same narrow shape as q_chunk — split once, slice per
+    // chunk id, no shuffle but the presentation sort — and the chunk
+    // content is verified end-to-end via md5 of the rejoined token
+    // slice. A BPE-budget per chunk (bpeTokenCount of the slice) rides
+    // along so downstream packing can budget on real token estimates.
+    "q_chunk_tokens" -> ((s, d) => {
+      val csize = 64
+      val words = split(col("text"), " ")
+      val nChunks = ceil(size(words).cast("double") / csize).cast("long")
+      t(s, d, "documents")
+        .select(col("doc_id"), words.as("w"), nChunks.as("n_chunks"))
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+        .withColumn("chunk_words",
+          slice(col("w"), col("chunk_id").cast("int") * csize + 1,
+            lit(csize)))
+        .withColumn("chunk_text", array_join(col("chunk_words"), " "))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk_words")).cast("bigint").as("n_tokens"),
+          TextOps.bpeTokenCount(col("chunk_text")).as("bpe_budget"),
+          md5(col("chunk_text").cast("binary")).as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
@@ -2202,6 +2323,29 @@ object SparkEntry {
         .filter(col("l_partkey") <= 200 && col("l_suppkey") <= 20)
         .orderBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"), col("l_extendedprice"))
+    }),
+
+    // Hive-partitioned layout round-trip: write the corpus partitioned
+    // by lang, read ONE language back — the scan must list only that
+    // partition's directory (PartitionFilters in the plan, gated in
+    // Round7Spec: the predicate is satisfied by directory pruning, no
+    // row-level lang filter survives). This is THE layout decision a
+    // per-language 100-TB corpus ships with: a language slice costs
+    // its own bytes, not a full-corpus scan — complementary to
+    // q_zorder_read (intra-file skipping) and the IVF index
+    // (cell-directory pruning). The oracle never sees the partitioned
+    // copy: it runs the same predicate over the original parquet, so
+    // the entry also proves the re-layout is lossless.
+    "q_partitioned_read" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val path = ops.StorageOps.scratchPath(
+        s"partby_${s.sparkContext.applicationId}_${math.abs(d.hashCode.toLong)}")
+      docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+      s.read.parquet(path)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2457,6 +2601,37 @@ object SparkEntry {
          |    (1.0 - cast(${TextOps.sql.patCount(TextOps.sql.stopword)} as double)
          |           / ${TextOps.sql.tokenCount}), 4) AS quality_score
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_quality" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    cast(len(string_split(text, ' ')) as bigint) AS n_words,
+        |    round(cast(list_aggregate(list_transform(
+        |        string_split(text, ' '), w -> length(w)), 'sum')
+        |        as double) / len(string_split(text, ' ')), 4)
+        |      AS mean_word_len,
+        |    round(cast(len(list_filter(string_split(text, ' '),
+        |        w -> regexp_matches(w, '[A-Za-z]'))) as double)
+        |        / len(string_split(text, ' ')), 4) AS alpha_ratio,
+        |    round(cast(len(regexp_extract_all(text, '#|\.\.\.'))
+        |        as double) / len(string_split(text, ' ')), 4)
+        |      AS symbol_ratio,
+        |    cast(len(regexp_extract_all(text, '\b(the|a)\b')) as bigint)
+        |      AS stop_cnt
+        |  FROM documents)
+        |SELECT doc_id, n_words, mean_word_len, alpha_ratio, symbol_ratio,
+        |  stop_cnt,
+        |  cast((n_words BETWEEN 10 AND 100000)
+        |    AND (mean_word_len BETWEEN 2.0 AND 12.0)
+        |    AND alpha_ratio >= 0.6 AND symbol_ratio <= 0.1
+        |    AND stop_cnt >= 1 as bigint) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_exact_median" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+        |  round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_langid" ->
       s"""WITH scored AS (
@@ -3223,6 +3398,37 @@ object SparkEntry {
          |        FROM documents))
          |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
 
+    "q_sample_replace" ->
+      s"""WITH keyed AS (
+         |  SELECT draw, doc_id,
+         |    round(pow((${knuthHashSql("(doc_id + draw * 1000003)")} + 1)
+         |      / 4294967296.0, 1.0 / n_chars), 10) AS k
+         |  FROM documents, LATERAL unnest(generate_series(0, 19))
+         |    AS t(draw)),
+         |ranked AS (
+         |  SELECT draw, doc_id, k,
+         |    row_number() OVER (PARTITION BY draw
+         |      ORDER BY k DESC, doc_id) AS rn
+         |  FROM keyed)
+         |SELECT draw, doc_id, k FROM ranked WHERE rn = 1
+         |ORDER BY draw""".stripMargin,
+
+    "q_chunk_tokens" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |c AS (
+         |  SELECT doc_id, i AS chunk_id,
+         |    list_slice(words, cast(i*64+1 as int),
+         |      cast(least(len(words), (i+1)*64) as int)) AS cw
+         |  FROM w, LATERAL unnest(generate_series(0,
+         |    cast(ceil(len(words)/64.0) as bigint) - 1)) AS t(i))
+         |SELECT doc_id, chunk_id,
+         |  cast(len(cw) as bigint) AS n_tokens,
+         |  ${TextOps.sql.bpeTokenCountOf("array_to_string(cw, ' ')")}
+         |    AS bpe_budget,
+         |  md5(array_to_string(cw, ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
     "q_chunk" ->
       """SELECT doc_id, i AS chunk_id,
         |  length(substring(text, cast(i*80+1 as int), 120)) AS chunk_chars,
@@ -3310,6 +3516,13 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_partkey <= 200 AND l_suppkey <= 20
         |ORDER BY l_orderkey, l_partkey, l_suppkey, l_quantity,
-        |  l_extendedprice""".stripMargin
+        |  l_extendedprice""".stripMargin,
+
+    // identity under re-layout: the oracle runs the same predicate
+    // over the ORIGINAL parquet, never the partitioned copy
+    "q_partitioned_read" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents WHERE lang = 'en'
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -354,6 +354,61 @@ object AnnOps {
         coalesce(col("max_cosine"), lit(-1.0)).as("max_cosine"))
   }
 
+  /** SemDedup-style semantic dedup (Abbas et al. 2023, arXiv
+    * 2303.09540 — public literature; independent implementation):
+    * k-means-cluster the embeddings (the [[buildIvf]] deterministic
+    * Lloyd model), generate candidate pairs only WITHIN a cluster,
+    * verify by exact cosine, and drop every vector that has a verified
+    * semantic duplicate with a smaller id (deterministic keep-lowest
+    * policy — greedy per pair, documented: a chain a~b, b~c with a!~c
+    * drops both b and c). Scale shape: candidate volume is bounded by
+    * the per-cluster cap (`maxBucket`, enforced map-side by the
+    * bounded collect in bucketPairs), never all-pairs; the cluster
+    * model is nlist x d driver-side floats; only (id, cid) ints and
+    * verified pairs shuffle. A 100-TB corpus raises nlist so
+    * corpus/nlist stays bounded — the knob is the same one the IVF
+    * index exposes.
+    *
+    * Output: one row per vector — (id, cid, n_semantic_dups = verified
+    * partners at cosine >= threshold, max_cosine over partners or -1,
+    * kept = 0 iff some partner has a smaller id). */
+  def semanticDedupSummary(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 8, threshold: Double = 0.95,
+      maxBucket: Int = 10000): DataFrame = {
+    val model = buildIvf(corpus, idCol, vecCol, nlist)
+    val assigned = corpus.select(col(idCol),
+      nearestCentroid(col(vecCol), model).as("cid"))
+    val pairs = DedupOps.bucketPairs(assigned, Seq(col("cid")), idCol,
+      minN = 2, maxN = maxBucket)
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    val dups = pairs
+      .join(vecs.select(col(idCol).as("a"), col(vecCol).as("vec_a")), Seq("a"))
+      .join(vecs.select(col(idCol).as("b"), col(vecCol).as("vec_b")), Seq("b"))
+      .withColumn("cosine", VectorFunctions.cosineSim(col("vec_a"),
+        col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine"))
+    // a<b by construction: b sees a smaller-id partner (dropped), a
+    // sees a larger-id partner (kept unless it is some other pair's b)
+    val sym = dups.select(explode(array(
+        struct(col("a").as("id"), col("cosine"), lit(false).as("drop")),
+        struct(col("b").as("id"), col("cosine"), lit(true).as("drop"))))
+        .as("e"))
+      .select(col("e.id").as("id"), col("e.cosine").as("cosine"),
+        col("e.drop").as("drop"))
+    val perVec = sym.groupBy(col("id")).agg(
+      count(lit(1)).as("n_semantic_dups"),
+      round(max(col("cosine")), 4).as("max_cosine"),
+      max(col("drop")).as("dropped"))
+    assigned.select(col(idCol).as("id"), col("cid"))
+      .join(perVec, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cid").cast("bigint").as("cid"),
+        coalesce(col("n_semantic_dups"), lit(0L)).as("n_semantic_dups"),
+        coalesce(col("max_cosine"), lit(-1.0)).as("max_cosine"),
+        when(coalesce(col("dropped"), lit(false)), lit(0L)).otherwise(lit(1L))
+          .as("kept"))
+  }
+
   // ---- product quantization (PQ) -----------------------------------
 
   /** Product-quantization model: `m` codebooks of `k` codewords, each

@@ -187,8 +187,10 @@ object TextOps {
   /** ANSI-SQL mirrors (DuckDB dialect) for the oracle. */
   object sql {
     val tokenCount = "cast(len(string_split(text, ' ')) as bigint)"
-    val bpeTokenCount =
-      "cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) as bigint)"
+    def bpeTokenCountOf(e: String): String =
+      s"cast(len(regexp_extract_all($e, " +
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) as bigint)"
+    val bpeTokenCount = bpeTokenCountOf("text")
     def patCount(pattern: String): String =
       s"len(regexp_extract_all(text, '$pattern'))"
     val fingerprint =
