@@ -103,7 +103,9 @@ object Bench {
     "text_bpe_tokens" -> "tbp", "text_fingerprint" -> "tfp", "text_heavy_hitters" -> "thh",
     "text_langid" -> "tlg", "text_ngram_freq" -> "tng", "text_pii" -> "tpi",
     "text_quality" -> "tqu", "text_repetition" -> "trp", "text_tfidf_top" -> "ttf",
-    "text_token_count" -> "ttk")
+    "text_token_count" -> "ttk", "pipeline_budget" -> "pbu",
+    "text_vocab_coverage" -> "tvo", "q_map_funcs" -> "mpf",
+    "graph_pagerank" -> "gpr")
 
   private[graft] def shortKey(name: String): String =
     exactKeys.getOrElse(name, Seq(

@@ -760,6 +760,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // PageRank over the bipartite user↔item interaction graph from
+    // the event log (item = the props.k key, offset into its own id
+    // space; edges symmetrized so the walk alternates user→item→user
+    // and no node dangles). The rank is the graph-centrality quality
+    // signal a curation pipeline uses to weight sources/domains (the
+    // web-graph analogue of domain authority). Fixed-point integer
+    // power iteration — exact, shuffle-order-independent, one Spark
+    // job per round (see GraphOps scaladoc); rows-only check (iterative
+    // fixpoint not SQL-expressible), exact-equality + invariant gates
+    // in Round7Spec. Multi-edges deliberately weight the walk by
+    // interaction frequency.
+    "graph_pagerank" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id").cast("long").as("user"),
+          (get_json_object(col("props"), "$.k").cast("long") + 1000000L)
+            .as("item"))
+        .filter(col("item").isNotNull)
+      val edges = ev.select(col("user").as("src"), col("item").as("dst"))
+        .union(ev.select(col("item").as("src"), col("user").as("dst")))
+      ops.GraphOps.pagerank(edges, "src", "dst")
+        .withColumn("kind",
+          when(col("node") >= 1000000L, "item").otherwise("user"))
+        .orderBy(col("rank_f").desc, col("node"))
+        .limit(20)
+        .select(col("node"), col("kind"),
+          round(col("rank_f") / 1e15, 6).as("rank"))
+    }),
+
     // ---- TPC-H-shaped flagship compositions --------------------------
     // Every join/agg/window primitive is oracle-green individually;
     // these compose them into the classic multi-join decision-support
@@ -1917,6 +1945,91 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_total"),
           sum(when(bucket < rate, 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
+    // Mixture budget planning: given target per-language mixture
+    // weights and a total token budget (here the full corpus size —
+    // i.e. rebalance the corpus to the target mixture at constant
+    // volume), emit the per-language sampling plan a dataloader
+    // executes — available tokens, target tokens, raw rate (exceeds 1
+    // for upweighted strata), epoch count (ceil of rate: full passes
+    // over the stratum), and the within-epoch keep rate. This is the
+    // planning step BEFORE pipeline_mix's keep rule runs; at 100 TB it
+    // is one aggregation over per-lang token sums (a rows-per-language
+    // table) plus a broadcast scalar — nothing corpus-shaped moves.
+    "pipeline_budget" -> ((s, d) => {
+      val weight = when(col("lang") === "en", 0.40)
+        .when(col("lang") === "zh", 0.20)
+        .when(col("lang") === "fr", 0.15)
+        .when(col("lang") === "es", 0.15)
+        .otherwise(0.10)
+      val perLang = t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(sum(TextOps.tokenCount(col("text"))).as("avail_tokens"))
+      val budget = t(s, d, "documents")
+        .agg(sum(TextOps.tokenCount(col("text"))).as("budget"))
+      perLang.crossJoin(broadcast(budget))
+        .withColumn("target_tokens",
+          round(weight * col("budget"), 2))
+        .withColumn("rate",
+          round(col("target_tokens") / col("avail_tokens"), 6))
+        .withColumn("epochs", ceil(col("rate")).cast("bigint"))
+        .withColumn("keep_rate_per_epoch",
+          round(col("rate") / col("epochs"), 6))
+        .select(col("lang"), col("avail_tokens"), col("target_tokens"),
+          col("rate"), col("epochs"), col("keep_rate_per_epoch"))
+        .orderBy(col("lang"))
+    }),
+
+    // Tokenizer-vocabulary coverage curve: top-20 corpus terms by
+    // frequency with the cumulative fraction of all token instances
+    // they cover — the first statistic a tokenizer-training run
+    // reports (how big must the vocab be to cover X% of the stream).
+    // One term-frequency aggregation (vocabulary-sized output), a
+    // bounded TakeOrdered top-k — the full token stream never sorts —
+    // and a 20-row window cumsum. Ties break by term for cross-engine
+    // determinism.
+    "text_vocab_coverage" -> ((s, d) => {
+      val terms = t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("term"))
+        .filter(length(col("term")) >= 1)
+      val total = terms.agg(count(lit(1)).as("total"))
+      val w = Window.orderBy(col("n").desc, col("term"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      terms.groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(20)
+        .crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("term"))).cast("bigint"))
+        .withColumn("cum_coverage",
+          round(sum(col("n")).over(w).cast("double") / col("total"), 6))
+        .select(col("rank"), col("term"), col("n"), col("cum_coverage"))
+        .orderBy(col("rank"))
+    }),
+
+    // MapType battery: per-source language-count maps built with
+    // map_from_entries over sorted entries, queried with map_keys /
+    // map_filter / transform_values, and serialized deterministically
+    // (sorted "lang:n" joins) so the DuckDB oracle — which has no map
+    // type in this shape — verifies the SAME content via ordered
+    // string aggregation. Maps are per-group metadata here (5 langs),
+    // never corpus-shaped.
+    "q_map_funcs" -> ((s, d) => {
+      val entries = t(s, d, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      entries.groupBy(col("source"))
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("lang"), col("n"))))).as("m"))
+        .select(col("source"),
+          size(map_keys(col("m"))).cast("bigint").as("n_langs"),
+          size(map_keys(map_filter(col("m"), (_, v) => v >= 20)))
+            .cast("bigint").as("n_big_langs"),
+          array_join(transform(map_entries(
+            transform_values(col("m"), (_, v) => v * 2)),
+            e => concat(e.getField("key"), lit(":"),
+              e.getField("value"))), ",").as("doubled_map_str"))
         .orderBy(col("source"))
     }),
 
@@ -3362,6 +3475,57 @@ object SparkEntry {
         |GROUP BY gram
         |HAVING count(*) * 1000 >= (SELECT count(*) FROM g)
         |ORDER BY n DESC, gram""".stripMargin,
+
+    "pipeline_budget" ->
+      s"""WITH pl AS (
+         |  SELECT lang, ${TextOps.sql.sumTokens} AS avail_tokens
+         |  FROM documents GROUP BY lang),
+         |b AS (SELECT cast(${TextOps.sql.sumTokens} as double) AS budget
+         |      FROM documents),
+         |m AS (
+         |  SELECT lang, avail_tokens,
+         |    round((CASE WHEN lang = 'en' THEN 0.40
+         |                WHEN lang = 'zh' THEN 0.20
+         |                WHEN lang = 'fr' THEN 0.15
+         |                WHEN lang = 'es' THEN 0.15
+         |                ELSE 0.10 END) * budget, 2) AS target_tokens
+         |  FROM pl, b),
+         |r AS (
+         |  SELECT lang, avail_tokens, target_tokens,
+         |    round(target_tokens / avail_tokens, 6) AS rate
+         |  FROM m)
+         |SELECT lang, avail_tokens, target_tokens, rate,
+         |  cast(ceil(rate) as bigint) AS epochs,
+         |  round(rate / cast(ceil(rate) as bigint), 6)
+         |    AS keep_rate_per_epoch
+         |FROM r ORDER BY lang""".stripMargin,
+
+    "text_vocab_coverage" ->
+      """WITH t2 AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |t3 AS (SELECT term FROM t2 WHERE length(term) >= 1),
+        |freq AS (SELECT term, count(*) AS n FROM t3 GROUP BY term),
+        |top AS (SELECT term, n,
+        |          row_number() OVER (ORDER BY n DESC, term) AS rank
+        |        FROM freq ORDER BY n DESC, term LIMIT 20),
+        |tot AS (SELECT count(*) AS total FROM t3)
+        |SELECT rank, term, n,
+        |  round(cast(sum(n) OVER (ORDER BY rank) as double) / total, 6)
+        |    AS cum_coverage
+        |FROM top, tot ORDER BY rank""".stripMargin,
+
+    "q_map_funcs" ->
+      """WITH e AS (
+        |  SELECT source, lang, count(*) AS n
+        |  FROM documents GROUP BY source, lang)
+        |SELECT source,
+        |  cast(count(*) as bigint) AS n_langs,
+        |  cast(sum(CASE WHEN n >= 20 THEN 1 ELSE 0 END) as bigint)
+        |    AS n_big_langs,
+        |  string_agg(lang || ':' || cast(n * 2 as varchar),
+        |             ',' ORDER BY lang) AS doubled_map_str
+        |FROM e GROUP BY source ORDER BY source""".stripMargin,
 
     "pipeline_mix" ->
       s"""SELECT source, count(*) AS n_total,

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph ranking (PageRank by power iteration — Page et
+  * al. 1999, public literature; independent implementation).
+  *
+  * Design for scale, mirroring [[ClusterOps]]' connected components:
+  *   - the edge table (corpus-shaped) is joined to the rank table
+  *     co-keyed on `src` every iteration — the SAME key each round, so
+  *     a cluster reuses one partitioning across the whole power
+  *     iteration; the per-iteration shuffle volume is (node, long)
+  *     pairs, never payloads;
+  *   - rank state lives in a lazily localCheckpoint'ed DataFrame whose
+  *     materializing action is the per-iteration dangling-mass
+  *     aggregate — exactly ONE Spark job per iteration, and the driver
+  *     only ever holds one scalar;
+  *   - ranks are FIXED-POINT LONGS (units of 1e-15): every operation is
+  *     integer multiply/divide/sum, so the result is bit-identical
+  *     under any partitioning or shuffle order (double summation would
+  *     drift in the last ulps run-to-run), ANSI-safe (all products
+  *     bounded: total mass 1e15 × damping numerator 85 < 2^63), and
+  *     exactly reproducible by the spec's driver-side recompute.
+  *     Floor division leaks ≤ 1 unit of mass per node per step —
+  *     bounded by n × iters × 1e-15, far below the 1e-6 output
+  *     rounding.
+  *
+  * Multi-edges are deliberately kept: a repeated (src, dst) edge
+  * weights the random walk by visit frequency, which is the right
+  * semantics for interaction graphs (and the spec recomputes with the
+  * same convention).
+  */
+object GraphOps {
+
+  /** Mass unit: ranks sum to ~[[Unit15]] (1.0) across all nodes. */
+  private val Unit15 = 1000000000000000L // 1e15
+
+  /** PageRank over an edge list. Returns (node, rank_f) with rank_f a
+    * fixed-point long (units of 1e-15); divide by 1e15 for the
+    * conventional [0, 1] rank. `dampingPct` is the damping factor in
+    * integer percent (85 = the canonical 0.85). */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 12, dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val spark = edges.sparkSession
+    // the projected (src, dst) pairs are read every iteration: pay the
+    // source scan/parse once, keep only two longs per edge
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint() // node domain: bounded, reused every round
+    val n = nodes.count()
+    require(n > 0, "pagerank over an empty edge list")
+    val outDeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val basePerNode = (100 - dampingPct) * (Unit15 / n) / 100
+    var ranks = nodes.select(col("node"), lit(Unit15 / n).as("rank_f"))
+    var iter = 0
+    while (iter < iters) {
+      // per-source share (integer division), joined to edges co-keyed
+      // on src: one shuffle pair per iteration, same key every round
+      // `div`, not `/`: Column./ on longs is DOUBLE division, and a
+      // 53-bit mantissa can round across an integer boundary before
+      // the cast truncates — div is exact 64-bit integer division
+      val shares = ranks
+        .join(outDeg, Seq("node"), "inner")
+        .selectExpr("node AS src", "rank_f div deg AS share")
+      val contribs = e.join(shares, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("share")).as("contrib_f"))
+      // dangling mass: rank held by nodes with no outgoing edges is
+      // redistributed uniformly (zero when the graph is symmetrized)
+      val danglingF = ranks.join(outDeg, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank_f")), lit(0L))).collect()(0).getLong(0)
+      val redistributed = dampingPct * (danglingF / n) / 100
+      val next = nodes
+        .join(contribs, Seq("node"), "left")
+        .selectExpr("node",
+          s"$basePerNode + ($dampingPct * coalesce(contrib_f, 0)) div 100" +
+            s" + $redistributed AS rank_f")
+        .localCheckpoint(eager = false) // materialized by next round's
+                                        // dangling aggregate (1 job/round)
+      ranks = next
+      iter += 1
+    }
+    // force the final round's checkpoint so callers get a stable table
+    ranks.count()
+    ranks
+  }
+
+  /** Driver-side reference recompute with IDENTICAL integer
+    * arithmetic — exists for the spec's exact-equality gate; do not
+    * use at scale (materializes the whole graph on the driver). */
+  private[graft] def pagerankLocal(edges: Seq[(Long, Long)], iters: Int = 12,
+      dampingPct: Int = 85): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length.toLong
+    val outDeg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    val basePerNode = (100 - dampingPct) * (Unit15 / n) / 100
+    var ranks = nodes.map(_ -> Unit15 / n).toMap
+    (0 until iters).foreach { _ =>
+      val shares = ranks.collect {
+        case (node, r) if outDeg.contains(node) => node -> r / outDeg(node)
+      }
+      val contribs = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => shares.getOrElse(e._1, 0L)).sum
+      }
+      val danglingF = ranks.collect {
+        case (node, r) if !outDeg.contains(node) => r
+      }.sum
+      val redistributed = dampingPct * (danglingF / n) / 100
+      ranks = nodes.map(node => node ->
+        (basePerNode + dampingPct * contribs.getOrElse(node, 0L) / 100 +
+          redistributed)).toMap
+    }
+    ranks
+  }
+}

@@ -187,6 +187,7 @@ object TextOps {
   /** ANSI-SQL mirrors (DuckDB dialect) for the oracle. */
   object sql {
     val tokenCount = "cast(len(string_split(text, ' ')) as bigint)"
+    val sumTokens = "cast(sum(len(string_split(text, ' '))) as bigint)"
     def bpeTokenCountOf(e: String): String =
       s"cast(len(regexp_extract_all($e, " +
         "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) as bigint)"

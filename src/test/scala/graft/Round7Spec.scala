@@ -178,6 +178,46 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("pagerank: distributed fixed-point ranks EXACTLY equal the driver recompute") {
+    val ev = graft.Tables.events(spark, Sf0001)
+      .select(col("user_id").cast("long").as("user"),
+        (get_json_object(col("props"), "$.k").cast("long") + 1000000L)
+          .as("item"))
+      .filter(col("item").isNotNull)
+    val pairs = ev.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edgeSeq = pairs.toSeq ++ pairs.map(_.swap).toSeq
+    val want = ops.GraphOps.pagerankLocal(edgeSeq)
+    val edges = ev.select(col("user").as("src"), col("item").as("dst"))
+      .union(ev.select(col("item").as("src"), col("user").as("dst")))
+    val got = ops.GraphOps.pagerank(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == want.size)
+    // integer arithmetic end to end: not approximately — EXACTLY equal
+    val diffs = want.collect { case (n, r) if got(n) != r => (n, r, got(n)) }
+    assert(diffs.isEmpty, s"rank mismatches: ${diffs.take(5).mkString(",")}")
+    // mass conservation up to floor-division leak (< n*(iters+1) units)
+    val mass = got.values.sum
+    assert(mass <= 1000000000000000L &&
+      mass >= 1000000000000000L - got.size.toLong * 13 * 100,
+      s"rank mass $mass out of bounds")
+  }
+
+  test("pagerank: hub structure ranks above leaves on a hand graph") {
+    import spark.implicits._
+    // star: 1..5 -> 0 plus a chain 6 -> 7; node 0 is the hub; 7 dangles
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 0L),
+      (6L, 7L)).toDF("src", "dst")
+    val ranks = ops.GraphOps.pagerank(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(0L) == ranks.values.max, "hub must hold the top rank")
+    assert(ranks(7L) > ranks(6L), "chain head feeds its successor")
+    assert(ranks.size == 8)
+    // exact equality with the reference recompute on the hand graph too
+    val want = ops.GraphOps.pagerankLocal(
+      Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 0L), (6L, 7L)))
+    assert(ranks == want)
+  }
+
   test("q_gopher_quality: verdict agrees with a Scala recompute per doc") {
     val texts = graft.Tables.documents(spark, Sf0001)
       .select(col("doc_id"), col("text"))
