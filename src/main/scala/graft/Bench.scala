@@ -29,9 +29,11 @@ import org.apache.spark.sql.SparkSession
   * ~2000 characters of the build output and parses the single JSON
   * line out of that tail, so
   *  - stdout gets exactly ONE compact JSON line, printed LAST, with
-  *    per-query keys ABBREVIATED by the prefix map below (full names
-  *    at 73+ queries overflow the tail); the line length is asserted
-  *    < 1800 chars (worst-case estimate gated in BenchContractSpec);
+  *    per-query keys ABBREVIATED by the table below (full names at
+  *    73+ queries overflow the tail); the per-query map AUTO-FITS its
+  *    budget — full while it fits, else slowest-that-fit + an "oth"
+  *    rollup (composeQueries, unit-gated) — and the line length is
+  *    still asserted < 1800 chars as the final guard;
   *  - the full-precision per-query timings and per-query spreads go to
   *    BENCH_DETAIL.json (full names, full precision). NOTHING else is
   *    printed to stderr in a driver run: sbt's logger re-buffers stderr
@@ -105,7 +107,58 @@ object Bench {
     "text_quality" -> "tqu", "text_repetition" -> "trp", "text_tfidf_top" -> "ttf",
     "text_token_count" -> "ttk", "pipeline_budget" -> "pbu",
     "text_vocab_coverage" -> "tvo", "q_map_funcs" -> "mpf",
-    "graph_pagerank" -> "gpr")
+    "graph_pagerank" -> "gpr", "q_corpus_diff" -> "cdf",
+    "q_mixture_kl" -> "mkl")
+
+  /** 2-decimal seconds with trailing zeros stripped ("0.20" -> "0.2",
+    * "1.00" -> "1") — still valid JSON numbers, ~0.5 chars/query saved. */
+  private[graft] def f2(v: Double): String = {
+    val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    if (s.contains('.'))
+      s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+    else s
+  }
+
+  /** Character budget for the per-query map inside the stdout line:
+    * the fixed fields + failed[] + sf path take ~200 chars of the
+    * 1800-char line gate. */
+  private[graft] val QueriesBudget = 1600
+
+  /** Per-query JSON map for the stdout line, auto-fitting: the FULL
+    * map while it fits `budget`; past that, the SLOWEST queries that
+    * fit plus an `"oth":{"n":N,"sec":S}` rollup of the remainder —
+    * the informative entries survive, the line can never outgrow the
+    * driver's output tail, and `BENCH_DETAIL.json` always carries
+    * every query (with its `key`) regardless. Deterministic: ties on
+    * seconds break by name. */
+  private[graft] def composeQueries(results: Seq[(String, Double)],
+      budget: Int): String = {
+    def entry(k: String, v: Double) = "\"" + shortKey(k) + "\":" + f2(v)
+    val full = results.map { case (k, v) => entry(k, v) }
+      .mkString("{", ",", "}")
+    if (full.length <= budget) full
+    else {
+      val bySlow = results.sortBy { case (k, v) => (-v, k) }
+      val reserve = 40 // "oth" rollup + closing brace, upper bound
+      val keep = scala.collection.mutable.ArrayBuffer.empty[String]
+      var acc = 1 // '{'
+      var i = 0
+      var stop = false
+      while (i < bySlow.length && !stop) {
+        val e = entry(bySlow(i)._1, bySlow(i)._2)
+        val extra = e.length + (if (keep.nonEmpty) 1 else 0)
+        if (acc + extra + reserve <= budget) {
+          keep += e; acc += extra; i += 1
+        } else stop = true
+      }
+      val rest = bySlow.drop(i)
+      val oth =
+        s""""oth":{"n":${rest.length},"sec":${
+          f2(rest.map(_._2).filter(_ >= 0).sum)}}}"""
+      if (keep.isEmpty) "{" + oth
+      else keep.mkString("{", ",", ",") + oth
+    }
+  }
 
   private[graft] def shortKey(name: String): String =
     exactKeys.getOrElse(name, Seq(
@@ -187,19 +240,11 @@ object Bench {
     // See the scaladoc output contract: one compact abbreviated-key
     // JSON line on stdout (printed last, length-asserted), short
     // per-query lines + a full-detail file for humans.
-    // 2-decimal seconds with trailing zeros stripped ("0.20" -> "0.2",
-    // "1.00" -> "1") — still valid JSON numbers, ~0.5 chars/query saved
-    def f2(v: Double): String = {
-      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-      if (s.contains('.'))
-        s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
-      else s
-    }
     val shortKeys = results.map { case (k, _, _) => shortKey(k) }
     require(shortKeys.distinct.length == shortKeys.length,
       "abbreviated bench keys collide — fix the prefix map")
-    val qs = results.map { case (k, v, _) => "\"" + shortKey(k) + "\":" + f2(v) }
-      .mkString("{", ",", "}")
+    val qs = composeQueries(results.map { case (k, v, _) => (k, v) },
+      QueriesBudget)
     val total = results.map(_._2).filter(_ >= 0).sum
     val spread = if (results.isEmpty) 0.0 else results.map(_._3).max
     // strip ALL control chars (<0x20): a multi-line or tab-bearing

@@ -760,6 +760,59 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus release diff: old/new dataset versions (derived
+    // deterministically here — 10% dropped each side, every 7th doc
+    // edited) full-outer-joined on doc_id comparing content md5s →
+    // per-status counts + id checksums. The dataset-release audit
+    // (what changed between v1 and v2) a training pipeline runs
+    // before re-ingesting; one co-keyed full-outer join where only
+    // (id, 16-byte md5) pairs shuffle — at 100 TB the hashes come
+    // from the ingest manifest, not a re-read.
+    "q_corpus_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val oldV = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h_old"))
+      val newText = when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text"))
+      val newV = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+        .select(col("doc_id"), md5(newText.cast("binary")).as("h_new"))
+      oldV.join(newV, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "removed")
+            .when(col("h_old") === col("h_new"), "same")
+            .otherwise("changed"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("status"))
+    }),
+
+    // Per-source language-mixture divergence: KL(p(lang|source) ||
+    // p(lang)) — the drift/imbalance audit that flags a source whose
+    // language mix diverges from the corpus before it skews a
+    // mixture plan (compare pipeline_budget). Three tiny aggregates +
+    // broadcast joins; per-term doubles are rounded then summed as
+    // DECIMAL so the 5-term sum is shuffle-order-exact (the dsum
+    // discipline), with ln parity guarded by the final round(6).
+    "q_mixture_kl" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sl = docs.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_sl"))
+      val sTot = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val lTot = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      val tot = docs.agg(count(lit(1)).as("n"))
+      val p = col("n_sl").cast("double") / col("n_s")
+      val q = col("n_l").cast("double") / col("n")
+      sl.join(sTot, Seq("source")).join(broadcast(lTot), Seq("lang"))
+        .crossJoin(broadcast(tot))
+        .withColumn("term",
+          round(p * log(p / q), 12).cast(DecimalType(28, 14)))
+        .groupBy(col("source"))
+        .agg(round(sum(col("term")).cast("double"), 6).as("kl"),
+          count(lit(1)).as("n_langs"))
+        .orderBy(col("source"))
+    }),
+
     // PageRank over the bipartite user↔item interaction graph from
     // the event log (item = the props.k key, offset into its own id
     // space; edges symmetrized so the walk alternates user→item→user
@@ -3475,6 +3528,45 @@ object SparkEntry {
         |GROUP BY gram
         |HAVING count(*) * 1000 >= (SELECT count(*) FROM g)
         |ORDER BY n DESC, gram""".stripMargin,
+
+    "q_corpus_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, md5(text) AS h_old FROM documents
+        |  WHERE doc_id % 10 <> 0),
+        |nv AS (
+        |  SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0
+        |                          THEN text || ' v2' ELSE text END) AS h_new
+        |  FROM documents WHERE doc_id % 10 <> 3),
+        |j AS (
+        |  SELECT coalesce(o.doc_id, nv.doc_id) AS doc_id, h_old, h_new
+        |  FROM o FULL OUTER JOIN nv ON o.doc_id = nv.doc_id)
+        |SELECT CASE WHEN h_old IS NULL THEN 'added'
+        |            WHEN h_new IS NULL THEN 'removed'
+        |            WHEN h_old = h_new THEN 'same'
+        |            ELSE 'changed' END AS status,
+        |  count(*) AS n_docs, cast(sum(doc_id) as bigint) AS id_sum
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
+
+    "q_mixture_kl" ->
+      """WITH sl AS (
+        |  SELECT source, lang, count(*) AS n_sl
+        |  FROM documents GROUP BY source, lang),
+        |st AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+        |lt AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+        |tt AS (SELECT count(*) AS n FROM documents),
+        |terms AS (
+        |  SELECT sl.source,
+        |    cast(round(
+        |      (cast(n_sl as double) / n_s) *
+        |        ln((cast(n_sl as double) / n_s)
+        |           / (cast(n_l as double) / n)), 12)
+        |      as decimal(28,14)) AS term
+        |  FROM sl JOIN st ON sl.source = st.source
+        |          JOIN lt ON sl.lang = lt.lang
+        |          CROSS JOIN tt)
+        |SELECT source, round(cast(sum(term) as double), 6) AS kl,
+        |  count(*) AS n_langs
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
 
     "pipeline_budget" ->
       s"""WITH pl AS (

@@ -15,19 +15,35 @@ class BenchContractSpec extends AnyFunSuite {
     assert(dups.isEmpty, s"colliding abbreviated keys: ${dups.mkString(",")}")
   }
 
-  test("worst-case bench JSON line fits the output tail with margin") {
-    // per entry: "key":NN.NN, — key + quotes(2) + colon + up to 5 value
-    // chars + comma; fixed fields measured from the emitted template
-    val perQuery = SparkEntry.queries.keys.toSeq
-      .map(n => Bench.shortKey(n).length + 9).sum
-    val fixed = 130 // {"metric":"total",...,"failed":[],"sf":"<path>"}
-    val estimate = fixed + perQuery
-    info(s"estimated worst-case line: $estimate chars " +
-      s"(${SparkEntry.queries.size} queries)")
-    // runtime gate is 1800 (see Bench.scala — with StdoutOutput only
-    // sbt's ~60-char [success] footer follows the line in the tail)
-    assert(estimate < 1800,
-      s"estimated bench line $estimate chars would trip the runtime " +
-        "1800-char gate — widen the abbreviation map before adding queries")
+  test("per-query map auto-fits its budget: full map or slowest + rollup") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // worst-case values (5 chars each): the composed map must fit the
+    // budget BY CONSTRUCTION, with the slowest entries surviving
+    val worst = names.map(n => n -> 99.99)
+    val qs = Bench.composeQueries(worst, Bench.QueriesBudget)
+    info(s"composed worst-case map: ${qs.length} chars " +
+      s"(budget ${Bench.QueriesBudget}, ${names.size} queries, " +
+      s"rollup=${qs.contains("\"oth\":")})")
+    assert(qs.length <= Bench.QueriesBudget)
+    // generous budget -> complete map, no rollup
+    val full = Bench.composeQueries(worst, 1000000)
+    assert(!full.contains("\"oth\":"))
+    names.foreach(n => assert(
+      full.contains("\"" + Bench.shortKey(n) + "\":"),
+      s"$n missing from the full map"))
+    // tight budget -> the SLOWEST queries survive and the rollup
+    // accounts for every dropped one
+    val varied = names.zipWithIndex.map { case (n, i) => n -> (i + 1).toDouble }
+    val trunc = Bench.composeQueries(varied, 400)
+    assert(trunc.length <= 400 && trunc.contains("\"oth\":{\"n\":"))
+    varied.sortBy(-_._2).take(5).foreach { case (n, _) =>
+      assert(trunc.contains("\"" + Bench.shortKey(n) + "\":"),
+        s"slowest query $n dropped from the truncated map")
+    }
+    val othN = "\"oth\":\\{\"n\":(\\d+)".r
+      .findFirstMatchIn(trunc).get.group(1).toInt
+    val kept = names.count(n => trunc.contains("\"" + Bench.shortKey(n) + "\":"))
+    assert(kept + othN == names.size,
+      s"rollup count $othN + kept $kept != ${names.size}")
   }
 }
