@@ -760,6 +760,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental aggregate maintenance: the last 20% of the event
+    // timeline is the "new batch"; per-(type, day) partial aggregates
+    // over the OLD state and the DELTA are merged by re-aggregation —
+    // counts add, sums add EXACTLY because partials stay DECIMAL until
+    // the final cast. The oracle recomputes directly over all events,
+    // so the hash match IS the proof that merge(state, delta) ==
+    // recompute — the correctness property a daily materialized-view
+    // refresh at 100 TB depends on (there the state side is a stored
+    // table and only the delta is scanned; the merge shape is
+    // identical).
+    "q_incr_agg" -> ((s, d) => {
+      val dayNs = 86400000000000L
+      val ev = t(s, d, "events")
+        .select(col("event_type"), expr(s"ts div $dayNs").as("day"),
+          col("value"))
+      val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .selectExpr("d0 + (4 * (d1 - d0)) div 5 AS cut")
+      val cut = ev.crossJoin(broadcast(bounds))
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).as("sv"))
+      val state = partial(cut.filter(col("day") < col("cut")))
+      val delta = partial(cut.filter(col("day") >= col("cut")))
+      state.union(delta)
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("n")).as("n_events"),
+          sum(col("sv")).cast("double").as("total_value"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Corpus release diff: old/new dataset versions (derived
     // deterministically here — 10% dropped each side, every 7th doc
     // edited) full-outer-joined on doc_id comparing content md5s →
@@ -3528,6 +3559,15 @@ object SparkEntry {
         |GROUP BY gram
         |HAVING count(*) * 1000 >= (SELECT count(*) FROM g)
         |ORDER BY n DESC, gram""".stripMargin,
+
+    // the oracle is the DIRECT recompute — hash match proves the
+    // state+delta merge exact
+    "q_incr_agg" ->
+      """SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |  count(*) AS n_events,
+        |  cast(sum(cast(value as decimal(18,2))) as double) AS total_value
+        |FROM events GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
 
     "q_corpus_diff" ->
       """WITH o AS (
