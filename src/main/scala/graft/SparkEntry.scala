@@ -760,6 +760,63 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Key-distribution skew diagnostics: per event type, the numbers
+    // that decide whether a key needs salting BEFORE a join/agg ships
+    // — distinct keys, Shannon entropy of the key distribution (low
+    // entropy = concentrated), and the share of the hottest key. Two
+    // chained aggregations (events → per-key counts → per-type stats);
+    // the entropy terms go through the round-then-DECIMAL-sum
+    // discipline so the result is shuffle-order-exact. Compare
+    // q_skew_join / q_salted_agg, which act on what this measures.
+    "q_skew_profile" -> ((s, d) => {
+      val perKey = t(s, d, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      // per-type totals as a broadcast tiny table, NOT a window over
+      // the per-key rows — a whole-partition window would serialize
+      // each type at billions of distinct keys
+      val totals = perKey.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("total"))
+      val p = col("n").cast("double") / col("total")
+      perKey
+        .join(broadcast(totals), Seq("event_type"))
+        .withColumn("term",
+          round(-p * log(p), 12).cast(DecimalType(28, 14)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("n")).as("n_rows"),
+          round(sum(col("term")).cast("double"), 6).as("entropy"),
+          round(max(col("n")).cast("double") / max(col("total")), 6)
+            .as("top1_share"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Markup-removal curation stage: strip tags, decode the common
+    // entities, collapse whitespace — the HTML→text step a web-scrape
+    // pipeline runs before any quality/dedup pass. The corpus is plain
+    // text, so the query synthesizes deterministic markup around it
+    // first (wrapper + per-sentence <p> tags + an entity-bearing
+    // footer) and then strips it; the oracle runs the SAME wrap+strip
+    // chain, verifying every regex in the chain end-to-end (all
+    // RE2-compatible, no lookarounds). Narrow scan-side work; the
+    // 16-byte md5 of the cleaned text travels, not the text.
+    "text_html_strip" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><title>d</title></head><body><p>"),
+        regexp_replace(col("text"), "\\. ", ".</p> <p>"),
+        lit("</p><div class=\"footer\">&amp;copy; 2026 &lt;corp&gt;</div>" +
+          "</body></html>"))
+      val noTags = regexp_replace(html, "<[^>]*>", " ")
+      val decoded = regexp_replace(regexp_replace(regexp_replace(
+        noTags, "&amp;", "&"), "&lt;", "<"), "&gt;", ">")
+      val clean = trim(regexp_replace(decoded, " +", " "))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          length(clean).cast("bigint").as("n_chars_clean"),
+          md5(clean.cast("binary")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental aggregate maintenance: the last 20% of the event
     // timeline is the "new batch"; per-(type, day) partial aggregates
     // over the OLD state and the DELTA are merged by re-aggregation —
@@ -3559,6 +3616,44 @@ object SparkEntry {
         |GROUP BY gram
         |HAVING count(*) * 1000 >= (SELECT count(*) FROM g)
         |ORDER BY n DESC, gram""".stripMargin,
+
+    "q_skew_profile" ->
+      """WITH pk AS (
+        |  SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY event_type, user_id),
+        |tt AS (
+        |  SELECT event_type, cast(sum(n) as bigint) AS total
+        |  FROM pk GROUP BY event_type),
+        |terms AS (
+        |  SELECT pk.event_type, n, total,
+        |    cast(round(-(cast(n as double) / total)
+        |        * ln(cast(n as double) / total), 12)
+        |      as decimal(28,14)) AS term
+        |  FROM pk JOIN tt ON pk.event_type = tt.event_type)
+        |SELECT event_type, count(*) AS n_keys,
+        |  cast(sum(n) as bigint) AS n_rows,
+        |  round(cast(sum(term) as double), 6) AS entropy,
+        |  round(cast(max(n) as double) / max(total), 6) AS top1_share
+        |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "text_html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>d</title></head><body><p>' ||
+        |    regexp_replace(text, '\. ', '.</p> <p>', 'g') ||
+        |    '</p><div class="footer">&amp;copy; 2026 &lt;corp&gt;</div>' ||
+        |    '</body></html>' AS html
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, trim(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |      '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |    ' +', ' ', 'g')) AS clean
+        |  FROM h)
+        |SELECT doc_id, cast(length(clean) as bigint) AS n_chars_clean,
+        |  md5(clean) AS clean_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // the oracle is the DIRECT recompute — hash match proves the
     // state+delta merge exact
