@@ -73,6 +73,75 @@ object SparkEntry {
   private def knuthBucket(c: Column, n: Int): Column =
     pmod(knuthHash(c), lit(n))
 
+  // ---- derived TPC-H columns --------------------------------------
+  // The driver testdata carries no partsupp table and no lineitem
+  // commit/receipt dates or ship modes, which blocks 7 of the 22
+  // TPC-H query shapes (judged "testdata-blocked" in round 5/6). The
+  // columns are DERIVED here deterministically from columns the data
+  // DOES carry — partsupp keyed by the (l_partkey, l_suppkey) pairs
+  // OBSERVED in lineitem (so every lineitem row joins to exactly one
+  // partsupp row: the TPC-H referential guarantee), dates/modes from
+  // the Knuth hash of the line identity. The oracle computes the
+  // IDENTICAL derivation (SQL mirrors kept adjacent, same discipline
+  // as knuthHash/knuthHashSql), so every derived-family query is
+  // still end-to-end hash-checked; no synthetic input files exist —
+  // both engines read only the driver parquet. Values are integers
+  // (whole-dollar supplycost, integer availqty, day offsets) so all
+  // derived arithmetic is exact on both engines.
+
+  /** Hash of the lineitem row identity (l_linenumber is 1..7, so *8
+    * keeps (orderkey, linenumber) collision-free). */
+  private def lineHash(salt: Long): Column =
+    knuthHash(col("l_orderkey") * lit(8L) + col("l_linenumber") + lit(salt))
+  private def lineHashSql(salt: Long): String =
+    knuthHashSql(s"(l_orderkey * 8 + l_linenumber + $salt)")
+
+  /** l_commitdate: shipdate ± 30 days; l_receiptdate: 1..30 days after
+    * shipdate. Ship modes: the 7 TPC-H modes by hash. */
+  private def lCommitDate: Column =
+    date_add(to_date(col("l_shipdate")),
+      (pmod(lineHash(11), lit(61)) - 30).cast("int"))
+  private val lCommitDateSql =
+    s"cast(l_shipdate as date) + cast(${lineHashSql(11)} % 61 - 30 as int)"
+  private def lReceiptDate: Column =
+    date_add(to_date(col("l_shipdate")),
+      (pmod(lineHash(23), lit(30)) + 1).cast("int"))
+  private val lReceiptDateSql =
+    s"cast(l_shipdate as date) + cast(${lineHashSql(23)} % 30 + 1 as int)"
+  private val shipModes =
+    Seq("AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK")
+  private def lShipMode: Column =
+    element_at(array(shipModes.map(lit): _*),
+      (pmod(lineHash(37), lit(7)) + 1).cast("int"))
+  private val lShipModeSql =
+    s"(['AIR','FOB','MAIL','RAIL','REG AIR','SHIP','TRUCK'])" +
+      s"[cast(${lineHashSql(37)} % 7 + 1 as int)]"
+
+  /** Derived partsupp: one row per (partkey, suppkey) pair observed in
+    * lineitem; integer availqty 1..9999 and whole-dollar supplycost
+    * 100..999 from the pair hash (suppkey < 1000 keeps the pair key
+    * collision-free). */
+  private def partsuppDF(s: SparkSession, d: String): DataFrame = {
+    val psk = col("ps_partkey") * lit(1000L) + col("ps_suppkey")
+    t(s, d, "lineitem")
+      .select(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_availqty",
+        pmod(knuthHash(psk + lit(101L)), lit(9999)) + 1)
+      .withColumn("ps_supplycost",
+        pmod(knuthHash(psk + lit(211L)), lit(900)) + 100)
+  }
+  private val partsuppSql: String =
+    s"""SELECT ps_partkey, ps_suppkey,
+       |    cast(${knuthHashSql("(ps_partkey * 1000 + ps_suppkey + 101)")}
+       |      % 9999 + 1 as bigint) AS ps_availqty,
+       |    cast(${knuthHashSql("(ps_partkey * 1000 + ps_suppkey + 211)")}
+       |      % 900 + 100 as bigint) AS ps_supplycost
+       |  FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+       |                        l_suppkey AS ps_suppkey FROM lineitem)"""
+      .stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_join_agg")(spark, "/root/testdata/sf0.001")
@@ -1191,6 +1260,193 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"),
           dsum(col("c_acctbal")).as("totacctbal"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---- TPC-H shapes over DERIVED columns (see partsuppDF scaladoc:
+    // partsupp / commit-receipt dates / ship modes derived
+    // deterministically from driver columns, identical derivation in
+    // the oracle — closes the "testdata-blocked" 7 shapes). ----------
+
+    // Q2 shape: min-cost supplier per part within a region — the
+    // correlated-min scalar subquery, decorrelated here as a per-part
+    // window min over the region-scoped candidates (one shuffle on
+    // p_partkey; dims broadcast). Output sort key is unique, so the
+    // LIMIT cut is deterministic.
+    "q_tpch2" -> ((s, d) => {
+      val eur = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+      val cand = partsuppDF(s, d)
+        .join(eur, col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "part")
+          .filter(col("p_size") === 15 && col("p_type") === "STANDARD")),
+          col("ps_partkey") === col("p_partkey"))
+      val w = Window.partitionBy(col("p_partkey"))
+      cand.withColumn("min_cost", min(col("ps_supplycost")).over(w))
+        .filter(col("ps_supplycost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), col("ps_supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(20)
+    }),
+
+    // Q9 shape: product-type profit by supplier nation and year —
+    // the partsupp cost lookup joins the fact on BOTH keys
+    // (l_partkey, l_suppkey); profit routes through decimal.
+    "q_tpch9" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")
+          .filter(col("p_name").like("%red%")).select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(partsuppDF(s, d),
+          col("l_partkey") === col("ps_partkey") &&
+            col("l_suppkey") === col("ps_suppkey"))
+        .join(broadcast(t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+      li.groupBy(col("n_name"),
+          year(col("l_shipdate")).cast("bigint").as("o_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          - col("ps_supplycost") * col("l_quantity"), 4).as("sum_profit"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    }),
+
+    // Q11 shape: important-stock concentration — per-part value within
+    // one geography HAVING above a fraction of that geography's total
+    // (the group-filter-by-global-scalar shape). Scoped by REGION, not
+    // the spec's single nation: sf0.001 has ~1 supplier/nation, so a
+    // one-nation cut is empty there; the region keeps the shape and is
+    // non-empty at every SF. Values are exact integers (derived
+    // whole-dollar cost × integer qty).
+    "q_tpch11" -> ((s, d) => {
+      val natPs = partsuppDF(s, d)
+        .join(broadcast(t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "EUROPE")
+          .select(col("s_suppkey"))),
+          col("ps_suppkey") === col("s_suppkey"))
+        .withColumn("value", col("ps_supplycost") * col("ps_availqty"))
+      // total is re-aggregated FROM the per-part aggregate (sum of
+      // sums), not from a second natPs pass — the global-scalar branch
+      // costs one reduce over the already-aggregated table, and the
+      // derivation subtree appears once even without AQE stage reuse
+      val partVals = natPs.groupBy(col("ps_partkey"))
+        .agg(sum(col("value")).as("part_value"))
+      val total = partVals.agg(sum(col("part_value")).as("tot"))
+      partVals
+        .crossJoin(broadcast(total))
+        .filter(col("part_value") * 10000 > col("tot") * 15)
+        .select(col("ps_partkey"), col("part_value"))
+        .orderBy(col("part_value").desc, col("ps_partkey"))
+    }),
+
+    // Q12 shape: shipping-mode service levels — derived modes and
+    // commit/receipt dates; counts split by order priority; one
+    // partial+final aggregate after scan-side date predicates.
+    "q_tpch12" -> ((s, d) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, d, "lineitem")
+        .withColumn("l_shipmode", lShipMode)
+        .withColumn("l_commitdate", lCommitDate)
+        .withColumn("l_receiptdate", lReceiptDate)
+        .filter(col("l_shipmode").isin("MAIL", "SHIP") &&
+          col("l_commitdate") < col("l_receiptdate") &&
+          to_date(col("l_shipdate")) < col("l_commitdate") &&
+          col("l_receiptdate") >= lit("1996-01-01").cast("date") &&
+          col("l_receiptdate") < lit("1997-01-01").cast("date"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_shipmode"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_shipmode"))
+    }),
+
+    // Q16 shape: supplier counts per part attribute — NOT IN
+    // subquery (negative-balance suppliers stand in for the comment
+    // filter the schema lacks) lowered to a left-anti join, then
+    // count-distinct per (brand, type, size).
+    "q_tpch16" -> ((s, d) => {
+      val excluded = t(s, d, "supplier")
+        .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+      partsuppDF(s, d)
+        .join(broadcast(t(s, d, "part")
+          .filter(col("p_brand") =!= "Brand#1" &&
+            col("p_size").isin(5, 15, 25, 35, 45))),
+          col("ps_partkey") === col("p_partkey"))
+        .join(excluded, col("ps_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // Q20 shape: suppliers with excess stock — availqty above half the
+    // year's shipped quantity for that (part, supplier); the quantity
+    // sum routes through decimal so the 0.5× threshold is exact.
+    "q_tpch20" -> ((s, d) => {
+      val shipped = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate") < lit("1997-01-01").cast("date"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+      val hotParts = t(s, d, "part")
+        .filter(col("p_name").like("hot%")).select(col("p_partkey"))
+      val qualifying = partsuppDF(s, d)
+        .join(broadcast(hotParts), col("ps_partkey") === col("p_partkey"))
+        .join(shipped, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty") * 2 > col("qty"))
+        .select(col("ps_suppkey")).distinct()
+      t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .join(qualifying, col("s_suppkey") === col("ps_suppkey"),
+          "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_name"))
+    }),
+
+    // Q21 shape: suppliers who kept waiting — multi-supplier 'F'
+    // orders where EXACTLY this supplier's lines missed commit.
+    // Decorrelated: per-order distinct-supplier and distinct-late-
+    // supplier counts (two aggregates co-keyed on l_orderkey) replace
+    // the EXISTS / NOT EXISTS pair; numwait counts qualifying LINES,
+    // mirroring the classic formulation (the oracle runs the
+    // EXISTS/NOT EXISTS original — the hash match proves the
+    // decorrelation equivalent).
+    "q_tpch21" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .withColumn("late", lReceiptDate > lCommitDate)
+      val perOrder = li.groupBy(col("l_orderkey").as("ok"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(when(col("late"), col("l_suppkey")))
+            .as("n_late_supps"),
+          min(when(col("late"), col("l_suppkey"))).as("late_supp"))
+      li.filter(col("late"))
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(perOrder, col("l_orderkey") === col("ok"))
+        .filter(col("n_supps") > 1 && col("n_late_supps") === 1)
+        .join(broadcast(t(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
     }),
 
     // TPC-H Q6 shape: forecasting-revenue change — a pure
@@ -3558,6 +3814,121 @@ object SparkEntry {
          |                  WHERE o_custkey = c_custkey
          |                    AND o_orderdate >= DATE '2000-01-01')
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // ---- derived-column TPC-H oracles: each re-derives partsupp /
+    // dates / modes with the SAME hash arithmetic (see partsuppSql)
+    "q_tpch2" ->
+      s"""WITH ps AS ($partsuppSql)
+         |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+         |  ps_supplycost
+         |FROM part, ps, supplier, nation, region
+         |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+         |  AND p_size = 15 AND p_type = 'STANDARD'
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'EUROPE'
+         |  AND ps_supplycost = (
+         |    SELECT min(ps2.ps_supplycost)
+         |    FROM ps ps2, supplier s2, nation n2, region r2
+         |    WHERE ps2.ps_partkey = p_partkey
+         |      AND s2.s_suppkey = ps2.ps_suppkey
+         |      AND s2.s_nationkey = n2.n_nationkey
+         |      AND n2.n_regionkey = r2.r_regionkey
+         |      AND r2.r_name = 'EUROPE')
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         |LIMIT 20""".stripMargin,
+
+    "q_tpch9" ->
+      s"""WITH ps AS ($partsuppSql)
+         |SELECT n_name, cast(extract(year from l_shipdate) as bigint)
+         |    AS o_year,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount) " +
+            "- ps_supplycost * l_quantity", 4)} AS sum_profit
+         |FROM lineitem, ps, part, supplier, nation
+         |WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |  AND l_partkey = p_partkey AND l_suppkey = s_suppkey
+         |  AND s_nationkey = n_nationkey AND p_name LIKE '%red%'
+         |GROUP BY n_name, o_year
+         |ORDER BY n_name, o_year DESC""".stripMargin,
+
+    "q_tpch11" ->
+      s"""WITH ps AS ($partsuppSql),
+         |np AS (
+         |  SELECT ps_partkey, ps_supplycost * ps_availqty AS value
+         |  FROM ps, supplier, nation, region
+         |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
+         |SELECT ps_partkey, cast(sum(value) as bigint) AS part_value
+         |FROM np GROUP BY ps_partkey
+         |HAVING sum(value) * 10000 > (SELECT sum(value) FROM np) * 15
+         |ORDER BY part_value DESC, ps_partkey""".stripMargin,
+
+    "q_tpch12" ->
+      s"""WITH li AS (
+         |  SELECT l_orderkey, $lShipModeSql AS l_shipmode,
+         |    cast(l_shipdate as date) AS sd,
+         |    $lCommitDateSql AS cd, $lReceiptDateSql AS rd
+         |  FROM lineitem)
+         |SELECT l_shipmode,
+         |  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |    THEN 1 ELSE 0 END) as bigint) AS high_line_count,
+         |  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |    THEN 0 ELSE 1 END) as bigint) AS low_line_count
+         |FROM li, orders
+         |WHERE l_orderkey = o_orderkey
+         |  AND l_shipmode IN ('MAIL', 'SHIP')
+         |  AND cd < rd AND sd < cd
+         |  AND rd >= DATE '1996-01-01' AND rd < DATE '1997-01-01'
+         |GROUP BY l_shipmode ORDER BY l_shipmode""".stripMargin,
+
+    "q_tpch16" ->
+      s"""WITH ps AS ($partsuppSql)
+         |SELECT p_brand, p_type, p_size,
+         |  count(DISTINCT ps_suppkey) AS supplier_cnt
+         |FROM ps, part
+         |WHERE p_partkey = ps_partkey
+         |  AND p_brand <> 'Brand#1' AND p_size IN (5, 15, 25, 35, 45)
+         |  AND ps_suppkey NOT IN (
+         |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+         |GROUP BY p_brand, p_type, p_size
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+        .stripMargin,
+
+    "q_tpch20" ->
+      s"""WITH ps AS ($partsuppSql)
+         |SELECT s_name, s_acctbal
+         |FROM supplier, nation, region
+         |WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'EUROPE'
+         |  AND s_suppkey IN (
+         |    SELECT ps_suppkey FROM ps
+         |    WHERE ps_partkey IN (
+         |        SELECT p_partkey FROM part WHERE p_name LIKE 'hot%')
+         |      AND ps_availqty * 2 > (
+         |        SELECT sum(cast(l_quantity as decimal(18,2)))
+         |        FROM lineitem
+         |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |          AND l_shipdate >= DATE '1996-01-01'
+         |          AND l_shipdate < DATE '1997-01-01'))
+         |ORDER BY s_name""".stripMargin,
+
+    "q_tpch21" ->
+      s"""WITH li AS (
+         |  SELECT l_orderkey, l_suppkey,
+         |    ($lReceiptDateSql > $lCommitDateSql) AS late
+         |  FROM lineitem)
+         |SELECT s_name, count(*) AS numwait
+         |FROM li l1, orders, supplier
+         |WHERE l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+         |  AND l1.l_suppkey = s_suppkey AND l1.late
+         |  AND EXISTS (SELECT 1 FROM li l2
+         |              WHERE l2.l_orderkey = l1.l_orderkey
+         |                AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM li l3
+         |                  WHERE l3.l_orderkey = l1.l_orderkey
+         |                    AND l3.l_suppkey <> l1.l_suppkey
+         |                    AND l3.late)
+         |GROUP BY s_name ORDER BY numwait DESC, s_name
+         |LIMIT 20""".stripMargin,
 
     "q_events_resample" ->
       """WITH b AS (SELECT date_trunc('hour', min(ts)) AS mn,
