@@ -204,6 +204,13 @@ object EventStreams {
       ts: java.sql.Timestamp)
   case class GroupCandidates(group: String, candidates: Array[String])
 
+  /** [[heavyHitterCandidatesExpiring]] output: `evicted = true` marks
+    * the group's FINAL summary (emitted once when its state expires —
+    * the candidates are the last-known MG survivors, not a tombstone);
+    * `false` is a regular per-batch refresh. */
+  case class GroupSummary(group: String, candidates: Array[String],
+      evicted: Boolean)
+
   /** Streaming heavy-hitter candidates per group: one Misra-Gries
     * summary ([[graft.functions.MGBuffer]] — the SAME sketch and wire
     * format as the batch [[graft.functions.MisraGriesKeys]] aggregate)
@@ -245,7 +252,10 @@ object EventStreams {
     * the group domain itself is bounded (active groups only), the same
     * two-bound discipline as [[sessionize]]. A group idle for `idleMs`
     * of EVENT time (watermark passes its last item + idleMs) emits one
-    * final empty-candidates tombstone and its state is removed; if the
+    * FINAL summary — its last-known candidates decoded from state
+    * before removal, marked `evicted = true`, so a consumer gets the
+    * group's closing heavy-hitter set without replaying updates — and
+    * its state is removed; if the
     * group reappears later its sketch restarts, so the containment
     * guarantee is scoped to each contiguous active period — the price
     * of bounded state, exactly like dedupStream's horizon caveat.
@@ -253,17 +263,20 @@ object EventStreams {
     * requires a watermark for event-time timeouts). */
   def heavyHitterCandidatesExpiring(spark: SparkSession,
       items: Dataset[GroupItemTs], k: Int,
-      idleMs: Long = 60 * 60 * 1000L): Dataset[GroupCandidates] = {
+      idleMs: Long = 60 * 60 * 1000L): Dataset[GroupSummary] = {
     import spark.implicits._
     import graft.functions.MGBuffer
     items.groupByKey(_.group)
-      .mapGroupsWithState[Array[Byte], GroupCandidates](
+      .mapGroupsWithState[Array[Byte], GroupSummary](
         GroupStateTimeout.EventTimeTimeout) {
         (group: String, rows: Iterator[GroupItemTs],
          state: GroupState[Array[Byte]]) =>
           if (state.hasTimedOut) {
+            val last = state.getOption.map(MGBuffer.fromBytes(_, k))
+              .map(_.effective.map(_._1).toArray.sorted)
+              .getOrElse(Array.empty[String])
             state.remove()
-            GroupCandidates(group, Array.empty)
+            GroupSummary(group, last, evicted = true)
           } else {
             val buf = state.getOption.map(MGBuffer.fromBytes(_, k))
               .getOrElse(new MGBuffer(k))
@@ -279,7 +292,8 @@ object EventStreams {
             // to just past the current watermark (fires next batch)
             state.setTimeoutTimestamp(
               math.max(lastMs + idleMs, state.getCurrentWatermarkMs() + 1))
-            GroupCandidates(group, buf.effective.map(_._1).toArray.sorted)
+            GroupSummary(group, buf.effective.map(_._1).toArray.sorted,
+              evicted = false)
           }
       }
   }

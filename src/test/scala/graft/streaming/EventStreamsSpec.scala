@@ -233,7 +233,7 @@ class EventStreamsSpec extends SparkSpec {
 
   test("expiring MG heavy hitters evict idle groups on event-time timeout") {
     import spark.implicits._
-    import EventStreams.{GroupItemTs, GroupCandidates}
+    import EventStreams.{GroupItemTs, GroupSummary}
     val dir = Files.createTempDirectory("graft-hh-exp").toString
     val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00")
     def at(plusMin: Int) =
@@ -253,10 +253,10 @@ class EventStreamsSpec extends SparkSpec {
     val out = EventStreams.heavyHitterCandidatesExpiring(
       spark, stream, k = 8, idleMs = 30 * 60 * 1000L)
     val captured =
-      scala.collection.mutable.ArrayBuffer[(Long, GroupCandidates)]()
+      scala.collection.mutable.ArrayBuffer[(Long, GroupSummary)]()
     val q = out.writeStream.outputMode("update")
       .foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[GroupCandidates], id: Long) =>
+        (batch: org.apache.spark.sql.Dataset[GroupSummary], id: Long) =>
         captured.synchronized {
           captured ++= batch.collect().map((id, _))
         }; ()
@@ -272,12 +272,21 @@ class EventStreamsSpec extends SparkSpec {
       val aEmissions = captured.filter(_._2.group == "a")
       assert(aEmissions.map(_._1).max >= 1,
         s"no post-batch-1 emission for idle group a: $aEmissions")
+      // eviction emits the FINAL summary: last-known candidates with
+      // the evicted flag, not a tombstone — a consumer reads the
+      // group's closing heavy-hitter set straight off this row
       val aFinal = aEmissions.maxBy(_._1)._2
-      assert(aFinal.candidates.isEmpty,
+      assert(aFinal.evicted,
         s"idle group a not evicted: ${aFinal.candidates.mkString(",")}")
+      val aLastUpdate = aEmissions.filter(!_._2.evicted).maxBy(_._1)._2
+      assert(aFinal.candidates.toSeq == aLastUpdate.candidates.toSeq,
+        s"final summary ${aFinal.candidates.mkString(",")} != last " +
+          s"update ${aLastUpdate.candidates.mkString(",")}")
+      assert(aFinal.candidates.nonEmpty,
+        "final summary lost the last-known candidates")
       // active group keeps the containment guarantee for its period
       val bFinal = captured.filter(_._2.group == "b").maxBy(_._1)._2
-      assert(bFinal.candidates.contains("hot_b"))
+      assert(bFinal.candidates.contains("hot_b") && !bFinal.evicted)
       // batch 3: a reappears — its sketch restarted from empty
       ((0 until 3).map(_ => gi("a", "a_new", 601)))
         .toDF().write.mode("append").parquet(dir)
