@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.TextOps
+import graft.ops.{BpeOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -610,6 +610,41 @@ object SparkEntry {
         .agg(sum(TextOps.bpeTokenCount(col("text"))).as("bpe_tokens"),
           count(lit(1)).as("n_docs"))
         .orderBy(col("source"))
+    }),
+
+    // TRAINED BPE (Sennrich '16 subword-nmt algorithm, deterministic):
+    // the merge table itself, learned from this corpus — one
+    // distributed word-type-count pass, then a driver loop over the
+    // compact type dict (O(types × merges), corpus-size-independent;
+    // BpeOps scaladoc has the 100-TB split). No SQL oracle exists for
+    // an iterative merge loop → rows-only here; BpeSpec proves the
+    // trainer equals an independent reference implementation exactly
+    // and checks the classic hand corpus.
+    "text_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      val model = BpeOps.train(t(s, d, "documents"), col("text"),
+        numMerges = 64)
+      model.lefts.zip(model.rights).zipWithIndex
+        .map { case ((l, r), i) => (i.toLong, l, r, l + r) }.toSeq
+        .toDF("rank", "left", "right", "merged")
+        .orderBy(col("rank"))
+    }),
+
+    // Trained-BPE corpus encoding: train as above, then tokenize every
+    // document with the codegen'd BpeEncode expression (model ships as
+    // a kilobyte task reference; the Project stays in the scan's
+    // whole-stage-codegen span — plan-gated in BpeSpec) and report the
+    // top-20 subwords by stream frequency. The real-tokenizer upgrade
+    // of text_bpe_tokens' regex estimate; closes the §8.5 "true-BPE
+    // chunker" gap at the tokenizer level.
+    "text_bpe_encode" -> ((s, d) => {
+      val model = BpeOps.train(t(s, d, "documents"), col("text"),
+        numMerges = 64)
+      t(s, d, "documents")
+        .select(explode(BpeOps.encode(col("text"), model)).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
     }),
 
     // PII exposure + redaction under the oracle: per-doc counts of
@@ -2379,6 +2414,39 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Temperature-scaled mixture sampling (the multilingual-training
+    // standard: sample language l ∝ p_l^α, α = 0.7 here — upweights
+    // tail languages without drowning the head; XLM-R's exponent).
+    // Emits per-language natural share p, temperature share q,
+    // downsampling-only rate (q/p renormalized so the most-boosted
+    // language keeps 100%), and expected kept docs. One per-lang
+    // aggregate + broadcast scalars over the languages-sized table —
+    // nothing corpus-shaped moves at any scale. Doubles are rounded
+    // at every emitted column (the ln/pow discipline used by
+    // text_tfidf_top) so cross-engine pow ulps cannot flip the hash.
+    "pipeline_mix_temperature" -> ((s, d) => {
+      val alpha = 0.7
+      val perLang = t(s, d, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val tot = perLang.agg(sum(col("n_docs")).as("tot"))
+      val withP = perLang.crossJoin(broadcast(tot))
+        .withColumn("p", col("n_docs") / col("tot"))
+        .withColumn("pa", pow(col("p"), lit(alpha)))
+      val z = withP.agg(sum(col("pa")).as("z"))
+      val withQ = withP.crossJoin(broadcast(z))
+        .withColumn("q", col("pa") / col("z"))
+        .withColumn("rel", col("q") / col("p"))
+      val mx = withQ.agg(max(col("rel")).as("mx"))
+      withQ.crossJoin(broadcast(mx))
+        .withColumn("rate", col("rel") / col("mx"))
+        .select(col("lang"), col("n_docs"),
+          round(col("p"), 6).as("p"),
+          round(col("q"), 6).as("q"),
+          round(col("rate"), 6).as("rate"),
+          round(col("n_docs") * col("rate"), 2).as("n_kept_expected"))
+        .orderBy(col("lang"))
+    }),
+
     // Tokenizer-vocabulary coverage curve: top-20 corpus terms by
     // frequency with the cumulative fraction of all token instances
     // they cover — the first statistic a tokenizer-training run
@@ -2646,6 +2714,42 @@ object SparkEntry {
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n"))
         .filter(col("n_docs") >= 2)
+        .orderBy(col("n").desc, col("gram"))
+        .limit(50)
+    }),
+
+    // The 100-TB variant of dedup_substrings promised in PLANS.md /
+    // SURVEY §8.5: the counting shuffle moves xxhash64(gram) LONGS (8
+    // bytes/key), never gram strings. Exemplar text is recovered only
+    // for the survivors (n_docs >= 2): a second narrow gram pass is
+    // semi-joined against the broadcast survivor hash set map-side, so
+    // the only strings that ever shuffle are survivors' — on a
+    // boilerplate-shaped corpus a tiny fraction of the gram stream.
+    // The sort/limit runs AFTER text recovery so the (n DESC, gram)
+    // tiebreak is identical to the exact query — the hash changes what
+    // SHUFFLES, not what returns. The oracle is the IDENTICAL SQL as
+    // dedup_substrings: a 64-bit collision would merge two grams'
+    // counts and hash-mismatch, so the oracle also certifies
+    // collision-freedom on this corpus.
+    "dedup_substrings_hashed" -> ((s, d) => {
+      def grams = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("w")) - 8),
+          i => array_join(slice(col("w"), i + lit(1), lit(8)), " ")))
+          .as("gram"))
+      val survivors = grams
+        .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+        .groupBy(col("gh"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n"))
+        .filter(col("n_docs") >= 2)
+      grams.join(broadcast(survivors), xxhash64(col("gram")) === col("gh"))
+        .groupBy(col("gh"))
+        .agg(first(col("gram")).as("gram"), // one string per 64-bit hash
+          first(col("n_docs")).as("n_docs"), first(col("n")).as("n"))
+        .select(col("gram"), col("n_docs"), col("n"))
         .orderBy(col("n").desc, col("gram"))
         .limit(50)
     }),
@@ -4098,6 +4202,26 @@ object SparkEntry {
          |    AS keep_rate_per_epoch
          |FROM r ORDER BY lang""".stripMargin,
 
+    "pipeline_mix_temperature" ->
+      """WITH pl AS (
+        |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |p1 AS (
+        |  SELECT lang, n_docs,
+        |    n_docs / cast((SELECT sum(n_docs) FROM pl) as double) AS p
+        |  FROM pl),
+        |p2 AS (
+        |  SELECT lang, n_docs, p, pow(p, 0.7) AS pa FROM p1),
+        |p3 AS (
+        |  SELECT lang, n_docs, p,
+        |    pa / (SELECT sum(pa) FROM p2) AS q FROM p2),
+        |p4 AS (
+        |  SELECT lang, n_docs, p, q, q / p AS rel FROM p3)
+        |SELECT lang, n_docs, round(p, 6) AS p, round(q, 6) AS q,
+        |  round(rel / (SELECT max(rel) FROM p4), 6) AS rate,
+        |  round(n_docs * rel / (SELECT max(rel) FROM p4), 2)
+        |    AS n_kept_expected
+        |FROM p4 ORDER BY lang""".stripMargin,
+
     "text_vocab_coverage" ->
       """WITH t2 AS (
         |  SELECT unnest(string_split(lower(text), ' ')) AS term
@@ -4220,6 +4344,19 @@ object SparkEntry {
         |FROM cum GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin,
 
     "dedup_substrings" ->
+      """WITH g AS (
+        |  SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |        FROM documents) d,
+        |       LATERAL unnest(generate_series(1, len(w) - 7)) AS t(i)
+        |)
+        |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n
+        |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n DESC, gram LIMIT 50""".stripMargin,
+
+    // identical oracle as dedup_substrings: the hashed plan must
+    // return byte-identical results (the hash is plan-internal)
+    "dedup_substrings_hashed" ->
       """WITH g AS (
         |  SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w

@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.BpeOps
+
+/** Trained BPE: the merge loop has no SQL oracle, so correctness is
+  * anchored here — an INDEPENDENT reference trainer/encoder (plain
+  * maps and lists, no shared code with the BpeOps/BpeKernels
+  * implementations beyond the pre-token regex) must agree exactly,
+  * plus the classic hand corpus from the subword-nmt paper and a
+  * codegen plan gate. */
+class BpeSpec extends SparkSpec {
+
+  // ---- independent reference implementation ------------------------
+  private val Pat = graft.ops.TextOps.BpePattern.r
+
+  private def refPairCounts(vocab: Map[List[String], Long])
+      : Map[(String, String), Long] =
+    vocab.toSeq.flatMap { case (syms, n) =>
+      syms.zip(syms.drop(1)).map(p => (p, n))
+    }.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+
+  private def refMergeWord(syms: List[String], l: String,
+      r: String): List[String] = syms match {
+    case a :: b :: rest if a == l && b == r =>
+      (l + r) :: refMergeWord(rest, l, r)
+    case a :: rest => a :: refMergeWord(rest, l, r)
+    case Nil => Nil
+  }
+
+  private def refTrain(words: Seq[(String, Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    var vocab: Map[List[String], Long] =
+      words.map { case (w, n) =>
+        (w.toList.map(_.toString), n)
+      }.groupBy(_._1).map { case (k, xs) => (k, xs.map(_._2).sum) }
+    var merges = Vector.empty[(String, String)]
+    var stop = false
+    while (merges.size < numMerges && !stop) {
+      val pc = refPairCounts(vocab)
+      if (pc.isEmpty) stop = true
+      else {
+        val ((l, r), n) = pc.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+        if (n < 2) stop = true
+        else {
+          merges :+= ((l, r))
+          vocab = vocab.toSeq.map { case (syms, cnt) =>
+            (refMergeWord(syms, l, r), cnt)
+          }.groupBy(_._1).map { case (k, xs) => (k, xs.map(_._2).sum) }
+        }
+      }
+    }
+    merges
+  }
+
+  private def refEncodeWord(w: String,
+      merges: Seq[(String, String)]): List[String] = {
+    val rank = merges.zipWithIndex.toMap
+    var syms = w.toList.map(_.toString)
+    var done = syms.size < 2
+    while (!done) {
+      val present = syms.zip(syms.drop(1)).flatMap(rank.get)
+      if (present.isEmpty) done = true
+      else {
+        val (l, r) = merges(present.min)
+        syms = refMergeWord(syms, l, r)
+        if (syms.size < 2) done = true
+      }
+    }
+    syms
+  }
+
+  private def refEncode(text: String,
+      merges: Seq[(String, String)]): Seq[String] =
+    Pat.findAllIn(text).toSeq.flatMap(refEncodeWord(_, merges))
+
+  // ---- tests -------------------------------------------------------
+
+  test("classic hand corpus learns the textbook merges") {
+    val words = Array[(String, Long)](
+      ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val model = BpeOps.trainMerges(words, 5)
+    val got = model.lefts.zip(model.rights).toSeq
+    // e-s and s-t tie at 9 → lexicographic; then est; then l-o / lo-w
+    assert(got == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"),
+      ("e", "w")), got.toString)
+    assert(BpeOps.encodeString("lowest", model) == Seq("low", "est"))
+    assert(BpeOps.encodeString("low lowest", model) ==
+      Seq("low", "low", "est"))
+    // OOV characters never merge but always encode
+    assert(BpeOps.encodeString("xyz", model) == Seq("x", "y", "z"))
+  }
+
+  test("pre-tokenizer scanner == the BpePattern regex on the corpus") {
+    val texts = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0))
+    assert(texts.nonEmpty)
+    texts.foreach { t =>
+      assert(BpeKernels.preTokenize(t).toSeq == Pat.findAllIn(t).toSeq,
+        s"scanner/regex divergence on: ${t.take(80)}")
+    }
+    // hand edge cases: class transitions, unicode, empty
+    Seq("", "   ", "a1!b", "héllo wörld", "x,y;z", "a\tb\nc", "3.14abc")
+      .foreach { t =>
+        assert(BpeKernels.preTokenize(t).toSeq == Pat.findAllIn(t).toSeq,
+          s"scanner/regex divergence on: '$t'")
+      }
+  }
+
+  test("trainer and encoder match the independent reference exactly") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val texts = docs.select(col("text")).collect().map(_.getString(0))
+    // reference word counts (driver recompute, full vocabulary)
+    val refCounts = texts.flatMap(Pat.findAllIn(_))
+      .groupBy(identity).map { case (w, xs) => (w, xs.length.toLong) }
+    val refMerges = refTrain(refCounts.toSeq, 48)
+
+    val model = BpeOps.train(docs, col("text"), numMerges = 48)
+    assert(model.lefts.zip(model.rights).toSeq == refMerges,
+      "distributed-count training diverged from reference")
+
+    // expression encode == reference encode, document by document
+    val got = docs
+      .select(col("doc_id"), BpeOps.encode(col("text"), model).as("toks"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+      .toMap
+    val byId = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    byId.foreach { case (id, text) =>
+      assert(got(id) == refEncode(text, refMerges),
+        s"encode mismatch on doc $id")
+    }
+    // losslessness: concatenated subwords == concatenated pre-tokens
+    byId.foreach { case (id, text) =>
+      assert(got(id).mkString == Pat.findAllIn(text).mkString)
+    }
+  }
+
+  test("BpeEncode stays inside whole-stage codegen") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val model = BpeOps.trainMerges(
+      Array(("the", 10L), ("then", 5L), ("than", 4L)), 8)
+    val df = docs.select(BpeOps.encode(col("text"), model).as("toks"))
+    assert(df.queryExecution.toRdd.count() == 500L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(1) Project") && l.contains("bpe_encode")),
+      s"bpe Project must be codegen'd:\n$plan")
+  }
+}
