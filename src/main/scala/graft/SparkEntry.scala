@@ -2447,6 +2447,40 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Model-based quality filtering: a logistic-regression scorer
+    // TRAINED on this corpus (IRLS; one 27-cell decimal aggregate per
+    // iteration — deterministic under any partitioning, see
+    // QualityClassifierOps scaladoc) to reproduce the Gopher rule,
+    // then applied map-side via broadcast coefficients — the
+    // classifier-curation stage of public LLM pipelines (CCNet's
+    // fastText model) in Spark-native form. Output: per-language
+    // rule/classifier agreement. Training is not SQL-expressible →
+    // rows-only; QualityClassifierSpec anchors beta against a driver
+    // reference IRLS exactly and gates agreement + determinism.
+    "pipeline_quality_classifier" -> ((s, d) => {
+      // features are materialized ONCE (localCheckpoint, same trade as
+      // pipeline_full) — the 8 IRLS scans then read the compact
+      // (6 doubles + label) table, not raw text + HOF featurization;
+      // 5.2s -> ~1s at sf0.1. At 100 TB the features table is a
+      // persisted artifact between curation stages anyway.
+      val feats = graft.ops.QualityClassifierOps
+        .featurize(t(s, d, "documents"), col("text"))
+        .localCheckpoint()
+      val beta = graft.ops.QualityClassifierOps.train(feats)
+      feats
+        .withColumn("p_quality",
+          round(graft.ops.QualityClassifierOps.score(beta), 6))
+        .withColumn("clf_pass",
+          (col("p_quality") >= 0.5).cast("bigint"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("label").cast("bigint")).as("n_rule_pass"),
+          sum(col("clf_pass")).as("n_clf_pass"),
+          sum(when(col("clf_pass") === col("label").cast("bigint"), 1L)
+            .otherwise(0L)).as("n_agree"))
+        .orderBy(col("lang"))
+    }),
+
     // Tokenizer-vocabulary coverage curve: top-20 corpus terms by
     // frequency with the cumulative fraction of all token instances
     // they cover — the first statistic a tokenizer-training run
@@ -2636,6 +2670,39 @@ object SparkEntry {
           size(col("chunk_words")).cast("bigint").as("n_tokens"),
           TextOps.bpeTokenCount(col("chunk_text")).as("bpe_budget"),
           md5(col("chunk_text").cast("binary")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // Chunking on TRAINED-subword boundaries — the composition of
+    // q_chunk_tokens and the trained BPE tokenizer (the last §8.5
+    // chunking gap): documents are encoded once with the codegen'd
+    // BpeEncode expression, then tiled into non-overlapping 64-SUBWORD
+    // windows, so no trained token unit is ever split across a chunk —
+    // what a real sequence-packing pipeline feeds the dataloader.
+    // Narrow except the output sort; chunk content is md5'd so BpeSpec
+    // can verify every chunk against the reference encoder. No SQL
+    // oracle can express the merge loop → rows-only + BpeSpec tiling/
+    // totals/content gates.
+    "q_chunk_bpe" -> ((s, d) => {
+      val csize = 64
+      val model = BpeOps.train(t(s, d, "documents"), col("text"),
+        numMerges = 64)
+      // a zero-token doc still yields one (empty) chunk — sequence()
+      // with stop < start would generate a DESCENDING range
+      val nChunks = greatest(lit(1L),
+        ceil(size(col("toks")).cast("double") / csize).cast("long"))
+      t(s, d, "documents")
+        .select(col("doc_id"), BpeOps.encode(col("text"), model).as("toks"))
+        .select(col("doc_id"), col("toks"), nChunks.as("n_chunks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+        .withColumn("chunk_toks",
+          slice(col("toks"), col("chunk_id").cast("int") * csize + 1,
+            lit(csize)))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk_toks")).cast("bigint").as("n_subwords"),
+          md5(array_join(col("chunk_toks"), " ").cast("binary"))
+            .as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 

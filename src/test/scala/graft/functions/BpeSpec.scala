@@ -139,6 +139,38 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("q_chunk_bpe tiles the trained-subword stream losslessly") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val model = BpeOps.train(docs, col("text"), numMerges = 64)
+    val expected = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        BpeOps.encodeString(r.getString(1), model))).toMap
+    val rows = graft.SparkEntry.queries("q_chunk_bpe")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    assert(rows.keySet == expected.keySet)
+    rows.foreach { case (id, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      val toks = expected(id)
+      // tiling: every chunk but the last is exactly 64 subwords, and
+      // the sizes sum to the full encoded stream
+      assert(sorted.init.forall(_._3 == 64L),
+        s"doc $id has a short non-final chunk")
+      assert(sorted.map(_._3).sum == toks.length.max(0),
+        s"doc $id chunk sizes don't cover the stream")
+      // content: each chunk md5 matches the reference encoder's slice
+      sorted.zipWithIndex.foreach { case ((_, _, _, md5), i) =>
+        val slice = toks.slice(i * 64, (i + 1) * 64)
+        assert(md5 == md5hex(slice.mkString(" ")),
+          s"doc $id chunk $i content mismatch")
+      }
+    }
+  }
+
   test("BpeEncode stays inside whole-stage codegen") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
     val model = BpeOps.trainMerges(
