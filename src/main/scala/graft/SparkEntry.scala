@@ -1558,6 +1558,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // SEMANTIC decontamination — the embedding-level companion of the
+    // n-gram variants above: a paraphrased eval item shares no
+    // shingles but sits next to its source in embedding space. The
+    // eval set broadcasts (eval sets are always small); each corpus
+    // vector's max cosine over it is computed map-side by the
+    // codegen'd kernel, and the per-doc argmax is a partial-aggregated
+    // struct max (tiebreak lowest eval id), so only one row per corpus
+    // doc ever moves. Oracle: DuckDB list_cosine_similarity, the
+    // ann_brute discipline (round(4) on the VALUE, raw sim for the
+    // argmax — the kernels agree exactly, ann_brute's hash match is
+    // the standing proof).
+    "pipeline_decon_semantic" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val evalSet = broadcast(
+        emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("eval_id"),
+            col("embedding").as("eval_vec")))
+      emb.filter(pmod(col("vec_id"), lit(50)) =!= 0)
+        .crossJoin(evalSet)
+        .withColumn("sim", graft.functions.VectorFunctions
+          .cosineSim(col("embedding"), col("eval_vec")))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("sim"), (-col("eval_id")).as("neg_id")))
+          .as("m"))
+        .select(col("vec_id"), round(col("m.sim"), 4).as("max_sim"),
+          (-col("m.neg_id")).as("nearest_eval_id"))
+        // testdata vectors are synthetic-random (max observed pair
+        // cosine ~0.51), so the flag threshold is calibrated to the
+        // corpus; production embeddings use ~0.9
+        .filter(col("max_sim") >= 0.4)
+        .orderBy(col("vec_id"))
+    }),
+
     // Full SQL path: Spark's parser + analyzer over registered temp
     // views, with graft's native expressions available as SQL functions
     // (the reference has no SQL surface at all — SURVEY §3).
@@ -1754,6 +1787,47 @@ object SparkEntry {
           round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
           round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("c"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Catalog statistics collection (ANALYZE TABLE in query form): per
+    // column, row/null/exact-distinct counts plus typed min/max — the
+    // stats a cost-based optimizer feeds on. Long format, one
+    // column-pruned scan per column (each scan reads ONE parquet
+    // column; at 100 TB the one-pass alternative replaces exact NDV
+    // with the HLL sketches q_hll_distinct already exercises).
+    // Numeric min/max emit as rounded doubles, string/timestamp as
+    // explicitly-formatted strings — no engine-dependent double
+    // formatting in the hash.
+    "q_table_stats" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      def num(c: String) = li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        round(min(col(c)).cast("double"), 4).as("min_num"),
+        round(max(col(c)).cast("double"), 4).as("max_num"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_num"), col("max_num"),
+          lit(null).cast("string").as("min_str"),
+          lit(null).cast("string").as("max_str"))
+      def str(c: String, fmt: Column => Column) = li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(fmt(col(c))).as("min_str"),
+        max(fmt(col(c))).as("max_str"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"),
+          lit(null).cast("double").as("min_num"),
+          lit(null).cast("double").as("max_num"),
+          col("min_str"), col("max_str"))
+      num("l_orderkey")
+        .unionAll(num("l_quantity"))
+        .unionAll(num("l_extendedprice"))
+        .unionAll(str("l_returnflag", identity))
+        .unionAll(str("l_shipdate",
+          c => date_format(c, "yyyy-MM-dd HH:mm:ss")))
+        .orderBy(col("column_name"))
     }),
 
     // Per-language length deciles (ntile) with per-bucket stats — the
@@ -3637,6 +3711,54 @@ object SparkEntry {
         |  round(stddev_samp(l_quantity), 4) AS sd_qty,
         |  round(corr(l_quantity, l_extendedprice), 6) AS c
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_table_stats" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  cast(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) as bigint)
+           |    AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  round(cast(min($c) as double), 4) AS min_num,
+           |  round(cast(max($c) as double), 4) AS max_num,
+           |  cast(NULL as varchar) AS min_str,
+           |  cast(NULL as varchar) AS max_str
+           |FROM lineitem""".stripMargin
+      def str(c: String, mn: String, mx: String) =
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  cast(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) as bigint)
+           |    AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  cast(NULL as double) AS min_num,
+           |  cast(NULL as double) AS max_num,
+           |  $mn AS min_str, $mx AS max_str
+           |FROM lineitem""".stripMargin
+      Seq(num("l_orderkey"), num("l_quantity"), num("l_extendedprice"),
+        str("l_returnflag", "min(l_returnflag)", "max(l_returnflag)"),
+        str("l_shipdate",
+          "strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S')",
+          "strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S')"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
+
+    "pipeline_decon_semantic" ->
+      """WITH ev AS (
+        |  SELECT vec_id AS eval_id, cast(embedding as DOUBLE[]) AS evec
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT e.vec_id, ev.eval_id,
+        |    list_cosine_similarity(cast(e.embedding as DOUBLE[]), ev.evec)
+        |      AS sim
+        |  FROM embeddings e CROSS JOIN ev
+        |  WHERE e.vec_id % 50 <> 0),
+        |am AS (
+        |  SELECT vec_id, sim, eval_id,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY sim DESC, eval_id) AS rn
+        |  FROM scored)
+        |SELECT vec_id, round(sim, 4) AS max_sim,
+        |  eval_id AS nearest_eval_id
+        |FROM am WHERE rn = 1 AND round(sim, 4) >= 0.4
+        |ORDER BY vec_id""".stripMargin,
 
     "q_scalar_subquery" ->
       """SELECT c_custkey,
