@@ -478,7 +478,7 @@ object AnnOps {
   private def modelFile(key: String) =
     java.nio.file.Paths.get(modelCacheDir, s"$key.txt")
 
-  private def saveRows(key: String, rows: Seq[String]): Unit = {
+  private[ops] def saveRows(key: String, rows: Seq[String]): Unit = {
     val dir = java.nio.file.Paths.get(modelCacheDir)
     java.nio.file.Files.createDirectories(dir)
     val tmp = java.nio.file.Files.createTempFile(dir, key, ".tmp")
@@ -491,7 +491,7 @@ object AnnOps {
     }
   }
 
-  private def loadRows(key: String): Option[Seq[String]] = {
+  private[ops] def loadRows(key: String): Option[Seq[String]] = {
     val f = modelFile(key)
     if (java.nio.file.Files.exists(f))
       Some(new String(java.nio.file.Files.readAllBytes(f), "UTF-8")

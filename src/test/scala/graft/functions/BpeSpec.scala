@@ -171,6 +171,25 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("cachedTrain round-trips the model and keys on params+content") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val src = s"$Sf0001/documents.parquet"
+    val direct = BpeOps.train(docs, col("text"), numMerges = 32)
+    // first call trains and persists; second must serve the identical
+    // model from the artifact (exact merge-table equality)
+    val first = BpeOps.cachedTrain(spark, src, docs, col("text"), 32)
+    val second = BpeOps.cachedTrain(spark, src, docs, col("text"), 32)
+    for (m <- Seq(first, second)) {
+      assert(m.lefts.toSeq == direct.lefts.toSeq &&
+        m.rights.toSeq == direct.rights.toSeq,
+        "cached model differs from direct training")
+    }
+    // different params → different key → different (smaller) model
+    val other = BpeOps.cachedTrain(spark, src, docs, col("text"), 8)
+    assert(other.size == 8 && first.size == 32,
+      "param change must not collide in the cache")
+  }
+
   test("BpeEncode stays inside whole-stage codegen") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
     val model = BpeOps.trainMerges(
