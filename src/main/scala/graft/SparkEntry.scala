@@ -622,8 +622,8 @@ object SparkEntry {
     // and checks the classic hand corpus.
     "text_bpe_train" -> ((s, d) => {
       import s.implicits._
-      val model = BpeOps.train(t(s, d, "documents"), col("text"),
-        numMerges = 64)
+      val model = BpeOps.cachedTrain(s, s"$d/documents.parquet",
+        t(s, d, "documents"), col("text"), numMerges = 64)
       model.lefts.zip(model.rights).zipWithIndex
         .map { case ((l, r), i) => (i.toLong, l, r, l + r) }.toSeq
         .toDF("rank", "left", "right", "merged")
@@ -638,8 +638,8 @@ object SparkEntry {
     // of text_bpe_tokens' regex estimate; closes the §8.5 "true-BPE
     // chunker" gap at the tokenizer level.
     "text_bpe_encode" -> ((s, d) => {
-      val model = BpeOps.train(t(s, d, "documents"), col("text"),
-        numMerges = 64)
+      val model = BpeOps.cachedTrain(s, s"$d/documents.parquet",
+        t(s, d, "documents"), col("text"), numMerges = 64)
       t(s, d, "documents")
         .select(explode(BpeOps.encode(col("text"), model)).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
@@ -693,6 +693,19 @@ object SparkEntry {
         Seq("spark", "join", "window"))
     }),
 
+    // Unigram LM perplexity of every document against a model trained
+    // on the corpus itself — the CCNet/KenLM statistical quality
+    // signal (boilerplate/gibberish/wrong-language docs sit far from
+    // the corpus distribution). Training is ONE vocab aggregate;
+    // corpus scalars ride as a broadcast stats row; scoring is a
+    // co-keyed tf⋈vocab join. Per-term NLL rounded then decimal-
+    // summed (dsum discipline) so per-doc totals are shuffle-order-
+    // exact; ppl exponentiates the 8-dp-rounded average.
+    "pipeline_lm_ppl" -> ((s, d) => {
+      TextOps.lmPerplexity(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus-level bigram frequency (top-50): the n-gram statistics
     // pass behind boilerplate detection and contamination screens.
     // Grams come from the codegen'd WordBigrams kernel (byte-offset
@@ -737,6 +750,38 @@ object SparkEntry {
         .filter(col("n") * 1000 >= col("total"))
         .select(col("gram"), col("n"))
         .orderBy(col("n").desc, col("gram"))
+    }),
+
+    // Count-Min point-frequency estimates vs exact truth: the
+    // mergeable-sketch complement of text_heavy_hitters (MG gives the
+    // guaranteed candidate SET, CMS gives an estimate for ANY key).
+    // One 32 KB sketch per partition moves instead of the term
+    // stream; cells are pure sums, so the sketch bytes are
+    // bit-identical under any partitioning (spec-gated) and the whole
+    // query is deterministic. The driver probes only the exact top-20
+    // keys against the collected sketch (bounded, 20 rows). CMS
+    // guarantee spec-gated: never an underestimate.
+    "text_cms_counts" -> ((s, d) => {
+      import s.implicits._
+      val depth = 4; val width = 1024
+      val terms = t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val bytes = terms
+        .agg(graft.functions.CountMin
+          .cmsSketch(col("term"), depth, width).as("sk"))
+        .head.getAs[Array[Byte]](0)
+      val cms = graft.functions.CMSBuffer.fromBytes(bytes, depth, width)
+      val top = terms.groupBy(col("term"))
+        .agg(count(lit(1)).as("true_n"))
+        .orderBy(col("true_n").desc, col("term"))
+        .limit(20)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          cms.estimate(r.getString(0))))
+      top.toSeq.toDF("term", "true_n", "cms_est")
+        .withColumn("overcount", col("cms_est") - col("true_n"))
+        .orderBy(col("true_n").desc, col("term"))
     }),
 
     // ---- training-data pipeline: dedup ------------------------------
@@ -1554,7 +1599,15 @@ object SparkEntry {
       val all = t(s, d, "documents")
       val evalSet = all.filter(pmod(col("doc_id"), lit(50)) === 0)
       val corpus = all.filter(pmod(col("doc_id"), lit(50)) =!= 0)
-      ops.DedupOps.evalOverlapBloom(corpus, evalSet, "doc_id", "text")
+      // the filter bytes are the persisted per-eval-release artifact:
+      // built once, keyed by the eval source's content signature, and
+      // probed by every later corpus batch without an eval re-read
+      // (spec-gated byte-identity with the fresh build)
+      val bytes = ops.DedupOps.cachedEvalBloom(s,
+        s"$d/documents.parquet", "evalmod50",
+        ops.DedupOps.evalShingleGrams(evalSet, "text"))
+      ops.DedupOps.evalOverlapBloom(corpus, evalSet, "doc_id", "text",
+        bloomBytes = Some(bytes))
         .orderBy(col("doc_id"))
     }),
 
@@ -2103,6 +2156,19 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Hard-negative mining — the contrastive-training data op: per
+    // query, top-k corpus docs in the similarity BAND [0.05, 0.35)
+    // (informative negatives below the near-dup cut; a near-dup
+    // negative poisons the objective, an easy one teaches nothing).
+    // Band cut AND ranking use the 4-dp rounded similarity so the
+    // cross-engine result never hinges on a kernel ulp.
+    "ann_hard_negatives" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      ops.AnnOps.hardNegatives(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 10, 0.05, 0.35)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Same search via the typed bounded TopK Aggregator (map-side
     // partial top-k; the merge-shuffle is O(partitions × k) instead of
     // all candidates) — must produce byte-identical results to
@@ -2500,19 +2566,20 @@ object SparkEntry {
     // text_tfidf_top) so cross-engine pow ulps cannot flip the hash.
     "pipeline_mix_temperature" -> ((s, d) => {
       val alpha = 0.7
-      val perLang = t(s, d, "documents")
+      // the corpus is scanned ONCE (the per-lang aggregate); the
+      // global scalars (total, Z, max-rate) are single-partition
+      // windows over the LANGUAGES-sized result — O(#languages) rows
+      // through one task, never a second corpus pass (the
+      // crossJoin-per-scalar formulation re-derived the aggregate
+      // from parquet for every scalar branch)
+      val all = Window.partitionBy()
+      t(s, d, "documents")
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-      val tot = perLang.agg(sum(col("n_docs")).as("tot"))
-      val withP = perLang.crossJoin(broadcast(tot))
-        .withColumn("p", col("n_docs") / col("tot"))
+        .withColumn("p", col("n_docs") / sum(col("n_docs")).over(all))
         .withColumn("pa", pow(col("p"), lit(alpha)))
-      val z = withP.agg(sum(col("pa")).as("z"))
-      val withQ = withP.crossJoin(broadcast(z))
-        .withColumn("q", col("pa") / col("z"))
+        .withColumn("q", col("pa") / sum(col("pa")).over(all))
         .withColumn("rel", col("q") / col("p"))
-      val mx = withQ.agg(max(col("rel")).as("mx"))
-      withQ.crossJoin(broadcast(mx))
-        .withColumn("rate", col("rel") / col("mx"))
+        .withColumn("rate", col("rel") / max(col("rel")).over(all))
         .select(col("lang"), col("n_docs"),
           round(col("p"), 6).as("p"),
           round(col("q"), 6).as("q"),
@@ -2759,8 +2826,8 @@ object SparkEntry {
     // totals/content gates.
     "q_chunk_bpe" -> ((s, d) => {
       val csize = 64
-      val model = BpeOps.train(t(s, d, "documents"), col("text"),
-        numMerges = 64)
+      val model = BpeOps.cachedTrain(s, s"$d/documents.parquet",
+        t(s, d, "documents"), col("text"), numMerges = 64)
       // a zero-token doc still yields one (empty) chunk — sequence()
       // with stop < start would generate a DESCENDING range
       val nChunks = greatest(lit(1L),
@@ -3100,6 +3167,30 @@ object SparkEntry {
       s.read.parquet(path)
         .filter(col("lang") === "en")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Schema-evolution read: two corpus batches written with DIFFERENT
+    // parquet schemas (an early release with just text, a later one
+    // that added lang/source but dropped the text payload) read back
+    // as ONE table via mergeSchema — footer-level schema union, absent
+    // columns surfacing as NULL. This is the lakehouse contract when a
+    // dataset adds columns between releases; no rewrite of old
+    // batches. The oracle recomputes the union over the ORIGINAL
+    // table, proving the merged read lossless and NULL-correct.
+    "q_schema_evolution" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val path = ops.StorageOps.scratchPath(
+        s"schevo_${s.sparkContext.applicationId}_${math.abs(d.hashCode.toLong)}")
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$path/v1")
+      docs.filter(pmod(col("doc_id"), lit(2)) =!= 0)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .write.mode("overwrite").parquet(s"$path/v2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$path/v1", s"$path/v2")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     })
   )
@@ -3478,6 +3569,34 @@ object SparkEntry {
         |GROUP BY tf.doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
+    // Mirrors TextOps.lmPerplexity exactly: same add-0.5 smoothing,
+    // same round-12 → DECIMAL(28,14) per-term discipline, same
+    // exp(round(·,8)) guard.
+    "pipeline_lm_ppl" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+        |       WHERE term <> '' GROUP BY doc_id, term),
+        |vocab AS (SELECT term, cast(sum(tf) as bigint) AS c
+        |          FROM tf GROUP BY term),
+        |stats AS (SELECT cast(sum(c) as bigint) AS total,
+        |                 count(*) AS v FROM vocab),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(tf.tf * -ln((vocab.c + 0.5)
+        |      / (stats.total + 0.5 * stats.v)), 12)
+        |      AS DECIMAL(28,14)) AS term_nll,
+        |    tf.tf
+        |  FROM tf JOIN vocab USING (term) CROSS JOIN stats),
+        |agg AS (SELECT doc_id, sum(term_nll) AS nll,
+        |               cast(sum(tf) as bigint) AS n_tokens
+        |        FROM contrib GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  round(CAST(nll AS DOUBLE) / n_tokens, 6) AS avg_nll,
+        |  round(exp(round(CAST(nll AS DOUBLE) / n_tokens, 8)), 4) AS ppl
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
     "text_pii" ->
       s"""SELECT doc_id,
          |  cast(${TextOps.sql.patCount(TextOps.sql.url)} as bigint)
@@ -3601,6 +3720,28 @@ object SparkEntry {
         |                       ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // Mirrors hardNegatives: the band cut and the ranking both use
+    // the ROUNDED similarity.
+    "ann_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |             cast(embedding as DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.qvec,
+        |      cast(e.embedding as DOUBLE[])), 4) AS sim
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q.query_id),
+        |banded AS (SELECT * FROM scored
+        |           WHERE sim >= 0.05 AND sim < 0.35),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM banded)
+        |SELECT query_id, rank, neighbor_id, sim
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_sql_path" ->
@@ -4611,6 +4752,17 @@ object SparkEntry {
     "q_partitioned_read" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents WHERE lang = 'en'
+        |ORDER BY doc_id""".stripMargin,
+
+    // The merged-schema read must equal this union over the original
+    // table: absent columns are NULL, nothing else changes.
+    "q_schema_evolution" ->
+      """SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang,
+        |  CAST(NULL AS VARCHAR) AS source
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS VARCHAR), lang, source
+        |FROM documents WHERE doc_id % 2 <> 0
         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -59,6 +59,9 @@ object Registry {
     reg.createOrReplaceTempFunction("misra_gries_keys",
       es => MisraGriesKeys(es(0), intArg(es(1), "k"))
         .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("count_min_sketch_graft",
+      es => CountMinSketchAgg(es(0), intArg(es(1), "depth"),
+        intArg(es(2), "width")).toAggregateExpression(), "built-in")
     registered.put(spark, java.lang.Boolean.TRUE)
   }
 }

@@ -52,6 +52,36 @@ object AnnOps {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k corpus docs whose similarity lies in a BAND
+    * [lo, hi) — similar enough to be informative negatives, below the
+    * near-duplicate cut (a near-dup used as a negative poisons the
+    * contrastive objective; an easy negative teaches nothing). Both
+    * the band cut and the ranking use the 4-dp ROUNDED similarity, so
+    * the cross-engine result can never hinge on a kernel ulp. Same
+    * broadcast-queries shape as [[bruteForceTopK]]; the IVF/LSH
+    * candidate fronts compose the same way at index scale. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      lo: Double, hi: Double): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("query_vec")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("vec"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(VectorFunctions.cosineSim(
+        col("query_vec"), col("vec")), 4))
+      .filter(col("sim") >= lo && col("sim") < hi)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim"))
+  }
+
   /** Brute-force top-k via the typed [[graft.functions.Aggregators.TopK]]
     * aggregator instead of a window: the bounded buffer gives map-side
     * partial top-k, so each partition ships at most k candidates per

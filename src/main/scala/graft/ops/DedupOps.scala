@@ -229,7 +229,8 @@ object DedupOps {
     * same machinery as Spark's runtime bloom join gates). */
   def evalOverlapBloom(corpus: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3,
-      minOverlap: Int = 2, fpp: Double = 0.01): DataFrame = {
+      minOverlap: Int = 2, fpp: Double = 0.01,
+      bloomBytes: Option[Array[Byte]] = None): DataFrame = {
     def grams(df: DataFrame) =
       HashFunctions.shingleHashes(tokens(col(textCol)), shingleN)
     val evalGrams = evalSet.select(explode(grams(evalSet)).as("g"))
@@ -238,7 +239,7 @@ object DedupOps {
     val candidates = corpus
       .select(col(idCol), explode(grams(corpus)).as("g"))
       .filter(bloomMightContain(
-        buildEvalBloom(evalGrams, fpp), col("g")))
+        bloomBytes.getOrElse(buildEvalBloom(evalGrams, fpp)), col("g")))
     val overlap = candidates.join(broadcast(evalGrams), Seq("g"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
@@ -263,6 +264,39 @@ object DedupOps {
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray
+  }
+
+  /** Distinct shingle-hash grams of an eval set — the one-column frame
+    * [[buildEvalBloom]]/[[cachedEvalBloom]] compress; identical gram
+    * construction to the [[evalOverlapBloom]] probe side. */
+  def evalShingleGrams(evalSet: DataFrame, textCol: String,
+      shingleN: Int = 3): DataFrame =
+    evalSet.select(explode(HashFunctions.shingleHashes(
+      tokens(col(textCol)), shingleN)).as("g")).distinct()
+
+  /** [[buildEvalBloom]] behind the content-signature artifact cache —
+    * the persisted per-eval-release flow: the filter bytes are built
+    * ONCE per eval-set release (keyed by format version, fpp, a caller
+    * tag and the eval source's content signature) and every later
+    * corpus batch probes the loaded bytes with no eval re-read. Same
+    * discipline as the ANN/BPE model caches: per-user 0700 scratch
+    * dir, atomic-rename race-safe, content key makes serving a stale
+    * filter structurally impossible. Bytes travel base64, one line. */
+  def cachedEvalBloom(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, tag: String, evalGrams: DataFrame,
+      fpp: Double = 0.01): Array[Byte] = {
+    val sig = StorageOps.contentSignature(spark, srcPath)
+    val key = s"bloom_${AnnOps.ModelFormatVersion}_${tag}_" +
+      s"${math.round(fpp * 1e6)}_${java.lang.Long.toHexString(sig)}"
+    AnnOps.loadRows(key) match {
+      case Some(rows) =>
+        java.util.Base64.getDecoder.decode(rows.head)
+      case None =>
+        val bytes = buildEvalBloom(evalGrams, fpp)
+        AnnOps.saveRows(key,
+          Seq(java.util.Base64.getEncoder.encodeToString(bytes)))
+        bytes
+    }
   }
 
   /** Codegen'd membership probe of a long column against serialized

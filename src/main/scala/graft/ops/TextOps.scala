@@ -184,6 +184,52 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Unigram language-model perplexity of every document against a
+    * model trained on the corpus itself — the CCNet/KenLM-style
+    * statistical quality signal (a doc whose token distribution is far
+    * from the corpus LM scores high perplexity: boilerplate, gibberish,
+    * wrong-language leakage). Add-k smoothed: p(t) = (c_t + k) /
+    * (total + k·|V|).
+    *
+    * Shape for scale: training IS the vocab aggregate (one pass over
+    * the token stream — no iterations, no driver-side model); the
+    * corpus-wide scalars (total tokens, |V|) ride as one broadcast
+    * stats row; scoring joins the per-doc term frequencies against the
+    * vocab co-keyed on term, so nothing document-shaped is ever
+    * collected. Per-term NLL contributions are rounded then
+    * decimal-summed (the dsum discipline), so per-doc totals are
+    * bit-identical under any partitioning; ppl exponentiates an
+    * 8-dp-rounded average so cross-engine ln/exp ulps cannot flip the
+    * rounded output.
+    *
+    * Beyond-reference (the reference has no scalar functions at all,
+    * SURVEY §2.5; ref src/logical_plan/mod.rs:312-425). */
+  def lmPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      k: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val terms = docs.select(col(idCol),
+        explode(split(lower(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+    val stats = vocab.agg(sum(col("c")).as("total"),
+      count(lit(1)).as("v"))
+    val avg = col("nll").cast("double") / col("n_tokens")
+    tf.join(vocab, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("term_nll",
+        round(col("tf") * -log((col("c") + k) /
+          (col("total") + lit(k) * col("v"))), 12)
+          .cast(DecimalType(28, 14)))
+      .groupBy(col(idCol))
+      .agg(sum(col("term_nll")).as("nll"),
+        sum(col("tf")).as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        round(avg, 6).as("avg_nll"),
+        round(exp(round(avg, 8)), 4).as("ppl"))
+  }
+
   /** ANSI-SQL mirrors (DuckDB dialect) for the oracle. */
   object sql {
     val tokenCount = "cast(len(string_split(text, ' ')) as bigint)"

@@ -204,6 +204,10 @@ object EventStreams {
       ts: java.sql.Timestamp)
   case class GroupCandidates(group: String, candidates: Array[String])
 
+  /** [[cmsSketchStream]] output: the group's serialized Count-Min
+    * sketch after this micro-batch, plus its total item count. */
+  case class GroupSketch(group: String, sketch: Array[Byte], n: Long)
+
   /** [[heavyHitterCandidatesExpiring]] output: `evicted = true` marks
     * the group's FINAL summary (emitted once when its state expires —
     * the candidates are the last-known MG survivors, not a tombstone);
@@ -230,6 +234,38 @@ object EventStreams {
     * with an unbounded group domain uses
     * [[heavyHitterCandidatesExpiring]], which evicts idle groups on an
     * event-time timeout. */
+  /** Streaming Count-Min sketch per group: state is ONE depth×width
+    * cell array per group ([[graft.functions.CMSBuffer]] — the SAME
+    * sketch and wire format as the batch aggregate). Because CMS
+    * merge is exact cell-wise addition, the streaming sketch after
+    * ANY number of micro-batches is BYTE-IDENTICAL to the batch
+    * sketch over the same rows (spec-gated) — the strongest
+    * streaming==batch claim in the sketch family (MG's summary is
+    * arrival-order-sensitive; CMS is not). Each batch re-emits the
+    * group's current sketch; downstream probes any key against the
+    * latest bytes. Per-group state is a fixed 8·depth·width bytes;
+    * for an unbounded group domain compose event-time eviction as in
+    * [[heavyHitterCandidatesExpiring]]. */
+  def cmsSketchStream(spark: SparkSession, items: Dataset[GroupItem],
+      depth: Int, width: Int): Dataset[GroupSketch] = {
+    import spark.implicits._
+    import graft.functions.CMSBuffer
+    items.groupByKey(_.group)
+      .mapGroupsWithState[Array[Byte], GroupSketch](
+        GroupStateTimeout.NoTimeout) {
+        (group: String, rows: Iterator[GroupItem],
+         state: GroupState[Array[Byte]]) =>
+          val buf = state.getOption
+            .map(CMSBuffer.fromBytes(_, depth, width))
+            .getOrElse(new CMSBuffer(depth, width))
+          rows.foreach(r => buf.add(
+            r.item.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          val bytes = CMSBuffer.toBytes(buf)
+          state.update(bytes)
+          GroupSketch(group, bytes, buf.n)
+      }
+  }
+
   def heavyHitterCandidates(spark: SparkSession, items: Dataset[GroupItem],
       k: Int): Dataset[GroupCandidates] = {
     import spark.implicits._

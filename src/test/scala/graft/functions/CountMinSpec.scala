@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CountMinSpec extends SparkSpec {
+
+  private val Depth = 4
+  private val Width = 256
+
+  /** Skewed stream: "h<i>" ~2^(8-i) times plus a singleton tail, same
+    * shape as the MG fixture — collisions are forced by the narrow
+    * width so the overestimate path is actually exercised. */
+  private def skewed = {
+    import spark.implicits._
+    val rows = (0 until 8).flatMap(i =>
+      Seq.fill(1 << (8 - i))(s"h$i")) ++
+      (0 until 3000).map(i => s"tail$i")
+    rows.zipWithIndex.sortBy { case (_, i) => (i * 2654435761L) % 4096 }
+      .map(_._1).toDF("key").repartition(8)
+  }
+
+  private def sketchOf(df: org.apache.spark.sql.DataFrame) =
+    CMSBuffer.fromBytes(
+      df.agg(CountMin.cmsSketch(col("key"), Depth, Width).as("sk"))
+        .head.getAs[Array[Byte]](0), Depth, Width)
+
+  test("CMS never underestimates any key's true frequency") {
+    val df = skewed
+    val cms = sketchOf(df)
+    val truth = df.groupBy(col("key")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(truth.nonEmpty)
+    truth.foreach { case (k, n) =>
+      assert(cms.estimate(k) >= n,
+        s"underestimate for $k: ${cms.estimate(k)} < $n")
+    }
+    assert(cms.n == df.count(), "sketch total must equal stream length")
+  }
+
+  test("sketch bytes are bit-identical under any partitioning") {
+    val df = skewed
+    def bytes(p: Int) = df.repartition(p)
+      .agg(CountMin.cmsSketch(col("key"), Depth, Width))
+      .head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(bytes(1), bytes(13)),
+      "cell-wise-sum merge must make the sketch partition-invariant")
+  }
+
+  test("merge of shard sketches equals the sketch of the union") {
+    val df = skewed.withColumn(
+      "shard", pmod(xxhash64(col("key")), lit(3)))
+    val whole = sketchOf(skewed)
+    val merged = new CMSBuffer(Depth, Width)
+    (0 until 3).foreach { sh =>
+      merged.mergeIn(sketchOf(df.filter(col("shard") === sh)))
+    }
+    assert(java.util.Arrays.equals(
+      CMSBuffer.toBytes(merged), CMSBuffer.toBytes(whole)),
+      "shard-merged sketch must equal the whole-stream sketch")
+    assert(merged.n == whole.n)
+  }
+
+  test("overestimate stays within the e*N/width analytic bound") {
+    val df = skewed
+    val n = df.count()
+    val cms = sketchOf(df)
+    val bound = math.ceil(math.E * n / Width).toLong
+    // the bound holds per-row with prob 1-1/e; over depth=4 rows the
+    // min estimate exceeding it on this fixed corpus would mean all 4
+    // hash rows collided heavily — deterministic here, so assert it
+    val truth = df.groupBy(col("key")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val worst = truth.map { case (k, t) => cms.estimate(k) - t }.max
+    assert(worst <= bound,
+      s"worst overestimate $worst exceeds e*N/width bound $bound")
+  }
+}

@@ -79,6 +79,31 @@ class ContaminationAndPiiSpec extends SparkSpec {
     assert(nonMembers < 250, s"bloom fp count $nonMembers out of bound")
   }
 
+  test("cachedEvalBloom serves byte-identical filter and an unchanged result") {
+    val docs = graft.Tables.documents(spark, Sf0001)
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    val grams = DedupOps.evalShingleGrams(evalSet, "text")
+    val src = s"$Sf0001/documents.parquet"
+    val fresh = DedupOps.buildEvalBloom(grams)
+    // first call builds + persists; second must serve identical bytes
+    val first = DedupOps.cachedEvalBloom(spark, src, "specmod50", grams)
+    val second = DedupOps.cachedEvalBloom(spark, src, "specmod50", grams)
+    assert(java.util.Arrays.equals(first, fresh) &&
+      java.util.Arrays.equals(second, fresh),
+      "cached filter bytes differ from a fresh build")
+    // and the decon result through the artifact == the exact result
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val viaArtifact = toMap(DedupOps.evalOverlapBloom(
+      corpus, evalSet, "doc_id", "text", bloomBytes = Some(second)))
+    val exact = toMap(
+      DedupOps.evalOverlap(corpus, evalSet, "doc_id", "text"))
+    assert(viaArtifact == exact,
+      "persisted-artifact decon must match the exact result")
+  }
+
   test("evalOverlap flags a planted leak and clears unrelated docs") {
     val evalSet = Seq((900L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")

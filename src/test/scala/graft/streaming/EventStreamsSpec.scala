@@ -142,6 +142,56 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS across micro-batches is byte-identical to the batch sketch") {
+    import spark.implicits._
+    import EventStreams.{GroupItem, GroupSketch}
+    import graft.functions.{CMSBuffer, CountMin}
+    val dir = Files.createTempDirectory("graft-cms").toString
+    val depth = 4; val width = 128
+    def rows(offset: Int) = (0 until 500).map { i =>
+      GroupItem(s"g${i % 2}", if (i % 3 == 0) "hot" else s"u${offset + i}")
+    }
+    rows(0).toDF().write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[GroupItem]].schema)
+      .parquet(dir).as[GroupItem]
+    val out = EventStreams.cmsSketchStream(spark, stream, depth, width)
+    val captured =
+      scala.collection.mutable.ArrayBuffer[(Long, GroupSketch)]()
+    val q = out.writeStream.outputMode("update")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[GroupSketch], id: Long) =>
+        captured.synchronized {
+          captured ++= batch.collect().map((id, _))
+        }; ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      rows(1000).toDF().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // last emission per group vs the batch aggregate over ALL rows:
+      // CMS merge is exact, so the bytes must be EQUAL
+      val finalSketch = captured.groupBy(_._2.group).map {
+        case (g, rs) => g -> rs.maxBy(_._1)._2
+      }
+      val all = (rows(0) ++ rows(1000)).toDF("group", "item")
+      finalSketch.foreach { case (g, gs) =>
+        val batchBytes = all.filter(col("group") === g)
+          .agg(CountMin.cmsSketch(col("item"), depth, width))
+          .head.getAs[Array[Byte]](0)
+        assert(java.util.Arrays.equals(gs.sketch, batchBytes),
+          s"group $g: streaming sketch != batch sketch")
+        // and the probe side agrees on the planted hot key
+        val cms = CMSBuffer.fromBytes(gs.sketch, depth, width)
+        val trueHot = (rows(0) ++ rows(1000))
+          .count(r => r.group == g && r.item == "hot")
+        assert(cms.estimate("hot") >= trueHot,
+          s"group $g: hot underestimated")
+      }
+      assert(finalSketch.keySet == Set("g0", "g1"))
+    } finally q.stop()
+  }
+
   test("streaming MG heavy-hitter candidates keep the containment guarantee") {
     import spark.implicits._
     import EventStreams.{GroupItem, GroupCandidates}
