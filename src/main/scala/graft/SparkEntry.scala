@@ -693,6 +693,27 @@ object SparkEntry {
         Seq("spark", "join", "window"))
     }),
 
+    // Power-law tail exponent of the per-source document-length
+    // distribution (Hill estimator, alpha = 1 + n/Σln(x/xmin)) — the
+    // corpus-statistics audit behind length-filter design: a heavy
+    // tail (small alpha) means truncation budgets dominate; a steep
+    // one means they are irrelevant. One aggregate over the length
+    // column (never the text); per-term ln rounded then decimal-
+    // summed, the dsum discipline.
+    "q_powerlaw_alpha" -> ((s, d) => {
+      val xmin = 200.0
+      t(s, d, "documents")
+        .filter(col("n_chars") >= xmin)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tail"),
+          sum(round(log(col("n_chars") / xmin), 12)
+            .cast(DecimalType(28, 14))).as("sum_ln"))
+        .select(col("source"), col("n_tail"),
+          round(lit(1.0) + col("n_tail") / col("sum_ln").cast("double"),
+            6).as("alpha"))
+        .orderBy(col("source"))
+    }),
+
     // Unigram LM perplexity of every document against a model trained
     // on the corpus itself — the CCNet/KenLM statistical quality
     // signal (boilerplate/gibberish/wrong-language docs sit far from
@@ -3568,6 +3589,14 @@ object SparkEntry {
         |JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
         |GROUP BY tf.doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_powerlaw_alpha" ->
+      """SELECT source, count(*) AS n_tail,
+        |  round(1.0 + count(*) /
+        |    CAST(sum(CAST(round(ln(n_chars / 200.0), 12)
+        |      AS DECIMAL(28,14))) AS DOUBLE), 6) AS alpha
+        |FROM documents WHERE n_chars >= 200
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // Mirrors TextOps.lmPerplexity exactly: same add-0.5 smoothing,
     // same round-12 → DECIMAL(28,14) per-term discipline, same

@@ -58,6 +58,11 @@ object GraphOps {
     val outDeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
       .localCheckpoint()
+    // dangling nodes (no outgoing edges) are a STRUCTURAL property —
+    // detect once; a graph without them (every symmetrized graph)
+    // skips the per-round dangling-mass aggregate, which is otherwise
+    // the only blocking driver round-trip in the loop (12 jobs → 1)
+    val hasDangling = outDeg.count() < n
     val basePerNode = (100 - dampingPct) * (Unit15 / n) / 100
     var ranks = nodes.select(col("node"), lit(Unit15 / n).as("rank_f"))
     var iter = 0
@@ -74,17 +79,24 @@ object GraphOps {
         .groupBy(col("dst").as("node"))
         .agg(sum(col("share")).as("contrib_f"))
       // dangling mass: rank held by nodes with no outgoing edges is
-      // redistributed uniformly (zero when the graph is symmetrized)
-      val danglingF = ranks.join(outDeg, Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("rank_f")), lit(0L))).collect()(0).getLong(0)
+      // redistributed uniformly (structurally zero when the graph is
+      // symmetrized — skipped entirely then, see hasDangling)
+      val danglingF = if (!hasDangling) 0L
+        else ranks.join(outDeg, Seq("node"), "left_anti")
+          .agg(coalesce(sum(col("rank_f")), lit(0L))).collect()(0).getLong(0)
       val redistributed = dampingPct * (danglingF / n) / 100
       val next = nodes
         .join(contribs, Seq("node"), "left")
         .selectExpr("node",
           s"$basePerNode + ($dampingPct * coalesce(contrib_f, 0)) div 100" +
             s" + $redistributed AS rank_f")
-        .localCheckpoint(eager = false) // materialized by next round's
-                                        // dangling aggregate (1 job/round)
+        // one job per round either way, with a round-sized plan each
+        // time: dangling graphs materialize lazily via the round's
+        // dangling aggregate; dangling-free graphs checkpoint eagerly
+        // (letting all rounds chain into one action instead compiles
+        // a 12-round mega-plan — measured 1.7x SLOWER than the
+        // per-round jobs it saves)
+        .localCheckpoint(eager = !hasDangling)
       ranks = next
       iter += 1
     }

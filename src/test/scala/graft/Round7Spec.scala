@@ -121,6 +121,25 @@ class Round7Spec extends SparkSpec {
       s"near-uniform vectors wrongly dropped: $extraDropped")
   }
 
+  test("q_powerlaw_alpha: scan reads only (source, n_chars), filter pushed") {
+    val df = SparkEntry.queries("q_powerlaw_alpha")(spark, Sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    val re = "ReadSchema: struct<([^>]*)>".r
+    val cols = re.findFirstMatchIn(plan) match {
+      case Some(m) =>
+        m.group(1).split(",").map(_.split(":")(0).trim)
+          .filter(_.nonEmpty).toSet
+      case None => fail(s"no ReadSchema in plan:\n$plan")
+    }
+    // the length-distribution audit must never read the text payload
+    assert(cols == Set("source", "n_chars"),
+      s"scan reads $cols, expected only source+n_chars")
+    val pushed = plan.linesIterator
+      .find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("n_chars"),
+      s"n_chars predicate not pushed to the scan: $pushed")
+  }
+
   test("q_partitioned_read: scan prunes to the lang partition directory") {
     val df = SparkEntry.queries("q_partitioned_read")(spark, Sf0001)
     val scan = df.queryExecution.executedPlan.toString

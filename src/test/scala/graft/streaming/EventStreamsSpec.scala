@@ -142,6 +142,48 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("persisted bloom artifact gates a document stream map-side") {
+    import spark.implicits._
+    import graft.ops.DedupOps
+    import graft.functions.HashFunctions
+    // the per-eval-release artifact built ONCE from the eval set...
+    val evalSet = Seq((900L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val bytes = DedupOps.buildEvalBloom(
+      DedupOps.evalShingleGrams(evalSet, "text"))
+    // ...probed by a CONTINUOUS document stream with a stateless
+    // codegen'd filter — no eval re-read, no state, no shuffle
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // leak
+      (2L, "prefix words alpha beta gamma more trailing text"), // partial
+      (3L, "completely unrelated content with different words"),
+      (4L, "nothing shared here either plainly"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-bloomstream").toString
+    docs.write.mode("overwrite").parquet(dir)
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      df.filter(exists(
+        HashFunctions.shingleHashes(DedupOps.tokens(col("text")), 3),
+        h => DedupOps.bloomMightContain(bytes, h)))
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = gate(stream).select(col("doc_id"))
+      .writeStream.format("memory").queryName("bloom_gate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("bloom_gate")
+        .collect().map(_.getLong(0)).toSet
+      val batch = gate(docs).select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed == batch,
+        "streaming bloom gate must equal the batch gate")
+      assert(Set(1L, 2L).subsetOf(streamed),
+        "docs sharing eval shingles must survive the gate")
+      // FPs are possible but these two docs share no shingles AND the
+      // batch equality above already pins the exact behavior
+    } finally q.stop()
+  }
+
   test("streaming CMS across micro-batches is byte-identical to the batch sketch") {
     import spark.implicits._
     import EventStreams.{GroupItem, GroupSketch}
