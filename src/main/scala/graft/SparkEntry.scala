@@ -1949,6 +1949,17 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // EXACT global quantiles with NO global sort — the two-pass
+    // sketch-bracketed selection in [[QuantileOps.exactQuantiles]]:
+    // approx_percentile brackets each target rank, then one exact
+    // partial+final agg counts below/inside the bracket and reads the
+    // true rank-j values off cumulative counts. Deterministic and
+    // interpolation-compatible with DuckDB quantile_cont → full hash
+    // oracle, unlike the sketch-only q_quantile_global above.
+    "q_quantile_exact" -> ((s, d) =>
+      ops.QuantileOps.exactQuantiles(t(s, d, "documents"), "n_chars",
+        Seq(0.25, 0.5, 0.9, 0.99))),
+
     // Correlated scalar subquery through the SQL path.
     "q_scalar_subquery" -> ((s, d) => {
       t(s, d, "customer").createOrReplaceTempView("customer_v")
@@ -2188,6 +2199,18 @@ object SparkEntry {
       ops.AnnOps.hardNegatives(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", 10, 0.05, 0.35)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Retrieval-quality evaluation over the labeled embeddings —
+    // recall@10 / MRR / NDCG@10 per query with relevance = label
+    // match; the eval harness a retrieval pipeline reports before
+    // trusting a retriever. Every metric is a deterministic function
+    // of the rounded-sim ranking, so the whole scorecard hash-matches
+    // the DuckDB mirror.
+    "ann_eval_metrics" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      ops.AnnOps.retrievalEval(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "label", 10)
     }),
 
     // Same search via the typed bounded TopK Aggregator (map-side
@@ -2608,6 +2631,17 @@ object SparkEntry {
           round(col("n_docs") * col("rate"), 2).as("n_kept_expected"))
         .orderBy(col("lang"))
     }),
+
+    // DSIR importance-resampling selection (Xie et al. 2023): score
+    // every document by the log-likelihood ratio of its hashed-unigram
+    // profile under the target slice (English docs — the trusted
+    // corpus stand-in) vs the raw corpus, keep the top-100. The bucket
+    // model is one B-row partial+final agg broadcast back to the token
+    // stream; fully hash-oracled (md5 buckets + decimal-summed
+    // round-12 log terms, see SelectionOps).
+    "pipeline_dsir" -> ((s, d) =>
+      ops.SelectionOps.dsirTopK(t(s, d, "documents"), "doc_id", "text",
+        col("lang") === "en", buckets = 1024, topK = 100)),
 
     // Model-based quality filtering: a logistic-regression scorer
     // TRAINED on this corpus (IRLS; one 27-cell decimal aggregate per
@@ -3772,6 +3806,88 @@ object SparkEntry {
         |  FROM banded)
         |SELECT query_id, rank, neighbor_id, sim
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // Mirrors retrievalEval exactly: rounded-sim ranking, decimal-
+    // summed round-12 DCG terms, double division only at the end.
+    "ann_eval_metrics" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |             cast(embedding as DOUBLE[]) AS qvec,
+        |             label AS query_label
+        |           FROM embeddings WHERE vec_id < 10),
+        |lc AS (SELECT label AS lbl, count(*) AS lbl_n
+        |       FROM embeddings GROUP BY 1),
+        |scored AS (
+        |  SELECT q.query_id, q.query_label, e.vec_id AS neighbor_id,
+        |    e.label AS n_label,
+        |    round(list_cosine_similarity(q.qvec,
+        |      cast(e.embedding as DOUBLE[])), 4) AS sim
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q.query_id),
+        |top AS (
+        |  SELECT * FROM (
+        |    SELECT query_id, query_label, neighbor_id, n_label, sim,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY sim DESC, neighbor_id) AS rank
+        |    FROM scored) WHERE rank <= 10),
+        |terms AS (
+        |  SELECT t.query_id, lc.lbl_n - 1 AS n_rel, t.rank,
+        |    CASE WHEN t.n_label = t.query_label THEN 1 ELSE 0 END AS rel,
+        |    CAST(round(1.0 / log2(t.rank + 1), 12)
+        |      AS DECIMAL(28,14)) AS dcg_term
+        |  FROM top t JOIN lc ON t.query_label = lc.lbl),
+        |aggd AS (
+        |  SELECT query_id, n_rel, CAST(sum(rel) AS BIGINT) AS hits,
+        |    min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+        |    sum(CASE WHEN rel = 1 THEN dcg_term END) AS dcg,
+        |    sum(CASE WHEN rank <= least(10, n_rel) THEN dcg_term END)
+        |      AS idcg
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT query_id, n_rel, hits,
+        |  round(CASE WHEN n_rel > 0
+        |    THEN hits / least(10, n_rel) ELSE 0.0 END, 6) AS recall,
+        |  round(coalesce(1.0 / first_rel, 0.0), 6) AS mrr,
+        |  round(coalesce(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE),
+        |    0.0), 6) AS ndcg
+        |FROM aggd ORDER BY query_id""".stripMargin,
+
+    // Exact continuous quantiles: DuckDB quantile_cont shares the
+    // pos = 1 + q(n-1) linear interpolation QuantileOps reproduces.
+    "q_quantile_exact" ->
+      """WITH v AS (SELECT quantile_cont(n_chars,
+        |             [0.25, 0.5, 0.9, 0.99]) AS vs FROM documents)
+        |SELECT qs.q, round(vs[qs.i], 4) AS value
+        |FROM v, (VALUES (1, CAST(0.25 AS DOUBLE)),
+        |                (2, CAST(0.5  AS DOUBLE)),
+        |                (3, CAST(0.9  AS DOUBLE)),
+        |                (4, CAST(0.99 AS DOUBLE))) AS qs(i, q)
+        |ORDER BY q""".stripMargin,
+
+    // Mirrors SelectionOps.dsirTopK: same md5 bucket ids, the same
+    // collapsed smoothed ratio with double casts BEFORE the multiply,
+    // decimal-summed round-12 log terms, length-normalized weight.
+    "pipeline_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, (lang = 'en') AS is_target,
+        |    (CAST('0x' || substring(md5(t.term), 1, 8) AS BIGINT)
+        |      % 1024) AS b
+        |  FROM documents,
+        |    unnest(string_split(lower(text), ' ')) AS t(term)),
+        |bs AS (
+        |  SELECT b, count(*) AS cr,
+        |    sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+        |  FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM bs),
+        |lr AS (
+        |  SELECT b, CAST(round(ln(
+        |      (CAST(ct + 1 AS DOUBLE) * CAST(nr + 1024 AS DOUBLE)) /
+        |      (CAST(cr + 1 AS DOUBLE) * CAST(nt + 1024 AS DOUBLE))), 12)
+        |    AS DECIMAL(28,14)) AS lr
+        |  FROM bs, tot)
+        |SELECT doc_id, count(*) AS n_toks,
+        |  round(CAST(sum(lr) AS DOUBLE) / count(*), 6) AS weight
+        |FROM toks JOIN lr USING (b)
+        |GROUP BY doc_id
+        |ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin,
 
     "q_sql_path" ->
       """SELECT l_returnflag, l_linestatus,

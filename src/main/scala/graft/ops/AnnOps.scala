@@ -82,6 +82,66 @@ object AnnOps {
         col("sim"))
   }
 
+  /** Retrieval-quality evaluation — the metrics harness an embedding
+    * pipeline reports before trusting a retriever: per query, top-k
+    * neighbors by cosine, relevance = (neighbor label == query label),
+    * then recall@k, MRR and NDCG@k per query. Ranking uses the 4-dp
+    * ROUNDED similarity ([[hardNegatives]] discipline) and the DCG /
+    * IDCG terms are round-12 → decimal-summed, so no metric ever
+    * hinges on a kernel ulp or a shuffle-order double sum. IDCG is
+    * computed over the SAME top-k rows (ranks 1..min(k, n_rel) — the
+    * ideal ranking's term positions), so no per-query sequence
+    * generation is needed. `n_rel` counts same-label corpus rows
+    * minus the query itself (queries are drawn from the corpus).
+    * Scale shape: queries broadcast, label counts broadcast (label
+    * domain is O(classes)), one corpus pass, top-k shuffle on
+    * query_id. */
+  def retrievalEval(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("query_vec"), col(labelCol).as("query_label")))
+    val labelCounts = broadcast(corpus
+      .groupBy(col(labelCol).as("lbl"))
+      .agg(count(lit(1)).as("lbl_n")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("vec"), col(labelCol).as("n_label"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(VectorFunctions.cosineSim(
+        col("query_vec"), col("vec")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val dcgTerm = round(lit(1.0) / log2(col("rank") + 1), 12)
+      .cast(org.apache.spark.sql.types.DecimalType(28, 14))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .join(labelCounts, col("query_label") === col("lbl"))
+      .withColumn("n_rel", col("lbl_n") - 1)
+      .withColumn("rel", (col("n_label") === col("query_label"))
+        .cast("long"))
+      .groupBy(col("query_id"), col("n_rel"))
+      .agg(
+        sum(col("rel")).as("hits"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel"),
+        sum(when(col("rel") === 1, dcgTerm)).as("dcg"),
+        sum(when(col("rank") <= least(lit(k.toLong), col("n_rel")),
+          dcgTerm)).as("idcg"))
+      .select(col("query_id"), col("n_rel"), col("hits"),
+        round(when(col("n_rel") > 0,
+          col("hits") / least(lit(k.toLong), col("n_rel")))
+          .otherwise(0.0), 6).as("recall"),
+        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6)
+          .as("mrr"),
+        // cast BOTH sums to double before dividing: the decimal sums
+        // are exact (so the casts are deterministic) and IEEE double
+        // division is bit-identical across engines, where decimal
+        // division precision/scale rules are engine-specific
+        round(coalesce(col("dcg").cast("double") /
+          col("idcg").cast("double"), lit(0.0)), 6).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
   /** Brute-force top-k via the typed [[graft.functions.Aggregators.TopK]]
     * aggregator instead of a window: the bounded buffer gives map-side
     * partial top-k, so each partition ships at most k candidates per
