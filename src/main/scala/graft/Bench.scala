@@ -117,7 +117,8 @@ object Bench {
     "pipeline_lm_ppl" -> "plm", "q_schema_evolution" -> "sev",
     "text_cms_counts" -> "tcm", "ann_hard_negatives" -> "ahn",
     "q_powerlaw_alpha" -> "pla", "ann_eval_metrics" -> "aev",
-    "q_quantile_exact" -> "qet", "pipeline_dsir" -> "pdr")
+    "q_quantile_exact" -> "qet", "pipeline_dsir" -> "pdr",
+    "dedup_span_excise" -> "dsx", "ann_pca" -> "apc")
 
   /** 2-decimal seconds with trailing zeros stripped ("0.20" -> "0.2",
     * "1.00" -> "1") — still valid JSON numbers, ~0.5 chars/query saved. */

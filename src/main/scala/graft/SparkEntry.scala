@@ -2201,6 +2201,19 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Distributed PCA (ops.PcaOps): ONE fixed-point moments aggregate
+    // (bit-identical under any partitioning, O(d²) bytes/partition on
+    // the wire), driver-side Jacobi eigendecomposition of the 64×64
+    // covariance, then map-side projection through the codegen'd
+    // DotProduct kernel with each axis as a broadcast float literal.
+    // Rows-only check (no eigensolver in the oracle engine); PcaSpec
+    // carries the math gates: moments == local recompute bit-exact,
+    // orthonormality, eigen-equation residual, pc-variance == λ,
+    // repartition determinism.
+    "ann_pca" -> ((s, d) =>
+      ops.PcaOps.pcaProjection(t(s, d, "embeddings"),
+        "vec_id", "embedding", d = 64, k = 8)),
+
     // Retrieval-quality evaluation over the labeled embeddings —
     // recall@10 / MRR / NDCG@10 per query with relevance = label
     // match; the eval harness a retrieval pipeline reports before
@@ -3016,6 +3029,28 @@ object SparkEntry {
         .orderBy(col("n").desc, col("gram"))
         .limit(50)
     }),
+
+    // Exact duplicated-SPAN excision (the ExactSubstr shape of Lee et
+    // al. '22, arXiv:2107.06499): remove from every document every
+    // token position covered by a duplicated span of >= 8 tokens.
+    // Instead of a monolithic suffix array, use the distributed-native
+    // reduction: a span of s >= L tokens is duplicated iff all of its
+    // s-L+1 L-token windows are duplicated, so the union of duplicated
+    // L-gram windows IS the union of duplicated maximal spans — interval
+    // merging comes free from the covered-index set union. Differs from
+    // the paper in one deliberate way: ALL occurrences are excised (not
+    // all-but-one), which keeps the result deterministic without
+    // electing a survivor occurrence.
+    //
+    // Scale shape: the counting shuffle moves xxhash64 longs (the
+    // oracle counts gram STRINGS, so a 64-bit collision would
+    // hash-mismatch — the oracle certifies collision-freedom); the
+    // covered-index aggregation shuffles (doc_id, idx) ints only for
+    // docs that contain duplicated windows; reconstruction is one
+    // left join + a map-side higher-order filter over the token array.
+    // No suffix ever shuffles; nothing driver-side.
+    "dedup_span_excise" -> ((s, d) =>
+      ops.DedupOps.spanExcise(t(s, d, "documents"), "doc_id", "text", 8)),
 
     // The COMPOSED end-to-end pipeline: quality gate → exact dedup →
     // eval-set decontamination → PII redaction → deterministic mixture
@@ -4841,6 +4876,39 @@ object SparkEntry {
         |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n
         |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY n DESC, gram LIMIT 50""".stripMargin,
+
+    // exact (string-counted) mirror of the hashed span-excision plan;
+    // cov idx is 0-based to match Spark's lambda index
+    "dedup_span_excise" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pos AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS gram
+        |  FROM toks, LATERAL unnest(generate_series(1, len(w) - 7)) AS t(i)
+        |  WHERE len(w) >= 8),
+        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + j AS idx
+        |  FROM pos JOIN dup USING (gram),
+        |       LATERAL unnest(generate_series(0, 7)) AS u(j)),
+        |keep AS (
+        |  SELECT toks.doc_id, w[i] AS tok, i
+        |  FROM toks, LATERAL unnest(generate_series(1, len(w))) AS t(i)
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov
+        |                    WHERE cov.doc_id = toks.doc_id
+        |                      AND cov.idx = i - 1)),
+        |clean AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ctext
+        |  FROM keep GROUP BY doc_id),
+        |ncov AS (
+        |  SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+        |SELECT toks.doc_id, cast(len(w) as bigint) AS n_tokens,
+        |  cast(coalesce(ncov.n_removed, 0) as bigint) AS n_removed,
+        |  md5(coalesce(clean.ctext, '')) AS clean_md5
+        |FROM toks
+        |LEFT JOIN ncov ON toks.doc_id = ncov.doc_id
+        |LEFT JOIN clean ON toks.doc_id = clean.doc_id
+        |ORDER BY toks.doc_id""".stripMargin,
 
     "pipeline_shard" ->
       s"""WITH c AS (

@@ -479,6 +479,57 @@ object DedupOps {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Exact duplicated-span excision (the ExactSubstr shape of Lee et
+    * al. '22, arXiv:2107.06499 — there built on a monolithic suffix
+    * array). Distributed-native reduction instead: a span of s >= L
+    * tokens is duplicated iff every one of its s-L+1 sliding L-token
+    * windows is duplicated, so the union of duplicated-window token
+    * positions IS the union of maximal duplicated spans — interval
+    * merging falls out of the per-document covered-index set union.
+    * Deliberate deviation: ALL occurrences are excised (not
+    * all-but-one), keeping the output deterministic with no survivor
+    * election.
+    *
+    * Returns (idCol, n_tokens, n_removed, clean_md5) per document,
+    * where clean_md5 hashes the space-joined surviving tokens.
+    *
+    * Scale shape (100 TB): the window-counting shuffle moves xxhash64
+    * LONGS, never window strings (callers' oracles count the strings,
+    * so a 64-bit collision surfaces as a hash mismatch); the
+    * covered-index aggregation shuffles (doc_id, idx) ints only for
+    * documents containing duplicated windows; reconstruction is one
+    * left join plus a map-side higher-order filter over the token
+    * array. No suffix ever shuffles; nothing is driver-side. */
+  def spanExcise(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 8): DataFrame = {
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("w"))
+    val pos = toks.filter(size(col("w")) >= minLen)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("w")) - minLen),
+        i => xxhash64(array_join(
+          slice(col("w"), i + lit(1), lit(minLen)), " ")))))
+      .toDF(idCol, "pos", "gh")
+    val dupHashes = pos.groupBy(col("gh"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("gh"))
+    val covered = pos.join(dupHashes, "gh")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(minLen - 1)))
+          .as("idx"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("idx")).as("cov"))
+    toks.join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("w")).cast("long").as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+        md5(array_join(filter(col("w"),
+          (_, i) => !array_contains(
+            coalesce(col("cov"), array().cast("array<int>")), i)),
+          " ")).as("clean_md5"))
+      .orderBy(col(idCol))
+  }
+
   /** Per-document n-gram Jaccard summary: best partner + max Jaccard. */
   def ngramJaccardSummary(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 8, maxDf: Int = 10): DataFrame = {
