@@ -118,7 +118,9 @@ object Bench {
     "text_cms_counts" -> "tcm", "ann_hard_negatives" -> "ahn",
     "q_powerlaw_alpha" -> "pla", "ann_eval_metrics" -> "aev",
     "q_quantile_exact" -> "qet", "pipeline_dsir" -> "pdr",
-    "dedup_span_excise" -> "dsx", "ann_pca" -> "apc")
+    "dedup_span_excise" -> "dsx", "ann_pca" -> "apc",
+    "dedup_span_maximal" -> "dsm", "dedup_span_stats" -> "dsp",
+    "ann_pca_prefilter" -> "apf")
 
   /** 2-decimal seconds with trailing zeros stripped ("0.20" -> "0.2",
     * "1.00" -> "1") — still valid JSON numbers, ~0.5 chars/query saved. */

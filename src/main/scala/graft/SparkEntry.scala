@@ -2214,6 +2214,18 @@ object SparkEntry {
       ops.PcaOps.pcaProjection(t(s, d, "embeddings"),
         "vec_id", "embedding", d = 64, k = 8)),
 
+    // Two-stage retrieval through the PCA coarse space (reduce→rerank):
+    // 32-dim coarse shortlist of 50, exact full-dim rerank — the
+    // recall/throughput trade is the two knobs, gated in PcaSpec
+    // (recall ≥ 0.9 at these settings on the worst-case flat-spectrum
+    // corpus; shortlist ≥ corpus is byte-identical to brute force).
+    "ann_pca_prefilter" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      ops.AnnOps.pcaTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, pcaDims = 32, shortlist = 50)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Retrieval-quality evaluation over the labeled embeddings —
     // recall@10 / MRR / NDCG@10 per query with relevance = label
     // match; the eval harness a retrieval pipeline reports before
@@ -3051,6 +3063,33 @@ object SparkEntry {
     // No suffix ever shuffles; nothing driver-side.
     "dedup_span_excise" -> ((s, d) =>
       ops.DedupOps.spanExcise(t(s, d, "documents"), "doc_id", "text", 8)),
+
+    // The intervals dedup_span_excise removes, reported explicitly:
+    // maximal duplicated spans per document (gaps-and-islands merge of
+    // covered positions), each with start/length/content-md5. The
+    // oracle mirrors the merge with the identical window arithmetic
+    // over gram STRINGS — hash-green certifies both the interval
+    // algebra and the excision op's hashed candidate front.
+    "dedup_span_maximal" -> ((s, d) =>
+      ops.DedupOps.spanIntervals(t(s, d, "documents"), "doc_id", "text", 8)),
+
+    // Corpus duplication-rate audit: per-language share of tokens
+    // inside duplicated spans — the go/no-go statistic a dedup run
+    // reports before anyone pays for span excision at full scale.
+    "dedup_span_stats" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      ops.DedupOps.spanExcise(docs, "doc_id", "text", 8)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tot_tokens"),
+          sum(col("n_removed")).as("dup_tokens"),
+          round(sum(col("n_removed")).cast("double") /
+            sum(col("n_tokens")).cast("double"), 6).as("dup_rate"),
+          sum(when(col("n_removed") > 0, 1L).otherwise(0L))
+            .as("n_docs_affected"))
+        .orderBy(col("lang"))
+    }),
 
     // The COMPOSED end-to-end pipeline: quality gate → exact dedup →
     // eval-set decontamination → PII redaction → deterministic mixture
@@ -4909,6 +4948,58 @@ object SparkEntry {
         |LEFT JOIN ncov ON toks.doc_id = ncov.doc_id
         |LEFT JOIN clean ON toks.doc_id = clean.doc_id
         |ORDER BY toks.doc_id""".stripMargin,
+
+    "dedup_span_maximal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pos AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS gram
+        |  FROM toks, LATERAL unnest(generate_series(1, len(w) - 7)) AS t(i)
+        |  WHERE len(w) >= 8),
+        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + j AS idx
+        |  FROM pos JOIN dup USING (gram),
+        |       LATERAL unnest(generate_series(0, 7)) AS u(j)),
+        |isl AS (
+        |  SELECT doc_id, idx,
+        |    idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+        |  FROM cov),
+        |sp AS (
+        |  SELECT doc_id, min(idx) AS span_start, count(*) AS span_len
+        |  FROM isl GROUP BY doc_id, grp)
+        |SELECT sp.doc_id,
+        |  cast(span_start as bigint) AS span_start,
+        |  cast(span_len as bigint) AS span_len,
+        |  md5(array_to_string(
+        |    w[cast(span_start + 1 as int) :
+        |      cast(span_start + span_len as int)], ' ')) AS span_md5
+        |FROM sp JOIN toks ON sp.doc_id = toks.doc_id
+        |ORDER BY sp.doc_id, span_start""".stripMargin,
+
+    "dedup_span_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |pos AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS gram
+        |  FROM toks, LATERAL unnest(generate_series(1, len(w) - 7)) AS t(i)
+        |  WHERE len(w) >= 8),
+        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + j AS idx
+        |  FROM pos JOIN dup USING (gram),
+        |       LATERAL unnest(generate_series(0, 7)) AS u(j)),
+        |ncov AS (
+        |  SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+        |SELECT lang, count(*) AS n_docs,
+        |  cast(sum(len(w)) as bigint) AS tot_tokens,
+        |  cast(sum(coalesce(n_removed, 0)) as bigint) AS dup_tokens,
+        |  round(sum(coalesce(n_removed, 0)) * 1.0 / sum(len(w)), 6)
+        |    AS dup_rate,
+        |  cast(sum(CASE WHEN coalesce(n_removed, 0) > 0 THEN 1 ELSE 0 END)
+        |    as bigint) AS n_docs_affected
+        |FROM toks LEFT JOIN ncov USING (doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "pipeline_shard" ->
       s"""WITH c AS (

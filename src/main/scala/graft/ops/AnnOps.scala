@@ -61,6 +61,53 @@ object AnnOps {
     * the cross-engine result can never hinge on a kernel ulp. Same
     * broadcast-queries shape as [[bruteForceTopK]]; the IVF/LSH
     * candidate fronts compose the same way at index scale. */
+  /** Two-stage retrieval through a PCA coarse space — the classic
+    * reduce-then-rerank shape: shortlist per query by cosine in the
+    * `pcaDims`-dim principal subspace (mean-centered projections — the
+    * top axes carry most of the variance, so the coarse ranking is a
+    * cheap high-recall proxy), then re-rank the shortlist with the
+    * exact full-dim cosine using [[bruteForceTopK]]'s exact ordering
+    * convention (unrounded sim, neighbor_id tiebreak, round-4 output)
+    * so a shortlist that contains the true top-k yields byte-identical
+    * results.
+    *
+    * Scale: the coarse candidate stream moves (id, pcaDims floats) —
+    * here 4× narrower than the raw vectors — and only shortlist
+    * survivors are scored full-dim. At index scale the coarse pass
+    * slots behind the IVF front the same way ivfTopK's probes do;
+    * `shortlist` ≥ corpus makes the result structurally exact. */
+  def pcaTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, pcaDims: Int = 16,
+      shortlist: Int = 50, dim: Int = 64): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val model = PcaOps.fit(corpus, vecCol, dim, pcaDims)
+    def proj(df: DataFrame, side: String): DataFrame =
+      PcaOps.project(df.select(col(idCol), col(vecCol)), vecCol, model)
+        .select(col(idCol).as(s"${side}_id"),
+          col(vecCol).as(s"${side}_vec"),
+          array((1 to pcaDims).map(i => col(s"pc$i")): _*)
+            .cast("array<float>").as(s"${side}_pvec"))
+    val q = broadcast(proj(queries, "query"))
+    val coarse = proj(corpus, "neighbor")
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("coarse_sim",
+        VectorFunctions.cosineSim(col("query_pvec"), col("neighbor_pvec")))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse_sim").desc, col("neighbor_id"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    coarse
+      .withColumn("crank", row_number().over(wCoarse))
+      .filter(col("crank") <= shortlist)
+      .withColumn("sim",
+        VectorFunctions.cosineSim(col("query_vec"), col("neighbor_vec")))
+      .withColumn("rank", row_number().over(wExact).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   def hardNegatives(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       lo: Double, hi: Double): DataFrame = {

@@ -502,6 +502,27 @@ object DedupOps {
     * array. No suffix ever shuffles; nothing is driver-side. */
   def spanExcise(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int = 8): DataFrame = {
+    val (toks, coveredIdx) = coveredPositions(docs, idCol, textCol, minLen)
+    val covered = coveredIdx
+      .groupBy(col(idCol))
+      .agg(collect_set(col("idx")).as("cov"))
+    toks.join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("w")).cast("long").as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+        md5(array_join(filter(col("w"),
+          (_, i) => !array_contains(
+            coalesce(col("cov"), array().cast("array<int>")), i)),
+          " ")).as("clean_md5"))
+      .orderBy(col(idCol))
+  }
+
+  /** Shared front of the span family: tokenized docs plus the DISTINCT
+    * (id, idx) token positions covered by some duplicated minLen-token
+    * window. The counting shuffle moves xxhash64 longs; only documents
+    * containing duplicated windows reach the covered stream. */
+  private def coveredPositions(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int): (DataFrame, DataFrame) = {
     val toks = docs.select(col(idCol), split(col(textCol), " ").as("w"))
     val pos = toks.filter(size(col("w")) >= minLen)
       .select(col(idCol), posexplode(transform(
@@ -517,17 +538,35 @@ object DedupOps {
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + lit(minLen - 1)))
           .as("idx"))
-      .groupBy(col(idCol))
-      .agg(collect_set(col("idx")).as("cov"))
-    toks.join(covered, Seq(idCol), "left")
+      .distinct()
+    (toks, covered)
+  }
+
+  /** Maximal duplicated spans per document — the intervals
+    * [[spanExcise]] removes, reported explicitly: contiguous runs of
+    * covered token positions merged gaps-and-islands style (idx −
+    * row_number over the per-doc position order is constant within a
+    * run), each with its start, length, and content md5. The window
+    * runs over the covered positions ONLY (≤ tokens/doc per affected
+    * doc), never the corpus token stream. */
+  def spanIntervals(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 8): DataFrame = {
+    val (toks, covered) = coveredPositions(docs, idCol, textCol, minLen)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("idx"))
+    val spans = covered
+      .withColumn("grp", col("idx") - row_number().over(w))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("idx")).as("span_start"),
+        count(lit(1)).as("span_len"))
+    spans.join(toks, Seq(idCol))
       .select(col(idCol),
-        size(col("w")).cast("long").as("n_tokens"),
-        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
-        md5(array_join(filter(col("w"),
-          (_, i) => !array_contains(
-            coalesce(col("cov"), array().cast("array<int>")), i)),
-          " ")).as("clean_md5"))
-      .orderBy(col(idCol))
+        col("span_start").cast("long").as("span_start"),
+        col("span_len").cast("long").as("span_len"),
+        md5(array_join(
+          slice(col("w"), col("span_start") + lit(1),
+            col("span_len").cast("int")), " ")).as("span_md5"))
+      .orderBy(col(idCol), col("span_start"))
   }
 
   /** Per-document n-gram Jaccard summary: best partner + max Jaccard. */

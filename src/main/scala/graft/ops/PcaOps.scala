@@ -62,31 +62,8 @@ object PcaOps {
     (buf.n, sums, prods)
   }
 
-  def fit(df: DataFrame, vecCol: String, d: Int, k: Int): PcaModel = {
-    require(k >= 1 && k <= d, s"k=$k out of range 1..$d")
-    val (n, sums, prods) = moments(df, vecCol, d)
-    require(n > 1, s"need > 1 vectors, got $n")
-    val mean = sums.map(_ / n)
-    val cov = Array.tabulate(d, d) { (i, j) =>
-      prods(i)(j) / n - mean(i) * mean(j)
-    }
-    val (vals, vecs) = jacobiEig(cov)
-    // order eigenpairs by value DESC, original index ASC on ties
-    val order = vals.indices.sortBy(i => (-vals(i), i)).take(k)
-    val basis = order.map { c =>
-      val v = Array.tabulate(d)(r => vecs(r)(c))
-      // sign fix: the largest-|component| entry (first on ties) positive
-      var best = 0
-      var bi = 1
-      while (bi < d) {
-        if (math.abs(v(bi)) > math.abs(v(best))) best = bi
-        bi += 1
-      }
-      if (v(best) < 0) v.map(-_) else v
-    }.toArray
-    val totalVar = (0 until d).map(i => cov(i)(i)).sum
-    PcaModel(d, k, n, mean, order.map(vals).toArray, basis, totalVar)
-  }
+  def fit(df: DataFrame, vecCol: String, d: Int, k: Int): PcaModel =
+    fitFromMoments(momentsBytes(df, vecCol, d), k)
 
   /** Append `pc1..pck` (rounded, mean-centered projections). Map-side
     * only: each axis is a float-array literal into the codegen'd
@@ -102,6 +79,66 @@ object PcaOps {
         lit(axisF)) - lit(offset), roundDp).as(s"pc${i + 1}")
     }
     df.select(col("*") +: comps.toIndexedSeq: _*)
+  }
+
+  /** Raw (serialized) moments of one corpus shard — pair with
+    * [[mergeMomentsBytes]] for incremental fits. */
+  def momentsBytes(df: DataFrame, vecCol: String, d: Int): Array[Byte] =
+    df.agg(graft.functions.PcaMoments.moments(col(vecCol), d))
+      .head.getAs[Array[Byte]](0)
+
+  /** Merge shard moments EXACTLY: the accumulators are integer sums,
+    * so merge-then-fit is bit-identical to fitting the union — the
+    * incremental-PCA contract at 100 TB (fit new data's moments only,
+    * merge with the persisted artifact; nothing is re-scanned and the
+    * model cannot drift from the full recompute). */
+  def mergeMomentsBytes(shards: Seq[Array[Byte]]): Array[Byte] = {
+    require(shards.nonEmpty, "no shards to merge")
+    val acc = graft.functions.MomentsBuffer.fromBytes(shards.head)
+    shards.tail.foreach { b =>
+      acc.mergeIn(graft.functions.MomentsBuffer.fromBytes(b))
+    }
+    graft.functions.MomentsBuffer.toBytes(acc)
+  }
+
+  /** Fit from pre-aggregated moments bytes (see [[mergeMomentsBytes]]). */
+  def fitFromMoments(bytes: Array[Byte], k: Int): PcaModel = {
+    val buf = graft.functions.MomentsBuffer.fromBytes(bytes)
+    val d = buf.d
+    require(k >= 1 && k <= d, s"k=$k out of range 1..$d")
+    val n = buf.n
+    require(n > 1, s"need > 1 vectors, got $n")
+    val sums = buf.sums.map(_ / MomentsBuffer.Scale)
+    val mean = sums.map(_ / n)
+    val prods = Array.ofDim[Double](d, d)
+    var t = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val v = buf.prods(t) / MomentsBuffer.Scale
+        prods(i)(j) = v; prods(j)(i) = v
+        j += 1; t += 1
+      }
+      i += 1
+    }
+    val cov = Array.tabulate(d, d) { (a, b) =>
+      prods(a)(b) / n - mean(a) * mean(b)
+    }
+    val (vals, vecs) = jacobiEig(cov)
+    val order = vals.indices.sortBy(i2 => (-vals(i2), i2)).take(k)
+    val basis = order.map { c =>
+      val v = Array.tabulate(d)(r => vecs(r)(c))
+      var best = 0
+      var bi = 1
+      while (bi < d) {
+        if (math.abs(v(bi)) > math.abs(v(best))) best = bi
+        bi += 1
+      }
+      if (v(best) < 0) v.map(-_) else v
+    }.toArray
+    val totalVar = (0 until d).map(i2 => cov(i2)(i2)).sum
+    PcaModel(d, k, n, mean, order.map(vals).toArray, basis, totalVar)
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix (Golub &

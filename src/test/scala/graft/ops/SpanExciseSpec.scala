@@ -95,6 +95,51 @@ class SpanExciseSpec extends SparkSpec {
       .orderBy(col("doc_id"))
   }
 
+  test("spanIntervals: maximal intervals match the excised positions") {
+    import spark.implicits._
+    val span = (1 to 10).map(i => s"s$i").mkString(" ")
+    val rows = Seq(
+      5L -> s"z1 z2 $span z3",
+      6L -> s"y1 $span y2",
+      7L -> "p q r s t u v w p q r s t u v w",
+      8L -> "no duplicated window in this document at all right")
+    val got = DedupOps
+      .spanIntervals(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 5: one maximal span covering s1..s10 at positions 2..11;
+    // doc 6: same span at 1..10; doc 7: whole doc; doc 8: nothing
+    assert(got.toSeq == Seq(
+      (5L, 2L, 10L, md5hex(span)),
+      (6L, 1L, 10L, md5hex(span)),
+      (7L, 0L, 16L, md5hex("p q r s t u v w p q r s t u v w"))))
+  }
+
+  test("spanIntervals: two disjoint duplicated spans stay two islands") {
+    import spark.implicits._
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val got = DedupOps.spanIntervals(Seq(
+      1L -> s"$a gapword $b",
+      2L -> s"x0 $a x1",
+      3L -> s"x2 $b x3").toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 8L, md5hex(a)), (1L, 9L, 8L, md5hex(b)),
+      (2L, 1L, 8L, md5hex(a)),
+      (3L, 1L, 8L, md5hex(b))))
+  }
+
+  test("span_stats totals reconcile with spanExcise per-doc counts") {
+    val docs = Tables.documents(spark, Sf0001)
+    val perDoc = DedupOps.spanExcise(docs, "doc_id", "text").collect()
+    val stats = graft.SparkEntry.queries("dedup_span_stats")(spark, Sf0001)
+      .collect()
+    assert(stats.map(_.getLong(3)).sum == perDoc.map(_.getLong(2)).sum)
+    assert(stats.map(_.getLong(1)).sum == perDoc.length)
+  }
+
   test("hashed plan == string-counted recompute on sf0.001 documents") {
     val docs = Tables.documents(spark, Sf0001).select("doc_id", "text")
     val got = DedupOps.spanExcise(docs, "doc_id", "text").collect()
