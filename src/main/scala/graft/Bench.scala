@@ -120,7 +120,9 @@ object Bench {
     "q_quantile_exact" -> "qet", "pipeline_dsir" -> "pdr",
     "dedup_span_excise" -> "dsx", "ann_pca" -> "apc",
     "dedup_span_maximal" -> "dsm", "dedup_span_stats" -> "dsp",
-    "ann_pca_prefilter" -> "apf")
+    "ann_pca_prefilter" -> "apf", "text_unigram_train" -> "tut",
+    "text_unigram_encode" -> "tux", "q_robust_stats" -> "rbs",
+    "q_cohort_retention" -> "coh", "q_kmv_overlap" -> "kmv")
 
   /** 2-decimal seconds with trailing zeros stripped ("0.20" -> "0.2",
     * "1.00" -> "1") — still valid JSON numbers, ~0.5 chars/query saved. */

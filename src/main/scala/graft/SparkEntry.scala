@@ -578,6 +578,94 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // KMV distinct-value sketch set algebra (functions.Kmv): the
+    // click-user and view-user populations sketched independently
+    // (two ~2 KB artifacts), then compared by union / intersection /
+    // Jaccard WITHOUT a join — the corpus-release-overlap audit at
+    // 100 TB, where the exact distinct-join is the cost being avoided.
+    // Exact counterparts computed alongside for the audit columns;
+    // estimates are not SQL-expressible → rows-only; KmvSpec gates
+    // exhaustive-regime exactness, the error bound, merge==whole
+    // byte-identity, and partition determinism.
+    "q_kmv_overlap" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      def users(et: String) =
+        ev.filter(col("event_type") === et).select(col("user_id"))
+      def sketchOf(et: String): Array[Byte] =
+        users(et).agg(graft.functions.Kmv.kmvSketch(
+          col("user_id").cast("string"), 512)).head.getAs[Array[Byte]](0)
+      val (ca, cb) = (sketchOf("click"), sketchOf("view"))
+      val exactClick = users("click").distinct().count()
+      val exactView = users("view").distinct().count()
+      val exactCommon = users("click").intersect(users("view")).count()
+      Seq((exactClick, exactView, exactCommon,
+        math.rint(graft.functions.KmvBuffer.estimate(ca) * 100) / 100,
+        math.rint(graft.functions.KmvBuffer.estimate(cb) * 100) / 100,
+        math.rint(graft.functions.KmvBuffer.intersection(ca, cb) * 100) / 100,
+        math.rint(graft.functions.KmvBuffer.jaccard(ca, cb) * 1e4) / 1e4))
+        .toDF("n_click", "n_view", "n_common",
+          "est_click", "est_view", "est_common", "jaccard_est")
+    }),
+
+    // Robust per-group statistics — the outlier-resistant profile a
+    // length/score column gets before anyone sets filter thresholds:
+    // quartiles/IQR (exact interpolated percentile == DuckDB
+    // quantile_cont, the q_exact_median convention), MAD (median of
+    // absolute deviations from the median — deviations of integer
+    // inputs are exact halves, so the second percentile pass is
+    // deterministic), and a 10-90 trimmed mean under the dsum
+    // discipline. The per-group scalars broadcast back in a tiny join;
+    // the corpus scans twice (once per percentile pass), never sorts
+    // globally.
+    "q_robust_stats" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("lang"), col("n_chars").cast("double").as("x"))
+      val q = docs.groupBy(col("lang")).agg(
+        expr("percentile(x, 0.25)").as("q1"),
+        expr("percentile(x, 0.5)").as("med"),
+        expr("percentile(x, 0.75)").as("q3"),
+        expr("percentile(x, 0.1)").as("p10"),
+        expr("percentile(x, 0.9)").as("p90"))
+      val dev = docs.join(broadcast(q), Seq("lang"))
+      val mad = dev
+        .select(col("lang"), abs(col("x") - col("med")).as("ad"))
+        .groupBy(col("lang"))
+        .agg(expr("percentile(ad, 0.5)").as("mad"))
+      val trimmed = dev
+        .filter(col("x") >= col("p10") && col("x") <= col("p90"))
+        .groupBy(col("lang"))
+        .agg((dsum(col("x")) / count(lit(1))).as("trimmed_mean"))
+      q.join(mad, Seq("lang")).join(trimmed, Seq("lang"))
+        .select(col("lang"),
+          round(col("q1"), 4).as("q1"),
+          round(col("med"), 4).as("med"),
+          round(col("q3"), 4).as("q3"),
+          round(col("q3") - col("q1"), 4).as("iqr"),
+          round(col("mad"), 4).as("mad"),
+          round(col("trimmed_mean"), 4).as("trimmed_mean"))
+        .orderBy(col("lang"))
+    }),
+
+    // Cohort retention triangle over the events stream: users grouped
+    // by first-activity week, activity counted per week offset — the
+    // product-analytics shape that exercises a self-join through a
+    // per-user scalar (min week) none of the other event queries hit.
+    // The first-week table is user-sized (ids + one long), co-keyed
+    // with the event stream on user_id.
+    "q_cohort_retention" -> ((s, d) => {
+      val weekNs = 7L * 86400L * 1000000000L
+      val ev = t(s, d, "events")
+        .select(col("user_id"), expr(s"ts div $weekNs").as("week"))
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      ev.join(first, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     "text_langid" -> ((s, d) => {
       t(s, d, "documents")
         .groupBy(TextOps.langId(col("text")).as("pred_lang"))
@@ -644,6 +732,38 @@ object SparkEntry {
         .select(explode(BpeOps.encode(col("text"), model)).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    }),
+
+    // Unigram-LM tokenizer (Kudo '18 / SentencePiece shape): trained by
+    // Viterbi-EM on the SAME compact word-type dict as BPE (one shared
+    // distributed pass), emitted as the ranked multi-char vocabulary
+    // with rounded log-probs. Training is not SQL-expressible →
+    // rows-only; UnigramSpec anchors the trainer and encoder.
+    "text_unigram_train" -> ((s, d) => {
+      import s.implicits._
+      val model = ops.UnigramOps.cachedTrain(s, s"$d/documents.parquet",
+        t(s, d, "documents"), col("text"), vocabSize = 128)
+      model.pieces.zip(model.logProbs).zipWithIndex
+        .collect { case ((p, lp), i) if p.length > 1 =>
+          (i.toLong, p, math.rint(lp * 1e6) / 1e6) }
+        .take(64).toSeq
+        .toDF("rank", "piece", "log_prob")
+        .orderBy(col("rank"))
+    }),
+
+    // Viterbi corpus encoding under the trained unigram model: top-20
+    // pieces by stream frequency (the unigram twin of text_bpe_encode;
+    // the codegen'd UnigramEncode keeps the Project in the scan's
+    // whole-stage-codegen span — plan-gated in UnigramSpec).
+    "text_unigram_encode" -> ((s, d) => {
+      val model = ops.UnigramOps.cachedTrain(s, s"$d/documents.parquet",
+        t(s, d, "documents"), col("text"), vocabSize = 128)
+      t(s, d, "documents")
+        .select(explode(ops.UnigramOps.encode(col("text"), model))
+          .as("piece"))
+        .groupBy(col("piece")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("piece"))
         .limit(20)
     }),
 
@@ -3607,6 +3727,43 @@ object SparkEntry {
         |  round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
         |  round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_robust_stats" ->
+      s"""WITH d AS (
+         |  SELECT lang, cast(n_chars as double) AS x FROM documents),
+         |q AS (
+         |  SELECT lang,
+         |    quantile_cont(x, 0.25) AS q1, quantile_cont(x, 0.5) AS med,
+         |    quantile_cont(x, 0.75) AS q3, quantile_cont(x, 0.1) AS p10,
+         |    quantile_cont(x, 0.9) AS p90
+         |  FROM d GROUP BY lang),
+         |mad AS (
+         |  SELECT d.lang, quantile_cont(abs(x - med), 0.5) AS mad
+         |  FROM d JOIN q ON d.lang = q.lang GROUP BY d.lang),
+         |tr AS (
+         |  SELECT d.lang,
+         |    ${dsumSql("x")} / count(*) AS trimmed_mean
+         |  FROM d JOIN q ON d.lang = q.lang
+         |  WHERE x >= p10 AND x <= p90 GROUP BY d.lang)
+         |SELECT q.lang, round(q1, 4) AS q1, round(med, 4) AS med,
+         |  round(q3, 4) AS q3, round(q3 - q1, 4) AS iqr,
+         |  round(mad, 4) AS mad, round(trimmed_mean, 4) AS trimmed_mean
+         |FROM q JOIN mad ON q.lang = mad.lang
+         |JOIN tr ON q.lang = tr.lang
+         |ORDER BY q.lang""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    epoch_ns(ts) // 604800000000000 AS week FROM events),
+        |first AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM ev
+        |  GROUP BY user_id)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN first ON ev.user_id = first.user_id
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     "text_langid" ->
       s"""WITH scored AS (

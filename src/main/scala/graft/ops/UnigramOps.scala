@@ -1,0 +1,145 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.{UnigramFunctions, UnigramKernels, UnigramModel}
+
+/** Unigram-LM tokenizer training (Kudo '18 — the SentencePiece unigram
+  * model; public paper, independent implementation) — the second
+  * trained tokenizer family next to [[BpeOps]], sharing its split of
+  * labor: ONE distributed word-type-count pass (the identical
+  * [[BpeOps.wordTypeCounts]] aggregate, so both tokenizers train from
+  * the same compact dict), then a driver loop over the maxTypes-bounded
+  * type dictionary — corpus-size-independent, like every model-fit op
+  * in this library.
+  *
+  * Training is Viterbi-EM (the standard hard-EM variant): seed the
+  * vocabulary with the most frequent substrings of the word types,
+  * then alternate (E) Viterbi-segment every word type under the
+  * current piece probabilities, accumulating EXACT LONG piece counts
+  * weighted by word frequency, and (M) renormalize. Pieces that go
+  * unused are dropped each round; single characters are floored at
+  * count 1 so every string stays encodable. The final vocabulary keeps
+  * all single characters plus the top multi-character pieces by
+  * (count DESC, piece) — every ordering in the loop is total, so the
+  * trained model is deterministic.
+  */
+object UnigramOps {
+
+  def trainFromCounts(wordCounts: Array[(String, Long)], vocabSize: Int,
+      maxPieceLen: Int = 6, emIters: Int = 4): UnigramModel = {
+    require(vocabSize >= 1, "vocabSize must be positive")
+    // seed: substring counts over the type dict, weighted by frequency
+    val substr = mutable.HashMap[String, Long]()
+    wordCounts.foreach { case (w, n) =>
+      var i = 0
+      while (i < w.length) {
+        var L = 1
+        while (L <= math.min(maxPieceLen, w.length - i)) {
+          val p = w.substring(i, i + L)
+          substr.update(p, substr.getOrElse(p, 0L) + n)
+          L += 1
+        }
+        i += 1
+      }
+    }
+    val chars = substr.keysIterator.filter(_.length == 1).toArray.sorted
+    val seedSize = math.max(vocabSize * 4, vocabSize + chars.length)
+    val seed: Array[(String, Long)] = {
+      val multi = substr.iterator.filter(_._1.length > 1).toArray
+        .sortBy { case (p, n) => (-n, p) }
+        .take(seedSize - chars.length)
+      (chars.map(c => c -> substr(c)) ++ multi)
+    }
+    var pieces = seed.map(_._1)
+    var counts = seed.map(_._2)
+    var iter = 0
+    while (iter <= emIters) {
+      val total = counts.sum.toDouble
+      val logProbs = counts.map(c => math.log(c / total))
+      val model = new UnigramModel(pieces, logProbs)
+      if (iter == emIters) return prune(pieces, counts, chars, vocabSize)
+      // E-step: exact long expected counts under Viterbi segmentation
+      val next = mutable.HashMap[String, Long]()
+      wordCounts.foreach { case (w, n) =>
+        val segs = UnigramKernels.viterbi(w, model)
+        var i = 0
+        while (i < segs.length) {
+          next.update(segs(i), next.getOrElse(segs(i), 0L) + n)
+          i += 1
+        }
+      }
+      chars.foreach { c => if (!next.contains(c)) next(c) = 1L }
+      val kept = next.toArray.sortBy { case (p, n) => (-n, p) }
+      pieces = kept.map(_._1)
+      counts = kept.map(_._2)
+      iter += 1
+    }
+    prune(pieces, counts, chars, vocabSize) // unreachable; for the compiler
+  }
+
+  private def prune(pieces: Array[String], counts: Array[Long],
+      chars: Array[String], vocabSize: Int): UnigramModel = {
+    val byPiece = pieces.zip(counts).toMap
+    val multiBudget = math.max(0, vocabSize - chars.length)
+    val multi = pieces.zip(counts).filter(_._1.length > 1)
+      .sortBy { case (p, n) => (-n, p) }
+      .take(multiBudget)
+    val kept = (multi ++ chars.map(c => c -> byPiece.getOrElse(c, 1L)))
+      .sortBy { case (p, n) => (-n, p) }
+    val total = kept.map(_._2).sum.toDouble
+    new UnigramModel(kept.map(_._1),
+      kept.map(e => math.log(e._2 / total)))
+  }
+
+  /** Train on the corpus: the one distributed type-count pass (shared
+    * with BPE) + the driver Viterbi-EM loop. */
+  def train(docs: DataFrame, text: Column, vocabSize: Int,
+      maxTypes: Int = 100000, maxPieceLen: Int = 6,
+      emIters: Int = 4): UnigramModel =
+    trainFromCounts(BpeOps.wordTypeCounts(docs, text, maxTypes),
+      vocabSize, maxPieceLen, emIters)
+
+  /** [[train]] behind the content-signature model cache (same
+    * discipline as BpeOps.cachedTrain). Line format: raw IEEE-754 bits
+    * of the log-prob, a space, the piece — exact round-trip, and
+    * pieces never contain whitespace (they are pre-token substrings). */
+  def cachedTrain(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, docs: DataFrame, text: Column, vocabSize: Int,
+      maxTypes: Int = 100000): UnigramModel = {
+    val sig = StorageOps.contentSignature(spark, srcPath)
+    val key = s"uni_${AnnOps.ModelFormatVersion}_${vocabSize}_${maxTypes}_" +
+      java.lang.Long.toHexString(sig)
+    AnnOps.loadRows(key) match {
+      case Some(rows) =>
+        val entries = rows.filter(_.nonEmpty).map { line =>
+          val i = line.indexOf(' ')
+          (line.substring(i + 1),
+            java.lang.Double.longBitsToDouble(
+              java.lang.Long.parseUnsignedLong(line.substring(0, i), 16)))
+        }
+        new UnigramModel(entries.map(_._1).toArray,
+          entries.map(_._2).toArray)
+      case None =>
+        val m = train(docs, text, vocabSize, maxTypes)
+        AnnOps.saveRows(key, m.pieces.zip(m.logProbs).toSeq.map {
+          case (p, lp) => java.lang.Long.toHexString(
+            java.lang.Double.doubleToRawLongBits(lp)) + " " + p
+        })
+        m
+    }
+  }
+
+  /** Viterbi pieces of `text` under `model` (codegen'd map-side
+    * expression; see [[graft.functions.UnigramEncode]]). */
+  def encode(text: Column, model: UnigramModel): Column =
+    UnigramFunctions.unigramEncode(text, model)
+
+  /** Reference single-string encode for tests. */
+  def encodeString(text: String, model: UnigramModel): Seq[String] = {
+    val words = graft.functions.BpeKernels.preTokenize(text)
+    words.toSeq.flatMap(w => UnigramKernels.viterbi(w, model))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.ops.UnigramOps
+
+/** Unigram-LM tokenizer (Kudo '18 shape): Viterbi kernel against a
+  * hand-built model, trainer behavior on a designed corpus, the
+  * distributed encoder vs the reference single-string path, coverage,
+  * cache round-trip, and the codegen plan gate. */
+class UnigramSpec extends SparkSpec {
+
+  private def model(entries: (String, Double)*): UnigramModel =
+    new UnigramModel(entries.map(_._1).toArray, entries.map(_._2).toArray)
+
+  test("viterbi picks the maximum-likelihood split") {
+    // "ab" as one piece (-1.0) beats "a"+"b" (-1.5 + -1.5)
+    val m = model("ab" -> -1.0, "a" -> -1.5, "b" -> -1.5)
+    assert(UnigramKernels.viterbi("ab", m).toSeq == Seq("ab"))
+    // but a cheap single char changes the optimum: "a"+"b" = -1.1 + -0.05
+    val m2 = model("ab" -> -2.0, "a" -> -1.1, "b" -> -0.05)
+    assert(UnigramKernels.viterbi("ab", m2).toSeq == Seq("a", "b"))
+  }
+
+  test("viterbi tie-break prefers the longer piece") {
+    // "abc" = -2.0 exactly equals "a"+"bc" = -1.0 + -1.0
+    val m = model("abc" -> -2.0, "a" -> -1.0, "bc" -> -1.0)
+    assert(UnigramKernels.viterbi("abc", m).toSeq == Seq("abc"))
+  }
+
+  test("unknown characters fall back to single-char pieces") {
+    val m = model("a" -> -1.0)
+    assert(UnigramKernels.viterbi("axa", m).toSeq == Seq("a", "x", "a"))
+  }
+
+  test("trainer learns the frequent multi-char pieces of a designed corpus") {
+    // word types engineered so "ing" dominates; maxPieceLen = 4 keeps
+    // 5-char words from collapsing to whole-word pieces (with the
+    // default 6, hard-EM correctly prefers whole words here — the
+    // vocabulary-collapse behavior the Kudo paper prunes against)
+    val counts = Array(
+      ("thing", 50L), ("sing", 40L), ("ring", 30L),
+      ("the", 60L), ("this", 20L), ("cat", 5L))
+    val m = UnigramOps.trainFromCounts(counts, vocabSize = 24,
+      maxPieceLen = 4)
+    val pieces = m.pieces.toSet
+    assert(pieces.contains("ing"), s"expected 'ing' in ${m.pieces.toSeq}")
+    // every single character of the corpus is present (coverage)
+    val chars = counts.flatMap(_._1.toCharArray).map(String.valueOf(_)).toSet
+    assert(chars.subsetOf(pieces))
+    // probabilities normalize
+    assert(math.abs(m.logProbs.map(math.exp).sum - 1.0) < 1e-9)
+    // every word round-trips through its segmentation
+    counts.foreach { case (w, _) =>
+      assert(UnigramKernels.viterbi(w, m).mkString == w)
+    }
+  }
+
+  test("distributed encoder == reference single-string encode on sf0.001") {
+    val docs = Tables.documents(spark, Sf0001)
+    val m = UnigramOps.train(docs, col("text"), vocabSize = 128)
+    val viaExpr = docs
+      .select(col("doc_id"), UnigramOps.encode(col("text"), m).as("p"))
+      .orderBy(col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList))
+    val texts = docs.select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    texts.zip(viaExpr).foreach { case ((idA, text), (idB, got)) =>
+      assert(idA == idB)
+      assert(got == UnigramOps.encodeString(text, m).toList, s"doc $idA")
+    }
+    // segmentation concatenates back to the pre-token stream
+    texts.take(50).foreach { case (_, text) =>
+      val pre = BpeKernels.preTokenize(text).mkString
+      assert(UnigramOps.encodeString(text, m).mkString == pre)
+    }
+  }
+
+  test("cached model round-trips exactly (raw log-prob bits)") {
+    val docs = Tables.documents(spark, Sf0001)
+    val src = s"$Sf0001/documents.parquet"
+    val first = UnigramOps.cachedTrain(spark, src, docs, col("text"), 64)
+    val again = UnigramOps.cachedTrain(spark, src, docs, col("text"), 64)
+    assert(first.pieces.toSeq == again.pieces.toSeq)
+    assert(first.logProbs.toSeq == again.logProbs.toSeq)
+    val direct = UnigramOps.train(docs, col("text"), 64)
+    assert(first.pieces.toSeq == direct.pieces.toSeq)
+    assert(first.logProbs.toSeq == direct.logProbs.toSeq)
+  }
+
+  test("UnigramEncode stays inside whole-stage codegen") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val m = UnigramOps.trainFromCounts(
+      Array(("the", 10L), ("then", 5L), ("than", 4L)), 16)
+    val df = docs.select(UnigramOps.encode(col("text"), m).as("p"))
+    assert(df.queryExecution.toRdd.count() == 500L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(1) Project") && l.contains("unigram_encode")),
+      s"unigram Project must be codegen'd:\n$plan")
+  }
+}

@@ -131,6 +131,35 @@ class PcaSpec extends SparkSpec {
     assert(merged.basis.flatten.toSeq == whole.basis.flatten.toSeq)
   }
 
+  test("streaming moments over micro-batches == batch moments, byte-identical") {
+    // the streaming-ingest contract: per-micro-batch momentsBytes
+    // merged in a foreachBatch sink — integer sums make the merged
+    // artifact BYTE-IDENTICAL to one batch aggregate over all rows,
+    // however the stream happened to be chunked
+    val dir = java.nio.file.Files.createTempDirectory("graft-pca-stream")
+    val src = dir.toString
+    emb.repartition(4).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(emb.schema)
+      .option("maxFilesPerTrigger", 1) // force several micro-batches
+      .parquet(src)
+    val shards = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        shards.synchronized {
+          shards += PcaOps.momentsBytes(batch, "embedding", D)
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(shards.length > 1, "expected several micro-batches")
+    val merged = PcaOps.mergeMomentsBytes(shards.toSeq)
+    val whole = PcaOps.momentsBytes(emb, "embedding", D)
+    assert(java.util.Arrays.equals(merged, whole))
+  }
+
   test("pcaTopK: full shortlist is byte-identical to brute force") {
     val qs = emb.filter(col("vec_id") < 5)
     val full = AnnOps.pcaTopK(emb, qs, "vec_id", "embedding",
