@@ -122,7 +122,8 @@ object Bench {
     "dedup_span_maximal" -> "dsm", "dedup_span_stats" -> "dsp",
     "ann_pca_prefilter" -> "apf", "text_unigram_train" -> "tut",
     "text_unigram_encode" -> "tux", "q_robust_stats" -> "rbs",
-    "q_cohort_retention" -> "coh", "q_kmv_overlap" -> "kmv")
+    "q_cohort_retention" -> "coh", "q_kmv_overlap" -> "kmv",
+    "text_skipgram_pairs" -> "tsg")
 
   /** 2-decimal seconds with trailing zeros stripped ("0.20" -> "0.2",
     * "1.00" -> "1") — still valid JSON numbers, ~0.5 chars/query saved. */

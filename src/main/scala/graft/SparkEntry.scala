@@ -865,6 +865,28 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // Skip-gram (center, context) pair counts, window ±2 — the
+    // co-occurrence statistics embedding training consumes (word2vec
+    // shape). Pair generation is a per-document HOF over the token
+    // array (documents are row-local, so no positional self-join and
+    // no shuffle before the counting agg); at 100 TB the pair strings
+    // swap for xxhash64 longs exactly as dedup_substrings_hashed does.
+    "text_skipgram_pairs" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(split(lower(col("text")), " ").as("w"))
+        .select(explode(expr(
+          "flatten(transform(sequence(0, size(w) - 2), i -> " +
+            "filter(transform(array(1, 2), o -> IF(i + o <= size(w) - 1, " +
+            "struct(element_at(w, i + 1) AS center, " +
+            "element_at(w, i + o + 1) AS context), null)), " +
+            "x -> x IS NOT NULL)))")).as("p"))
+        .select(col("p.center"), col("p.context"))
+        .groupBy(col("center"), col("context"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("center"), col("context"))
+        .limit(30)
+    }),
+
     // Frequency-threshold heavy hitters (grams occurring in >= 0.1% of
     // all gram slots), two-pass: (1) a Misra-Gries sketch aggregate
     // finds a <= k candidate superset while moving only one fixed-size
@@ -4786,6 +4808,19 @@ object SparkEntry {
         |)
         |SELECT gram, count(*) AS n FROM g
         |GROUP BY gram ORDER BY n DESC, gram LIMIT 50""".stripMargin,
+
+    "text_skipgram_pairs" ->
+      """WITH t AS (
+        |  SELECT string_split(lower(text), ' ') AS w FROM documents),
+        |p AS (
+        |  SELECT w[i + 1] AS center, w[i + o + 1] AS context
+        |  FROM t,
+        |       LATERAL unnest(generate_series(0, len(w) - 2)) AS a(i),
+        |       LATERAL unnest(generate_series(1, 2)) AS b(o)
+        |  WHERE i + o <= len(w) - 1)
+        |SELECT center, context, count(*) AS n FROM p
+        |GROUP BY center, context
+        |ORDER BY n DESC, center, context LIMIT 30""".stripMargin,
 
     "text_heavy_hitters" ->
       """WITH g AS (
