@@ -3220,7 +3220,7 @@ object SparkEntry {
     // reports before anyone pays for span excision at full scale.
     "dedup_span_stats" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      ops.DedupOps.spanExcise(docs, "doc_id", "text", 8)
+      ops.DedupOps.spanCounts(docs, "doc_id", "text", 8)
         .join(docs.select(col("doc_id"), col("lang")), "doc_id")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),

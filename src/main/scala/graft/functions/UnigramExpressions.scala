@@ -96,6 +96,84 @@ object UnigramKernels {
     out
   }
 
+  /** Forward-backward expected piece counts for one word under the
+    * model (the soft-EM E-step of the actual Kudo '18 algorithm):
+    * E[piece p spanning s..e] = exp(α(s) + logP(p) + β(e) − Z), with
+    * α/β the log-space forward/backward lattice sums and Z = α(n) the
+    * total segmentation likelihood. Adds `weight × E` into `out`.
+    * Missing single characters use the same UnkLogProb arc as Viterbi
+    * so the lattice stays connected; their mass is attributed to the
+    * character piece when present. Driver-side, single-threaded,
+    * fixed iteration order — deterministic. */
+  def expectedCounts(word: String, model: UnigramModel, weight: Double,
+      out: scala.collection.mutable.HashMap[String, Double]): Unit = {
+    val n = word.length
+    if (n == 0) return
+    val NegInf = Double.NegativeInfinity
+    def logAdd(a: Double, b: Double): Double =
+      if (a == NegInf) b else if (b == NegInf) a
+      else if (a > b) a + math.log1p(math.exp(b - a))
+      else b + math.log1p(math.exp(a - b))
+    val maxLen = model.maxPieceLen
+    // arcs(s)(e): log-prob of piece word[s, e) if admissible
+    val alpha = Array.fill(n + 1)(NegInf)
+    val beta = Array.fill(n + 1)(NegInf)
+    alpha(0) = 0.0
+    var e = 1
+    while (e <= n) {
+      var s = math.max(0, e - maxLen)
+      var any = false
+      while (s < e) {
+        val idx = model.index.get(word.substring(s, e))
+        if (idx != null) {
+          alpha(e) = logAdd(alpha(e), alpha(s) + model.logProbs(idx))
+          any = true
+        }
+        s += 1
+      }
+      if (!any && alpha(e) == NegInf) // unknown-char fallback arc
+        alpha(e) = alpha(e - 1) + UnkLogProb
+      e += 1
+    }
+    beta(n) = 0.0
+    var s2 = n - 1
+    while (s2 >= 0) {
+      var e2 = s2 + 1
+      var any = false
+      val hi = math.min(n, s2 + maxLen)
+      while (e2 <= hi) {
+        val idx = model.index.get(word.substring(s2, e2))
+        if (idx != null) {
+          beta(s2) = logAdd(beta(s2), model.logProbs(idx) + beta(e2))
+          any = true
+        }
+        e2 += 1
+      }
+      if (!any && beta(s2) == NegInf)
+        beta(s2) = UnkLogProb + beta(s2 + 1)
+      s2 -= 1
+    }
+    val z = alpha(n)
+    if (z == NegInf) return
+    var s3 = 0
+    while (s3 < n) {
+      var e3 = s3 + 1
+      val hi = math.min(n, s3 + maxLen)
+      while (e3 <= hi) {
+        val piece = word.substring(s3, e3)
+        val idx = model.index.get(piece)
+        if (idx != null) {
+          val post = math.exp(alpha(s3) + model.logProbs(idx) + beta(e3) - z)
+          if (post > 0.0) {
+            out.update(piece, out.getOrElse(piece, 0.0) + weight * post)
+          }
+        }
+        e3 += 1
+      }
+      s3 += 1
+    }
+  }
+
   /** Full-text encode: shared pre-tokenizer, per-word Viterbi, concat. */
   def unigramEncode(text: UTF8String, model: UnigramModel): ArrayData = {
     val words = BpeKernels.preTokenize(text.toString)

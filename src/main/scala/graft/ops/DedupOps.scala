@@ -542,6 +542,21 @@ object DedupOps {
     (toks, covered)
   }
 
+  /** Per-document duplicated-token counts only — the counting front of
+    * [[spanExcise]] without the text reconstruction (no collect_set, no
+    * md5, no HOF filter): what a duplication-rate AUDIT needs. Returns
+    * (idCol, n_tokens, n_removed). */
+  def spanCounts(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 8): DataFrame = {
+    val (toks, covered) = coveredPositions(docs, idCol, textCol, minLen)
+    val ncov = covered.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_removed"))
+    toks.join(ncov, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("w")).cast("long").as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   /** Maximal duplicated spans per document — the intervals
     * [[spanExcise]] removes, reported explicitly: contiguous runs of
     * covered token positions merged gaps-and-islands style (idx −

@@ -28,9 +28,20 @@ import graft.functions.{UnigramFunctions, UnigramKernels, UnigramModel}
   */
 object UnigramOps {
 
+  /** `softEm = true` runs the full Kudo E-step (forward-backward
+    * marginal piece expectations over the segmentation lattice,
+    * [[UnigramKernels.expectedCounts]]) instead of hard Viterbi
+    * counts. Expectations are doubles, but the loop is driver-side
+    * single-threaded over the totally-ordered type dict, so the
+    * trained model is still deterministic; the hard-EM default keeps
+    * EXACT LONG counts, which is why it remains the default for the
+    * declared artifact queries. */
   def trainFromCounts(wordCounts: Array[(String, Long)], vocabSize: Int,
-      maxPieceLen: Int = 6, emIters: Int = 4): UnigramModel = {
+      maxPieceLen: Int = 6, emIters: Int = 4,
+      softEm: Boolean = false): UnigramModel = {
     require(vocabSize >= 1, "vocabSize must be positive")
+    if (softEm)
+      return trainSoft(wordCounts, vocabSize, maxPieceLen, emIters)
     // seed: substring counts over the type dict, weighted by frequency
     val substr = mutable.HashMap[String, Long]()
     wordCounts.foreach { case (w, n) =>
@@ -78,6 +89,73 @@ object UnigramOps {
       iter += 1
     }
     prune(pieces, counts, chars, vocabSize) // unreachable; for the compiler
+  }
+
+  /** The soft-EM variant: identical seeding, but the E-step uses the
+    * forward-backward marginal expectations (fractional counts). The
+    * accumulation loop is driver-side, single-threaded, over the
+    * totally-ordered type dict, so the model is deterministic — just
+    * not integer-exact like the hard-EM default. */
+  private def trainSoft(wordCounts: Array[(String, Long)], vocabSize: Int,
+      maxPieceLen: Int, emIters: Int): UnigramModel = {
+    val substr = mutable.HashMap[String, Long]()
+    wordCounts.foreach { case (w, n) =>
+      var i = 0
+      while (i < w.length) {
+        var L = 1
+        while (L <= math.min(maxPieceLen, w.length - i)) {
+          val p = w.substring(i, i + L)
+          substr.update(p, substr.getOrElse(p, 0L) + n)
+          L += 1
+        }
+        i += 1
+      }
+    }
+    val chars = substr.keysIterator.filter(_.length == 1).toArray.sorted
+    val seedSize = math.max(vocabSize * 4, vocabSize + chars.length)
+    val seed: Array[(String, Double)] = {
+      val multi = substr.iterator.filter(_._1.length > 1).toArray
+        .sortBy { case (p, n) => (-n, p) }
+        .take(seedSize - chars.length)
+      (chars.map(c => c -> substr(c)) ++ multi)
+        .map { case (p, n) => p -> n.toDouble }
+    }
+    var pieces = seed.map(_._1)
+    var counts = seed.map(_._2)
+    var iter = 0
+    while (iter <= emIters) {
+      val total = counts.sum
+      val logProbs = counts.map(c => math.log(c / total))
+      val model = new UnigramModel(pieces, logProbs)
+      if (iter == emIters) return pruneSoft(pieces, counts, chars, vocabSize)
+      val next = mutable.HashMap[String, Double]()
+      wordCounts.foreach { case (w, n) =>
+        UnigramKernels.expectedCounts(w, model, n.toDouble, next)
+      }
+      chars.foreach { c =>
+        if (next.getOrElse(c, 0.0) <= 0.0) next(c) = 1.0
+      }
+      val kept = next.iterator.filter(_._2 > 1e-9).toArray
+        .sortBy { case (p, n) => (-n, p) }
+      pieces = kept.map(_._1)
+      counts = kept.map(_._2)
+      iter += 1
+    }
+    pruneSoft(pieces, counts, chars, vocabSize)
+  }
+
+  private def pruneSoft(pieces: Array[String], counts: Array[Double],
+      chars: Array[String], vocabSize: Int): UnigramModel = {
+    val byPiece = pieces.zip(counts).toMap
+    val multiBudget = math.max(0, vocabSize - chars.length)
+    val multi = pieces.zip(counts).filter(_._1.length > 1)
+      .sortBy { case (p, n) => (-n, p) }
+      .take(multiBudget)
+    val kept = (multi ++ chars.map(c => c -> byPiece.getOrElse(c, 1.0)))
+      .sortBy { case (p, n) => (-n, p) }
+    val total = kept.map(_._2).sum
+    new UnigramModel(kept.map(_._1),
+      kept.map(e => math.log(e._2 / total)))
   }
 
   private def prune(pieces: Array[String], counts: Array[Long],

@@ -57,6 +57,49 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("forward-backward expectations match the hand-computed lattice") {
+    // word "ab": segmentations {ab} (p=0.5) and {a,b} (p=0.25*0.25)
+    // Z = 0.5625; E[ab] = 8/9, E[a] = E[b] = 1/9
+    val m = model("ab" -> math.log(0.5),
+      "a" -> math.log(0.25), "b" -> math.log(0.25))
+    val out = scala.collection.mutable.HashMap[String, Double]()
+    UnigramKernels.expectedCounts("ab", m, 1.0, out)
+    assert(math.abs(out("ab") - 8.0 / 9.0) < 1e-12)
+    assert(math.abs(out("a") - 1.0 / 9.0) < 1e-12)
+    assert(math.abs(out("b") - 1.0 / 9.0) < 1e-12)
+    // weight scales linearly
+    val out2 = scala.collection.mutable.HashMap[String, Double]()
+    UnigramKernels.expectedCounts("ab", m, 10.0, out2)
+    assert(math.abs(out2("ab") - 80.0 / 9.0) < 1e-11)
+  }
+
+  test("expectations degenerate to the single segmentation when unique") {
+    // only {a, b} segments "ab" — expectations are exactly 1
+    val m = model("a" -> math.log(0.5), "b" -> math.log(0.5))
+    val out = scala.collection.mutable.HashMap[String, Double]()
+    UnigramKernels.expectedCounts("ab", m, 3.0, out)
+    assert(math.abs(out("a") - 3.0) < 1e-12)
+    assert(math.abs(out("b") - 3.0) < 1e-12)
+  }
+
+  test("soft EM learns the designed corpus and stays deterministic") {
+    val counts = Array(
+      ("thing", 50L), ("sing", 40L), ("ring", 30L),
+      ("the", 60L), ("this", 20L), ("cat", 5L))
+    val m1 = UnigramOps.trainFromCounts(counts, vocabSize = 24,
+      maxPieceLen = 4, softEm = true)
+    assert(m1.pieces.toSet.contains("ing"),
+      s"expected 'ing' in ${m1.pieces.toSeq}")
+    assert(math.abs(m1.logProbs.map(math.exp).sum - 1.0) < 1e-9)
+    counts.foreach { case (w, _) =>
+      assert(UnigramKernels.viterbi(w, m1).mkString == w)
+    }
+    val m2 = UnigramOps.trainFromCounts(counts, vocabSize = 24,
+      maxPieceLen = 4, softEm = true)
+    assert(m1.pieces.toSeq == m2.pieces.toSeq)
+    assert(m1.logProbs.toSeq == m2.logProbs.toSeq)
+  }
+
   test("distributed encoder == reference single-string encode on sf0.001") {
     val docs = Tables.documents(spark, Sf0001)
     val m = UnigramOps.train(docs, col("text"), vocabSize = 128)
