@@ -96,6 +96,41 @@ object UnigramKernels {
     out
   }
 
+  /** Viterbi LOG-LIKELIHOOD of the best segmentation, optionally with
+    * one piece masked out of the vocabulary (`masked` may be null) —
+    * the primitive behind likelihood-loss pruning: loss(p) =
+    * Σ_w freq(w)·(score(w) − score(w | p masked)). Single characters
+    * stay unmasked, so every word keeps a finite score. */
+  def viterbiScore(word: String, model: UnigramModel,
+      masked: String): Double = {
+    val n = word.length
+    if (n == 0) return 0.0
+    val best = new Array[Double](n + 1)
+    var end = 1
+    while (end <= n) {
+      best(end) = Double.NegativeInfinity
+      val lo = math.max(0, end - model.maxPieceLen)
+      var start = lo
+      var found = false
+      while (start < end) {
+        val piece = word.substring(start, end)
+        if (masked == null || piece != masked) {
+          val idx = model.index.get(piece)
+          if (idx != null) {
+            val cand = best(start) + model.logProbs(idx)
+            if (!found || cand > best(end)) {
+              best(end) = cand; found = true
+            }
+          }
+        }
+        start += 1
+      }
+      if (!found) best(end) = best(end - 1) + UnkLogProb
+      end += 1
+    }
+    best(n)
+  }
+
   /** Forward-backward expected piece counts for one word under the
     * model (the soft-EM E-step of the actual Kudo '18 algorithm):
     * E[piece p spanning s..e] = exp(α(s) + logP(p) + β(e) − Z), with

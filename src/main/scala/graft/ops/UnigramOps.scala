@@ -38,10 +38,13 @@ object UnigramOps {
     * declared artifact queries. */
   def trainFromCounts(wordCounts: Array[(String, Long)], vocabSize: Int,
       maxPieceLen: Int = 6, emIters: Int = 4,
-      softEm: Boolean = false): UnigramModel = {
+      softEm: Boolean = false,
+      lossPrune: Boolean = false): UnigramModel = {
     require(vocabSize >= 1, "vocabSize must be positive")
+    require(!lossPrune || softEm, "lossPrune requires softEm")
     if (softEm)
-      return trainSoft(wordCounts, vocabSize, maxPieceLen, emIters)
+      return trainSoft(wordCounts, vocabSize, maxPieceLen, emIters,
+        lossPrune)
     // seed: substring counts over the type dict, weighted by frequency
     val substr = mutable.HashMap[String, Long]()
     wordCounts.foreach { case (w, n) =>
@@ -97,7 +100,8 @@ object UnigramOps {
     * totally-ordered type dict, so the model is deterministic — just
     * not integer-exact like the hard-EM default. */
   private def trainSoft(wordCounts: Array[(String, Long)], vocabSize: Int,
-      maxPieceLen: Int, emIters: Int): UnigramModel = {
+      maxPieceLen: Int, emIters: Int,
+      lossPrune: Boolean = false): UnigramModel = {
     val substr = mutable.HashMap[String, Long]()
     wordCounts.foreach { case (w, n) =>
       var i = 0
@@ -127,7 +131,11 @@ object UnigramOps {
       val total = counts.sum
       val logProbs = counts.map(c => math.log(c / total))
       val model = new UnigramModel(pieces, logProbs)
-      if (iter == emIters) return pruneSoft(pieces, counts, chars, vocabSize)
+      if (iter == emIters) {
+        return if (lossPrune)
+          pruneByLoss(pieces, counts, chars, vocabSize, wordCounts)
+        else pruneSoft(pieces, counts, chars, vocabSize)
+      }
       val next = mutable.HashMap[String, Double]()
       wordCounts.foreach { case (w, n) =>
         UnigramKernels.expectedCounts(w, model, n.toDouble, next)
@@ -140,6 +148,70 @@ object UnigramOps {
       pieces = kept.map(_._1)
       counts = kept.map(_._2)
       iter += 1
+    }
+    pruneSoft(pieces, counts, chars, vocabSize)
+  }
+
+  /** Likelihood-loss pruning (the Kudo '18 criterion, applied the way
+    * the paper does — ITERATIVELY): repeatedly drop the ~20% of
+    * multi-char pieces whose removal costs the corpus Viterbi
+    * likelihood the least — loss(p) = Σ_w freq(w)·(score(w) −
+    * score(w | p masked)) — then refresh expectations with one soft
+    * E-step before measuring again, until the multi-char budget is
+    * reached. One-shot mass pruning with single-removal losses
+    * over-prunes (losses are marginal, not joint); the 20%-per-round
+    * schedule keeps the estimate honest. A piece on no best path has
+    * loss 0 and prunes first. Ties break by (count DESC, piece) —
+    * total order, deterministic. */
+  private def pruneByLoss(pieces0: Array[String], counts0: Array[Double],
+      chars: Array[String], vocabSize: Int,
+      wordCounts: Array[(String, Long)]): UnigramModel = {
+    var pieces = pieces0
+    var counts = counts0
+    val multiBudget = math.max(0, vocabSize - chars.length)
+    def build(): UnigramModel = {
+      val total = counts.sum
+      new UnigramModel(pieces, counts.map(c => math.log(c / total)))
+    }
+    var model = build()
+    var nMulti = pieces.count(_.length > 1)
+    while (nMulti > multiBudget) {
+      val byPiece = pieces.zip(counts).toMap
+      val loss = mutable.HashMap[String, Double]()
+      wordCounts.foreach { case (w, n) =>
+        val score = UnigramKernels.viterbiScore(w, model, null)
+        UnigramKernels.viterbi(w, model).distinct
+          .filter(_.length > 1).foreach { p =>
+            val without = UnigramKernels.viterbiScore(w, model, p)
+            loss.update(p, loss.getOrElse(p, 0.0) + n * (score - without))
+          }
+      }
+      val keepCount = math.max(multiBudget,
+        nMulti - math.max(1, (nMulti * 0.2).toInt))
+      val keptMulti = pieces.filter(_.length > 1)
+        .map(p => (p, loss.getOrElse(p, 0.0), byPiece(p)))
+        .sortBy { case (p, l, c) => (-l, -c, p) }
+        .take(keepCount).map(_._1).toSet
+      val filtered = pieces.zip(counts).filter { case (p, _) =>
+        p.length == 1 || keptMulti.contains(p)
+      }
+      pieces = filtered.map(_._1)
+      counts = filtered.map(_._2)
+      // E-step refresh: let the surviving pieces reabsorb the mass
+      model = build()
+      val next = mutable.HashMap[String, Double]()
+      wordCounts.foreach { case (w, n) =>
+        UnigramKernels.expectedCounts(w, model, n.toDouble, next)
+      }
+      chars.foreach { c =>
+        if (next.getOrElse(c, 0.0) <= 0.0) next(c) = 1.0
+      }
+      val kept = next.iterator.filter(_._2 > 1e-9).toArray
+        .sortBy { case (p, n) => (-n, p) }
+      pieces = kept.map(_._1)
+      counts = kept.map(_._2)
+      model = build()
+      nMulti = pieces.count(_.length > 1)
     }
     pruneSoft(pieces, counts, chars, vocabSize)
   }

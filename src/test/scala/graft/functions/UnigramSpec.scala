@@ -100,6 +100,46 @@ class UnigramSpec extends SparkSpec {
     assert(m1.logProbs.toSeq == m2.logProbs.toSeq)
   }
 
+  test("likelihood-loss pruning keeps load-bearing pieces and is no worse") {
+    val counts = Array(
+      ("thing", 50L), ("sing", 40L), ("ring", 30L),
+      ("the", 60L), ("this", 20L), ("cat", 5L), ("qzkw", 15L))
+    def corpusLL(m: UnigramModel): Double =
+      counts.map { case (w, n) =>
+        n * UnigramKernels.viterbiScore(w, m, null)
+      }.sum
+    val byCount = UnigramOps.trainFromCounts(counts, vocabSize = 20,
+      maxPieceLen = 4, softEm = true)
+    val byLoss = UnigramOps.trainFromCounts(counts, vocabSize = 20,
+      maxPieceLen = 4, softEm = true, lossPrune = true)
+    info(f"LL byCount=${corpusLL(byCount)}%.3f byLoss=${corpusLL(byLoss)}%.3f")
+    // the loss criterion optimizes exactly this quantity greedily —
+    // on this corpus it must not do worse than count-rank pruning
+    assert(corpusLL(byLoss) >= corpusLL(byCount) - 1e-9)
+    // coverage + round-trips still hold
+    counts.foreach { case (w, _) =>
+      assert(UnigramKernels.viterbi(w, byLoss).mkString == w)
+    }
+    // deterministic
+    val again = UnigramOps.trainFromCounts(counts, vocabSize = 20,
+      maxPieceLen = 4, softEm = true, lossPrune = true)
+    assert(byLoss.pieces.toSeq == again.pieces.toSeq)
+    assert(byLoss.logProbs.toSeq == again.logProbs.toSeq)
+  }
+
+  test("loss pruning: a piece on no Viterbi path prunes before used pieces") {
+    // "ab" appears as a seed substring of the rare word but the chars
+    // segment it at equal likelihood only if "ab" is worse — engineer
+    // a model where a redundant piece has high COUNT but zero LOSS
+    val m = model("ab" -> math.log(0.1),
+      "a" -> math.log(0.5), "b" -> math.log(0.4))
+    // best path for "ab" is a+b (0.2 > 0.1) → "ab" carries no loss
+    assert(UnigramKernels.viterbi("ab", m).toSeq == Seq("a", "b"))
+    val withP = UnigramKernels.viterbiScore("ab", m, null)
+    val without = UnigramKernels.viterbiScore("ab", m, "ab")
+    assert(withP == without, "masking an off-path piece changes nothing")
+  }
+
   test("distributed encoder == reference single-string encode on sf0.001") {
     val docs = Tables.documents(spark, Sf0001)
     val m = UnigramOps.train(docs, col("text"), vocabSize = 128)
