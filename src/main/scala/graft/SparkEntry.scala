@@ -3418,6 +3418,23 @@ object SparkEntry {
           col("l_quantity"), col("l_extendedprice"))
     }),
 
+    // Same identity-under-re-layout contract for the HILBERT-clustered
+    // copy (tighter per-file bounding boxes than Morton at the same
+    // write cost — measured in HilbertSpec); the oracle runs the
+    // predicate over the ORIGINAL parquet.
+    "q_hilbert_read" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"))
+      val path = ops.StorageOps.scratchPath(
+        s"hilbert_${s.sparkContext.applicationId}_${math.abs(d.hashCode.toLong)}")
+      ops.StorageOps.hilbertWrite(li, path, "l_partkey", "l_suppkey", 16)
+      s.read.parquet(path)
+        .filter(col("l_partkey") <= 200 && col("l_suppkey") <= 20)
+        .orderBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"))
+    }),
+
     // Hive-partitioned layout round-trip: write the corpus partitioned
     // by lang, read ONE language back — the scan must list only that
     // partition's directory (PartitionFilters in the plan, gated in
@@ -5236,6 +5253,14 @@ object SparkEntry {
     // identity under re-layout: the oracle never sees the z-ordered
     // copy — it runs the same predicate over the ORIGINAL parquet
     "q_zorder_read" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+        |  l_extendedprice
+        |FROM lineitem
+        |WHERE l_partkey <= 200 AND l_suppkey <= 20
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_quantity,
+        |  l_extendedprice""".stripMargin,
+
+    "q_hilbert_read" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
         |  l_extendedprice
         |FROM lineitem

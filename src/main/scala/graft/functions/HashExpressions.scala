@@ -175,6 +175,34 @@ object SketchKernels {
   def interleave16(a: Long, b: Long): Long =
     (spread16(a) << 1) | spread16(b)
 
+  /** Hilbert-curve distance of a 2-D cell, `order` bits per dimension
+    * (xy→d form of the public iterative algorithm — Hilbert 1891 via
+    * the standard quadrant-rotation formulation). Unlike the Morton
+    * code, CONSECUTIVE distances are grid-adjacent — no quadrant-
+    * boundary jumps — so equal-size d-ranges cover tighter x/y
+    * bounding boxes, which is exactly what per-file min/max skipping
+    * keys on. */
+  def hilbertD(order: Int, xIn: Long, yIn: Long): Long = {
+    val mask = (1L << order) - 1
+    var x = xIn & mask
+    var y = yIn & mask
+    var d = 0L
+    var s = 1L << (order - 1)
+    while (s > 0) {
+      val rx = if ((x & s) != 0L) 1L else 0L
+      val ry = if ((y & s) != 0L) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) { // rotate the quadrant so the sub-curve composes
+        if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  def hilbert16(x: Long, y: Long): Long = hilbertD(16, x, y)
+
   private def spread16(vIn: Long): Long = {
     var v = vIn & 0xffffL
     v = (v | (v << 8)) & 0x00ff00ffL
@@ -458,12 +486,38 @@ case class ZOrderValue(left: Expression, right: Expression)
       r: Expression): ZOrderValue = copy(left = l, right = r)
 }
 
+/** 32-bit Hilbert distance of two 16-bit-normalized long columns (see
+  * [[SketchKernels.hilbert16]]) — the locality-tighter alternative
+  * clustering key behind [[graft.ops.StorageOps.hilbertWrite]]. */
+case class HilbertValue(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert_value"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.hilbert16(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SketchKernels.hilbert16($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): HilbertValue = copy(left = l, right = r)
+}
+
 object HashFunctions {
   def wordBigrams(text: Column): Column =
     column(WordBigrams(expression(text)))
 
   def zorderValue(a: Column, b: Column): Column =
     column(ZOrderValue(expression(a), expression(b)))
+
+  def hilbertValue(a: Column, b: Column): Column =
+    column(HilbertValue(expression(a), expression(b)))
 
   def hyperplaneBits(vec: Column, nbits: Int): Column =
     column(HyperplaneBits(expression(vec), nbits))

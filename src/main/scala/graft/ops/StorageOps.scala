@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sink-side operators: partitioned and bucketed parquet layout.
@@ -70,7 +70,24 @@ object StorageOps {
     * repartitionByRange samples the z-values so output files are
     * row-balanced even when the value distribution is skewed). */
   def zorderWrite(df: DataFrame, path: String, colA: String, colB: String,
-      nFiles: Int): Unit = {
+      nFiles: Int): Unit =
+    clusteredWrite(df, path, colA, colB, nFiles,
+      graft.functions.HashFunctions.zorderValue)
+
+  /** Hilbert-clustered write — identical normalize/range-partition
+    * front as [[zorderWrite]], but the clustering key is the Hilbert
+    * distance ([[graft.functions.HilbertValue]]): consecutive key
+    * values are grid-ADJACENT (no Morton quadrant jumps), so each
+    * file's x/y bounding box is equal or tighter at the same write
+    * cost — measured against z-order in HilbertSpec. */
+  def hilbertWrite(df: DataFrame, path: String, colA: String, colB: String,
+      nFiles: Int): Unit =
+    clusteredWrite(df, path, colA, colB, nFiles,
+      graft.functions.HashFunctions.hilbertValue)
+
+  private def clusteredWrite(df: DataFrame, path: String, colA: String,
+      colB: String, nFiles: Int,
+      key: (Column, Column) => Column): Unit = {
     val s = df.agg(
       min(col(colA)).cast("double").as("mna"),
       max(col(colA)).cast("double").as("mxa"),
@@ -86,7 +103,7 @@ object StorageOps {
       else least(lit(65535L), greatest(lit(0L),
         (((coalesce(col(c).cast("double"), lit(mn)) - mn) / (mx - mn))
           * 65535.0).cast("long")))
-    val z = graft.functions.HashFunctions.zorderValue(
+    val z = key(
       norm(colA, stat(0), stat(1)),
       norm(colB, stat(2), stat(3)))
     df.withColumn("__z", z)
