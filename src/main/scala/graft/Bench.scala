@@ -123,7 +123,8 @@ object Bench {
     "ann_pca_prefilter" -> "apf", "text_unigram_train" -> "tut",
     "text_unigram_encode" -> "tux", "q_robust_stats" -> "rbs",
     "q_cohort_retention" -> "coh", "q_kmv_overlap" -> "kmv",
-    "text_skipgram_pairs" -> "tsg", "q_hilbert_read" -> "hil")
+    "text_skipgram_pairs" -> "tsg", "q_hilbert_read" -> "hil",
+    "dedup_suffix_lrs" -> "sfx")
 
   /** 2-decimal seconds with trailing zeros stripped ("0.20" -> "0.2",
     * "1.00" -> "1") — still valid JSON numbers, ~0.5 chars/query saved. */

@@ -3233,6 +3233,19 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Longest repeated substring via the distributed prefix-doubling
+    // suffix ARRAY (SuffixArrayOps — the §8.5b literal-index path;
+    // dedup_span_excise remains the fixed-L production path). Runs on
+    // a bounded 50-doc slice: the build is log₂(depth) co-keyed
+    // self-joins + the scale-correct distributed dense rank (per-
+    // partition summaries, no global window); rows-only —
+    // SuffixArraySpec anchors the array against a reference sort and
+    // the LRS against a planted repeat.
+    "dedup_suffix_lrs" -> ((s, d) =>
+      ops.SuffixArrayOps.longestRepeat(
+        t(s, d, "documents").filter(col("doc_id") < 50),
+        "doc_id", "text", maxLen = 128, numParts = 8)),
+
     // The COMPOSED end-to-end pipeline: quality gate → exact dedup →
     // eval-set decontamination → PII redaction → deterministic mixture
     // sampling → per-language shard packing, as one declared query.

@@ -203,6 +203,16 @@ object SketchKernels {
 
   def hilbert16(x: Long, y: Long): Long = hilbertD(16, x, y)
 
+  /** Length of the common prefix of two strings (in chars) — the LCP
+    * primitive of suffix-array post-processing. */
+  def commonPrefixLen(a: UTF8String, b: UTF8String): Int = {
+    val sa = a.toString; val sb = b.toString
+    val n = math.min(sa.length, sb.length)
+    var i = 0
+    while (i < n && sa.charAt(i) == sb.charAt(i)) i += 1
+    i
+  }
+
   private def spread16(vIn: Long): Long = {
     var v = vIn & 0xffffL
     v = (v | (v << 8)) & 0x00ff00ffL
@@ -486,6 +496,27 @@ case class ZOrderValue(left: Expression, right: Expression)
       r: Expression): ZOrderValue = copy(left = l, right = r)
 }
 
+/** Common-prefix length of two string columns (codegen'd) — the LCP
+  * step after suffix-array construction. */
+case class CommonPrefixLen(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "common_prefix_len"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.commonPrefixLen(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SketchKernels.commonPrefixLen($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): CommonPrefixLen = copy(left = l, right = r)
+}
+
 /** 32-bit Hilbert distance of two 16-bit-normalized long columns (see
   * [[SketchKernels.hilbert16]]) — the locality-tighter alternative
   * clustering key behind [[graft.ops.StorageOps.hilbertWrite]]. */
@@ -518,6 +549,9 @@ object HashFunctions {
 
   def hilbertValue(a: Column, b: Column): Column =
     column(HilbertValue(expression(a), expression(b)))
+
+  def commonPrefixLen(a: Column, b: Column): Column =
+    column(CommonPrefixLen(expression(a), expression(b)))
 
   def hyperplaneBits(vec: Column, nbits: Int): Column =
     column(HyperplaneBits(expression(vec), nbits))
