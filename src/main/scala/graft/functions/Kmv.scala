@@ -4,11 +4,11 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** KMV (k-minimum-values) distinct-value sketch (Bar-Yossef et al.
@@ -133,9 +133,16 @@ case class KmvSketchAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KmvBuffer]
+  with ImplicitCastInputTypes
   with UnaryLike[Expression] {
 
   require(k >= 16, "k must be >= 16 for a meaningful estimate")
+
+  // reject (or coerce) mistyped children at ANALYSIS time — update()
+  // casts to UTF8String, which without this declaration surfaced as an
+  // execution-time ClassCastException instead of an analysis error
+  // (covariant override: AbstractDataType is private[sql])
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def prettyName: String = "kmv_sketch"
   override def dataType: DataType = BinaryType

@@ -52,15 +52,6 @@ object AnnOps {
         round(col("sim"), 4).as("sim"))
   }
 
-  /** Hard-negative mining for contrastive training: for each query
-    * vector, the top-k corpus docs whose similarity lies in a BAND
-    * [lo, hi) — similar enough to be informative negatives, below the
-    * near-duplicate cut (a near-dup used as a negative poisons the
-    * contrastive objective; an easy negative teaches nothing). Both
-    * the band cut and the ranking use the 4-dp ROUNDED similarity, so
-    * the cross-engine result can never hinge on a kernel ulp. Same
-    * broadcast-queries shape as [[bruteForceTopK]]; the IVF/LSH
-    * candidate fronts compose the same way at index scale. */
   /** Two-stage retrieval through a PCA coarse space — the classic
     * reduce-then-rerank shape: shortlist per query by cosine in the
     * `pcaDims`-dim principal subspace (mean-centered projections — the
@@ -108,6 +99,15 @@ object AnnOps {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k corpus docs whose similarity lies in a BAND
+    * [lo, hi) — similar enough to be informative negatives, below the
+    * near-duplicate cut (a near-dup used as a negative poisons the
+    * contrastive objective; an easy negative teaches nothing). Both
+    * the band cut and the ranking use the 4-dp ROUNDED similarity, so
+    * the cross-engine result can never hinge on a kernel ulp. Same
+    * broadcast-queries shape as [[bruteForceTopK]]; the IVF/LSH
+    * candidate fronts compose the same way at index scale. */
   def hardNegatives(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       lo: Double, hi: Double): DataFrame = {

@@ -1,9 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.functions.HashFunctions
 
@@ -56,6 +55,12 @@ object SuffixArrayOps {
     var ranked = denseRank(pos.select(col("doc_id"), col("off"),
       col("c0").as("k1"), lit(-1L).as("k2")), parts).localCheckpoint()
     val n = ranked.count()
+    // empty slice (no docs, or all texts empty): max(rank) below would
+    // be SQL NULL and throw on getLong — the empty ranked frame already
+    // has the right shape, so short-circuit
+    if (n == 0)
+      return ranked.select(col("doc_id"), col("off"),
+        col("rank").as("sa_rank"))
     var k = 1L
     // early exit at the refinement FIXED POINT: doubling only ever
     // splits rank classes, so an unchanged distinct-rank count means
@@ -134,27 +139,91 @@ object SuffixArrayOps {
       StructField("rank", LongType, nullable = false))))
   }
 
+  /** Pair each suffix with its SUCCESSOR in SA order — the `lead()`
+    * adjacency every SA+LCP consumer needs — without a global window:
+    * range-partition by the SA order key, sort within partitions, and
+    * compute the lead locally; each partition's LAST row gets its
+    * successor via a boundary-row exchange (the first suffix string of
+    * every partition — nPartitions short strings — collects to the
+    * driver and broadcasts back, the same summaries trick as
+    * [[denseRank]]). No single-partition WindowExec anywhere in the
+    * plan (gated in SuffixArraySpec); suffix strings only ever move
+    * inside the one range shuffle.
+    *
+    * Input: (sa_rank, doc_id, off, s). Output adds `s_next` (string,
+    * null only for the globally-last suffix). */
+  private[ops] def withNextSuffix(suff: DataFrame, parts: Int): DataFrame = {
+    val spark = suff.sparkSession
+    val sorted = suff
+      .repartitionByRange(parts, col("sa_rank"), col("doc_id"), col("off"))
+      .sortWithinPartitions(col("sa_rank"), col("doc_id"), col("off"))
+      .select(col("sa_rank"), col("doc_id"), col("off"), col("s"))
+      .localCheckpoint()
+    // boundary exchange: partition -> its FIRST suffix string
+    val firsts = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (it.hasNext) Iterator((pid, it.next().getString(3)))
+      else Iterator.empty
+    }.collect().toMap
+    val nParts = sorted.rdd.getNumPartitions
+    // successor string for a partition's last row = first string of the
+    // next NON-EMPTY partition (range partitioning can leave gaps)
+    val nextFirst: Map[Int, String] = (0 until nParts).map { pid =>
+      pid -> ((pid + 1) until nParts)
+        .collectFirst { case p if firsts.contains(p) => firsts(p) }
+        .orNull
+    }.toMap
+    val bcNext = spark.sparkContext.broadcast(nextFirst)
+    val outRows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val buf = it.buffered
+      new Iterator[Row] {
+        override def hasNext: Boolean = buf.hasNext
+        override def next(): Row = {
+          val r = buf.next()
+          val nxt =
+            if (buf.hasNext) buf.head.getString(3)
+            else bcNext.value.getOrElse(pid, null)
+          Row(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), nxt)
+        }
+      }
+    }
+    spark.createDataFrame(outRows, StructType(Seq(
+      StructField("sa_rank", LongType, nullable = false),
+      StructField("doc_id", LongType, nullable = false),
+      StructField("off", LongType, nullable = false),
+      StructField("s", StringType, nullable = false),
+      StructField("s_next", StringType, nullable = true))))
+  }
+
+  /** (sa_rank, doc_id, off, s) suffix rows for an SA over `docs`. */
+  private def suffixRows(sa: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, maxLen: Int): DataFrame = {
+    val texts = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("t"))
+    sa.join(texts, "doc_id")
+      .select(col("sa_rank"), col("doc_id"), col("off"),
+        expr(s"substring(t, cast(off + 1 as int), $maxLen)").as("s"))
+  }
+
   /** Longest repeated substring over the corpus slice: adjacent
     * suffixes in SA order compared by the codegen'd CommonPrefixLen —
     * the classic SA+LCP application. Comparison depth caps at
     * `maxLen` (same cap as the array build). Output: one row
     * (lrs_len, lrs_md5, n_positions) where n_positions counts every
     * corpus position whose suffix starts with the winning repeat.
-    * The adjacent pairing here uses a global-order window — fine for
-    * the bounded declared slice; at full scale pair via
-    * range-partition + boundary-row exchange (same summaries trick as
-    * denseRank). */
+    * Adjacency comes from [[withNextSuffix]]'s range-partition +
+    * boundary-row exchange — no global single-partition window. */
   def longestRepeat(docs: DataFrame, idCol: String, textCol: String,
-      maxLen: Int = 256, numParts: Int = 0): DataFrame = {
-    val sa = suffixArray(docs, idCol, textCol, maxLen, numParts)
-    val texts = docs.select(col(idCol).cast("long").as("doc_id"),
-      col(textCol).as("t"))
-    val suff = sa.join(texts, "doc_id")
-      .select(col("sa_rank"), col("doc_id"), col("off"),
-        expr(s"substring(t, cast(off + 1 as int), $maxLen)").as("s"))
-    val w = Window.orderBy(col("sa_rank"), col("doc_id"), col("off"))
-    val lcp = suff
-      .withColumn("s_next", lead(col("s"), 1).over(w))
+      maxLen: Int = 256, numParts: Int = 0,
+      precomputedSa: Option[DataFrame] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val parts =
+      if (numParts > 0) numParts
+      else math.max(1, spark.conf
+        .get("spark.sql.shuffle.partitions", "32").toInt)
+    val sa = precomputedSa.getOrElse(
+      suffixArray(docs, idCol, textCol, maxLen, numParts))
+    val suff = suffixRows(sa, docs, idCol, textCol, maxLen)
+    val lcp = withNextSuffix(suff, parts)
       .filter(col("s_next").isNotNull)
       .withColumn("lcp",
         HashFunctions.commonPrefixLen(col("s"), col("s_next")))
@@ -175,5 +244,88 @@ object SuffixArrayOps {
       .agg(count(lit(1)).as("n_positions"))
       .select(lit(best.toLong).as("lrs_len"), md5(col("r")).as("lrs_md5"),
         col("n_positions"))
+  }
+
+  /** [[suffixArray]] behind a persisted parquet artifact keyed by the
+    * corpus CONTENT SIGNATURE (the BPE/IVF cache discipline —
+    * [[StorageOps.contentSignature]] over the source path, 0700
+    * scratch root): first call builds the array with the
+    * prefix-doubling jobs and writes (doc_id, off, sa_rank) under the
+    * signature-keyed directory; every later call on the same corpus
+    * bytes is a plain parquet scan — ZERO doubling rounds
+    * (job-count-gated in SuffixArraySpec). Regenerated data at the
+    * same path changes the signature and rebuilds; a concurrent
+    * builder loses the rename race harmlessly (same-signature builds
+    * are byte-equivalent ranks). */
+  def cachedSuffixArray(spark: SparkSession, srcPath: String,
+      variant: String, docs: DataFrame, idCol: String, textCol: String,
+      maxLen: Int = 256, numParts: Int = 0): DataFrame = {
+    val sig = StorageOps.contentSignature(spark, srcPath)
+    // `variant` distinguishes different SLICES/filters of the same
+    // source path (the cachedEvalBloom discipline) — the signature
+    // alone only keys the bytes on disk
+    val dir = StorageOps.scratchPath(
+      s"sa_v1_${variant}_${maxLen}_${java.lang.Long.toHexString(sig)}")
+    val done = java.nio.file.Paths.get(dir, "_SUCCESS")
+    if (!java.nio.file.Files.exists(done)) {
+      val tmp = dir + ".build-" + java.util.UUID.randomUUID().toString
+      suffixArray(docs, idCol, textCol, maxLen, numParts)
+        .write.mode("overwrite").parquet(tmp)
+      try java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+        java.nio.file.Paths.get(dir),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException |
+                   _: java.nio.file.DirectoryNotEmptyException =>
+        // another build won the publish race; its artifact is
+        // equivalent (same signature -> same ranks) — drop ours
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(tmp))
+      }
+    }
+    spark.read.parquet(dir)
+  }
+
+  /** General-L repeated-span report off a (possibly persisted) suffix
+    * array: every maximal run of SA-adjacent suffixes sharing a prefix
+    * of >= minLen chars is one repeated span — (span_md5, span_len =
+    * run's minimum adjacent LCP, n_positions = run size). The classic
+    * "all repeats of length >= L" SA query, and the reason the
+    * persisted artifact pays for itself: each new L is one scan of the
+    * stored ranks + the [[withNextSuffix]] adjacency, no rebuild.
+    * Run detection is a sum-over-boundary-flags segment id — a range
+    * window over the already-range-partitioned adjacency, not a global
+    * one. */
+  def repeatedSpans(sa: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int, maxLen: Int = 256,
+      numParts: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val parts =
+      if (numParts > 0) numParts
+      else math.max(1, spark.conf
+        .get("spark.sql.shuffle.partitions", "32").toInt)
+    val adj = withNextSuffix(
+      suffixRows(sa, docs, idCol, textCol, maxLen), parts)
+      .withColumn("lcp", when(col("s_next").isNotNull,
+        HashFunctions.commonPrefixLen(col("s"), col("s_next")))
+        .otherwise(lit(0)))
+    // a suffix BELONGS to a >=minLen run if it shares >=minLen chars
+    // with its predecessor or successor; group by the shared prefix
+    // itself (first minLen chars) — suffixes in the same run agree on
+    // it by construction, so no segment-id chain is needed and the
+    // aggregation is an ordinary hash groupBy
+    val members = adj.filter(col("lcp") >= minLen)
+      .select(expr(s"substring(s, 1, $minLen)").as("p"),
+        col("doc_id"), col("off"), col("lcp"))
+    // each qualifying adjacency (s_i, s_{i+1}) contributes s_{i+1} as
+    // well: count positions = adjacencies + 1 per maximal run; the
+    // successor's own row either also qualifies (interior) or is the
+    // run's last element, counted via the +1 below
+    members
+      .groupBy(col("p"))
+      .agg((count(lit(1)) + 1).as("n_positions"),
+        min(col("lcp")).cast("long").as("span_len"))
+      .select(md5(col("p")).as("span_md5"), col("span_len"),
+        col("n_positions"))
+      .orderBy(col("n_positions").desc, col("span_md5"))
   }
 }
