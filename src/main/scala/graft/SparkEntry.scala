@@ -2073,19 +2073,19 @@ object SparkEntry {
 
     // GLOBAL decile bucketing, the 100-TB way: a global ntile would
     // sort the whole corpus into one ordered sequence (a single-
-    // reducer bottleneck); instead, one approx_percentile pass yields
-    // 9 boundary values (a broadcast scalar array), and bucket
-    // assignment is an embarrassingly-parallel range comparison — one
-    // small-agg job + one map-side pass + one 10-group aggregation.
-    // Rows-only check (the sketch boundaries have no ANSI mirror);
-    // QuantileSpec gates equivalence vs the exact global ntile at
-    // sf0.001 and non-overlapping monotone bucket ranges.
+    // reducer bottleneck); instead, the EXACT decile boundaries come
+    // from QuantileOps.exactQuantiles (sketch-bracketed two-pass — no
+    // global sort, see q_quantile_exact), and bucket assignment is an
+    // embarrassingly-parallel range comparison against the broadcast
+    // 9-value array. Boundaries being exact quantile_cont values makes
+    // this FULLY oracle-checkable (DuckDB mirrors the same continuous
+    // quantiles); Round6Spec still gates "no global-window" on the
+    // plan and equivalence vs the exact global ntile at sf0.001.
     "q_quantile_global" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val bounds = docs.agg(
-        percentile_approx(col("n_chars"),
-          array((1 to 9).map(i => lit(i / 10.0)): _*),
-          lit(10000)).as("bs"))
+      val bounds = ops.QuantileOps
+        .exactQuantiles(docs, "n_chars", (1 to 9).map(_ / 10.0))
+        .agg(sort_array(collect_list(col("value"))).as("bs"))
       docs.join(broadcast(bounds))
         .withColumn("bucket",
           (size(filter(col("bs"), b => b < col("n_chars"))) + 1)
@@ -3529,7 +3529,90 @@ object SparkEntry {
     baseOracle +
       ("ann_brute_agg" -> baseOracle("ann_brute")) +
       ("q_asof_join_native" -> baseOracle("q_asof_join")) +
-      ("q_topk_agg" -> baseOracle("q_window_topk"))
+      ("q_topk_agg" -> baseOracle("q_window_topk")) +
+      // the bloom gate has no false negatives and its false positives
+      // die in the exact join — output is IDENTICAL to the exact
+      // variant (spec-gated), so the same oracle certifies both
+      ("pipeline_decon_bloom" -> baseOracle("pipeline_decontaminate"))
+
+  /** graph_pagerank oracle: the power-iteration rounds unrolled as
+    * CTEs over the SAME fixed-point integer arithmetic as
+    * [[ops.GraphOps.pagerank]] — BIGINT ranks in 1e-15 units,
+    * truncating integer division at every step (all values positive,
+    * so DuckDB's floor `//` == Spark's truncating `div`), which makes
+    * the iteration engine-portable BY CONSTRUCTION. The symmetrized
+    * interaction graph has no dangling nodes, so the dangling-mass
+    * term is structurally zero on both sides. */
+  private def pagerankOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    (SELECT base FROM params) +
+         |      (85 * coalesce(c.contrib, 0)) // 100 AS rank_f
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(s.share) AS BIGINT) AS contrib
+         |    FROM e JOIN (
+         |      SELECT r.node, r.rank_f // d.deg AS share
+         |      FROM r${i - 1} r JOIN deg d USING (node)) s
+         |      ON e.src = s.node
+         |    GROUP BY e.dst) c USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT CAST(user_id AS BIGINT) AS usr,
+       |    TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+       |      + 1000000 AS item
+       |  FROM events
+       |  WHERE TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+       |          AS BIGINT) IS NOT NULL),
+       |e AS (SELECT usr AS src, item AS dst FROM ev
+       |      UNION ALL SELECT item, usr FROM ev),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+       |params AS (SELECT count(*) AS n,
+       |    1000000000000000 // count(*) AS r_init,
+       |    (15 * (1000000000000000 // count(*))) // 100 AS base
+       |  FROM nodes),
+       |r0 AS (SELECT node, (SELECT r_init FROM params) AS rank_f
+       |       FROM nodes),
+       |$rounds
+       |SELECT node,
+       |  CASE WHEN node >= 1000000 THEN 'item' ELSE 'user' END AS kind,
+       |  round(rank_f / 1000000000000000.0, 6) AS rank
+       |FROM r$iters
+       |ORDER BY rank_f DESC, node LIMIT 20""".stripMargin
+  }
+
+  /** pipeline_decontaminate oracle: the hashed-shingle overlap count
+    * recomputed over raw 3-token gram STRINGS — equal iff the xxhash
+    * kernel is collision-free on this corpus, so the hash match
+    * certifies collision-freedom exactly as dedup_substrings_hashed's
+    * does. Mirrors SketchKernels.windowHashes' short-doc fallback
+    * (<= 3 tokens -> ONE whole-doc gram). */
+  private def deconOracleSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w
+      |  FROM documents),
+      |cg AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN len(w) <= 3 THEN array_to_string(w, ' ')
+      |         ELSE array_to_string(w[i:i+2], ' ') END AS gram
+      |  FROM (SELECT * FROM docs WHERE doc_id % 50 <> 0) d,
+      |       LATERAL unnest(generate_series(1, greatest(len(w) - 2, 1)))
+      |         AS t(i)),
+      |eg AS (
+      |  SELECT DISTINCT
+      |    CASE WHEN len(w) <= 3 THEN array_to_string(w, ' ')
+      |         ELSE array_to_string(w[i:i+2], ' ') END AS gram
+      |  FROM (SELECT * FROM docs WHERE doc_id % 50 = 0) d,
+      |       LATERAL unnest(generate_series(1, greatest(len(w) - 2, 1)))
+      |         AS t(i)),
+      |ov AS (SELECT doc_id, count(*) AS n_overlap
+      |       FROM cg JOIN eg USING (gram) GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(o.n_overlap, 0) AS n_overlap,
+      |       coalesce(o.n_overlap, 0) >= 2 AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+      |LEFT JOIN ov o USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   private def baseOracle: Map[String, String] = Map(
     "q_filter_project" ->
@@ -4166,6 +4249,32 @@ object SparkEntry {
         |                (3, CAST(0.9  AS DOUBLE)),
         |                (4, CAST(0.99 AS DOUBLE))) AS qs(i, q)
         |ORDER BY q""".stripMargin,
+
+    // same continuous-quantile convention as q_quantile_exact (the
+    // Spark side computes boundaries with QuantileOps.exactQuantiles)
+    "q_quantile_global" ->
+      """WITH bs AS (
+        |  SELECT list_sort([
+        |    round(quantile_cont(n_chars, 0.1), 4),
+        |    round(quantile_cont(n_chars, 0.2), 4),
+        |    round(quantile_cont(n_chars, 0.3), 4),
+        |    round(quantile_cont(n_chars, 0.4), 4),
+        |    round(quantile_cont(n_chars, 0.5), 4),
+        |    round(quantile_cont(n_chars, 0.6), 4),
+        |    round(quantile_cont(n_chars, 0.7), 4),
+        |    round(quantile_cont(n_chars, 0.8), 4),
+        |    round(quantile_cont(n_chars, 0.9), 4)]) AS bs
+        |  FROM documents)
+        |SELECT bucket, count(*) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM (SELECT CAST(1 + len(list_filter(bs, x -> x < n_chars))
+        |               AS BIGINT) AS bucket, n_chars
+        |      FROM documents, bs)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "graph_pagerank" -> pagerankOracleSql(12),
+
+    "pipeline_decontaminate" -> deconOracleSql,
 
     // Mirrors SelectionOps.dsirTopK: same md5 bucket ids, the same
     // collapsed smoothed ratio with double casts BEFORE the multiply,

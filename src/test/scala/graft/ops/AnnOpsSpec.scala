@@ -84,6 +84,84 @@ class AnnOpsSpec extends SparkSpec {
     assert(persisted == inMemory && inMemory.size == 50)
   }
 
+  /** All FileSourceScanExec nodes, recursing through AQE wrappers. */
+  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      fileScans(a.executedPlan)
+    case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      fileScans(qs.plan)
+    case r: org.apache.spark.sql.execution.ReusedSubqueryExec =>
+      fileScans(r.child)
+    case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+    case other =>
+      other.children.flatMap(fileScans) ++
+        other.subqueries.flatMap(fileScans)
+  }
+
+  test("scale: 50k-vector IVF index prunes partitions (measured files) " +
+      "and PQ trains at k=256") {
+    import spark.implicits._
+    // deterministic 50k-vector corpus DERIVED from the driver testdata
+    // (100 hash-jittered copies per base vector — no synthetic source
+    // outside the provided parquet): large enough that nlist=64 cells
+    // are all populated and pruning is measurable in file counts
+    val big = emb.crossJoin(spark.range(100).toDF("copy"))
+      .select((col("vec_id") * 100 + col("copy")).as("vec_id"),
+        col("embedding"))
+      .select(col("vec_id"), transform(col("embedding"), (x, i) =>
+        (x + pmod(xxhash64(col("vec_id"), i), lit(1000)).cast("double")
+          / lit(10000.0) - lit(0.05)).cast("float")).as("embedding"))
+      .localCheckpoint()
+    assert(big.count() == 50000)
+    val model = AnnOps.buildIvf(big, "vec_id", "embedding", nlist = 64)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf50k")
+      .toString + "/index"
+    AnnOps.writeIvfIndex(big, "vec_id", "embedding", model, path)
+    val q = big.filter(col("vec_id") < 3)
+    val fromIndex = AnnOps.ivfTopKFromIndex(spark, path, q,
+      "vec_id", "embedding", model, k = 10, nprobe = 4)
+    val persisted = fromIndex.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(persisted.size == 30, s"expected 3x10 rows, got ${persisted.size}")
+    // MEASURED pruning: the scan's numFiles metric after execution vs
+    // the file count of the whole index — the probe set (<= 3 queries
+    // x 4 probes = 12 of 64 cells) must read a strict minority
+    val scanNodes = fileScans(fromIndex.queryExecution.executedPlan)
+    assert(scanNodes.nonEmpty, "no file scan found in the index plan")
+    val filesRead = scanNodes.map(_.metrics("numFiles").value).sum
+    val totalFiles = {
+      val root = new java.io.File(path)
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      walk(root)
+    }
+    assert(filesRead > 0, "scan metrics not populated")
+    assert(filesRead * 3 <= totalFiles,
+      s"probed scan read $filesRead of $totalFiles files — not pruned")
+    // persisted == in-memory (same equality gate as the 500-vector test)
+    val inMemory = AnnOps.ivfTopK(big, q, "vec_id", "embedding", model,
+      k = 10, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(persisted == inMemory)
+
+    // PQ at production code width: k=256 → one BYTE per code, and the
+    // codebooks must actually use the widened range
+    val sub = big.filter(pmod(col("vec_id"), lit(5)) === 0).localCheckpoint()
+    val pq = AnnOps.buildPq(sub, "vec_id", "embedding", m = 8, k = 256,
+      iters = 1)
+    assert(pq.codebooks.length == 8 &&
+      pq.codebooks.forall(_.length == 256))
+    val codes = AnnOps.pqEncode(sub, "vec_id", "embedding", pq)
+      .select(explode(col("codes")).as("c")).distinct()
+      .collect().map(_.getInt(0))
+    assert(codes.forall(c => c >= 0 && c <= 255),
+      "codes must fit one byte")
+    assert(codes.length > 64,
+      s"only ${codes.length} distinct codes — k=256 not exercised")
+  }
+
   test("pq: deterministic build, codes in range, high refine-recall") {
     val model = AnnOps.buildPq(emb, "vec_id", "embedding", m = 8, k = 64)
     val model2 = AnnOps.buildPq(emb, "vec_id", "embedding", m = 8, k = 64)

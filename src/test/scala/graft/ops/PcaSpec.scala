@@ -131,6 +131,45 @@ class PcaSpec extends SparkSpec {
     assert(merged.basis.flatten.toSeq == whole.basis.flatten.toSeq)
   }
 
+  test("cached moments artifact: shard-merge through the cache == whole fit") {
+    val whole = PcaOps.fit(emb, "embedding", D, k = 8)
+    val dirs = (0 until 3).map { m =>
+      val p = java.nio.file.Files
+        .createTempDirectory(s"graft-pca-shard$m").toString
+      emb.filter(col("vec_id") % 3 === m)
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    // frames built ONCE up front: spark.read.parquet runs its own
+    // listing/schema jobs at creation time, which must not be billed
+    // to the cache-hit job gate below
+    val shardDfs = dirs.map(p => p -> spark.read.parquet(p))
+    def shardBytes() = shardDfs.map { case (p, df) =>
+      PcaOps.cachedMomentsBytes(spark, p, "spec", df, "embedding", D)
+    }
+    val first = shardBytes()
+    // repeat call must serve the stored artifact: byte-identical, and
+    // no Spark job runs (the moments aggregate would be one)
+    Thread.sleep(300) // let the listener bus drain before the gate
+    val sc = spark.sparkContext
+    sc.setJobGroup("pca-cache-hit", "artifact read", false)
+    val second = shardBytes()
+    sc.clearJobGroup()
+    Thread.sleep(300)
+    assert(first.zip(second).forall { case (a, b) =>
+      java.util.Arrays.equals(a, b) })
+    assert(sc.statusTracker.getJobIdsForGroup("pca-cache-hit").isEmpty,
+      "cache hit must not run any Spark job")
+    // the 100-TB flow: merge persisted shard artifacts, fit — and the
+    // result is bit-identical to fitting the whole corpus directly
+    val merged = PcaOps.fitFromMoments(
+      PcaOps.mergeMomentsBytes(second), k = 8)
+    assert(merged.n == whole.n)
+    assert(merged.mean.toSeq == whole.mean.toSeq)
+    assert(merged.eigvals.toSeq == whole.eigvals.toSeq)
+    assert(merged.basis.flatten.toSeq == whole.basis.flatten.toSeq)
+  }
+
   test("streaming moments over micro-batches == batch moments, byte-identical") {
     // the streaming-ingest contract: per-micro-batch momentsBytes
     // merged in a foreachBatch sink — integer sums make the merged
