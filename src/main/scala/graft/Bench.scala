@@ -124,7 +124,9 @@ object Bench {
     "text_unigram_encode" -> "tux", "q_robust_stats" -> "rbs",
     "q_cohort_retention" -> "coh", "q_kmv_overlap" -> "kmv",
     "text_skipgram_pairs" -> "tsg", "q_hilbert_read" -> "hil",
-    "dedup_suffix_lrs" -> "sfx")
+    "dedup_suffix_lrs" -> "sfx", "dedup_suffix_spans" -> "dss",
+    "pipeline_decon_multi" -> "pdm", "q_chunk_overlap" -> "cko",
+    "pipeline_pack_spans" -> "pps", "ann_class_stats" -> "acs")
 
   /** 2-decimal seconds with trailing zeros stripped ("0.20" -> "0.2",
     * "1.00" -> "1") — still valid JSON numbers, ~0.5 chars/query saved. */

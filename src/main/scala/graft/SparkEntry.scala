@@ -1780,6 +1780,46 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // MULTI-SUITE decontamination in ONE corpus pass: real pipelines
+    // screen against many eval suites at once (MMLU + GSM + HumanEval,
+    // ...), and N separate evalOverlap sweeps would scan the corpus N
+    // times. Here each suite's distinct shingle hashes fold into ONE
+    // broadcast gram->bitmask table (bit i = gram appears in suite i),
+    // the corpus gram stream joins it once, and the per-suite overlap
+    // counts unpack from the mask inside the SAME aggregation — corpus
+    // scans and shuffles are INDEPENDENT of the suite count (the mask
+    // widens to 64 suites for free). Oracle: per-suite raw-gram
+    // recounts (the deconOracleSql discipline — hash match also
+    // certifies collision-freedom).
+    "pipeline_decon_multi" -> ((s, d) => {
+      val all = t(s, d, "documents")
+      def grams(df: DataFrame) = df.select(col("doc_id"),
+        explode(graft.functions.HashFunctions.shingleHashes(
+          ops.DedupOps.tokens(col("text")), 3)).as("g"))
+      val suiteGrams = (0 to 2).map { i =>
+        grams(all.filter(pmod(col("doc_id"), lit(50)) === i))
+          .select(col("g"), lit(1L << i).as("m"))
+      }.reduce(_ union _)
+      val masks = suiteGrams.groupBy(col("g"))
+        .agg(expr("bit_or(m)").as("mask"))
+      val corpus = all.filter(pmod(col("doc_id"), lit(50)) >= 3)
+      val counts = grams(corpus).join(broadcast(masks), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("mask").bitwiseAND(lit(1L))).as("n_s0"),
+          sum(shiftright(col("mask"), 1).bitwiseAND(lit(1L))).as("n_s1"),
+          sum(shiftright(col("mask"), 2).bitwiseAND(lit(1L))).as("n_s2"))
+      corpus.select(col("doc_id"))
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_s0"), lit(0L)).as("n_s0"),
+          coalesce(col("n_s1"), lit(0L)).as("n_s1"),
+          coalesce(col("n_s2"), lit(0L)).as("n_s2"))
+        .withColumn("contaminated",
+          greatest(col("n_s0"), col("n_s1"), col("n_s2")) >= 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // SEMANTIC decontamination — the embedding-level companion of the
     // n-gram variants above: a paraphrased eval item shares no
     // shingles but sits next to its source in embedding space. The
@@ -2384,6 +2424,40 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       ops.AnnOps.retrievalEval(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", "label", 10)
+    }),
+
+    // Embedding-space audit per class label: exact element-wise
+    // centroids (decimal-routed sums — shuffle-order-independent) and
+    // each vector's cosine to its class centroid, reduced to per-label
+    // mean/min. The go/no-go statistic before trusting labels for
+    // hard-negative mining or stratified eval: a label whose members
+    // don't cohere (low mean, negative min) is noise. Two passes:
+    // centroid agg (label x dim cells — model-sized), then a broadcast
+    // join and one map-side cosine per row; nothing wider than
+    // (label, rounded cos) ever shuffles. Centroids round to 6dp in
+    // BOTH engines before the cosine so the float cast cannot put the
+    // two kernels on different sides of a rounding boundary.
+    "ann_class_stats" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cent = emb.select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("col").cast(DecimalType(28, 10))).as("sm"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("pos"),
+          round(col("sm").cast("double") / col("n"), 6).as("m"))
+        .groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          p => p.getField("m")).cast("array<float>").as("centroid"))
+      emb.join(broadcast(cent), Seq("label"))
+        .withColumn("cos", round(graft.functions.VectorFunctions
+          .cosineSim(col("embedding"), col("centroid")), 6))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("cos").cast(DecimalType(18, 6))).cast("double") /
+            count(lit(1)), 4).as("mean_cos_to_centroid"),
+          round(min(col("cos")), 4).as("min_cos_to_centroid"))
+        .orderBy(col("label"))
     }),
 
     // Same search via the typed bounded TopK Aggregator (map-side
@@ -3042,6 +3116,28 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // STRIDED-OVERLAP passage windows — the retrieval-index variant of
+    // q_chunk_tokens: RAG corpora window with overlap (here 64-token
+    // windows every 32 tokens) so no answer span is ever split across
+    // ALL the passages that could retrieve it. Starts are 0, 32, 64...
+    // while start < n_tokens (trailing windows run short). Pure
+    // per-row HOFs — no shuffle before the output sort; at 100 TB the
+    // passage text column is what feeds the embedding batcher, md5'd
+    // here so the oracle pins exact content.
+    "q_chunk_overlap" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(0L),
+            ((size(col("w")) - 1) / 32).cast("long"))).as("passage_idx"))
+        .withColumn("p",
+          slice(col("w"), (col("passage_idx") * 32 + 1).cast("int"), lit(64)))
+        .select(col("doc_id"), col("passage_idx"),
+          size(col("p")).cast("bigint").as("n_tokens"),
+          md5(array_join(col("p"), " ").cast("binary")).as("passage_md5"))
+        .orderBy(col("doc_id"), col("passage_idx"))
+    }),
+
     // Chunking on TRAINED-subword boundaries — the composition of
     // q_chunk_tokens and the trained BPE tokenizer (the last §8.5
     // chunking gap): documents are encoded once with the codegen'd
@@ -3127,6 +3223,40 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_chunks"),
           sum(col("n_tokens")).as("seq_tokens"))
         .orderBy(col("lang"), col("seq_id"))
+    }),
+
+    // The SPANS a trainer's cross-document attention mask needs from
+    // the packed sequences: one row per packed chunk with its
+    // within-sequence token offset. Same greedy packing as
+    // pipeline_pack (a chunk belongs to the sequence holding its LAST
+    // token; a boundary-straddling chunk's offset clamps to 0 — the
+    // documented convention, deterministic on both engines). Shares
+    // pipeline_pack's one window shuffle; nothing else moves.
+    "pipeline_pack_spans" -> ((s, d) => {
+      val size = 120
+      val stride = 80
+      val nChunks = lit(1L) + greatest(lit(0L),
+        ceil((length(col("text")) - lit(size)).cast("double") / stride)
+          .cast("long"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .select(col("lang"), col("doc_id"), col("text"),
+          nChunks.as("n_chunks"))
+        .select(col("lang"), col("doc_id"), col("text"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+        .withColumn("n_tok", TextOps.tokenCount(
+          col("text").substr(col("chunk_id").cast("int") * stride + 1,
+            lit(size))))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("seq_id",
+          floor((col("cum") - 1) / 512.0).cast("bigint"))
+        .withColumn("start_in_seq", greatest(lit(0L),
+          col("cum") - col("n_tok") - col("seq_id") * 512))
+        .select(col("lang"), col("seq_id"), col("doc_id"), col("chunk_id"),
+          col("start_in_seq"), col("n_tok"))
+        .orderBy(col("lang"), col("seq_id"), col("doc_id"), col("chunk_id"))
     }),
 
     // Cross-document repeated-span detection: word 8-grams appearing
@@ -4110,6 +4240,84 @@ object SparkEntry {
          |FROM dedup WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
 
+    // The COMPOSED pipeline, stage by stage in one statement: the
+    // quality/fp/lang scored CTE is pipeline_curate's verbatim; the
+    // decontamination stage reuses deconOracleSql's raw-gram recount
+    // (the conversion that unblocked this oracle — the hashed-shingle
+    // stage was the one inexpressible piece); mixture is
+    // pipeline_mix's knuth arithmetic; shard packing is
+    // pipeline_shard's running-sum window over REDACTED token counts
+    // (a redacted "555 123 4567" collapses 3 tokens to one <PHONE>,
+    // so the count runs over the redacted text in both engines).
+    "pipeline_full" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, source, text,
+         |    round(least(1.0, ${TextOps.sql.tokenCount} / 100.0) *
+         |      (1.0 - cast(${TextOps.sql.patCount(TextOps.sql.stopword)}
+         |                  as double)
+         |             / ${TextOps.sql.tokenCount}), 4) AS quality_score,
+         |    ${TextOps.sql.fingerprint} AS fp,
+         |    CASE WHEN ${TextOps.sql.patCount(TextOps.sql.zh)} > 0 THEN 'zh'
+         |         WHEN ${TextOps.sql.patCount(TextOps.sql.en)} >=
+         |              greatest(${TextOps.sql.patCount(TextOps.sql.fr)},
+         |                ${TextOps.sql.patCount(TextOps.sql.es)},
+         |                ${TextOps.sql.patCount(TextOps.sql.de)}) THEN 'en'
+         |         WHEN ${TextOps.sql.patCount(TextOps.sql.fr)} >=
+         |              greatest(${TextOps.sql.patCount(TextOps.sql.es)},
+         |                ${TextOps.sql.patCount(TextOps.sql.de)}) THEN 'fr'
+         |         WHEN ${TextOps.sql.patCount(TextOps.sql.es)} >=
+         |              ${TextOps.sql.patCount(TextOps.sql.de)} THEN 'es'
+         |         ELSE 'de' END AS pred_lang
+         |  FROM documents),
+         |surv AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+         |      AS rn
+         |    FROM scored
+         |    WHERE quality_score >= 0.3 AND doc_id % 50 <> 0)
+         |  WHERE rn = 1),
+         |sgrams AS (
+         |  SELECT DISTINCT d.doc_id,
+         |    CASE WHEN len(w) <= 3 THEN array_to_string(w, ' ')
+         |         ELSE array_to_string(w[i:i+2], ' ') END AS gram
+         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+         |        FROM documents
+         |        WHERE doc_id IN (SELECT doc_id FROM surv)) d,
+         |       LATERAL unnest(generate_series(1, greatest(len(w) - 2, 1)))
+         |         AS t(i)),
+         |eg AS (
+         |  SELECT DISTINCT
+         |    CASE WHEN len(w) <= 3 THEN array_to_string(w, ' ')
+         |         ELSE array_to_string(w[i:i+2], ' ') END AS gram
+         |  FROM (SELECT string_split(lower(text), ' ') AS w
+         |        FROM documents WHERE doc_id % 50 = 0) d,
+         |       LATERAL unnest(generate_series(1, greatest(len(w) - 2, 1)))
+         |         AS t(i)),
+         |contaminated AS (
+         |  SELECT doc_id FROM sgrams JOIN eg USING (gram)
+         |  GROUP BY doc_id HAVING count(*) >= 2),
+         |sampled AS (
+         |  SELECT * FROM surv
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |    AND ${knuthHashSql("doc_id")} % 10 <
+         |      (CASE WHEN source IN ('src0','src1','src2','src3')
+         |            THEN 10 ELSE 3 END)),
+         |packed AS (
+         |  SELECT pred_lang, doc_id,
+         |    cast(len(string_split(${TextOps.sql.piiRedact}, ' '))
+         |      as bigint) AS n_toks
+         |  FROM sampled)
+         |SELECT pred_lang, shard_id, count(*) AS n_docs,
+         |  cast(sum(n_toks) as bigint) AS shard_tokens
+         |FROM (
+         |  SELECT pred_lang, n_toks,
+         |    cast(floor((sum(n_toks) OVER (PARTITION BY pred_lang
+         |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - 1) / 4096.0)
+         |      as bigint) AS shard_id
+         |  FROM packed)
+         |GROUP BY pred_lang, shard_id
+         |ORDER BY pred_lang, shard_id""".stripMargin,
+
     "multimodal_meta" ->
       """SELECT doc_id, strlen(text) AS n_bytes, sha256(text) AS content_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -4275,6 +4483,125 @@ object SparkEntry {
     "graph_pagerank" -> pagerankOracleSql(12),
 
     "pipeline_decontaminate" -> deconOracleSql,
+
+    // Per-suite raw-gram recounts (deconOracleSql discipline); the
+    // bitmask single-pass structure is a Spark-side optimization the
+    // oracle need not mirror — only the counts must match.
+    "pipeline_decon_multi" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    CASE WHEN len(w) <= 3 THEN array_to_string(w, ' ')
+        |         ELSE array_to_string(w[i:i+2], ' ') END AS gram
+        |  FROM docs,
+        |       LATERAL unnest(generate_series(1, greatest(len(w) - 2, 1)))
+        |         AS t(i)),
+        |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 50 >= 3),
+        |e0 AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |e1 AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 1),
+        |e2 AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 2),
+        |o0 AS (SELECT doc_id, count(*) AS n FROM c JOIN e0 USING (gram)
+        |       GROUP BY doc_id),
+        |o1 AS (SELECT doc_id, count(*) AS n FROM c JOIN e1 USING (gram)
+        |       GROUP BY doc_id),
+        |o2 AS (SELECT doc_id, count(*) AS n FROM c JOIN e2 USING (gram)
+        |       GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(o0.n, 0) AS n_s0,
+        |  coalesce(o1.n, 0) AS n_s1,
+        |  coalesce(o2.n, 0) AS n_s2,
+        |  greatest(coalesce(o0.n, 0), coalesce(o1.n, 0),
+        |    coalesce(o2.n, 0)) >= 2 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 >= 3) d
+        |LEFT JOIN o0 USING (doc_id)
+        |LEFT JOIN o1 USING (doc_id)
+        |LEFT JOIN o2 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_overlap" ->
+      """SELECT doc_id, i AS passage_idx,
+        |  cast(len(w[(i*32+1):(i*32+64)]) as bigint) AS n_tokens,
+        |  md5(array_to_string(w[(i*32+1):(i*32+64)], ' ')) AS passage_md5
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+        |     LATERAL unnest(generate_series(0, (len(w) - 1) // 32)) AS t(i)
+        |ORDER BY doc_id, passage_idx""".stripMargin,
+
+    "pipeline_pack_spans" ->
+      """WITH chunks AS (
+        |  SELECT lang, doc_id, i AS chunk_id,
+        |    cast(len(string_split(substring(text, cast(i * 80 + 1 as int),
+        |      120), ' ')) as bigint) AS n_tok
+        |  FROM documents,
+        |       LATERAL unnest(generate_series(0,
+        |         cast(greatest(0, ceil((len(text) - 120) / 80.0))
+        |           as bigint))) AS t(i)),
+        |cum AS (
+        |  SELECT lang, doc_id, chunk_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY lang
+        |      ORDER BY doc_id, chunk_id ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM chunks)
+        |SELECT lang,
+        |  cast(floor((c - 1) / 512.0) as bigint) AS seq_id,
+        |  doc_id, chunk_id,
+        |  cast(greatest(0, c - n_tok -
+        |    cast(floor((c - 1) / 512.0) as bigint) * 512) as bigint)
+        |    AS start_in_seq,
+        |  n_tok
+        |FROM cum
+        |ORDER BY lang, seq_id, doc_id, chunk_id""".stripMargin,
+
+    // The centroid rounds to 6dp in both engines BEFORE the cosine
+    // (see the Spark-side comment); the decimal-routed sums make the
+    // centroid and the mean shuffle-order-exact.
+    "ann_class_stats" ->
+      """WITH e AS (
+        |  SELECT label, vec_id, cast(embedding as DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, i,
+        |    round(cast(sum(cast(v[i] as DECIMAL(28,10))) as double)
+        |      / count(*), 6) AS m
+        |  FROM e, LATERAL unnest(generate_series(1, len(v))) AS t(i)
+        |  GROUP BY label, i),
+        |cvec AS (SELECT label, list(m ORDER BY i) AS c
+        |         FROM cent GROUP BY label),
+        |cos AS (
+        |  SELECT e.label,
+        |    round(list_cosine_similarity(e.v, cv.c), 6) AS cs
+        |  FROM e JOIN cvec cv USING (label))
+        |SELECT label, cast(count(*) as bigint) AS n_vecs,
+        |  round(cast(sum(cast(cs as DECIMAL(18,6))) as double)
+        |    / count(*), 4) AS mean_cos_to_centroid,
+        |  round(min(cs), 4) AS min_cos_to_centroid
+        |FROM cos GROUP BY label ORDER BY label""".stripMargin,
+
+    // Mirrors SuffixArrayOps.repeatedSpans without building a suffix
+    // array: a >=24-char repeated span IS a 24-char suffix prefix
+    // shared by >= 2 positions (the SA run and the prefix group are
+    // the same set by contiguity), and the run's span_len — its
+    // minimum ADJACENT lcp in SA order — equals lcp(min, max) of the
+    // codepoint-sorted group, computed here by the monotone
+    // prefix-equality count (capped by both string lengths so an
+    // identical-truncated-suffix group reports its true length).
+    "dedup_suffix_spans" ->
+      """WITH pos AS (
+        |  SELECT substring(text, i, 128) AS s
+        |  FROM (SELECT text FROM documents WHERE doc_id < 50) d,
+        |       LATERAL unnest(generate_series(1, len(text))) AS t(i)),
+        |g AS (
+        |  SELECT substring(s, 1, 24) AS p, count(*) AS n_positions,
+        |         min(s) AS lo, max(s) AS hi
+        |  FROM pos WHERE len(s) >= 24
+        |  GROUP BY p HAVING count(*) >= 2)
+        |SELECT md5(p) AS span_md5,
+        |  cast(least(
+        |    len(list_filter(range(1, 129),
+        |      i -> substring(lo, 1, i) = substring(hi, 1, i))),
+        |    len(lo), len(hi)) as bigint) AS span_len,
+        |  cast(n_positions as bigint) AS n_positions
+        |FROM g ORDER BY n_positions DESC, span_md5""".stripMargin,
 
     // Mirrors SelectionOps.dsirTopK: same md5 bucket ids, the same
     // collapsed smoothed ratio with double casts BEFORE the multiply,

@@ -46,6 +46,81 @@ class Round8Spec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("pipeline_decon_multi == three independent evalOverlap sweeps") {
+    import org.apache.spark.sql.functions._
+    val all = Tables.documents(spark, Sf0001)
+    val corpus = all.filter(pmod(col("doc_id"), lit(50)) >= 3)
+    val multi = SparkEntry.queries("pipeline_decon_multi")(spark, Sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val singles = (0 to 2).map { i =>
+      graft.ops.DedupOps.evalOverlap(corpus,
+          all.filter(pmod(col("doc_id"), lit(50)) === i), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(multi.nonEmpty)
+    multi.foreach { case (doc, (n0, n1, n2)) =>
+      assert((n0, n1, n2) == (singles(0)(doc), singles(1)(doc),
+        singles(2)(doc)), s"doc $doc")
+    }
+  }
+
+  test("q_chunk_overlap: passages tile with stride-32 overlap, full coverage") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_chunk_overlap")(spark, Sf0001)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"), sum(col("n_tokens")).as("tok"),
+        max(col("passage_idx")).as("max_idx"))
+      .join(Tables.documents(spark, Sf0001)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n")),
+        "doc_id")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nP, maxIdx, n) = (r.getLong(1), r.getLong(3), r.getInt(4).toLong)
+      // starts at 0,32,... while start < n → count = ceil(n/32)
+      assert(nP == (n + 31) / 32, s"doc ${r.getLong(0)}: $nP vs n=$n")
+      assert(maxIdx == nP - 1)
+    }
+  }
+
+  test("pipeline_pack_spans tiles pipeline_pack's sequences exactly") {
+    import org.apache.spark.sql.functions._
+    val spans = SparkEntry.queries("pipeline_pack_spans")(spark, Sf0001)
+    val packs = SparkEntry.queries("pipeline_pack")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val bySeq = spans.groupBy(col("lang"), col("seq_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("tok"),
+        min(col("start_in_seq")).as("min_off"))
+      .collect()
+    assert(bySeq.nonEmpty)
+    bySeq.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      assert(packs.contains(key), s"span sequence $key missing from pack")
+      assert((r.getLong(2), r.getLong(3)) == packs(key),
+        s"sequence $key: spans disagree with pipeline_pack")
+      assert(r.getLong(4) >= 0L)
+    }
+    // offsets stay inside the 512-token sequence budget
+    val offs = spans.select(col("start_in_seq")).collect().map(_.getLong(0))
+    assert(offs.forall(o => o >= 0 && o < 512))
+  }
+
+  test("ann_class_stats: every vector audited, cosines in range") {
+    val rows = SparkEntry.queries("ann_class_stats")(spark, Sf0001)
+      .collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.embeddings(spark, Sf0001).count())
+    rows.foreach { r =>
+      val (mean, min) = (r.getDouble(2), r.getDouble(3))
+      assert(mean >= -1.0 && mean <= 1.0 && min >= -1.0 && min <= 1.0)
+      assert(min <= mean)
+    }
+  }
+
   test("q_upsert plan: one co-keyed full-outer merge, no global window") {
     val plan = executedPlan("q_upsert")
     assert(plan.contains("FullOuter"),
