@@ -4577,6 +4577,35 @@ object SparkEntry {
         |  round(min(cs), 4) AS min_cos_to_centroid
         |FROM cos GROUP BY label ORDER BY label""".stripMargin,
 
+    // Mirrors SuffixArrayOps.longestRepeat without the distributed SA:
+    // at oracle scale DuckDB can afford the global sort the Spark side
+    // exists to avoid — lag() over lexicographically-sorted truncated
+    // suffixes IS the SA adjacency (binary collation == codepoint
+    // order == the prefix-doubling rank order), the max adjacent lcp
+    // is the LRS length, the winner is the minimal best-length prefix
+    // among max-lcp pairs (Spark's orderBy(r).limit(1) tiebreak), and
+    // n_positions counts suffixes carrying the winning prefix.
+    "dedup_suffix_lrs" ->
+      """WITH pos AS (
+        |  SELECT substring(text, i, 128) AS s
+        |  FROM (SELECT text FROM documents WHERE doc_id < 50) d,
+        |       LATERAL unnest(generate_series(1, len(text))) AS t(i)),
+        |lcps AS (
+        |  SELECT least(len(list_filter(range(1, 129),
+        |      i -> substring(s, 1, i) = substring(prev, 1, i))),
+        |    len(s), len(prev)) AS lcp, s
+        |  FROM (SELECT s, lag(s) OVER (ORDER BY s) AS prev FROM pos)
+        |  WHERE prev IS NOT NULL),
+        |best AS (SELECT max(lcp) AS lrs_len FROM lcps),
+        |winner AS (
+        |  SELECT min(substring(s, 1, (SELECT lrs_len FROM best))) AS r
+        |  FROM lcps WHERE lcp = (SELECT lrs_len FROM best))
+        |SELECT cast((SELECT lrs_len FROM best) as bigint) AS lrs_len,
+        |  md5((SELECT r FROM winner)) AS lrs_md5,
+        |  cast((SELECT count(*) FROM pos, winner
+        |        WHERE substring(s, 1, (SELECT lrs_len FROM best)) = r)
+        |    as bigint) AS n_positions""".stripMargin,
+
     // Mirrors SuffixArrayOps.repeatedSpans without building a suffix
     // array: a >=24-char repeated span IS a 24-char suffix prefix
     // shared by >= 2 positions (the SA run and the prefix group are
