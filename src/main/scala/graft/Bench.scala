@@ -126,7 +126,10 @@ object Bench {
     "text_skipgram_pairs" -> "tsg", "q_hilbert_read" -> "hil",
     "dedup_suffix_lrs" -> "sfx", "dedup_suffix_spans" -> "dss",
     "pipeline_decon_multi" -> "pdm", "q_chunk_overlap" -> "cko",
-    "pipeline_pack_spans" -> "pps", "ann_class_stats" -> "acs")
+    "pipeline_pack_spans" -> "pps", "ann_class_stats" -> "acs",
+    "dedup_minhash_portable" -> "dmp", "graph_triangles" -> "gtr",
+    "text_inverted_index" -> "tix", "text_wordpiece_train" -> "twt",
+    "text_wordpiece_encode" -> "twe")
 
   /** 2-decimal seconds with trailing zeros stripped ("0.20" -> "0.2",
     * "1.00" -> "1") — still valid JSON numbers, ~0.5 chars/query saved. */

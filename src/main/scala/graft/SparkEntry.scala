@@ -735,6 +735,39 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // WordPiece tokenizer (Schuster & Nakajima '12, BERT's scheme) —
+    // the THIRD trained family, same one-pass distributed type-count
+    // front as BPE/unigram; merges maximize the likelihood ratio
+    // count(lr)/(count(l)·count(r)) with exact BigInt score compares.
+    // Training is not SQL-expressible → rows-only; WordPieceSpec
+    // anchors the trainer against an independent reference recompute.
+    "text_wordpiece_train" -> ((s, d) => {
+      import s.implicits._
+      val model = ops.WordPieceOps.cachedTrain(s, s"$d/documents.parquet",
+        t(s, d, "documents"), col("text"), numMerges = 64)
+      model.vocab.zipWithIndex
+        .collect { case (p, i) if p.stripPrefix("##").length > 1 =>
+          (i.toLong, p, p.startsWith("##")) }
+        .take(64).toSeq
+        .toDF("rank", "piece", "continuation")
+        .orderBy(col("rank"))
+    }),
+
+    // Greedy longest-match corpus encoding under the trained WordPiece
+    // model (codegen'd WordPieceEncode, model as task reference):
+    // top-20 pieces by stream frequency — the WordPiece twin of
+    // text_bpe_encode.
+    "text_wordpiece_encode" -> ((s, d) => {
+      val model = ops.WordPieceOps.cachedTrain(s, s"$d/documents.parquet",
+        t(s, d, "documents"), col("text"), numMerges = 64)
+      t(s, d, "documents")
+        .select(explode(ops.WordPieceOps.encode(col("text"), model))
+          .as("piece"))
+        .groupBy(col("piece")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("piece"))
+        .limit(20)
+    }),
+
     // Unigram-LM tokenizer (Kudo '18 / SentencePiece shape): trained by
     // Viterbi-EM on the SAME compact word-type dict as BPE (one shared
     // distributed pass), emitted as the ranked multi-char vocabulary
@@ -865,6 +898,36 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // Positional inverted index — the IR build behind BM25/phrase
+    // search, materialized the way a 100-TB index actually ships:
+    // postings are SHARDED by doc_id block (pmod 4), so the per-group
+    // buffer is one term's postings within one shard, never the whole
+    // corpus-wide list; df/tf roll up through ordinary partial aggs.
+    // Positions are row-local (posexplode), the (term, doc) rollup is
+    // the only token-sized shuffle, and the shard-level postings
+    // string is emitted as an md5 digest — the oracle recomputes the
+    // identical "doc:p1,p2|doc:p1" serialization, so the digest match
+    // certifies every position in every posting cross-engine.
+    "text_inverted_index" -> ((s, d) => {
+      val post = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
+        .select(col("doc_id"), col("col").as("term"), col("pos"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos"))).as("ps"))
+        .select(col("term"), col("doc_id"), col("tf"),
+          pmod(col("doc_id"), lit(4)).as("shard"),
+          concat(col("doc_id").cast("string"), lit(":"),
+            array_join(transform(col("ps"), p => p.cast("string")), ","))
+            .as("posting"))
+      post.groupBy(col("term"), col("shard"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("posting")))),
+            x => x.getField("posting")), "|")).as("postings_md5"))
+        .orderBy(col("term"), col("shard"))
+    }),
+
     // Skip-gram (center, context) pair counts, window ±2 — the
     // co-occurrence statistics embedding training consumes (word2vec
     // shape). Pair generation is a per-document HOF over the token
@@ -985,6 +1048,18 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => {
       ops.DedupOps.minhashDedupSummary(t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // MinHash-LSH with the PORTABLE md5 hash family: identical
+    // shingles, lane minima, band keys, candidates and surviving
+    // pairs are recomputed by the DuckDB oracle, so the whole LSH
+    // pipeline (not just its verification tail) is hash-checked
+    // cross-engine. The xxhash64 variant above stays the production
+    // wire format; this run certifies the pipeline's structure.
+    "dedup_minhash_portable" -> ((s, d) => {
+      ops.DedupOps.portableMinhashPairs(t(s, d, "documents"),
+          "doc_id", "text")
+        .orderBy(col("a"), col("b"))
     }),
 
     // SimHash near-dup: 64-bit signature + banded Hamming blocking.
@@ -1245,6 +1320,37 @@ object SparkEntry {
         .limit(20)
         .select(col("node"), col("kind"),
           round(col("rank_f") / 1e15, 6).as("rank"))
+    }),
+
+    // Exact triangle counting over the temporal co-occurrence graph:
+    // users adjacent in the (event_type, hour) event sequence share an
+    // undirected edge (the window is bucketed by type AND hour, so no
+    // partition outgrows one hour of one stream — never a global
+    // sort; hour-boundary pairs are deliberately out of contract).
+    // GraphOps.triangles orients each edge low→high (degree, id) so
+    // every triangle counts once and no hub can make the wedge join
+    // quadratic (out-degree is O(√m) after orientation). Output: the
+    // global count as node -1 plus the top-20 most clustered nodes.
+    "graph_triangles" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"), col("hr"))
+        .orderBy(col("ts"), col("event_id"))
+      val adj = t(s, d, "events")
+        .select(col("event_type"), expr("ts div 3600000000000").as("hr"),
+          col("user_id"), col("ts"), col("event_id"))
+        .withColumn("nxt", lead(col("user_id"), 1).over(w))
+        .filter(col("nxt").isNotNull && col("nxt") =!= col("user_id"))
+        .select(least(col("user_id"), col("nxt")).as("u"),
+          greatest(col("user_id"), col("nxt")).as("v"))
+        .distinct()
+      val tri = ops.GraphOps.triangles(adj, "u", "v").localCheckpoint()
+      val perNode = tri
+        .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("node")).limit(20)
+      tri.agg(count(lit(1)).as("n_triangles"))
+        .select(lit(-1L).as("node"), col("n_triangles"))
+        .unionByName(perNode)
+        .orderBy(col("node"))
     }),
 
     // ---- TPC-H-shaped flagship compositions --------------------------
@@ -4202,6 +4308,50 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
 
+    // The PORTABLE-hash MinHash pipeline replayed move for move: one
+    // md5 per shingle parsed to a 60-bit BIGINT, affine lane family
+    // (a·h+b) mod 2^31-1 with the same fixed multipliers, '|'-joined
+    // band keys, distinct bucket pairs, exact-Jaccard verification —
+    // a hash match here certifies the full LSH pipeline, not just its
+    // tail.
+    "dedup_minhash_portable" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |           FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(w) >= 3
+        |       THEN list_transform(generate_series(1, len(w) - 2),
+        |            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |       ELSE [array_to_string(w, ' ')] END AS s FROM t),
+        |shd AS (SELECT doc_id, list_distinct(s) AS sd FROM sh),
+        |hmt AS (SELECT doc_id, sd,
+        |  list_transform(sd, x ->
+        |    (('0x' || substr(md5(x), 1, 15))::BIGINT) % 2147483647)
+        |    AS hm FROM shd),
+        |sig AS (SELECT doc_id,
+        |  list_transform(generate_series(0, 15),
+        |    i -> list_min(list_transform(hm, h ->
+        |      (((1103515245 * (i + 1)) % 2147483647) * h +
+        |       ((12345 * (i + 1)) % 2147483647)) % 2147483647)))
+        |    AS sig FROM hmt),
+        |band AS (SELECT doc_id, b AS band_id,
+        |  array_to_string(sig[b*2+1 : b*2+2], '|') AS band_key
+        |  FROM sig, LATERAL unnest(generate_series(0, 7)) tb(b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM band x JOIN band y
+        |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+        |   AND x.doc_id < y.doc_id),
+        |hmd AS (SELECT doc_id, list_distinct(hm) AS hd FROM hmt),
+        |ver AS (SELECT c.a, c.b,
+        |  len(list_intersect(sa.hd, sb.hd)) AS inter,
+        |  len(sa.hd) AS na, len(sb.hd) AS nb
+        |  FROM cand c JOIN hmd sa ON sa.doc_id = c.a
+        |              JOIN hmd sb ON sb.doc_id = c.b)
+        |SELECT a, b,
+        |  round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+        |FROM ver
+        |WHERE round(inter * 1.0 / (na + nb - inter), 4) >= 0.7
+        |ORDER BY a, b""".stripMargin,
+
     // Fixpoint of the distributed CC loop over identical-text chain
     // edges == per-text-group minimum, which IS SQL-expressible.
     "dedup_clusters_exact" ->
@@ -4481,6 +4631,38 @@ object SparkEntry {
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "graph_pagerank" -> pagerankOracleSql(12),
+
+    // Same temporal-adjacency graph, same degree-ordered orientation
+    // ((deg, id) tuple compare), same two-join wedge closure.
+    "graph_triangles" ->
+      """WITH seq AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr, user_id,
+        |         lead(user_id) OVER (
+        |           PARTITION BY event_type, date_trunc('hour', ts)
+        |           ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |e0 AS (SELECT DISTINCT least(user_id, nxt) AS u,
+        |              greatest(user_id, nxt) AS v
+        |       FROM seq WHERE nxt IS NOT NULL AND nxt <> user_id),
+        |deg AS (SELECT n, count(*) AS d FROM
+        |        (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)
+        |        GROUP BY n),
+        |ed AS (SELECT
+        |  CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.u ELSE e0.v END AS a,
+        |  CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.v ELSE e0.u END AS b
+        |  FROM e0 JOIN deg du ON du.n = e0.u JOIN deg dv ON dv.n = e0.v),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+        |        JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pn AS (SELECT node, count(*) AS n_triangles FROM
+        |       (SELECT x AS node FROM tri UNION ALL
+        |        SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |       GROUP BY node ORDER BY n_triangles DESC, node LIMIT 20)
+        |SELECT * FROM (
+        |  SELECT cast(-1 AS bigint) AS node,
+        |         (SELECT count(*) FROM tri) AS n_triangles
+        |  UNION ALL SELECT node, n_triangles FROM pn)
+        |ORDER BY node""".stripMargin,
 
     "pipeline_decontaminate" -> deconOracleSql,
 
@@ -5325,6 +5507,27 @@ object SparkEntry {
         |)
         |SELECT gram, count(*) AS n FROM g
         |GROUP BY gram ORDER BY n DESC, gram LIMIT 50""".stripMargin,
+
+    // Postings serialized "doc:p1,p2|doc:p1" per (term, shard) with
+    // doc order fixed — the md5 digest match certifies every position
+    // in every posting of every shard.
+    "text_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, w[i] AS term, i - 1 AS pos
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |        FROM documents) d,
+        |  LATERAL unnest(generate_series(1, len(w))) t(i)),
+        |post AS (
+        |  SELECT term, doc_id, doc_id % 4 AS shard, count(*) AS tf,
+        |         doc_id || ':' || string_agg(pos, ',' ORDER BY pos)
+        |           AS posting
+        |  FROM tok GROUP BY term, doc_id)
+        |SELECT term, shard, count(*) AS df,
+        |       cast(sum(tf) AS bigint) AS tf_total,
+        |       md5(string_agg(posting, '|' ORDER BY doc_id))
+        |         AS postings_md5
+        |FROM post GROUP BY term, shard
+        |ORDER BY term, shard""".stripMargin,
 
     "text_skipgram_pairs" ->
       """WITH t AS (

@@ -115,6 +115,106 @@ object SketchKernels {
     new GenericArrayData(sig)
   }
 
+  /** Modulus of the PORTABLE minhash lane family: 2³¹−1 (Mersenne
+    * prime). Lane values and multipliers are < 2³¹ so a·h < 2⁶² —
+    * exact in any engine's BIGINT arithmetic. */
+  val PortableP: Long = 2147483647L
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val SpaceByte = Array[Byte](' ')
+
+  /** PORTABLE minhash signature over the `shingleN`-word shingles of a
+    * token array: each shingle is md5-hashed ONCE — the digest fed
+    * incrementally from the token bytes with ' ' separators, so the
+    * joined shingle string is hashed without ever being allocated —
+    * the top 60 bits (15 hex chars) parse to a long reduced mod
+    * [[PortableP]], and lane i's value is the classic universal affine
+    * (aᵢ·h + bᵢ) mod P with aᵢ = (1103515245·(i+1)) mod P,
+    * bᵢ = (12345·(i+1)) mod P. EVERY step is reproducible in portable
+    * SQL (`md5` of the space-joined shingle, hex-parse, BIGINT
+    * mul/add/mod), which is this family's whole reason to exist: the
+    * DuckDB oracle replays the signature bit for bit. Duplicate
+    * shingles cannot move a minimum, so no distinct pass is needed.
+    * Fewer than `shingleN` tokens hash the whole token array as one
+    * shingle (the wordShingles fallback). One compiled pass — the HOF
+    * spelling of the identical arithmetic interpreted its lambdas per
+    * element and was 30× slower. */
+  def portableMinhashSignature(toks: ArrayData, k: Int,
+      shingleN: Int): ArrayData = {
+    val P = PortableP
+    val md = md5Local.get()
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = toks.numElements()
+    val nShingles = if (n >= shingleN) n - shingleN + 1 else 1
+    val width = if (n >= shingleN) shingleN else n
+    var i = 0
+    while (i < nShingles) {
+      md.reset()
+      var t = 0
+      while (t < width) {
+        if (t > 0) md.update(SpaceByte)
+        md.update(toks.getUTF8String(i + t).getBytes)
+        t += 1
+      }
+      val digest = md.digest()
+      // top 15 hex chars == bytes 0..6 (56 bits) + high nibble of byte 7
+      var h = 0L
+      var j = 0
+      while (j < 7) { h = (h << 8) | (digest(j) & 0xffL); j += 1 }
+      h = ((h << 4) | ((digest(7) & 0xf0L) >> 4)) % P
+      var lane = 0
+      while (lane < k) {
+        val a = (1103515245L * (lane + 1)) % P
+        val b = (12345L * (lane + 1)) % P
+        val v = (a * h + b) % P
+        if (v < sig(lane)) sig(lane) = v
+        lane += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Sorted distinct PORTABLE shingle hashes of a token array: each
+    * `shingleN`-word shingle md5-hashed exactly as in
+    * [[portableMinhashSignature]] (digest fed token bytes + ' '
+    * separators, top 60 bits mod [[PortableP]]) but returned as the
+    * distinct hash SET rather than folded into lane minima. This is
+    * the portable-dedup verification sketch: Jaccard over these longs
+    * equals Jaccard over the distinct shingle strings (mod md5
+    * collisions), and a SQL oracle replays the identical md5 +
+    * hex-parse + mod arithmetic, so exact-verification joins can move
+    * and intersect 8-byte longs instead of shingle strings. */
+  def portableShingleHashes(toks: ArrayData, shingleN: Int): ArrayData = {
+    val P = PortableP
+    val md = md5Local.get()
+    val n = toks.numElements()
+    val nShingles = if (n >= shingleN) n - shingleN + 1 else 1
+    val width = if (n >= shingleN) shingleN else n
+    val hs = new Array[Long](nShingles)
+    var i = 0
+    while (i < nShingles) {
+      md.reset()
+      var t = 0
+      while (t < width) {
+        if (t > 0) md.update(SpaceByte)
+        md.update(toks.getUTF8String(i + t).getBytes)
+        t += 1
+      }
+      val digest = md.digest()
+      var h = 0L
+      var j = 0
+      while (j < 7) { h = (h << 8) | (digest(j) & 0xffL); j += 1 }
+      hs(i) = ((h << 4) | ((digest(7) & 0xf0L) >> 4)) % P
+      i += 1
+    }
+    new GenericArrayData(sortedDistinct(hs))
+  }
+
   def charNgramHashes(text: UTF8String, n: Int): ArrayData = {
     val bytes = text.toLowerCase.getBytes
     val len = bytes.length
@@ -355,6 +455,49 @@ case class MinHashSignature(child: Expression, k: Int, shingleN: Int = 1)
     copy(child = c)
 }
 
+/** PORTABLE minhash signature of a token array (md5 base hash over
+  * the space-joined word shingles + affine lane family mod 2³¹−1 —
+  * see [[SketchKernels.portableMinhashSignature]]): the
+  * engine-portable twin of [[MinHashSignature]], existing so a SQL
+  * oracle can replay the signature exactly. Output: array<long> of
+  * length k. */
+case class PortableMinhashSignature(child: Expression, k: Int,
+    shingleN: Int = 3) extends KernelCallExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "portable_minhash_signature"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.portableMinhashSignature(
+      input.asInstanceOf[ArrayData], k, shingleN)
+
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.SketchKernels.portableMinhashSignature($c, $k, $shingleN)"
+
+  override protected def withNewChildInternal(c: Expression)
+      : PortableMinhashSignature = copy(child = c)
+}
+
+/** Sorted distinct portable (md5 mod 2³¹−1) shingle hashes of a token
+  * array — the verification-sketch twin of [[PortableMinhashSignature]]
+  * (see [[SketchKernels.portableShingleHashes]]). Output: array<long>. */
+case class PortableShingleHashes(child: Expression, shingleN: Int = 3)
+    extends KernelCallExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "portable_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.portableShingleHashes(
+      input.asInstanceOf[ArrayData], shingleN)
+
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.SketchKernels.portableShingleHashes($c, $shingleN)"
+
+  override protected def withNewChildInternal(c: Expression)
+      : PortableShingleHashes = copy(child = c)
+}
+
 /** Distinct hashes of the character n-grams of a string — one pass
   * over the UTF-8 bytes with a true rolling window (no substring
   * allocation), for the n-gram-Jaccard dedup path. Strings shorter
@@ -559,8 +702,15 @@ object HashFunctions {
   def minhashSignature(tokens: Column, k: Int, shingleN: Int = 1): Column =
     column(MinHashSignature(expression(tokens), k, shingleN))
 
+  def portableMinhashSignature(tokens: Column, k: Int,
+      shingleN: Int = 3): Column =
+    column(PortableMinhashSignature(expression(tokens), k, shingleN))
+
   def shingleHashes(tokens: Column, shingleN: Int): Column =
     column(ShingleHashes(expression(tokens), shingleN))
+
+  def portableShingleHashes(tokens: Column, shingleN: Int = 3): Column =
+    column(PortableShingleHashes(expression(tokens), shingleN))
 
   def charNgramHashes(text: Column, n: Int): Column =
     column(CharNgramHashes(expression(text), n))

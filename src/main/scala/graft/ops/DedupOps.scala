@@ -108,6 +108,105 @@ object DedupOps {
       minN = 2, maxN = maxBucket)
   }
 
+  /** The prime modulus of [[portableMinhashPairs]]' lane-hash family:
+    * 2³¹−1 (Mersenne). Every lane value and multiplier is < 2³¹, so
+    * the a·h products stay < 2⁶² — exact in any engine's BIGINT, no
+    * silent wrap on the Spark side, no overflow error on the oracle
+    * side. */
+  private[ops] val PortableP = 2147483647L
+
+  /** MinHash+LSH near-dup with a PORTABLE hash family: each distinct
+    * shingle is hashed ONCE with md5 (lowercase hex — identical bytes
+    * in any engine; the top 60 bits parse to a BIGINT), and the k lane
+    * hashes derive by the classic universal affine family
+    * `(aᵢ·h + bᵢ) mod P` over P = 2³¹−1 with fixed per-lane
+    * multipliers — integer arithmetic any engine reproduces exactly.
+    * Band keys are the '|'-joined lane blocks. That makes the ENTIRE
+    * pipeline — shingling, k-lane signatures, banding, bucket candidate
+    * generation, exact-Jaccard verification — reproducible in portable
+    * SQL, so the full LSH near-dup result is hash-oracle-checkable
+    * end-to-end (the one thing [[minhashCandidates]]'s xxhash64 lanes
+    * cannot offer). One md5 per shingle (not per lane×shingle — the
+    * 16× that made the md5-per-lane formulation the most expensive
+    * query in the suite); the lane fan-out is 16 multiply-add-mods on
+    * a precomputed long.
+    *
+    * This is the CERTIFICATION variant; the xxhash64 pipeline stays the
+    * 100-TB wire format (native codegen, no hex parse). The two share
+    * every structural property: signatures are computed in ONE
+    * row-local HOF pass (no shuffle before banding), candidates come
+    * from the same single-aggregation [[bucketPairs]] (bounded buckets,
+    * sorted-id a<b pairs, cross-band distinct), and only candidate
+    * pairs ever pay the exact-Jaccard join. `maxBucket` must exceed the
+    * largest band bucket for the oracle (which has no cap) to agree —
+    * trivially true until a corpus has >maxBucket docs agreeing on a
+    * full band.
+    *
+    * Banding math: k=16 lanes in 8 bands of 2 ⇒ collision probability
+    * 1-(1-s²)⁸ — 0.995 at s=0.7, so at the 0.7 threshold the candidate
+    * front loses essentially nothing. */
+  def portableMinhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 8, shingleN: Int = 3,
+      threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"signature length k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    // signature via the native compiled kernel — shingling fused in
+    // (md5 fed token bytes directly, no shingle strings allocated):
+    // graft.functions.PortableMinhashSignature. The HOF spelling of
+    // the identical arithmetic interpreted its lambdas per element
+    // and was 30× slower at sf0.1.
+    //
+    // md5-per-shingle is ~1 ms/doc of real CPU, so the signature pass
+    // needs every core. A single-file local scan arrives as ONE split;
+    // spread it before the kernel. At cluster scale the corpus arrives
+    // as >= defaultParallelism splits and this branch adds no shuffle.
+    val sc = docs.sparkSession.sparkContext
+    val spread =
+      if (docs.rdd.getNumPartitions < sc.defaultParallelism)
+        docs.repartition(sc.defaultParallelism)
+      else docs
+    val banded = spread
+      .select(col(idCol),
+        HashFunctions.portableMinhashSignature(
+          tokens(col(textCol)), k, shingleN).as("sig"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws("|", transform(
+            slice(col("sig"), b * lit(r) + 1, lit(r)),
+            v => v.cast("string"))))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_key")
+    // candidate list is small by construction (bucket-capped) — pin it,
+    // then pay the shingle recompute ONLY for candidate docs (the
+    // verifySketches discipline: without the semi-join the sketch
+    // column is computed over the whole corpus once per verification
+    // side). Verification intersects the distinct md5-mod-P shingle
+    // hash SETS (8-byte longs, compiled kernel) rather than shingle
+    // strings — same Jaccard mod md5 collisions, and the oracle
+    // replays the identical md5 arithmetic, so the cross-engine check
+    // covers this step too. With 2-lane bands the candidate front is
+    // ~20× the surviving pairs, so verify cost dominates without it.
+    val cand = bucketPairs(banded, Seq(col("band_id"), col("band_key")),
+      idCol, minN = 2, maxN = maxBucket)
+      .localCheckpoint(true)
+    val candDocs = cand.select(col("a").as(idCol))
+      .union(cand.select(col("b").as(idCol)))
+      .distinct()
+    val candS = spread.join(broadcast(candDocs), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        HashFunctions.portableShingleHashes(
+          tokens(col(textCol)), shingleN).as("sd"))
+    val verified = cand
+      .join(candS.select(col(idCol).as("a"), col("sd").as("sa")), Seq("a"))
+      .join(candS.select(col(idCol).as("b"), col("sd").as("sb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("sa")) + size(col("sb")) - col("inter")), 4))
+    verified.filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /** Materialize a (small, df/bucket-capped) candidate pair list and
     * restrict an expensive per-doc sketch to the docs that actually
     * appear in a pair: without this, the sketch column is computed for

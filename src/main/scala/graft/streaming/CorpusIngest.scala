@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+import graft.ops.DedupOps
+
+/** Streaming corpus-ingest quality gates: continuous document streams
+  * checked against PERSISTED corpus artifacts at micro-batch latency.
+  * The batch complement is [[graft.ops.DedupOps.incrementalMinhashPairs]]
+  * (the daily-compaction shape); this is the same artifact contract at
+  * streaming freshness — a doc flagged the moment it lands, not at the
+  * next compaction.
+  */
+object CorpusIngest {
+
+  /** Streaming MinHash near-duplicate gate: each arriving document is
+    * checked against the persisted corpus sketch tables — the band
+    * table and the hashed shingle-set table that
+    * [[graft.ops.DedupOps.minhashBands]] / [[DedupOps.shingleSets]]
+    * write — and every verified (doc, corpus partner, jaccard) match
+    * at or above `threshold` is emitted.
+    *
+    * State discipline (the property that keeps this runnable forever):
+    * everything corpus-shaped stays STATIC. The stream side computes
+    * its signature row-locally (one HOF pass, no shuffle), candidates
+    * come from a stream-static equi-join on (band_id, band_hash),
+    * verification is a second stream-static join against the shingle
+    * table plus a map-side intersect — all stateless. The ONLY state
+    * in the query is the watermarked pair-dedup that collapses
+    * multi-band hits on the same partner
+    * (`dropDuplicatesWithinWatermark` — bounded by the horizon).
+    *
+    * Contract: the gate checks stream-vs-CORPUS only. New-vs-new
+    * duplicates inside the unmerged ingest window are out of scope
+    * here and belong to the next batch compaction
+    * ([[DedupOps.incrementalMinhashPairs]] covers both directions) —
+    * splitting it this way keeps the streaming query free of
+    * stream-stream joins and their state.
+    *
+    * The stream's shingle set rides along the banded rows (bands× one
+    * int-array per doc inside a micro-batch — bounded by batch size,
+    * never by corpus size). On batch input the same plan runs with a
+    * plain pair-distinct; streaming==batch is the spec gate. */
+  def neardupGateStream(docs: DataFrame, corpusBands: DataFrame,
+      corpusShingles: DataFrame, idCol: String, textCol: String,
+      tsCol: String = "ts", threshold: Double = 0.8,
+      watermark: String = "1 hour", k: Int = 64, bands: Int = 16,
+      shingleN: Int = 3): DataFrame = {
+    val toks = DedupOps.tokens(col(textCol))
+    val withSketch = docs.select(col(idCol), col(tsCol),
+      HashFunctions.minhashSignature(toks, k, shingleN).as("sig"),
+      HashFunctions.shingleHashes(toks, shingleN).as("sh_a"))
+    require(bands > 0 && k % bands == 0,
+      s"signature length k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    val banded = withSketch.select(col(idCol), col(tsCol), col("sh_a"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * lit(r) + 1, lit(r))))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_hash")
+    val verified = banded
+      .join(corpusBands.select(col("band_id"), col("band_hash"),
+        col(idCol).as("partner")), Seq("band_id", "band_hash"))
+      .filter(col(idCol) =!= col("partner"))
+      .join(corpusShingles.select(col(idCol).as("partner"),
+        col("shingles").as("sh_b")), Seq("partner"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col(tsCol), col(idCol), col("partner"), col("jaccard"))
+    if (docs.isStreaming)
+      verified.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(Seq(idCol, "partner"))
+    else verified.dropDuplicates(Seq(idCol, "partner"))
+  }
+}

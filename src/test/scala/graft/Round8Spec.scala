@@ -121,6 +121,137 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("portable minhash: planted near-dup found, disjoint docs silent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank while the sun sets slowly behind the tall mountain"
+    val nearDup = base.replace("slowly", "quickly") // 1 of ~20 tokens
+    val docs = Seq(
+      (1L, base), (2L, nearDup), (3L, base), // 3 = exact copy of 1
+      (4L, "completely different words about spark query engines and " +
+        "distributed columnar execution with vectorized operators here"))
+      .toDF("doc_id", "text")
+    val pairs = graft.ops.DedupOps
+      .portableMinhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) == 1.0,
+      s"exact copy must verify at jaccard 1.0: $pairs")
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) >= 0.7,
+      s"planted near-dup must survive the 0.7 cut: $pairs")
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L },
+      s"the disjoint doc must never pair: $pairs")
+  }
+
+  test("portable minhash lanes == independent md5 recompute") {
+    import spark.implicits._
+    // one short doc: lane minima recomputed in plain Scala must equal
+    // the pipeline's (certifies the Spark HOF arithmetic, the same
+    // arithmetic the DuckDB oracle runs)
+    val text = "alpha beta gamma delta epsilon"
+    val toks = text.split(" ").toSeq
+    val shingles = toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val P = 2147483647L
+    val hms = shingles.map(sh =>
+      java.lang.Long.parseLong(md5hex(sh).take(15), 16) % P)
+    val expected = (0 until 16).map { i =>
+      val a = (1103515245L * (i + 1)) % P
+      val b = (12345L * (i + 1)) % P
+      hms.map(h => (a * h + b) % P).min
+    }
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    // identical docs collide in every band and verify at 1.0 — and the
+    // lane minima are checked directly through the same expressions
+    // the pipeline bands on
+    val pairs = graft.ops.DedupOps
+      .portableMinhashPairs(docs, "doc_id", "text").collect()
+    assert(pairs.length == 1 && pairs.head.getDouble(2) == 1.0)
+    import org.apache.spark.sql.functions._
+    val lanes = Seq(Tuple1(text)).toDF("text")
+      .select(graft.functions.HashFunctions.portableMinhashSignature(
+        graft.ops.DedupOps.tokens(col("text")), 16, 3).as("sig"))
+      .collect().head.getSeq[Long](0)
+    assert(lanes == expected,
+      s"lane minima must match the independent md5 recompute")
+  }
+
+  test("triangles: hand graphs (K4, path, two shared triangles)") {
+    import spark.implicits._
+    def tri(edges: (Long, Long)*): Seq[(Long, Long, Long)] =
+      graft.ops.GraphOps.triangles(
+          edges.toDF("u", "v"), "u", "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    // K4: 4 triangles, each exactly once
+    val k4 = tri((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(k4.length == 4 && k4.distinct.length == 4,
+      s"K4 has exactly 4 triangles, each once: $k4")
+    assert(k4.map { case (x, y, z) => Set(x, y, z) }.toSet ==
+      Set(Set(1L, 2L, 3L), Set(1L, 2L, 4L), Set(1L, 3L, 4L),
+        Set(2L, 3L, 4L)))
+    // path: no triangles
+    assert(tri((1L, 2L), (2L, 3L), (3L, 4L)).isEmpty)
+    // bowtie: two triangles sharing node 3
+    val bow = tri((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (3L, 5L), (4L, 5L))
+    assert(bow.map { case (x, y, z) => Set(x, y, z) }.toSet ==
+      Set(Set(1L, 2L, 3L), Set(3L, 4L, 5L)) && bow.length == 2)
+  }
+
+  test("graph_triangles: global row reconciles with per-node counts") {
+    val rows = SparkEntry.queries("graph_triangles")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = rows(-1L)
+    assert(total > 0, "testdata graph must contain triangles")
+    // every top-20 node's participation is at most the global count
+    // and at least 1; sum of ALL nodes' participations = 3 * total
+    rows.filter(_._1 >= 0).values.foreach { n =>
+      assert(n >= 1 && n <= total)
+    }
+  }
+
+  test("inverted index: hand corpus positions and digests") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq((0L, "a b a"), (1L, "b a"), (4L, "a a a"))
+      .toDF("doc_id", "text")
+    // recompute the serialization by hand:
+    //   term a: doc 0 -> 0:0,2 (shard 0), doc 1 -> 1:1 (shard 1),
+    //           doc 4 -> 4:0,1,2 (shard 0)
+    //   term b: doc 0 -> 0:1 (shard 0), doc 1 -> 1:0 (shard 1)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val post = docs
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
+      .select(col("doc_id"), col("col").as("term"), col("pos"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("term"), col("doc_id"), col("tf"),
+        pmod(col("doc_id"), lit(4)).as("shard"),
+        concat(col("doc_id").cast("string"), lit(":"),
+          array_join(transform(col("ps"), p => p.cast("string")), ","))
+          .as("posting"))
+      .groupBy(col("term"), col("shard"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("posting")))),
+          x => x.getField("posting")), "|")).as("postings_md5"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(post(("a", 0L)) == (2L, 5L, md5hex("0:0,2|4:0,1,2")))
+    assert(post(("a", 1L)) == (1L, 1L, md5hex("1:1")))
+    assert(post(("b", 0L)) == (1L, 1L, md5hex("0:1")))
+    assert(post(("b", 1L)) == (1L, 1L, md5hex("1:0")))
+    assert(post.size == 4)
+  }
+
   test("q_upsert plan: one co-keyed full-outer merge, no global window") {
     val plan = executedPlan("q_upsert")
     assert(plan.contains("FullOuter"),

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.ops.DedupOps
+
+class CorpusIngestSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("text", StringType)))
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  private val corpusText = "the quick brown fox jumps over the lazy " +
+    "dog near the river bank while the sun sets slowly behind the hill"
+  private lazy val corpus = Seq(
+    (100L, corpusText),
+    (101L, "an unrelated corpus document about columnar execution " +
+      "engines with vectorized operators and late materialization"))
+    .toDF("doc_id", "text")
+  private lazy val corpusBands =
+    DedupOps.minhashBands(corpus, "doc_id", "text")
+  private lazy val corpusShingles =
+    DedupOps.shingleSets(corpus, "doc_id", "text")
+
+  // batch 1: exact copy of corpus doc + fresh doc; batch 2: near-dup
+  private val b1 = Seq(
+    (1L, ts(0), corpusText),
+    (2L, ts(1), "a completely fresh document with entirely new words " +
+      "about distributed shuffles and adaptive query execution plans"))
+  private val b2 = Seq(
+    (3L, ts(5), corpusText.replace("slowly", "quickly")))
+
+  test("streaming near-dup gate == batch gate, flags only true dups") {
+    val dir = Files.createTempDirectory("graft-ingest").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(
+        b1.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3))), docSchema)
+      .write.parquet(dir + "/b1")
+    spark.createDataFrame(spark.sparkContext.parallelize(
+        b2.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3))), docSchema)
+      .write.parquet(dir + "/b2")
+
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/b*")
+    val q = CorpusIngest.neardupGateStream(stream, corpusBands,
+        corpusShingles, "doc_id", "text", threshold = 0.7)
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode("append").start()
+    val streamed = try {
+      q.processAllAvailable()
+      spark.table("gate_out").orderBy(col("doc_id"), col("partner"))
+        .collect()
+    } finally q.stop()
+
+    val batchDocs = spark.createDataFrame(spark.sparkContext.parallelize(
+      (b1 ++ b2).map(t => org.apache.spark.sql.Row(t._1, t._2, t._3))),
+      docSchema)
+    val batch = CorpusIngest.neardupGateStream(batchDocs, corpusBands,
+        corpusShingles, "doc_id", "text", threshold = 0.7)
+      .orderBy(col("doc_id"), col("partner")).collect()
+
+    assert(streamed.toSeq == batch.toSeq,
+      s"streaming != batch:\n${streamed.mkString("\n")}\nvs\n" +
+        batch.mkString("\n"))
+    val byDoc = streamed.map(r => r.getLong(1) -> (r.getLong(2),
+      r.getDouble(3))).toMap
+    assert(byDoc.contains(1L) && byDoc(1L)._1 == 100L &&
+      byDoc(1L)._2 == 1.0, s"exact copy must flag at 1.0: $byDoc")
+    assert(byDoc.contains(3L) && byDoc(3L)._1 == 100L &&
+      byDoc(3L)._2 >= 0.7, s"near-dup must flag >= 0.7: $byDoc")
+    assert(!byDoc.contains(2L), s"fresh doc must pass silently: $byDoc")
+    assert(streamed.length == 2)
+  }
+
+  test("gate plan is stateless except the pair-dedup (no stream agg)") {
+    val dir = Files.createTempDirectory("graft-ingest2").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(
+        b1.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3))), docSchema)
+      .write.parquet(dir + "/b1")
+    val stream = spark.readStream.schema(docSchema).parquet(dir + "/b*")
+    val q = CorpusIngest.neardupGateStream(stream, corpusBands,
+        corpusShingles, "doc_id", "text", threshold = 0.7)
+      .writeStream.format("memory").queryName("gate_plan")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val plan = q.lastProgress.sources.length +:
+        Seq.empty[Int] // one file source
+      assert(plan.head == 1)
+      // the ONLY stateful operator is the dropDuplicatesWithinWatermark
+      val ops = q.lastProgress.stateOperators
+      assert(ops.length == 1,
+        s"exactly one stateful operator expected: ${ops.mkString(",")}")
+      assert(ops.head.operatorName.toLowerCase.contains("dedupe"),
+        s"the stateful operator must be the pair-dedup: " +
+          ops.head.operatorName)
+    } finally q.stop()
+  }
+}
