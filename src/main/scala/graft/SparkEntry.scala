@@ -1062,6 +1062,28 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Segment-level global dedup + reassembly (the CCNet/C4 line-dedup
+    // curation stage): first occurrence of each 16-token segment wins,
+    // every other occurrence is dropped, docs reassemble from their
+    // surviving segments; the emitted md5 of each reassembled doc
+    // certifies the reconstruction cross-engine without moving text.
+    "dedup_segments" -> ((s, d) => {
+      ops.DedupOps.segmentDedup(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // EXACT set-similarity self-join by prefix filtering (AllPairs/
+    // PPJoin): every distinct-token-Jaccard >= 0.7 pair, no
+    // probabilistic miss — the deterministic complement of the LSH
+    // family, and therefore fully oracle-checkable: DuckDB replays the
+    // same (df, token) global order, integer-exact prefix lengths,
+    // prefix-share candidates, and exact intersection counts.
+    "dedup_setsim_exact" -> ((s, d) => {
+      ops.DedupOps.setSimPairsExact(t(s, d, "documents"),
+          "doc_id", "text")
+        .orderBy(col("a"), col("b"))
+    }),
+
     // SimHash near-dup: 64-bit signature + banded Hamming blocking.
     "dedup_simhash" -> ((s, d) => {
       ops.DedupOps.simhashSummary(t(s, d, "documents"), "doc_id", "text")
@@ -2802,6 +2824,18 @@ object SparkEntry {
         .orderBy(col("ws"), col("event_type"))
     }),
 
+    // Regular-grid resample + forward fill (the feature-store
+    // alignment op): per user, one row per hour bucket across the
+    // user's observed range, valued at the most recent event at or
+    // before the bucket close. Grid generated per key from a min/max
+    // aggregate, filled by ONE per-key ordered window — no self-join,
+    // no global sort; the oracle replays it as an ASOF join.
+    "q_resample_ffill" -> ((s, d) => {
+      ops.TimeSeriesOps.resampleFfill(t(s, d, "events"),
+          "user_id", "ts", "event_id", "value")
+        .orderBy(col("user_id"), col("bucket"))
+    }),
+
     // Click-attribution join (batch mirror of the watermarked
     // stream-stream join in EventStreams.clickAttribution): each click
     // paired with same-user views in the preceding 30 minutes.
@@ -4352,6 +4386,65 @@ object SparkEntry {
         |WHERE round(inter * 1.0 / (na + nb - inter), 4) >= 0.7
         |ORDER BY a, b""".stripMargin,
 
+    // Same segmentation, same first-occurrence election (row_number
+    // over (doc_id, seg_idx) per hash), same ordered reassembly — the
+    // md5 match certifies every surviving segment of every doc.
+    "dedup_segments" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |           FROM documents),
+        |seg AS (SELECT doc_id, i - 1 AS seg_idx,
+        |  array_to_string(w[(i-1)*16+1 : (i-1)*16+16], ' ') AS seg
+        |  FROM t, LATERAL unnest(generate_series(1, (len(w)+15)//16))
+        |    s(i)),
+        |ranked AS (SELECT doc_id, seg_idx, seg,
+        |  row_number() OVER (PARTITION BY md5(seg)
+        |                     ORDER BY doc_id, seg_idx) AS rn
+        |  FROM seg),
+        |kept AS (SELECT doc_id, seg_idx, seg FROM ranked WHERE rn = 1)
+        |SELECT d.doc_id, d.n_segs,
+        |  count(k.seg_idx) AS n_kept,
+        |  md5(coalesce(string_agg(k.seg, ' ' ORDER BY k.seg_idx), ''))
+        |    AS text_md5
+        |FROM (SELECT doc_id, (len(w)+15)//16 AS n_segs FROM t) d
+        |LEFT JOIN kept k USING (doc_id)
+        |GROUP BY d.doc_id, d.n_segs
+        |ORDER BY doc_id""".stripMargin,
+
+    // Prefix filtering replayed move for move: same (df, token) global
+    // order, same integer-exact prefix length (7n+9)//10, same
+    // prefix-share candidates, same exact intersection counts — the
+    // hash match certifies the EXACT join end-to-end.
+    "dedup_setsim_exact" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |           FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(w) >= 3
+        |       THEN list_transform(generate_series(1, len(w) - 2),
+        |            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |       ELSE [array_to_string(w, ' ')] END AS s FROM t),
+        |tok AS (SELECT doc_id, unnest(list_distinct(s)) AS tok FROM sh),
+        |df AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+        |rk AS (SELECT t.doc_id, t.tok, d.df
+        |       FROM tok t JOIN df d USING (tok)),
+        |st AS (SELECT doc_id, array_agg(tok ORDER BY df, tok) AS toks,
+        |              count(*) AS n
+        |       FROM rk GROUP BY doc_id),
+        |pre AS (SELECT doc_id,
+        |  unnest(toks[1 : n - (7 * n + 9) // 10 + 1]) AS tok FROM st),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM pre x JOIN pre y
+        |    ON x.tok = y.tok AND x.doc_id < y.doc_id),
+        |ver AS (SELECT c.a, c.b,
+        |  len(list_intersect(sa.toks, sb.toks)) AS inter,
+        |  sa.n AS na, sb.n AS nb
+        |  FROM cand c JOIN st sa ON sa.doc_id = c.a
+        |              JOIN st sb ON sb.doc_id = c.b)
+        |SELECT a, b,
+        |  round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+        |FROM ver
+        |WHERE inter * 10 >= 7 * (na + nb - inter)
+        |ORDER BY a, b""".stripMargin,
+
     // Fixpoint of the distributed CC loop over identical-text chain
     // edges == per-text-group minimum, which IS SQL-expressible.
     "dedup_clusters_exact" ->
@@ -5112,6 +5205,27 @@ object SparkEntry {
          |ORDER BY hour, event_type""".stripMargin,
 
     // each event belongs to the two 30-min-aligned windows covering it
+    // The fill replayed as an ASOF join: sample instant = bucket close
+    // (in micros — the Spark side's nanos are micros*1000, so the
+    // boundary arithmetic is exact in both engines); same-instant
+    // observations reduce by arg_max(value, event_id) first.
+    "q_resample_ffill" ->
+      """WITH ev0 AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |                    value FROM events),
+        |ev AS (SELECT user_id, us, arg_max(value, event_id) AS value
+        |       FROM ev0 GROUP BY user_id, us),
+        |b AS (SELECT user_id, min(us // 3600000000) AS lo,
+        |             max(us // 3600000000) AS hi
+        |      FROM ev0 GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi))
+        |           AS bucket FROM b),
+        |g AS (SELECT user_id, bucket,
+        |             (bucket + 1) * 3600000000 - 1 AS sus FROM grid)
+        |SELECT g.user_id, g.bucket, e.value
+        |FROM g ASOF JOIN ev e
+        |  ON g.user_id = e.user_id AND g.sus >= e.us
+        |ORDER BY g.user_id, g.bucket""".stripMargin,
+
     "q_events_sliding" ->
       """SELECT make_timestamp(
         |    (epoch_us(ts) // 1800000000 - o) * 1800000000) AS ws,

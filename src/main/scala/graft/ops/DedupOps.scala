@@ -207,6 +207,134 @@ object DedupOps {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** EXACT set-similarity self-join by PREFIX FILTERING (the
+    * AllPairs/PPJoin family — Bayardo, Ma & Srikant WWW'07; Xiao et
+    * al. WWW'08; public literature, independent implementation): every
+    * pair of documents whose distinct word-shingle Jaccard is >= t, with NO
+    * probabilistic miss — the deterministic complement of the
+    * MinHash/SimHash family (LSH trades recall for speed; this trades
+    * a candidate bound derived from the threshold itself).
+    *
+    * The classic argument: order each doc's distinct tokens by a
+    * GLOBAL total order — (document frequency ASC, token ASC), rarest
+    * first — and keep only the first p = n − ceil(t·n) + 1 tokens (the
+    * prefix). If J(x,y) >= t then |x∩y| >= t·|x|, and a y missing ALL
+    * of x's prefix can share at most n − p = ceil(t·n) − 1 < t·n
+    * tokens — contradiction; under the common total order the two
+    * PREFIXES must intersect, so candidates = pairs sharing a prefix
+    * token, found by the same bounded [[bucketPairs]] aggregation as
+    * every other dedup front (bucket = prefix token). Rarest-first
+    * ordering is what keeps buckets small at scale: a stopword can
+    * only reach a prefix when a doc contains almost nothing rarer, so
+    * the inverted index over prefixes indexes the df tail, not the
+    * head. `maxBucket` must exceed the largest prefix-token bucket
+    * for the EXACT guarantee (and the oracle, which has no cap) to
+    * hold — require-gated per bucket is impossible cheaply, so the
+    * default is set far above any real prefix bucket.
+    *
+    * ceil(t·n) is computed in PURE INTEGER arithmetic from the
+    * rational threshold tNum/tDen — ceil(a·n/b) = (a·n + b − 1) div b
+    * — because ceil(0.7·n) through a double can land on either side
+    * of an ulp and the two engines must agree on every prefix length.
+    * Verification intersects the full sorted distinct-token arrays;
+    * emitted Jaccard rounds to 4 dp (round-trips the cross-engine
+    * hash). */
+  def setSimPairsExact(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, tNum: Int = 7, tDen: Int = 10,
+      maxBucket: Int = 100000): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a rational in (0,1]: $tNum/$tDen")
+    // the set universe is word SHINGLES, not tokens: a natural-language
+    // (or small-vocabulary) corpus shares most of its token SET across
+    // unrelated docs, which degenerates a token-set join toward
+    // all-pairs; shingle sets carry word order and are distinctive
+    val tok = docs.select(col(idCol),
+      explode(array_distinct(wordShingles(tokens(col(textCol)),
+        shingleN))).as("tok"))
+    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // per-doc token list in global (df, tok) order — row-local size
+    val ranked = tok.join(dfreq, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+        .as("sorted"))
+      .select(col(idCol),
+        transform(col("sorted"), x => x.getField("tok")).as("toks"),
+        size(col("sorted")).as("n"))
+    val pre = ranked.withColumn("plen",
+        col("n") - ((lit(tNum) * col("n") + lit(tDen - 1))
+          .divide(lit(tDen)).cast("int")) + lit(1))
+      .select(col(idCol), explode(slice(col("toks"), lit(1),
+        col("plen"))).as("tok"))
+    val cand = bucketPairs(pre, Seq(col("tok")), idCol,
+      minN = 2, maxN = maxBucket)
+    val sets = ranked.select(col(idCol), col("toks"), col("n"))
+    cand
+      .join(sets.select(col(idCol).as("a"), col("toks").as("ta"),
+        col("n").as("na")), Seq("a"))
+      .join(sets.select(col(idCol).as("b"), col("toks").as("tb"),
+        col("n").as("nb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jaccard", round(col("inter") /
+        (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("inter") * lit(tDen) >=
+        lit(tNum) * (col("na") + col("nb") - col("inter")))
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** SEGMENT-LEVEL global dedup with document reassembly — the CCNet /
+    * C4 line-dedup curation stage (Wenzek et al. '19 dedup paragraphs
+    * across shards by hash, keep one occurrence; public literature,
+    * independent implementation), over deterministic `segLen`-token
+    * segments standing in for paragraph boundaries (this corpus has no
+    * newlines — segmentation is the q_chunk tiling, the dedup
+    * semantics are CCNet's).
+    *
+    * Election is FIRST OCCURRENCE: per segment hash, the minimum
+    * (doc_id, seg_idx) keeps its copy; every other occurrence is
+    * dropped and the surviving segments re-join in order. Distributed
+    * discipline (the spanExcise pattern): the winner aggregation and
+    * the keep decision move (16-byte hash, doc_id, seg_idx) rows —
+    * segment TEXT never reaches a shuffle; reconstruction is ONE
+    * co-keyed left join of the kept-index arrays back onto the corpus,
+    * with the segment strings recomputed map-side from the doc row by
+    * the same HOF that cut them. Output: per doc, segment counts and
+    * the md5 of the reassembled text (the digest certifies the full
+    * reconstruction cross-engine without emitting text).
+    *
+    * vs [[spanExcise]]: spanExcise removes EVERY occurrence of
+    * duplicated >= L-token spans at token granularity (Lee '22
+    * ExactSubstr); this keeps one canonical copy at paragraph
+    * granularity — the coarser, cheaper stage a curation pipeline
+    * runs first. */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      segLen: Int = 16): DataFrame = {
+    require(segLen >= 1, s"segLen must be >= 1 (got $segLen)")
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("w"))
+      .withColumn("n_segs",
+        ((size(col("w")) + lit(segLen - 1)).divide(lit(segLen)))
+          .cast("long"))
+    val segText: Column => Column = i =>
+      array_join(slice(col("w"), i * segLen + 1, lit(segLen)), " ")
+    val segHashes = base.select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), col("n_segs").cast("int") - 1),
+          i => md5(segText(i)))))
+      .select(col(idCol), col("pos").as("seg_idx"), col("col").as("h"))
+    val winners = segHashes.groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("seg_idx"))).as("win"))
+    val keptIdx = segHashes.join(winners, Seq("h"))
+      .filter(struct(col(idCol), col("seg_idx")) === col("win"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("seg_idx"))).as("keep"))
+    base.join(keptIdx, Seq(idCol), "left")
+      .withColumn("keep", coalesce(col("keep"),
+        array().cast("array<int>")))
+      .select(col(idCol), col("n_segs"),
+        size(col("keep")).cast("long").as("n_kept"),
+        md5(array_join(transform(col("keep"), segText), " "))
+          .as("text_md5"))
+  }
+
   /** Materialize a (small, df/bucket-capped) candidate pair list and
     * restrict an expensive per-doc sketch to the docs that actually
     * appear in a pair: without this, the sketch column is computed for

@@ -262,4 +262,114 @@ class Round8Spec extends SparkSpec {
     assert(!plan.contains("Window"),
       s"upsert must not sort through a window: $plan")
   }
+
+  test("segment dedup: first occurrence wins, docs reassemble in order") {
+    import spark.implicits._
+    // segLen=2 hand corpus: "a b" repeats within doc 1 and across docs
+    val docs = Seq(
+      (1L, "a b c d a b"),     // segs: "a b","c d","a b" → keeps 0,1
+      (2L, "a b e f"),         // "a b" lost to doc 1 seg 0 → keeps "e f"
+      (3L, "c d"),             // lost entirely to doc 1 seg 1
+      (4L, "g h")).toDF("doc_id", "text")
+    val got = graft.ops.DedupOps
+      .segmentDedup(docs, "doc_id", "text", segLen = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    assert(got(1L) == (3L, 2L, md5hex("a b c d")),
+      s"doc 1 must keep its first two segments: ${got(1L)}")
+    assert(got(2L) == (2L, 1L, md5hex("e f")), got(2L).toString)
+    assert(got(3L) == (1L, 0L, md5hex("")),
+      s"doc 3 is entirely duplicate — empty reassembly: ${got(3L)}")
+    assert(got(4L) == (1L, 1L, md5hex("g h")), got(4L).toString)
+  }
+
+  test("resample ffill: gaps carry last value, same-instant max-id wins") {
+    import spark.implicits._
+    val H = 3600L * 1000 * 1000 * 1000 // one hour of nanos
+    val ev = Seq(
+      // user 1: events in hours 0 and 3 — hours 1, 2 must carry 10.0
+      (100L, 0 * H + 5L, 1L, 10.0),
+      (101L, 3 * H + 5L, 1L, 30.0),
+      // user 2: two observations at the SAME instant — event_id 103 wins
+      (102L, 1 * H + 7L, 2L, 1.0),
+      (103L, 1 * H + 7L, 2L, 2.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = graft.ops.TimeSeriesOps
+      .resampleFfill(ev, "user_id", "ts", "event_id", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == Map(
+      (1L, 0L) -> 10.0, (1L, 1L) -> 10.0, (1L, 2L) -> 10.0,
+      (1L, 3L) -> 30.0,
+      (2L, 1L) -> 2.0), got.toString)
+  }
+
+  // EXACT is the selling point of prefix filtering vs the LSH family:
+  // the prefix-filter join must return every >= 0.7 pair that a
+  // brute-force all-pairs sweep finds — identical pair set, identical
+  // 4-dp Jaccard values, zero misses, zero extras.
+  test("setsim exact == brute-force all-pairs (exactness, not recall)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, Sf0001)
+    val got = graft.ops.DedupOps
+      .setSimPairsExact(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // driver-side brute force over distinct 3-shingle sets
+    val sets = docs.collect().map { r =>
+      val w = r.getAs[String]("text").toLowerCase.split(" ")
+      val sh = if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+               else Set(w.mkString(" "))
+      r.getAs[Long]("doc_id") -> sh
+    }.sortBy(_._1)
+    val want = (for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      (a, sa) = sets(i); (b, sb) = sets(j)
+      inter = (sa & sb).size
+      if inter * 10 >= 7 * (sa.size + sb.size - inter)
+    } yield (a, b) -> BigDecimal(inter.toDouble /
+        (sa.size + sb.size - inter))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    assert(want.nonEmpty, "testdata lost its planted near-dups")
+    assert(got == want,
+      s"missed=${(want.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- want.keySet).take(5)}")
+  }
+
+  test("setsim prefix front prunes: candidates well under all-pairs") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, Sf0001)
+    val n = docs.count()
+    // the candidate generator (everything before verification) must
+    // stay far below n*(n-1)/2 — prefix filtering is pointless if the
+    // prefix buckets regenerate the cartesian
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(graft.ops.DedupOps.wordShingles(
+        graft.ops.DedupOps.tokens(col("text")), 3))).as("tok"))
+    val dfreq = sh.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+        .as("sorted"))
+      .select(col("doc_id"),
+        transform(col("sorted"), x => x.getField("tok")).as("toks"),
+        size(col("sorted")).as("n"))
+    val pre = ranked.withColumn("plen",
+        col("n") - ((lit(7) * col("n") + lit(9))
+          .divide(lit(10)).cast("int")) + lit(1))
+      .select(col("doc_id"), explode(slice(col("toks"), lit(1),
+        col("plen"))).as("tok"))
+    val candidates = pre.as("x").join(pre.as("y"),
+        col("x.tok") === col("y.tok") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+    val allPairs = n * (n - 1) / 2
+    assert(candidates * 10 < allPairs,
+      s"prefix filter generated $candidates candidates of $allPairs " +
+        "possible pairs — the front is not pruning")
+  }
 }
