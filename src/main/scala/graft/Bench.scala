@@ -129,8 +129,10 @@ object Bench {
     "pipeline_pack_spans" -> "pps", "ann_class_stats" -> "acs",
     "dedup_minhash_portable" -> "dmp", "graph_triangles" -> "gtr",
     "text_inverted_index" -> "tix", "text_wordpiece_train" -> "twt",
-    "text_wordpiece_encode" -> "twe", "dedup_setsim_exact" -> "dst",
-    "dedup_segments" -> "dsg", "q_resample_ffill" -> "rff")
+    "text_wordpiece_encode" -> "twe", "dedup_setsim_exact" -> "dpj",
+    "dedup_segments" -> "dsg", "q_resample_ffill" -> "rff",
+    "graph_communities" -> "gcm", "dedup_simhash_portable" -> "dhp",
+    "text_phrase_search" -> "tps")
 
   /** 2-decimal seconds with trailing zeros stripped ("0.20" -> "0.2",
     * "1.00" -> "1") — still valid JSON numbers, ~0.5 chars/query saved. */

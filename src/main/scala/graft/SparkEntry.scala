@@ -928,6 +928,43 @@ object SparkEntry {
         .orderBy(col("term"), col("shard"))
     }),
 
+    // Positional PHRASE SEARCH over the token table (the query side of
+    // text_inverted_index): the corpus's top-3 trigram phrases are
+    // located by the ALIGNED-OFFSET join — every token matching a
+    // phrase word maps to a candidate start = pos − word_index, and a
+    // start with all 3 distinct word indexes present is a phrase hit —
+    // ONE aggregation instead of chained adjacency self-joins, the
+    // token stream filtered to phrase words by a broadcast before
+    // anything shuffles. Output: per (phrase, doc) occurrence count and
+    // first position.
+    "text_phrase_search" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      val tok = base.select(col("doc_id"), posexplode(col("w")))
+        .select(col("doc_id"), col("pos"), col("col").as("term"))
+      val tri = base
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("w")) - 3),
+          i => concat_ws(" ", element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2), element_at(col("w"), i + 3))))
+          .as("g3"))
+      val top3 = tri.groupBy(col("g3")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("g3")).limit(3)
+      val words = top3.select(col("g3").as("phrase"),
+          posexplode(split(col("g3"), " ")))
+        .select(col("phrase"), col("pos").as("widx"),
+          col("col").as("term"))
+      tok.join(broadcast(words), Seq("term"))
+        .withColumn("strt", (col("pos") - col("widx")).cast("long"))
+        .groupBy(col("phrase"), col("doc_id"), col("strt"))
+        .agg(countDistinct(col("widx")).as("k"))
+        .filter(col("k") === 3)
+        .groupBy(col("phrase"), col("doc_id"))
+        .agg(count(lit(1)).as("n_occ"), min(col("strt")).as("first_pos"))
+        .orderBy(col("phrase"), col("doc_id"))
+    }),
+
     // Skip-gram (center, context) pair counts, window ±2 — the
     // co-occurrence statistics embedding training consumes (word2vec
     // shape). Pair generation is a per-document HOF over the token
@@ -1080,6 +1117,17 @@ object SparkEntry {
     // prefix-share candidates, and exact intersection counts.
     "dedup_setsim_exact" -> ((s, d) => {
       ops.DedupOps.setSimPairsExact(t(s, d, "documents"),
+          "doc_id", "text")
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // SimHash with the PORTABLE md5 family — the Hamming twin of
+    // dedup_minhash_portable: the oracle replays per-shingle md5
+    // votes, bit-majority signature, 4x15-bit bands, candidates, and
+    // popcount verification, certifying the banded-Hamming pipeline
+    // end-to-end cross-engine.
+    "dedup_simhash_portable" -> ((s, d) => {
+      ops.DedupOps.portableSimhashPairs(t(s, d, "documents"),
           "doc_id", "text")
         .orderBy(col("a"), col("b"))
     }),
@@ -1372,6 +1420,28 @@ object SparkEntry {
       tri.agg(count(lit(1)).as("n_triangles"))
         .select(lit(-1L).as("node"), col("n_triangles"))
         .unionByName(perNode)
+        .orderBy(col("node"))
+    }),
+
+    // Community detection by deterministic synchronous label
+    // propagation (min-label ties, self-loop damping, 4 fixed rounds)
+    // over the SAME temporal co-occurrence graph as graph_triangles;
+    // every update is an integer count argmax, so the oracle unrolls
+    // the rounds as CTEs (the pagerank discipline) and the full
+    // node→community assignment hash-matches cross-engine.
+    "graph_communities" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"), col("hr"))
+        .orderBy(col("ts"), col("event_id"))
+      val adj = t(s, d, "events")
+        .select(col("event_type"), expr("ts div 3600000000000").as("hr"),
+          col("user_id"), col("ts"), col("event_id"))
+        .withColumn("nxt", lead(col("user_id"), 1).over(w))
+        .filter(col("nxt").isNotNull && col("nxt") =!= col("user_id"))
+        .select(least(col("user_id"), col("nxt")).as("u"),
+          greatest(col("user_id"), col("nxt")).as("v"))
+        .distinct()
+      ops.GraphOps.labelPropagation(adj, "u", "v", iters = 4)
+        .select(col("node"), col("label").as("community"))
         .orderBy(col("node"))
     }),
 
@@ -3813,6 +3883,39 @@ object SparkEntry {
     * the iteration engine-portable BY CONSTRUCTION. The symmetrized
     * interaction graph has no dangling nodes, so the dangling-mass
     * term is structurally zero on both sides. */
+  /** LPA oracle: the synchronous rounds unrolled as CTEs (the
+    * pagerankOracleSql discipline) — integer count argmax with
+    * (cnt DESC, label ASC) total tie order, self-loops included, over
+    * the same hour-bucketed co-occurrence graph as graph_triangles. */
+  private def lpaOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""l$i AS (SELECT src AS node, label FROM (
+         |  SELECT a.src, l.label, count(*) AS cnt,
+         |    row_number() OVER (PARTITION BY a.src
+         |      ORDER BY count(*) DESC, l.label) AS rn
+         |  FROM adj a JOIN l${i - 1} l ON l.node = a.dst
+         |  GROUP BY a.src, l.label) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS hr, user_id,
+       |         lead(user_id) OVER (
+       |           PARTITION BY event_type, date_trunc('hour', ts)
+       |           ORDER BY ts, event_id) AS nxt
+       |  FROM events),
+       |e0 AS (SELECT DISTINCT least(user_id, nxt) AS u,
+       |              greatest(user_id, nxt) AS v
+       |       FROM seq WHERE nxt IS NOT NULL AND nxt <> user_id),
+       |nodes AS (SELECT DISTINCT u AS node FROM
+       |          (SELECT u FROM e0 UNION ALL SELECT v FROM e0) t(u)),
+       |adj AS (SELECT u AS src, v AS dst FROM e0
+       |        UNION ALL SELECT v, u FROM e0
+       |        UNION ALL SELECT node, node FROM nodes),
+       |l0 AS (SELECT node, node AS label FROM nodes),
+       |$rounds
+       |SELECT node, label AS community FROM l$iters
+       |ORDER BY node""".stripMargin
+  }
+
   private def pagerankOracleSql(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""r$i AS (
@@ -4410,10 +4513,48 @@ object SparkEntry {
         |GROUP BY d.doc_id, d.n_segs
         |ORDER BY doc_id""".stripMargin,
 
-    // Prefix filtering replayed move for move: same (df, token) global
-    // order, same integer-exact prefix length (7n+9)//10, same
-    // prefix-share candidates, same exact intersection counts — the
-    // hash match certifies the EXACT join end-to-end.
+    // The portable SimHash replayed bit for bit: same md5-per-shingle
+    // votes (with multiplicity), same strict-majority bit rule, same
+    // band keys, same popcount cut.
+    "dedup_simhash_portable" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |           FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(w) >= 3
+        |       THEN list_transform(generate_series(1, len(w) - 2),
+        |            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |       ELSE [array_to_string(w, ' ')] END AS s FROM t),
+        |hm AS (SELECT doc_id,
+        |  (('0x' || substr(md5(unnest(s)), 1, 15))::BIGINT)
+        |    % 2147483647 AS h FROM sh),
+        |bits AS (SELECT doc_id, b,
+        |  CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1
+        |                     THEN 1 ELSE -1 END) > 0
+        |       THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        |  FROM hm, LATERAL unnest(generate_series(0, 59)) tb(b)
+        |  GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id, cast(sum(bit * (1::BIGINT << b))
+        |                            AS BIGINT) AS sig
+        |        FROM bits GROUP BY doc_id),
+        |band AS (SELECT doc_id, b AS band_id,
+        |  (sig >> (b * 15)) & 32767 AS band_key
+        |  FROM sig, LATERAL unnest(generate_series(0, 3)) tb(b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM band x JOIN band y
+        |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+        |   AND x.doc_id < y.doc_id)
+        |SELECT c.a, c.b,
+        |  cast(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+        |FROM cand c JOIN sig sa ON sa.doc_id = c.a
+        |            JOIN sig sb ON sb.doc_id = c.b
+        |WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
+        |ORDER BY a, b""".stripMargin,
+
+    // Prefix filtering replayed move for move: same md5-long set
+    // elements, same (df, hash) global order, same integer-exact
+    // prefix length (7n+9)//10, same prefix-share candidates, same
+    // size-compatibility cut, same intersection counts — the hash
+    // match certifies the EXACT join end-to-end.
     "dedup_setsim_exact" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
         |           FROM documents),
@@ -4422,23 +4563,28 @@ object SparkEntry {
         |       THEN list_transform(generate_series(1, len(w) - 2),
         |            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
         |       ELSE [array_to_string(w, ' ')] END AS s FROM t),
-        |tok AS (SELECT doc_id, unnest(list_distinct(s)) AS tok FROM sh),
-        |df AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
-        |rk AS (SELECT t.doc_id, t.tok, d.df
-        |       FROM tok t JOIN df d USING (tok)),
-        |st AS (SELECT doc_id, array_agg(tok ORDER BY df, tok) AS toks,
+        |shd AS (SELECT doc_id, list_distinct(list_transform(s, x ->
+        |  (('0x' || substr(md5(x), 1, 15))::BIGINT) % 2147483647))
+        |  AS hd FROM sh),
+        |tok AS (SELECT doc_id, unnest(hd) AS h FROM shd),
+        |df AS (SELECT h, count(*) AS df FROM tok GROUP BY h),
+        |rk AS (SELECT t.doc_id, t.h, d.df FROM tok t JOIN df d
+        |       USING (h)),
+        |st AS (SELECT doc_id, array_agg(h ORDER BY df, h) AS hs,
         |              count(*) AS n
         |       FROM rk GROUP BY doc_id),
         |pre AS (SELECT doc_id,
-        |  unnest(toks[1 : n - (7 * n + 9) // 10 + 1]) AS tok FROM st),
+        |  unnest(hs[1 : n - (7 * n + 9) // 10 + 1]) AS h FROM st),
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |  FROM pre x JOIN pre y
-        |    ON x.tok = y.tok AND x.doc_id < y.doc_id),
+        |    ON x.h = y.h AND x.doc_id < y.doc_id),
         |ver AS (SELECT c.a, c.b,
-        |  len(list_intersect(sa.toks, sb.toks)) AS inter,
-        |  sa.n AS na, sb.n AS nb
-        |  FROM cand c JOIN st sa ON sa.doc_id = c.a
-        |              JOIN st sb ON sb.doc_id = c.b)
+        |  len(list_intersect(sa.hd, sb.hd)) AS inter,
+        |  len(sa.hd) AS na, len(sb.hd) AS nb
+        |  FROM cand c JOIN shd sa ON sa.doc_id = c.a
+        |              JOIN shd sb ON sb.doc_id = c.b
+        |  WHERE 10 * least(len(sa.hd), len(sb.hd)) >=
+        |        7 * greatest(len(sa.hd), len(sb.hd)))
         |SELECT a, b,
         |  round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
         |FROM ver
@@ -4724,6 +4870,8 @@ object SparkEntry {
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "graph_pagerank" -> pagerankOracleSql(12),
+
+    "graph_communities" -> lpaOracleSql(4),
 
     // Same temporal-adjacency graph, same degree-ordered orientation
     // ((deg, id) tuple compare), same two-join wedge closure.
@@ -5621,6 +5769,33 @@ object SparkEntry {
         |)
         |SELECT gram, count(*) AS n FROM g
         |GROUP BY gram ORDER BY n DESC, gram LIMIT 50""".stripMargin,
+
+    // Same top-3 phrase derivation, same aligned-offset hit test.
+    "text_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |           FROM documents),
+        |tok AS (SELECT doc_id, i - 1 AS pos, w[i] AS term
+        |        FROM t, LATERAL unnest(generate_series(1, len(w)))
+        |          s(i)),
+        |tri AS (SELECT doc_id,
+        |  w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g3
+        |  FROM t, LATERAL unnest(generate_series(1, len(w) - 2)) s(i)
+        |  WHERE len(w) >= 3),
+        |top3 AS (SELECT g3 AS phrase, count(*) AS n FROM tri
+        |         GROUP BY g3 ORDER BY n DESC, g3 LIMIT 3),
+        |words AS (SELECT phrase, i - 1 AS widx,
+        |                 string_split(phrase, ' ')[i] AS term
+        |          FROM top3, LATERAL unnest(generate_series(1, 3)) s(i)),
+        |cand AS (SELECT w.phrase, tk.doc_id,
+        |                tk.pos - w.widx AS strt,
+        |                count(DISTINCT w.widx) AS k
+        |         FROM tok tk JOIN words w ON w.term = tk.term
+        |         GROUP BY w.phrase, tk.doc_id, strt)
+        |SELECT phrase, doc_id, count(*) AS n_occ,
+        |       cast(min(strt) AS BIGINT) AS first_pos
+        |FROM cand WHERE k = 3
+        |GROUP BY phrase, doc_id
+        |ORDER BY phrase, doc_id""".stripMargin,
 
     // Postings serialized "doc:p1,p2|doc:p1" per (term, shard) with
     // doc order fixed — the md5 digest match certifies every position

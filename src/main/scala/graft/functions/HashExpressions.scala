@@ -215,6 +215,53 @@ object SketchKernels {
     new GenericArrayData(sortedDistinct(hs))
   }
 
+  /** PORTABLE SimHash signature over the `shingleN`-word shingles of a
+    * token array: each shingle (WITH multiplicity — frequency weights
+    * the vote, the Charikar '02 convention) is md5-hashed exactly as in
+    * [[portableMinhashSignature]] to a 60-bit value mod [[PortableP]],
+    * and signature bit j is set iff the (+1/−1) vote sum over shingles'
+    * bit j is strictly positive (tie → 0). Every step — md5, hex
+    * parse, shift, compare — replays in portable SQL, so a banded
+    * Hamming near-dup pipeline over this signature is
+    * hash-oracle-checkable end-to-end (the xxhash-based [[SimHash64]]
+    * stays the production wire format). */
+  def portableSimhash(toks: ArrayData, shingleN: Int): Long = {
+    val P = PortableP
+    val md = md5Local.get()
+    val n = toks.numElements()
+    val nShingles = if (n >= shingleN) n - shingleN + 1 else 1
+    val width = if (n >= shingleN) shingleN else n
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < nShingles) {
+      md.reset()
+      var t = 0
+      while (t < width) {
+        if (t > 0) md.update(SpaceByte)
+        md.update(toks.getUTF8String(i + t).getBytes)
+        t += 1
+      }
+      val digest = md.digest()
+      var h = 0L
+      var j = 0
+      while (j < 7) { h = (h << 8) | (digest(j) & 0xffL); j += 1 }
+      h = ((h << 4) | ((digest(7) & 0xf0L) >> 4)) % P
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   def charNgramHashes(text: UTF8String, n: Int): ArrayData = {
     val bytes = text.toLowerCase.getBytes
     val len = bytes.length
@@ -498,6 +545,25 @@ case class PortableShingleHashes(child: Expression, shingleN: Int = 3)
       : PortableShingleHashes = copy(child = c)
 }
 
+/** Portable (md5 mod 2³¹−1 base hash) SimHash of a token array's word
+  * shingles — see [[SketchKernels.portableSimhash]]. Output: long
+  * (bits 0..59 used). */
+case class PortableSimhash(child: Expression, shingleN: Int = 3)
+    extends KernelCallExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "portable_simhash"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.portableSimhash(input.asInstanceOf[ArrayData], shingleN)
+
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.SketchKernels.portableSimhash($c, $shingleN)"
+
+  override protected def withNewChildInternal(c: Expression)
+      : PortableSimhash = copy(child = c)
+}
+
 /** Distinct hashes of the character n-grams of a string — one pass
   * over the UTF-8 bytes with a true rolling window (no substring
   * allocation), for the n-gram-Jaccard dedup path. Strings shorter
@@ -711,6 +777,9 @@ object HashFunctions {
 
   def portableShingleHashes(tokens: Column, shingleN: Int = 3): Column =
     column(PortableShingleHashes(expression(tokens), shingleN))
+
+  def portableSimhash(tokens: Column, shingleN: Int = 3): Column =
+    column(PortableSimhash(expression(tokens), shingleN))
 
   def charNgramHashes(text: Column, n: Int): Column =
     column(CharNgramHashes(expression(text), n))

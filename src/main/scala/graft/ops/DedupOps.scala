@@ -215,9 +215,9 @@ object DedupOps {
     * MinHash/SimHash family (LSH trades recall for speed; this trades
     * a candidate bound derived from the threshold itself).
     *
-    * The classic argument: order each doc's distinct tokens by a
-    * GLOBAL total order — (document frequency ASC, token ASC), rarest
-    * first — and keep only the first p = n − ceil(t·n) + 1 tokens (the
+    * The classic argument: order each doc's distinct set elements by a
+    * GLOBAL total order — (document frequency ASC, md5-hash ASC),
+    * rarest first — and keep only the first p = n − ceil(t·n) + 1 (the
     * prefix). If J(x,y) >= t then |x∩y| >= t·|x|, and a y missing ALL
     * of x's prefix can share at most n − p = ceil(t·n) − 1 < t·n
     * tokens — contradiction; under the common total order the two
@@ -236,9 +236,9 @@ object DedupOps {
     * rational threshold tNum/tDen — ceil(a·n/b) = (a·n + b − 1) div b
     * — because ceil(0.7·n) through a double can land on either side
     * of an ulp and the two engines must agree on every prefix length.
-    * Verification intersects the full sorted distinct-token arrays;
-    * emitted Jaccard rounds to 4 dp (round-trips the cross-engine
-    * hash). */
+    * Verification intersects the sorted distinct md5-long shingle
+    * sets; emitted Jaccard rounds to 4 dp (round-trips the
+    * cross-engine hash). */
   def setSimPairsExact(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, tNum: Int = 7, tDen: Int = 10,
       maxBucket: Int = 100000): DataFrame = {
@@ -247,38 +247,108 @@ object DedupOps {
     // the set universe is word SHINGLES, not tokens: a natural-language
     // (or small-vocabulary) corpus shares most of its token SET across
     // unrelated docs, which degenerates a token-set join toward
-    // all-pairs; shingle sets carry word order and are distinctive
+    // all-pairs; shingle sets carry word order and are distinctive.
+    // Set elements are the PORTABLE md5-long shingle hashes
+    // (PortableShingleHashes — the same arithmetic any engine
+    // replays): the global order becomes (df ASC, hash ASC), df
+    // counting / prefix sorting / bucketing / verification all move
+    // 8-byte longs, and NO shingle string ever reaches a shuffle —
+    // the string spelling of this front shuffled the token stream
+    // twice as strings and profiled 3x slower. Exactness is mod md5
+    // collisions (the spec's brute-force-strings equality would catch
+    // one); the oracle replays the identical hash, so the cross-engine
+    // match certifies the whole pipeline.
     val tok = docs.select(col(idCol),
-      explode(array_distinct(wordShingles(tokens(col(textCol)),
-        shingleN))).as("tok"))
-    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    // per-doc token list in global (df, tok) order — row-local size
-    val ranked = tok.join(dfreq, Seq("tok"))
+      explode(HashFunctions.portableShingleHashes(
+        tokens(col(textCol)), shingleN)).as("h"))
+    val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // per-doc hash list in global (df, h) order — row-local size
+    val ranked = tok.join(dfreq, Seq("h"))
       .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+      .agg(sort_array(collect_list(struct(col("df"), col("h"))))
         .as("sorted"))
       .select(col(idCol),
-        transform(col("sorted"), x => x.getField("tok")).as("toks"),
+        transform(col("sorted"), x => x.getField("h")).as("hs"),
         size(col("sorted")).as("n"))
     val pre = ranked.withColumn("plen",
         col("n") - ((lit(tNum) * col("n") + lit(tDen - 1))
           .divide(lit(tDen)).cast("int")) + lit(1))
-      .select(col(idCol), explode(slice(col("toks"), lit(1),
-        col("plen"))).as("tok"))
-    val cand = bucketPairs(pre, Seq(col("tok")), idCol,
+      .select(col(idCol), explode(slice(col("hs"), lit(1),
+        col("plen"))).as("h"))
+    val candRaw = bucketPairs(pre, Seq(col("h")), idCol,
       minN = 2, maxN = maxBucket)
-    val sets = ranked.select(col(idCol), col("toks"), col("n"))
+    // SIZE-COMPATIBILITY filter (the AllPairs length bound) before
+    // anything set-shaped moves: J >= t forces t·max(|x|,|y|) <=
+    // min(|x|,|y|) — checked in the same integer rational arithmetic.
+    // On a dense shingle space (this corpus: small vocab, fat df tail)
+    // the prefix front alone leaves ~2% of all-pairs; the size cut
+    // halves that for the price of two (id, int) joins.
+    val sizes = docs.select(col(idCol),
+      size(HashFunctions.portableShingleHashes(
+        tokens(col(textCol)), shingleN)).as("__n"))
+    val cand = candRaw
+      .join(sizes.select(col(idCol).as("a"), col("__n").as("na")),
+        Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("__n").as("nb")),
+        Seq("b"))
+      .filter(least(col("na"), col("nb")) * lit(tDen) >=
+        lit(tNum) * greatest(col("na"), col("nb")))
+      .localCheckpoint(true)
+    // verification intersects the md5-long shingle SETS (compiled
+    // kernel, 8-byte elements), and ONLY for docs that survive to a
+    // candidate pair (the verifySketches discipline) — the string-set
+    // spelling of this join was 20x the suite's mean query time
+    val candIds = cand.select(explode(array(col("a"), col("b")))
+      .as(idCol)).distinct()
+    val candS = docs.join(broadcast(candIds), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        HashFunctions.portableShingleHashes(
+          tokens(col(textCol)), shingleN).as("sd"))
     cand
-      .join(sets.select(col(idCol).as("a"), col("toks").as("ta"),
-        col("n").as("na")), Seq("a"))
-      .join(sets.select(col(idCol).as("b"), col("toks").as("tb"),
-        col("n").as("nb")), Seq("b"))
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .join(candS.select(col(idCol).as("a"), col("sd").as("sa")),
+        Seq("a"))
+      .join(candS.select(col(idCol).as("b"), col("sd").as("sb")),
+        Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", round(col("inter") /
         (col("na") + col("nb") - col("inter")), 4))
       .filter(col("inter") * lit(tDen) >=
         lit(tNum) * (col("na") + col("nb") - col("inter")))
       .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** SimHash near-dup with the PORTABLE md5 hash family — the Hamming
+    * twin of [[portableMinhashPairs]], existing so a SQL oracle can
+    * replay the ENTIRE banded-signature pipeline (per-shingle md5
+    * votes, bit-majority signature, 4×15-bit band keys, bucket
+    * candidates, popcount verification) and certify the structure the
+    * production xxhash [[simhashSummary]] shares. Same plan shape:
+    * signature in one compiled kernel pass, candidates from the single
+    * [[bucketPairs]] aggregation, verification on (long, long) pairs
+    * only. Output: (a, b, hamming) for pairs within `maxHamming`. */
+  def portableSimhashPairs(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val sigs = docs.select(col(idCol),
+      HashFunctions.portableSimhash(tokens(col(textCol)), shingleN)
+        .as("sig"))
+      .localCheckpoint(true) // one kernel pass, reused by band + verify
+    val banded = sigs.select(col(idCol),
+      posexplode(array((0 to 3).map(b =>
+        shiftright(col("sig"), b * 15).bitwiseAND(lit(32767L))): _*)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_key")
+    val cand = bucketPairs(banded, Seq(col("band_id"), col("band_key")),
+      idCol, minN = 2, maxN = maxBucket)
+    cand
+      .join(sigs.select(col(idCol).as("a"), col("sig").as("sa")),
+        Seq("a"))
+      .join(sigs.select(col(idCol).as("b"), col("sig").as("sb")),
+        Seq("b"))
+      .withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
   }
 
   /** SEGMENT-LEVEL global dedup with document reassembly — the CCNet /

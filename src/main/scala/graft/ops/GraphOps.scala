@@ -105,6 +105,75 @@ object GraphOps {
     ranks
   }
 
+  /** Community detection by SYNCHRONOUS LABEL PROPAGATION (Raghavan,
+    * Albert & Kumara 2007, public literature; independent
+    * implementation), made fully deterministic: a fixed iteration
+    * count, ties broken by the MINIMUM label, and a self-loop per node
+    * (each node votes its own current label) — the standard damping
+    * for the two-coloring oscillation synchronous LPA exhibits on
+    * near-bipartite regions. Deterministic end-to-end: every update is
+    * an integer count argmax with a total tie order, so the result is
+    * identical under any partitioning and replayable in portable SQL
+    * (the oracle unrolls the rounds as CTEs, like PageRank's).
+    *
+    * Scale discipline (the [[pagerank]] loop): the symmetrized
+    * adjacency is projected to two longs per edge and checkpointed
+    * once; every round joins it to the (node, label) state CO-KEYED ON
+    * dst — the same key each round — then two aggregations (count per
+    * (node, candidate), argmax per node) whose shuffle rows are (long,
+    * long, count). State is eagerly localCheckpoint'ed per round: one
+    * job per round, round-sized plans, nothing driver-side. */
+  def labelPropagation(und: DataFrame, uCol: String, vCol: String,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    val e0 = und.select(col(uCol).cast("long").as("u"),
+      col(vCol).cast("long").as("v"))
+    val nodes = e0.select(col("u").as("node"))
+      .union(e0.select(col("v").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val adj = e0.select(col("u").as("src"), col("v").as("dst"))
+      .union(e0.select(col("v").as("src"), col("u").as("dst")))
+      .union(nodes.select(col("node").as("src"), col("node").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    var iter = 0
+    while (iter < iters) {
+      val votes = adj
+        .join(labels.select(col("node").as("dst"), col("label")),
+          Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      labels = votes.groupBy(col("src"))
+        // argmax by (cnt DESC, label ASC) as a struct MIN — one
+        // aggregate, no per-node window
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("lb")))
+          .as("m"))
+        .select(col("src").as("node"), col("m.lb").as("label"))
+        .localCheckpoint()
+      iter += 1
+    }
+    labels
+  }
+
+  /** Driver-side LPA reference with IDENTICAL update order — the
+    * spec's exact-equality anchor; do not use at scale. */
+  private[graft] def lpaLocal(edges: Seq[(Long, Long)],
+      iters: Int = 4): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val adj = (edges.flatMap { case (u, v) => Seq(u -> v, v -> u) } ++
+      nodes.map(n => n -> n)).groupBy(_._1).map { case (s, ds) =>
+        s -> ds.map(_._2) }
+    var labels = nodes.map(n => n -> n).toMap
+    (1 to iters).foreach { _ =>
+      labels = adj.map { case (s, ds) =>
+        val counts = ds.groupBy(labels).map { case (l, o) => l -> o.size }
+        s -> counts.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    labels
+  }
+
   /** Exact triangle enumeration by DEGREE-ORDERED ORIENTATION (the
     * node-iterator++ / MapReduce formulation of Suri & Vassilvitskii
     * WWW'11, public literature; independent implementation): orient

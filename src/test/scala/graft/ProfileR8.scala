@@ -68,6 +68,10 @@ object ProfileR8 {
       docs, "doc_id", "text").count())
     time("pairs2")(graft.ops.DedupOps.portableMinhashPairs(
       docs, "doc_id", "text").count())
+    time("setsim")(graft.ops.DedupOps.setSimPairsExact(
+      docs, "doc_id", "text").count())
+    time("setsim2")(graft.ops.DedupOps.setSimPairsExact(
+      docs, "doc_id", "text").count())
     spark.stop()
   }
 }

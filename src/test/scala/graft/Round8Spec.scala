@@ -179,6 +179,58 @@ class Round8Spec extends SparkSpec {
       s"lane minima must match the independent md5 recompute")
   }
 
+  test("portable simhash: sig == bit-vote recompute, dup/near/disjoint") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // testdata-sized docs (~100 tokens): simhash bit votes are sums of
+    // ~n_shingles ±1 terms, so on very short docs a one-word edit can
+    // flip >3 bits — the operator targets document-scale text
+    val base = ("the quick brown fox jumps over the lazy dog near the " +
+      "river bank while the sun sets slowly behind the tall mountain " * 5)
+      .trim
+    val other = ("completely different words about spark query engines " +
+      "and distributed columnar execution with vectorized operators " * 5)
+      .trim
+    val nearDup = base.replaceFirst("slowly", "quickly")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, base), (4L, other))
+      .toDF("doc_id", "text")
+    // independent Scala recompute of the bit-majority signature
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val P = 2147483647L
+    def sigOf(text: String): Long = {
+      val toks = text.toLowerCase.split(" ").toSeq
+      val sh = if (toks.length >= 3) toks.sliding(3).map(_.mkString(" "))
+        .toSeq else Seq(toks.mkString(" "))
+      val votes = new Array[Int](60)
+      sh.foreach { s =>
+        val h = java.lang.Long.parseLong(md5hex(s).take(15), 16) % P
+        (0 until 60).foreach { b =>
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1 }
+      }
+      (0 until 60).foldLeft(0L)((acc, b) =>
+        if (votes(b) > 0) acc | (1L << b) else acc)
+    }
+    val sigs = docs
+      .select(col("doc_id"), graft.functions.HashFunctions
+        .portableSimhash(graft.ops.DedupOps.tokens(col("text")), 3)
+        .as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigOf(base) && sigs(4L) == sigOf(other),
+      "kernel signature must equal the independent bit-vote recompute")
+    val pairs = graft.ops.DedupOps
+      .portableSimhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(pairs.get((1L, 3L)).contains(0L),
+      s"exact copy must verify at hamming 0: $pairs")
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) <= 3L,
+      s"planted near-dup must survive the hamming cut: $pairs")
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L },
+      s"the disjoint doc must never pair: $pairs")
+  }
+
   test("triangles: hand graphs (K4, path, two shared triangles)") {
     import spark.implicits._
     def tri(edges: (Long, Long)*): Seq[(Long, Long, Long)] =
@@ -287,6 +339,42 @@ class Round8Spec extends SparkSpec {
     assert(got(4L) == (1L, 1L, md5hex("g h")), got(4L).toString)
   }
 
+  test("label propagation: two cliques split at the bridge") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} joined by bridge 3-4; hand trace
+    // (self-loop voting, min-label ties): r1 [1,1,1,3,4,4] →
+    // r2 [1,1,1,4,4,4], stable after
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("u", "v")
+    val got = graft.ops.GraphOps.labelPropagation(edges, "u", "v", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L), got.toString)
+  }
+
+  test("label propagation == driver recompute on the real graph") {
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("hr"))
+      .orderBy(col("ts"), col("event_id"))
+    val adj = Tables.events(spark, Sf0001)
+      .select(col("event_type"), expr("ts div 3600000000000").as("hr"),
+        col("user_id"), col("ts"), col("event_id"))
+      .withColumn("nxt", lead(col("user_id"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("nxt") =!= col("user_id"))
+      .select(least(col("user_id"), col("nxt")).as("u"),
+        greatest(col("user_id"), col("nxt")).as("v"))
+      .distinct()
+    val got = graft.ops.GraphOps.labelPropagation(adj, "u", "v", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = adj.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = graft.ops.GraphOps.lpaLocal(edges, 4)
+    assert(got == want,
+      s"diff=${(got.toSet diff want.toSet).take(5)}")
+    assert(got.nonEmpty && got.values.forall(got.keySet.contains),
+      "every community label must be a member node's id")
+  }
+
   test("resample ffill: gaps carry last value, same-instant max-id wins") {
     import spark.implicits._
     val H = 3600L * 1000 * 1000 * 1000 // one hour of nanos
@@ -340,31 +428,71 @@ class Round8Spec extends SparkSpec {
         s"extra=${(got.keySet -- want.keySet).take(5)}")
   }
 
+  // property form of the exactness gate: random small-vocab corpora
+  // (the adversarial case for prefix filtering — fat df tails) with
+  // planted near-dups; the prefix-filter join must equal brute force
+  // on every one. Manual scalacheck sampling (PropertiesSpec pattern).
+  test("setsim exactness property: 10 random corpora == brute force") {
+    import org.scalacheck.{Gen, rng}
+    import spark.implicits._
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docGen = for {
+      n <- Gen.choose(12, 30)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    (0 until 10).foreach { trial =>
+      val params = Gen.Parameters.default
+      val base = (0 until 8).flatMap(i =>
+        docGen.apply(params, rng.Seed(1000L * trial + i)))
+      // plant one near-dup of doc 0 (drop the last token)
+      val texts = base :+ base.head.split(" ").dropRight(1).mkString(" ")
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.ops.DedupOps
+        .setSimPairsExact(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = texts.zipWithIndex.map { case (t, i) =>
+        val w = t.toLowerCase.split(" ")
+        i.toLong -> (if (w.length >= 3) w.sliding(3).map(_.mkString(" "))
+          .toSet else Set(w.mkString(" ")))
+      }
+      val want = (for {
+        i <- sets.indices; j <- (i + 1) until sets.length
+        (a, sa) = sets(i); (b, sb) = sets(j)
+        inter = (sa & sb).size
+        if inter * 10 >= 7 * (sa.size + sb.size - inter)
+      } yield (a, b)).toSet
+      assert(got == want, s"trial=$trial missed=${want -- got} " +
+        s"extra=${got -- want}")
+    }
+  }
+
   test("setsim prefix front prunes: candidates well under all-pairs") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, Sf0001)
     val n = docs.count()
     // the candidate generator (everything before verification) must
     // stay far below n*(n-1)/2 — prefix filtering is pointless if the
-    // prefix buckets regenerate the cartesian
+    // prefix buckets regenerate the cartesian (mirrors the md5-long
+    // front of setSimPairsExact)
     val sh = docs.select(col("doc_id"),
-      explode(array_distinct(graft.ops.DedupOps.wordShingles(
-        graft.ops.DedupOps.tokens(col("text")), 3))).as("tok"))
-    val dfreq = sh.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val ranked = sh.join(dfreq, Seq("tok"))
+      explode(graft.functions.HashFunctions.portableShingleHashes(
+        graft.ops.DedupOps.tokens(col("text")), 3)).as("h"))
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, Seq("h"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+      .agg(sort_array(collect_list(struct(col("df"), col("h"))))
         .as("sorted"))
       .select(col("doc_id"),
-        transform(col("sorted"), x => x.getField("tok")).as("toks"),
+        transform(col("sorted"), x => x.getField("h")).as("hs"),
         size(col("sorted")).as("n"))
     val pre = ranked.withColumn("plen",
         col("n") - ((lit(7) * col("n") + lit(9))
           .divide(lit(10)).cast("int")) + lit(1))
-      .select(col("doc_id"), explode(slice(col("toks"), lit(1),
-        col("plen"))).as("tok"))
+      .select(col("doc_id"), explode(slice(col("hs"), lit(1),
+        col("plen"))).as("h"))
     val candidates = pre.as("x").join(pre.as("y"),
-        col("x.tok") === col("y.tok") &&
+        col("x.h") === col("y.h") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
     val allPairs = n * (n - 1) / 2
