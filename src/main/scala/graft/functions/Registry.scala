@@ -56,6 +56,15 @@ object Registry {
       es => WordBigrams(es(0)), "built-in")
     reg.createOrReplaceTempFunction("zorder_value",
       es => ZOrderValue(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("portable_minhash_signature",
+      es => PortableMinhashSignature(es(0), intArg(es(1), "k"),
+        if (es.size > 2) intArg(es(2), "shingleN") else 3), "built-in")
+    reg.createOrReplaceTempFunction("portable_shingle_hashes",
+      es => PortableShingleHashes(es(0),
+        if (es.size > 1) intArg(es(1), "shingleN") else 3), "built-in")
+    reg.createOrReplaceTempFunction("portable_simhash",
+      es => PortableSimhash(es(0),
+        if (es.size > 1) intArg(es(1), "shingleN") else 3), "built-in")
     reg.createOrReplaceTempFunction("misra_gries_keys",
       es => MisraGriesKeys(es(0), intArg(es(1), "k"))
         .toAggregateExpression(), "built-in")

@@ -163,6 +163,30 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getSeq[String](2) == Seq("a b c"))
   }
 
+  test("portable-family expressions are reachable from the SQL path") {
+    import spark.implicits._
+    Registry.registerAll(spark)
+    Seq(Tuple1("alpha beta gamma delta"))
+      .toDF("text").createOrReplaceTempView("r8_sql_v")
+    val r = spark.sql(
+      """SELECT portable_minhash_signature(split(text, ' '), 16) AS sig,
+        |  portable_shingle_hashes(split(text, ' ')) AS sh,
+        |  portable_simhash(split(text, ' ')) AS sim
+        |FROM r8_sql_v""".stripMargin).head()
+    // equality with the column-API spellings (same kernels underneath)
+    val c = Seq(Tuple1("alpha beta gamma delta")).toDF("text")
+      .select(
+        HashFunctions.portableMinhashSignature(
+          split(col("text"), " "), 16).as("sig"),
+        HashFunctions.portableShingleHashes(split(col("text"), " "))
+          .as("sh"),
+        HashFunctions.portableSimhash(split(col("text"), " ")).as("sim"))
+      .head()
+    assert(r.getSeq[Long](0) == c.getSeq[Long](0))
+    assert(r.getSeq[Long](1) == c.getSeq[Long](1))
+    assert(r.getLong(2) == c.getLong(2))
+  }
+
   test("word bigrams stay inside one whole-stage-codegen span") {
     val docs = graft.Tables.documents(spark, Sf0001)
     val df = docs.select(explode(
