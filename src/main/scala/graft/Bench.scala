@@ -132,7 +132,8 @@ object Bench {
     "text_wordpiece_encode" -> "twe", "dedup_setsim_exact" -> "dpj",
     "dedup_segments" -> "dsg", "q_resample_ffill" -> "rff",
     "graph_communities" -> "gcm", "dedup_simhash_portable" -> "dhp",
-    "text_phrase_search" -> "tps")
+    "text_phrase_search" -> "tps", "text_kneser_ney" -> "tkn",
+    "text_tokenizer_eval" -> "tte", "q_manifest_diff" -> "mdf")
 
   /** 2-decimal seconds with trailing zeros stripped ("0.20" -> "0.2",
     * "1.00" -> "1") — still valid JSON numbers, ~0.5 chars/query saved. */

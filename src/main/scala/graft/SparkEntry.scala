@@ -898,6 +898,76 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // Tokenizer-family evaluation table — the comparison a tokenizer
+    // choice is actually made on: FERTILITY (pieces per word; lower is
+    // better for sequence-length budgets) and source chars per piece
+    // (compression) for the three trained families over the SAME
+    // corpus and encoders the pipeline ships. Three encode scans, one
+    // 3-row table; rows-only (trained models are not SQL-expressible)
+    // with invariant gates in Round8Spec.
+    "text_tokenizer_eval" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val src = s"$d/documents.parquet"
+      val enc: Seq[(String, Column)] = Seq(
+        "bpe" -> BpeOps.encode(col("text"),
+          BpeOps.cachedTrain(s, src, docs, col("text"), numMerges = 64)),
+        "unigram" -> ops.UnigramOps.encode(col("text"),
+          ops.UnigramOps.cachedTrain(s, src, docs, col("text"),
+            vocabSize = 128)),
+        "wordpiece" -> ops.WordPieceOps.encode(col("text"),
+          ops.WordPieceOps.cachedTrain(s, src, docs, col("text"),
+            numMerges = 64)))
+      enc.map { case (family, e) =>
+        docs.select(
+          size(split(col("text"), " ")).cast("long").as("w"),
+          size(e).cast("long").as("p"),
+          length(regexp_replace(col("text"), " ", "")).cast("long")
+            .as("c"))
+          .agg(sum(col("w")).as("n_words"), sum(col("p")).as("n_pieces"),
+            sum(col("c")).as("n_chars"))
+          .select(lit(family).as("family"), col("n_words"),
+            col("n_pieces"),
+            round(col("n_pieces") / col("n_words"), 4).as("fertility"),
+            round(col("n_chars") / col("n_pieces"), 4)
+              .as("chars_per_piece"))
+      }.reduce(_ unionByName _).orderBy(col("family"))
+    }),
+
+    // Interpolated Kneser-Ney bigram LM estimation (Kneser & Ney '95,
+    // Chen & Goodman '98 — the classic statistical-LM smoothing;
+    // public literature, independent derivation): with discount
+    // D = 3/4,
+    //   Pkn(w2|w1) = (c12 − D)/c1 + D·Nfollow(w1)/c1 · Nprec(w2)/T
+    // assembled as ONE integer rational
+    //   [T·(4·c12 − 3) + 3·Nfollow·Nprec] / (4·c1·T)
+    // so both engines perform the identical single double division —
+    // no float accumulation anywhere. All inputs are count
+    // aggregations over the bigram stream (native WordBigrams
+    // kernel); context/continuation tables are vocabulary-sized and
+    // broadcast back onto the top-k bigrams.
+    "text_kneser_ney" -> ((s, d) => {
+      val bi = t(s, d, "documents")
+        .select(explode(graft.functions.HashFunctions
+          .wordBigrams(col("text"))).as("g"))
+        .select(split(col("g"), " ").getItem(0).as("w1"),
+          split(col("g"), " ").getItem(1).as("w2"))
+      val c12 = bi.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12")).localCheckpoint(true)
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"),
+        count(lit(1)).as("nf"))
+      val np = c12.groupBy(col("w2")).agg(count(lit(1)).as("np"))
+      val tt = c12.agg(count(lit(1)).as("t"))
+      c12.join(c1, Seq("w1")).join(np, Seq("w2"))
+        .join(broadcast(tt))
+        .withColumn("pkn", round(
+          (col("t") * (lit(4) * col("c12") - lit(3)) +
+            lit(3) * col("nf") * col("np")) /
+            (lit(4) * col("c1") * col("t")), 6))
+        .select(col("w1"), col("w2"), col("c12"), col("pkn"))
+        .orderBy(col("c12").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
     // Positional inverted index — the IR build behind BM25/phrase
     // search, materialized the way a 100-TB index actually ships:
     // postings are SHARDED by doc_id block (pmod 4), so the per-group
@@ -1336,6 +1406,40 @@ object SparkEntry {
         .groupBy(col("status"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
         .orderBy(col("status"))
+    }),
+
+    // Manifest-level corpus release diff: each version summarized per
+    // shard as (doc count, order-invariant content signature — the sum
+    // of per-doc md5-longs mod 2³¹−1), then the RELEASE comparison
+    // runs over the two shard manifests alone. At 100 TB the manifest
+    // is written at ingest (KB per shard) and a release diff reads
+    // manifests, not data — q_corpus_diff's per-doc join is the
+    // drill-down run only on shards this query flags 'changed'.
+    // Deterministic v1/v2 derivation = q_corpus_diff's convention.
+    "q_manifest_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def manifest(v: DataFrame, n: String, sig: String) = v
+        .select(pmod(col("doc_id"), lit(16)).as("shard"),
+          (conv(substring(md5(col("text").cast("binary")), 1, 15),
+            16, 10).cast("long") % lit(2147483647L)).as("h"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as(n), sum(col("h")).as(sig))
+      val v1 = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val v2 = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+        .withColumn("text", when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      manifest(v1, "n_old", "sig_old")
+        .join(manifest(v2, "n_new", "sig_new"), Seq("shard"),
+          "full_outer")
+        .select(col("shard"),
+          coalesce(col("n_old"), lit(0L)).as("n_old"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          when(col("n_old").isNull, "added")
+            .when(col("n_new").isNull, "removed")
+            .when(col("n_old") === col("n_new") &&
+              col("sig_old") === col("sig_new"), "same")
+            .otherwise("changed").as("status"))
+        .orderBy(col("shard"))
     }),
 
     // Per-source language-mixture divergence: KL(p(lang|source) ||
@@ -5770,6 +5874,24 @@ object SparkEntry {
         |SELECT gram, count(*) AS n FROM g
         |GROUP BY gram ORDER BY n DESC, gram LIMIT 50""".stripMargin,
 
+    // Same counts, same single integer-rational assembly, same one
+    // double division.
+    "text_kneser_ney" ->
+      """WITH bi AS (
+        |  SELECT w[i] AS w1, w[i+1] AS w2
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents) d,
+        |       LATERAL unnest(generate_series(1, len(w) - 1)) t(i)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+        |c1 AS (SELECT w1, cast(sum(c12) AS BIGINT) AS c1,
+        |              count(*) AS nf FROM c12 GROUP BY w1),
+        |np AS (SELECT w2, count(*) AS np FROM c12 GROUP BY w2),
+        |tt AS (SELECT count(*) AS t FROM c12)
+        |SELECT c.w1, c.w2, c.c12,
+        |  round((tt.t * (4 * c.c12 - 3) + 3 * c1.nf * np.np) * 1.0 /
+        |        (4 * c1.c1 * tt.t), 6) AS pkn
+        |FROM c12 c JOIN c1 USING (w1) JOIN np USING (w2) CROSS JOIN tt
+        |ORDER BY c12 DESC, w1, w2 LIMIT 20""".stripMargin,
+
     // Same top-3 phrase derivation, same aligned-offset hit test.
     "text_phrase_search" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
@@ -5906,6 +6028,32 @@ object SparkEntry {
         |            ELSE 'changed' END AS status,
         |  count(*) AS n_docs, cast(sum(doc_id) as bigint) AS id_sum
         |FROM j GROUP BY status ORDER BY status""".stripMargin,
+
+    // Same shard summaries (count + order-invariant md5-long sum mod
+    // 2³¹−1), same full-outer manifest compare.
+    "q_manifest_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents
+        |            WHERE doc_id % 10 <> 0),
+        |v2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |                           THEN text || ' v2' ELSE text END
+        |         AS text
+        |       FROM documents WHERE doc_id % 10 <> 3),
+        |m1 AS (SELECT doc_id % 16 AS shard, count(*) AS n_old,
+        |  cast(sum((('0x' || substr(md5(text), 1, 15))::BIGINT)
+        |           % 2147483647) AS BIGINT) AS sig_old
+        |  FROM v1 GROUP BY shard),
+        |m2 AS (SELECT doc_id % 16 AS shard, count(*) AS n_new,
+        |  cast(sum((('0x' || substr(md5(text), 1, 15))::BIGINT)
+        |           % 2147483647) AS BIGINT) AS sig_new
+        |  FROM v2 GROUP BY shard)
+        |SELECT coalesce(m1.shard, m2.shard) AS shard,
+        |  coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new,
+        |  CASE WHEN m1.shard IS NULL THEN 'added'
+        |       WHEN m2.shard IS NULL THEN 'removed'
+        |       WHEN n_old = n_new AND sig_old = sig_new THEN 'same'
+        |       ELSE 'changed' END AS status
+        |FROM m1 FULL OUTER JOIN m2 ON m1.shard = m2.shard
+        |ORDER BY shard""".stripMargin,
 
     "q_mixture_kl" ->
       """WITH sl AS (

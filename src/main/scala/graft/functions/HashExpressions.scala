@@ -509,7 +509,11 @@ case class MinHashSignature(child: Expression, k: Int, shingleN: Int = 1)
   * oracle can replay the signature exactly. Output: array<long> of
   * length k. */
 case class PortableMinhashSignature(child: Expression, k: Int,
-    shingleN: Int = 3) extends KernelCallExpression {
+    shingleN: Int = 3) extends KernelCallExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  // SQL-path registered: reject / coerce mistyped input at analysis
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "portable_minhash_signature"
@@ -529,7 +533,11 @@ case class PortableMinhashSignature(child: Expression, k: Int,
   * array — the verification-sketch twin of [[PortableMinhashSignature]]
   * (see [[SketchKernels.portableShingleHashes]]). Output: array<long>. */
 case class PortableShingleHashes(child: Expression, shingleN: Int = 3)
-    extends KernelCallExpression {
+    extends KernelCallExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  // SQL-path registered: reject / coerce mistyped input at analysis
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "portable_shingle_hashes"
@@ -549,7 +557,11 @@ case class PortableShingleHashes(child: Expression, shingleN: Int = 3)
   * shingles — see [[SketchKernels.portableSimhash]]. Output: long
   * (bits 0..59 used). */
 case class PortableSimhash(child: Expression, shingleN: Int = 3)
-    extends KernelCallExpression {
+    extends KernelCallExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  // SQL-path registered: reject / coerce mistyped input at analysis
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = LongType
   override def prettyName: String = "portable_simhash"

@@ -375,6 +375,66 @@ class Round8Spec extends SparkSpec {
       "every community label must be a member node's id")
   }
 
+  test("manifest diff reconciles with per-doc ground truth") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val v1 = docs.filter(_._1 % 10 != 0).toMap
+    val v2 = docs.filter(_._1 % 10 != 3).map { case (id, t) =>
+      id -> (if (id % 7 == 0) t + " v2" else t) }.toMap
+    // a shard is 'same' iff no doc in it was added, removed or edited
+    val dirty = ((v1.keySet diff v2.keySet) ++ (v2.keySet diff v1.keySet)
+      ++ v1.keySet.intersect(v2.keySet).filter(id => v1(id) != v2(id)))
+      .map(_ % 16)
+    val got = SparkEntry.queries("q_manifest_diff")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got.size == 16)
+    got.foreach { case (shard, status) =>
+      val want = if (dirty(shard)) "changed" else "same"
+      assert(status == want, s"shard $shard: got $status want $want")
+    }
+  }
+
+  test("tokenizer eval: all families present, invariants hold") {
+    val rows = SparkEntry.queries("text_tokenizer_eval")(spark, Sf0001)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(rows.keySet == Set("bpe", "unigram", "wordpiece"))
+    rows.foreach { case (fam, (words, pieces, fert, cpp)) =>
+      // subword tokenizers never merge across word boundaries, so a
+      // word yields >= 1 piece (fertility >= 1), and a piece covers
+      // >= 1 source char on average
+      assert(words > 0 && pieces >= words, s"$fam: $pieces < $words")
+      assert(fert >= 1.0 && cpp > 0.0, s"$fam: fert=$fert cpp=$cpp")
+    }
+  }
+
+  test("kneser-ney: hand-computed probabilities on a tiny corpus") {
+    // corpus "a b a b a c": c12(ab)=2 (ba)=2 (ac)=1; c1(a)=3 nf(a)=2;
+    // c1(b)=2 nf(b)=1; np(a)=np(b)=np(c)=1; T=3. With D=3/4:
+    //   Pkn(b|a) = [3·(4·2−3) + 3·2·1]/(4·3·3) = 21/36 = 0.583333
+    //   Pkn(c|a) = [3·(4·1−3) + 3·2·1]/36     =  9/36 = 0.25
+    //   Pkn(a|b) = [3·(4·2−3) + 3·1·1]/(4·2·3) = 18/24 = 0.75
+    // and context a's observed mass 21/36 + 9/36 < 1 — the discount
+    // holds back mass for unseen continuations, KN's defining trait.
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("kn").toString
+    Seq((0L, "a b a b a c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("text_kneser_ney")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, 0.583333)),
+      ("b", "a") -> ((2L, 0.75)),
+      ("a", "c") -> ((1L, 0.25))), got.toString)
+    assert(0.583333 + 0.25 < 1.0)
+  }
+
   test("resample ffill: gaps carry last value, same-instant max-id wins") {
     import spark.implicits._
     val H = 3600L * 1000 * 1000 * 1000 // one hour of nanos
