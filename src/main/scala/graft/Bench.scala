@@ -34,7 +34,10 @@ import org.apache.spark.sql.SparkSession
   *    budget — full while it fits, else slowest-that-fit + an "oth"
   *    rollup (composeQueries, unit-gated) — and the line length is
   *    still asserted < 1800 chars as the final guard;
-  *  - the full-precision per-query timings and per-query spreads go to
+  *  - the full-precision per-query timings, spreads, and per-run
+  *    shuffle-read volumes (`sh_mb` — tallied by a task-end listener,
+  *    listener bus drained before each snapshot so attribution is
+  *    exact) go to
   *    BENCH_DETAIL.json (full names, full precision). NOTHING else is
   *    printed to stderr in a driver run: sbt's logger re-buffers stderr
   *    as `[error]` lines that can land AFTER the stdout JSON (observed
@@ -213,6 +216,22 @@ object Bench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // per-query shuffle-volume tally ("measure, don't guess"): total
+    // shuffle bytes READ across each query's timed runs, attributed by
+    // draining the async listener bus before each snapshot; reported
+    // per single run in BENCH_DETAIL.json as sh_mb (never on the
+    // stdout line — the tail budget is for timings)
+    class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+      val read = new java.util.concurrent.atomic.AtomicLong
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+
     def runOnce(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
       try {
@@ -246,12 +265,18 @@ object Bench {
       // (bucketed-table writes, codegen for this SF's plan shapes) must
       // not contaminate the timed steady-state runs
       runOnce(name)
+      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+      val sh0 = tally.read.get()
       val timings = (1 to runs).flatMap { _ =>
         runOnce(name) match {
           case Right(t) => Some(t)
           case Left(err) => failed ::= err; None
         }
       }.sorted
+      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+      val shMb =
+        if (timings.isEmpty) -1.0
+        else (tally.read.get() - sh0) / 1e6 / timings.length
       val median =
         if (timings.isEmpty) -1.0 else timings(timings.length / 2)
       // variance over the two FASTEST runs: the median is immune to a
@@ -260,15 +285,15 @@ object Bench {
       val rel =
         if (timings.length < 2 || median == 0.0) 0.0
         else (timings(1) - timings(0)) / median
-      (name, median, rel)
+      (name, median, rel, shMb)
     }
     // See the scaladoc output contract: one compact abbreviated-key
     // JSON line on stdout (printed last, length-asserted), short
     // per-query lines + a full-detail file for humans.
-    val shortKeys = results.map { case (k, _, _) => shortKey(k) }
+    val shortKeys = results.map { case (k, _, _, _) => shortKey(k) }
     require(shortKeys.distinct.length == shortKeys.length,
       "abbreviated bench keys collide — fix the prefix map")
-    val qs = composeQueries(results.map { case (k, v, _) => (k, v) },
+    val qs = composeQueries(results.map { case (k, v, _, _) => (k, v) },
       QueriesBudget)
     val total = results.map(_._2).filter(_ >= 0).sum
     val spread = if (results.isEmpty) 0.0 else results.map(_._3).max
@@ -284,9 +309,10 @@ object Bench {
     // in the round-5 record). Set SPARK_GRAFT_BENCH_VERBOSE=1 to get
     // per-query stderr lines in an interactive run.
     val verbose = sys.env.get("SPARK_GRAFT_BENCH_VERBOSE").contains("1")
-    if (verbose) results.foreach { case (k, v, r) =>
+    if (verbose) results.foreach { case (k, v, r, sh) =>
       System.err.println(
-        f"[bench] $k%s = $v%.4f s (spread ${math.round(r * 1000) / 1000.0})")
+        f"[bench] $k%s = $v%.4f s (spread ${math.round(r * 1000) / 1000.0}, " +
+          f"shuffle $sh%.1f MB)")
     }
     // the detail file is the ONLY full-precision record — a failed
     // write must leave a visible trace even in silent driver runs, so
@@ -294,8 +320,9 @@ object Bench {
     // there and a silent drop would read as "record exists")
     var detailErr = ""
     val lineBase = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"runs":$runs,"spread":${f2(spread)},"failed":$failedJson,"sf":"$sfDir""""
-    val detail = results.map { case (k, v, r) =>
-      s""""$k":{"sec":$v,"spread":$r,"key":"${shortKey(k)}"}""" }
+    val detail = results.map { case (k, v, r, sh) =>
+      s""""$k":{"sec":$v,"spread":$r,"key":"${shortKey(k)}",""" +
+        f""""sh_mb":$sh%.2f}""" }
       .mkString(
         s"""{"total_sec":$total,"runs":$runs,"sf":${jstr(sfDir)},"stdout_line_chars":${lineBase.length + 1},"queries":{""",
         ",", "}}")

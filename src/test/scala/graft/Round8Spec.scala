@@ -375,6 +375,57 @@ class Round8Spec extends SparkSpec {
       "every community label must be a member node's id")
   }
 
+  test("triangles property: 5 random graphs == n^3 brute force") {
+    import org.scalacheck.{Gen, rng}
+    import spark.implicits._
+    val params = Gen.Parameters.default
+    (0 until 5).foreach { trial =>
+      val n = 14
+      val allPairs = for { u <- 0 until n; v <- (u + 1) until n }
+        yield (u.toLong, v.toLong)
+      val edges = allPairs.zipWithIndex.filter { case (_, i) =>
+        Gen.choose(0, 99).apply(params, rng.Seed(777L * trial + i))
+          .exists(_ < 30) }.map(_._1)
+      if (edges.nonEmpty) {
+        val got = graft.ops.GraphOps
+          .triangles(edges.toDF("u", "v"), "u", "v")
+          .collect().map(r => Set(r.getLong(0), r.getLong(1),
+            r.getLong(2))).toSeq
+        val es = edges.toSet
+        def adj(a: Long, b: Long) =
+          es.contains((a min b, a max b))
+        val want = (for {
+          a <- 0L until n; b <- (a + 1) until n; c <- (b + 1) until n
+          if adj(a, b) && adj(b, c) && adj(a, c)
+        } yield Set(a, b, c)).toSeq
+        assert(got.size == want.size && got.toSet == want.toSet,
+          s"trial=$trial got=${got.size} want=${want.size}")
+        assert(got.size == got.toSet.size,
+          s"trial=$trial: a triangle was enumerated twice")
+      }
+    }
+  }
+
+  test("segment dedup properties: kept-set preservation, idempotence") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, Sf0001)
+    val out = graft.ops.DedupOps
+      .segmentDedup(docs, "doc_id", "text", segLen = 8)
+    val rows = out.collect()
+    // global invariant: kept segments across all docs == distinct
+    // segment multiset of the corpus, each exactly once
+    val segs = docs.collect().flatMap { r =>
+      r.getAs[String]("text").toLowerCase.split(" ").grouped(8)
+        .map(_.mkString(" ")).toSeq
+    }
+    val nDistinct = segs.distinct.length
+    val totalKept = rows.map(_.getLong(2)).sum
+    assert(totalKept == nDistinct,
+      s"kept $totalKept segments, corpus has $nDistinct distinct")
+    val totalSegs = rows.map(_.getLong(1)).sum
+    assert(totalSegs == segs.length.toLong)
+  }
+
   test("manifest diff reconciles with per-doc ground truth") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, Sf0001).collect()
