@@ -405,6 +405,27 @@ object DedupOps {
           .as("text_md5"))
   }
 
+  /** Distinct xxhash64 segment hashes of a corpus — the one-column
+    * frame a segment-level ingest gate compresses into its bloom
+    * artifact ([[buildEvalBloom]] / [[cachedEvalBloom]] with this as
+    * the gram frame). Same `segLen`-token segmentation as
+    * [[segmentDedup]], so a stream probe and the batch compaction
+    * agree on what a segment is. */
+  def corpusSegmentHashes(docs: DataFrame, textCol: String,
+      segLen: Int = 16): DataFrame = {
+    require(segLen >= 1, s"segLen must be >= 1 (got $segLen)")
+    docs
+      .select(tokens(col(textCol)).as("w"))
+      .select(explode(transform(
+        sequence(lit(0),
+          ((size(col("w")) + lit(segLen - 1)).divide(lit(segLen)))
+            .cast("int") - 1),
+        i => xxhash64(array_join(
+          slice(col("w"), i * segLen + 1, lit(segLen)), " "))))
+        .as("g"))
+      .distinct()
+  }
+
   /** Materialize a (small, df/bucket-capped) candidate pair list and
     * restrict an expensive per-doc sketch to the docs that actually
     * appear in a pair: without this, the sketch column is computed for

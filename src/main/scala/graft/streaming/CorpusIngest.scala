@@ -76,4 +76,47 @@ object CorpusIngest {
         .dropDuplicatesWithinWatermark(Seq(idCol, "partner"))
     else verified.dropDuplicates(Seq(idCol, "partner"))
   }
+
+  /** Streaming SEGMENT-LEVEL dedup gate — the CCNet line-dedup
+    * contract of [[graft.ops.DedupOps.segmentDedup]] at ingest
+    * latency: each arriving document is segmented ROW-LOCALLY (the
+    * same `segLen`-token tiling as the batch compaction), every
+    * segment probed against the persisted corpus segment bloom
+    * (built from [[DedupOps.corpusSegmentHashes]] via the
+    * cachedEvalBloom artifact flow), and the doc emitted with its
+    * segment counts plus the md5 of the text reassembled from
+    * CORPUS-NOVEL segments only — what an ingest pipeline would
+    * actually append.
+    *
+    * Statefulness: NONE. Segmentation, the bloom probe (codegen'd
+    * BloomFilterMightContain on a broadcast literal — the filter
+    * bytes ride the task closure, no join), and reassembly are all
+    * row-local; the query plans with zero stateful operators and no
+    * watermark, so it runs forever at constant memory. The fpp
+    * misflags a novel segment as duplicate at the filter's rate — the
+    * bloom-decontamination trade; the next batch compaction
+    * ([[DedupOps.segmentDedup]], exact) reconciles. Stream-vs-corpus
+    * only, like [[neardupGateStream]]: new-vs-new duplicate segments
+    * inside the unmerged window belong to the compaction. */
+  def segmentGateStream(docs: DataFrame, bloomBytes: Array[Byte],
+      idCol: String, textCol: String, tsCol: String = "ts",
+      segLen: Int = 16): DataFrame = {
+    require(segLen >= 1, s"segLen must be >= 1 (got $segLen)")
+    val segText: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      i => array_join(slice(col("__w"), i * segLen + 1, lit(segLen)), " ")
+    docs
+      .withColumn("__w", DedupOps.tokens(col(textCol)))
+      .withColumn("__keep", filter(
+        sequence(lit(0),
+          ((size(col("__w")) + lit(segLen - 1)).divide(lit(segLen)))
+            .cast("int") - 1),
+        i => !DedupOps.bloomMightContain(bloomBytes,
+          xxhash64(segText(i)))))
+      .select(col(idCol), col(tsCol),
+        ((size(col("__w")) + lit(segLen - 1)).divide(lit(segLen)))
+          .cast("long").as("n_segs"),
+        size(col("__keep")).cast("long").as("n_novel"),
+        md5(array_join(transform(col("__keep"), segText), " "))
+          .as("novel_md5"))
+  }
 }

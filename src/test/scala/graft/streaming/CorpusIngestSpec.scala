@@ -105,4 +105,63 @@ class CorpusIngestSpec extends SparkSpec {
           ops.head.operatorName)
     } finally q.stop()
   }
+
+  test("segment gate: streaming == batch, zero stateful operators") {
+    val segLen = 8
+    // fpp tiny so the novel-count assertions below are deterministic
+    // on this hand corpus (a bloom false positive would misflag a
+    // novel segment — that's the documented production trade, not a
+    // test tolerance)
+    val bloom = DedupOps.buildEvalBloom(
+      DedupOps.corpusSegmentHashes(corpus, "text", segLen), fpp = 1e-9)
+    val w = corpusText.split(" ")
+    // 2 corpus-aligned segments + 8 novel tokens = 1 novel segment
+    val hybrid = (w.take(2 * segLen) ++ Seq("entirely", "novel",
+      "closing", "tokens", "appended", "for", "segment", "three"))
+      .mkString(" ")
+    val b = Seq(
+      (1L, ts(0), corpusText), // every segment known
+      (2L, ts(1), "a completely fresh document with entirely new " +
+        "words about distributed shuffles and adaptive query plans"),
+      (3L, ts(2), hybrid))
+    val dir = Files.createTempDirectory("graft-seggate").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(
+        b.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3))),
+        docSchema)
+      .write.parquet(dir + "/b1")
+    val stream = spark.readStream.schema(docSchema).parquet(dir + "/b*")
+    val q = CorpusIngest.segmentGateStream(stream, bloom,
+        "doc_id", "text", segLen = segLen)
+      .writeStream.format("memory").queryName("seg_gate")
+      .outputMode("append").start()
+    val streamed = try {
+      q.processAllAvailable()
+      val ops = q.lastProgress.stateOperators
+      assert(ops == null || ops.isEmpty,
+        s"segment gate must plan ZERO stateful operators: " +
+          (if (ops == null) "" else ops.mkString(",")))
+      spark.table("seg_gate").orderBy(col("doc_id")).collect()
+    } finally q.stop()
+    val batchDocs = spark.createDataFrame(spark.sparkContext.parallelize(
+      b.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3))), docSchema)
+    val batch = CorpusIngest.segmentGateStream(batchDocs, bloom,
+      "doc_id", "text", segLen = segLen).orderBy(col("doc_id")).collect()
+    assert(streamed.toSeq == batch.toSeq, "streaming != batch")
+    val byDoc = streamed.map(r => r.getLong(0) ->
+      (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val (n1, k1, m1) = byDoc(1L)
+    assert(k1 == 0L && m1 == md5hex(""),
+      s"known doc must reassemble empty: ${byDoc(1L)}")
+    val (n2, k2, _) = byDoc(2L)
+    assert(k2 == n2 && n2 > 0,
+      s"fresh doc must keep every segment: ${byDoc(2L)}")
+    val (n3, k3, m3) = byDoc(3L)
+    assert(n3 == 3L && k3 == 1L,
+      s"hybrid doc: 3 segments, 1 novel: ${byDoc(3L)}")
+    assert(m3 == md5hex("entirely novel closing tokens appended for " +
+      "segment three"), s"novel reassembly digest mismatch: $m3")
+  }
 }
