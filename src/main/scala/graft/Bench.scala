@@ -136,7 +136,8 @@ object Bench {
     "dedup_segments" -> "dsg", "q_resample_ffill" -> "rff",
     "graph_communities" -> "gcm", "dedup_simhash_portable" -> "dhp",
     "text_phrase_search" -> "tps", "text_kneser_ney" -> "tkn",
-    "text_tokenizer_eval" -> "tte", "q_manifest_diff" -> "mdf")
+    "text_tokenizer_eval" -> "tte", "q_manifest_diff" -> "mdf",
+    "pipeline_ingest" -> "pig")
 
   /** 2-decimal seconds with trailing zeros stripped ("0.20" -> "0.2",
     * "1.00" -> "1") — still valid JSON numbers, ~0.5 chars/query saved. */

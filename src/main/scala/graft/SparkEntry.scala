@@ -3734,6 +3734,103 @@ object SparkEntry {
     // unreferenced — the deliberate trade for running stages 1-2
     // exactly once per build; callers that only want the plan
     // (Explain) pay the stage-1/2 cost too.
+    // INCREMENTAL ingest of a new shard against an existing corpus —
+    // the flow a live 100-TB pipeline runs per arriving batch, as one
+    // declared query with per-stage accounting: (1) exact dedup, both
+    // within the batch (first occurrence wins) and against the corpus
+    // md5 set; (2) SEGMENT EXCISION against the corpus's 16-token
+    // segment inventory (the batch twin of the streaming
+    // segmentGateStream — survivors keep only corpus-novel segments,
+    // docs cleaned to nothing drop); (3) quality gate on the CLEANED
+    // text (token floor + mean-word-length band); (4) n-gram
+    // decontamination of the cleaned text against the eval slice.
+    // Every stage is exact, so the whole composition — including the
+    // per-stage survivor counts and id sums — is replayed by the
+    // oracle. Wire discipline: the corpus sides reduce to md5/segment
+    // hash SETS before any join; the only text-shaped work is
+    // row-local segmentation and reassembly.
+    "pipeline_ingest" -> ((s, d) => {
+      val segLen = 16
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      // stage 1: exact dedup (in-batch first-wins + corpus md5 set)
+      val wH = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+      val s1 = incoming.withColumn("h", md5(col("text")))
+        .withColumn("rn", row_number().over(wH))
+        .filter(col("rn") === 1)
+        .join(corpus.select(md5(col("text")).as("h")).distinct(),
+          Seq("h"), "left_anti")
+        .select(col("doc_id"), col("text"))
+      // stage 2: segment excision vs the corpus segment inventory
+      val segText: Column => Column = i =>
+        array_join(slice(col("w"), i * segLen + 1, lit(segLen)), " ")
+      val nSegs = ((size(col("w")) + lit(segLen - 1))
+        .divide(lit(segLen))).cast("int")
+      val corpusSegs = corpus
+        .select(split(lower(col("text")), " ").as("w"))
+        .select(explode(transform(sequence(lit(0), nSegs - 1),
+          i => md5(segText(i)))).as("sh"))
+        .distinct()
+      val segRows = s1
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), nSegs - 1),
+            i => md5(segText(i)))))
+        .select(col("doc_id"), col("pos").as("seg_idx"),
+          col("col").as("sh"))
+      val keptIdx = segRows.join(corpusSegs, Seq("sh"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("seg_idx"))).as("keep"))
+      val s2 = s1
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .join(keptIdx, Seq("doc_id")) // inner: fully-excised docs drop
+        .select(col("doc_id"),
+          array_join(transform(col("keep"), segText), " ")
+            .as("clean"))
+        .filter(col("clean") =!= "")
+      // stage 3: quality on the cleaned text
+      val s3 = s2
+        .withColumn("n_tok", size(split(col("clean"), " ")))
+        .withColumn("n_ch",
+          length(regexp_replace(col("clean"), " ", "")))
+        .filter(col("n_tok") >= 24 &&
+          col("n_ch") * lit(10) >= col("n_tok") * lit(20) &&
+          col("n_ch") * lit(10) <= col("n_tok") * lit(100))
+        .select(col("doc_id"), col("clean"))
+      // stage 4: decontamination (distinct shared 3-gram strings with
+      // the eval slice >= 3 drops the doc)
+      val evalSet = corpus.filter(pmod(col("doc_id"), lit(50)) === 1)
+      def grams(c: Column): Column = {
+        val w = split(lower(c), " ")
+        when(size(w) >= 3, transform(sequence(lit(0), size(w) - 3),
+          i => concat_ws(" ", element_at(w, i + 1),
+            element_at(w, i + 2), element_at(w, i + 3))))
+          .otherwise(array(array_join(w, " ")))
+      }
+      val evalGrams = evalSet
+        .select(explode(array_distinct(grams(col("text")))).as("g"))
+        .distinct()
+      val hot = s3
+        .select(col("doc_id"),
+          explode(array_distinct(grams(col("clean")))).as("g"))
+        .join(evalGrams, Seq("g"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+      val s4 = s3.join(hot, Seq("doc_id"), "left_anti")
+      // per-stage accounting
+      def stage(name: String, df: DataFrame) = df
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
+        .select(lit(name).as("stage"), col("n_docs"), col("id_sum"))
+      stage("0_incoming", incoming)
+        .unionByName(stage("1_exact", s1))
+        .unionByName(stage("2_segments", s2))
+        .unionByName(stage("3_quality", s3))
+        .unionByName(stage("4_decon", s4))
+        .orderBy(col("stage"))
+    }),
+
     "pipeline_full" -> ((s, d) => {
       val evalSet = t(s, d, "documents")
         .filter(pmod(col("doc_id"), lit(50)) === 0)
@@ -4694,6 +4791,78 @@ object SparkEntry {
         |FROM ver
         |WHERE inter * 10 >= 7 * (na + nb - inter)
         |ORDER BY a, b""".stripMargin,
+
+    // The incremental-ingest composition replayed stage by stage:
+    // exact dedup (row_number first-wins + corpus md5 set), segment
+    // excision against the corpus segment inventory, cleaned-text
+    // quality band in integer rational arithmetic, n-gram decon of
+    // the cleaned text — per-stage counts and id sums all certified.
+    "pipeline_ingest" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        |inc AS (SELECT doc_id, text FROM documents
+        |        WHERE doc_id % 5 = 0),
+        |s1 AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, md5(text) AS h,
+        |      row_number() OVER (PARTITION BY md5(text)
+        |                         ORDER BY doc_id) AS rn
+        |    FROM inc) i
+        |  WHERE rn = 1
+        |    AND h NOT IN (SELECT DISTINCT md5(text) FROM corpus)),
+        |cw AS (SELECT string_split(lower(text), ' ') AS w FROM corpus),
+        |cseg AS (SELECT DISTINCT
+        |  md5(array_to_string(w[(i-1)*16+1 : (i-1)*16+16], ' ')) AS sh
+        |  FROM cw, LATERAL unnest(generate_series(1, (len(w)+15)//16))
+        |    s(i)),
+        |sw AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |       FROM s1),
+        |srows AS (SELECT doc_id, i - 1 AS seg_idx,
+        |  array_to_string(w[(i-1)*16+1 : (i-1)*16+16], ' ') AS seg
+        |  FROM sw, LATERAL unnest(generate_series(1, (len(w)+15)//16))
+        |    s(i)),
+        |kept AS (SELECT doc_id, seg_idx, seg FROM srows
+        |         WHERE md5(seg) NOT IN (SELECT sh FROM cseg)),
+        |s2 AS (SELECT doc_id,
+        |         string_agg(seg, ' ' ORDER BY seg_idx) AS clean
+        |       FROM kept GROUP BY doc_id
+        |       HAVING string_agg(seg, ' ' ORDER BY seg_idx) <> ''),
+        |s3 AS (SELECT doc_id, clean FROM (
+        |  SELECT doc_id, clean,
+        |    len(string_split(clean, ' ')) AS n_tok,
+        |    len(replace(clean, ' ', '')) AS n_ch FROM s2)
+        |  WHERE n_tok >= 24 AND n_ch * 10 >= n_tok * 20
+        |    AND n_ch * 10 <= n_tok * 100),
+        |ev AS (SELECT DISTINCT g FROM (
+        |  SELECT unnest(list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w) - 2),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE [array_to_string(w, ' ')] END)) AS g
+        |  FROM (SELECT string_split(lower(text), ' ') AS w FROM corpus
+        |        WHERE doc_id % 50 = 1))),
+        |hot AS (SELECT doc_id FROM (
+        |  SELECT sg.doc_id, count(*) AS n_shared FROM (
+        |    SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
+        |      THEN list_transform(generate_series(1, len(w) - 2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [array_to_string(w, ' ')] END)) AS g
+        |    FROM (SELECT doc_id, string_split(lower(clean), ' ') AS w
+        |          FROM s3)) sg
+        |  JOIN ev USING (g) GROUP BY sg.doc_id)
+        |  WHERE n_shared >= 3),
+        |s4 AS (SELECT doc_id FROM s3
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM hot))
+        |SELECT * FROM (
+        |  SELECT '0_incoming' AS stage, count(*) AS n_docs,
+        |    coalesce(cast(sum(doc_id) AS BIGINT), 0) AS id_sum FROM inc
+        |  UNION ALL SELECT '1_exact', count(*),
+        |    coalesce(cast(sum(doc_id) AS BIGINT), 0) FROM s1
+        |  UNION ALL SELECT '2_segments', count(*),
+        |    coalesce(cast(sum(doc_id) AS BIGINT), 0) FROM s2
+        |  UNION ALL SELECT '3_quality', count(*),
+        |    coalesce(cast(sum(doc_id) AS BIGINT), 0) FROM s3
+        |  UNION ALL SELECT '4_decon', count(*),
+        |    coalesce(cast(sum(doc_id) AS BIGINT), 0) FROM s4)
+        |ORDER BY stage""".stripMargin,
 
     // Fixpoint of the distributed CC loop over identical-text chain
     // edges == per-text-group minimum, which IS SQL-expressible.

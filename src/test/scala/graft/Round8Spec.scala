@@ -426,6 +426,21 @@ class Round8Spec extends SparkSpec {
     assert(totalSegs == segs.length.toLong)
   }
 
+  test("ingest pipeline: stage funnel is monotone and complete") {
+    val rows = SparkEntry.queries("pipeline_ingest")(spark, Sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq("0_incoming", "1_exact",
+      "2_segments", "3_quality", "4_decon"))
+    val ns = rows.map(_._2._1).toSeq
+    assert(ns.head > 0, "incoming slice empty — split convention broke")
+    ns.sliding(2).foreach { w =>
+      assert(w(1) <= w(0), s"stage grew: $ns") }
+    val ids = rows.map(_._2._2).toSeq
+    ids.sliding(2).foreach { w =>
+      assert(w(1) <= w(0), s"id mass grew: $ids") }
+  }
+
   test("manifest diff reconciles with per-doc ground truth") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, Sf0001).collect()
