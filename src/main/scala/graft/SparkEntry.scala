@@ -1037,25 +1037,16 @@ object SparkEntry {
 
     // Skip-gram (center, context) pair counts, window ±2 — the
     // co-occurrence statistics embedding training consumes (word2vec
-    // shape). Pair generation is a per-document HOF over the token
-    // array (documents are row-local, so no positional self-join and
-    // no shuffle before the counting agg); at 100 TB the pair strings
-    // swap for xxhash64 longs exactly as dedup_substrings_hashed does.
+    // shape). Pair generation is ONE codegen'd kernel pass per
+    // document (functions.WordSkipgrams — byte-slice tokens, no
+    // interpreted HOF lambdas; documents are row-local, so no
+    // positional self-join and no shuffle before the counting agg);
+    // at 100 TB the pair strings swap for xxhash64 longs exactly as
+    // dedup_substrings_hashed does.
     "text_skipgram_pairs" -> ((s, d) => {
       t(s, d, "documents")
-        .select(split(lower(col("text")), " ").as("w"))
-        // single-token docs yield no pairs; without the guard
-        // sequence(0, -1) is the DESCENDING array [0, -1] in Spark and
-        // the i = -1 slot hits element_at(w, 0) which always throws —
-        // DuckDB's generate_series(0, -1) is empty, so the engines
-        // agree only once the degenerate docs are dropped up front
-        .filter(size(col("w")) >= 2)
-        .select(explode(expr(
-          "flatten(transform(sequence(0, size(w) - 2), i -> " +
-            "filter(transform(array(1, 2), o -> IF(i + o <= size(w) - 1, " +
-            "struct(element_at(w, i + 1) AS center, " +
-            "element_at(w, i + o + 1) AS context), null)), " +
-            "x -> x IS NOT NULL)))")).as("p"))
+        .select(explode(graft.functions.HashFunctions
+          .wordSkipgrams(lower(col("text")), 2)).as("p"))
         .select(col("p.center"), col("p.context"))
         .groupBy(col("center"), col("context"))
         .agg(count(lit(1)).as("n"))
@@ -3765,8 +3756,8 @@ object SparkEntry {
       // stage 2: segment excision vs the corpus segment inventory
       val segText: Column => Column = i =>
         array_join(slice(col("w"), i * segLen + 1, lit(segLen)), " ")
-      val nSegs = ((size(col("w")) + lit(segLen - 1))
-        .divide(lit(segLen))).cast("int")
+      val nSegs = graft.ops.DedupOps.idiv(
+        size(col("w")) + lit(segLen - 1), lit(segLen)).cast("int")
       val corpusSegs = corpus
         .select(split(lower(col("text")), " ").as("w"))
         .select(explode(transform(sequence(lit(0), nSegs - 1),

@@ -54,6 +54,9 @@ object Registry {
       es => HyperplaneBits(es(0), intArg(es(1), "nbits")), "built-in")
     reg.createOrReplaceTempFunction("word_bigrams",
       es => WordBigrams(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("word_skipgrams",
+      es => WordSkipgrams(es(0),
+        if (es.size > 1) intArg(es(1), "window") else 2), "built-in")
     reg.createOrReplaceTempFunction("zorder_value",
       es => ZOrderValue(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("portable_minhash_signature",

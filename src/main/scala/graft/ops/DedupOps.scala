@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType}
 
 import graft.functions.HashFunctions
 
@@ -31,6 +32,32 @@ object DedupOps {
   /** Whitespace tokens, lowercased. */
   def tokens(text: Column): Column = split(lower(text), " ")
 
+  /** Integer division as a Column — Catalyst's `IntegralDivide` (SQL
+    * `div`), never `.divide` (double): the dedup prefix/segment
+    * arithmetic is documented as PURE INTEGER so the DuckDB oracle
+    * (`//`) agrees on every length by construction, not by ulp luck. */
+  private[graft] def idiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(IntegralDivide(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Prefix of the observed-metric names under which [[bucketPairs]]
+    * (and the incremental corpus-bucket compaction) report how many
+    * over-`maxBucket` buckets they dropped. One metric per call site
+    * per query (auto-suffixed — Spark requires observed-metric names
+    * to be unique within a plan); read them from
+    * `df.queryExecution.observedMetrics` or a QueryExecutionListener.
+    * The LSH family treats a drop as a documented recall trade-off —
+    * but NEVER a silent one. */
+  val DroppedBucketMetricPrefix = "graft_dropped_buckets"
+
+  private val metricSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def nextMetricName(): String =
+    s"${DroppedBucketMetricPrefix}_${metricSeq.incrementAndGet()}"
+
   /** n-word shingles of a token array (single-element fallback for
     * short docs so every doc has a non-empty shingle set). */
   def wordShingles(toks: Column, n: Int): Column =
@@ -52,17 +79,52 @@ object DedupOps {
     * minimum-shared-grams prefilter that discards the long tail of
     * pairs sharing a single rare key before any verification payload
     * moves. Same shuffle as the plain distinct (it is the same
-    * aggregation with a HAVING). */
+    * aggregation with a HAVING).
+    *
+    * Bucket overflow is NEVER silent. A bucket that saturates its
+    * buffer (size == maxN+1 — the cap was binding) is handled per
+    * `failOnOverflow`:
+    *  - false (LSH/candidate family): the bucket is dropped as a
+    *    documented recall trade-off, and the number of dropped buckets
+    *    is surfaced as an observed metric
+    *    ([[DroppedBucketMetricPrefix]]) so a production run can alert
+    *    on recall loss instead of discovering it never;
+    *  - true (EXACT contracts — [[setSimPairsExact]]): the query FAILS
+    *    with `raise_error` naming the bucket key, because dropping a
+    *    bucket under a "zero probabilistic misses" contract silently
+    *    deletes result pairs. At 100 TB there is no oracle to catch
+    *    it; the engine must. */
   private[ops] def bucketPairs(bucketed: DataFrame, bucketCols: Seq[Column],
-      idCol: String, minN: Int, maxN: Int, minCo: Int = 1): DataFrame = {
+      idCol: String, minN: Int, maxN: Int, minCo: Int = 1,
+      failOnOverflow: Boolean = false): DataFrame = {
     // pair expansion indexes ids[1..size-1]; minN=1 would generate a
     // DESCENDING sequence(1, 0) and element_at(ids, 0) throws at runtime
     require(minN >= 2, s"minN must be >= 2 (got $minN)")
     require(minCo >= 1, s"minCo must be >= 1 (got $minCo)")
     import graft.functions.BoundedCollectSet.boundedCollectSet
-    val buckets = bucketed.groupBy(bucketCols: _*)
+    val aggd = bucketed.groupBy(bucketCols: _*)
       .agg(boundedCollectSet(col(idCol), maxN + 1).as("ids"))
-      .filter(size(col("ids")).between(minN, maxN))
+    val buckets =
+      if (failOnOverflow) {
+        // the raise_error rides INSIDE the ids column (an unused check
+        // column would be pruned away by the optimizer); a saturated
+        // bucket always passes the >= minN filter, so no filter
+        // reorder can skip the check
+        aggd.select(
+          when(size(col("ids")) === maxN + 1,
+            raise_error(concat(
+              lit(s"bucketPairs: bucket exceeded maxBucket=$maxN under " +
+                "an exact contract — raise maxBucket (key=["),
+              concat_ws(",", bucketCols.map(_.cast("string")): _*),
+              lit("])"))).cast(ArrayType(LongType, containsNull = false)))
+            .otherwise(col("ids")).as("ids"))
+          .filter(size(col("ids")) >= minN)
+      } else {
+        aggd.observe(nextMetricName(),
+          sum(when(size(col("ids")) === maxN + 1, 1L).otherwise(0L))
+            .as("dropped_buckets"))
+          .filter(size(col("ids")).between(minN, maxN))
+      }
     val pairArray = flatten(transform(
       sequence(lit(1), size(col("ids")) - 1),
       i => transform(slice(col("ids"), i + 1, size(col("ids"))),
@@ -271,12 +333,16 @@ object DedupOps {
         transform(col("sorted"), x => x.getField("h")).as("hs"),
         size(col("sorted")).as("n"))
     val pre = ranked.withColumn("plen",
-        col("n") - ((lit(tNum) * col("n") + lit(tDen - 1))
-          .divide(lit(tDen)).cast("int")) + lit(1))
+        col("n") - idiv(lit(tNum) * col("n") + lit(tDen - 1),
+          lit(tDen)).cast("int") + lit(1))
       .select(col(idCol), explode(slice(col("hs"), lit(1),
         col("plen"))).as("h"))
+    // failOnOverflow: this op promises ZERO probabilistic misses, so a
+    // prefix bucket that saturates maxBucket must kill the query, not
+    // silently delete pairs (the LSH family's drop is a recall
+    // trade-off; here it would be a correctness hole at 100 TB)
     val candRaw = bucketPairs(pre, Seq(col("h")), idCol,
-      minN = 2, maxN = maxBucket)
+      minN = 2, maxN = maxBucket, failOnOverflow = true)
     // SIZE-COMPATIBILITY filter (the AllPairs length bound) before
     // anything set-shaped moves: J >= t forces t·max(|x|,|y|) <=
     // min(|x|,|y|) — checked in the same integer rational arithmetic.
@@ -381,8 +447,7 @@ object DedupOps {
     require(segLen >= 1, s"segLen must be >= 1 (got $segLen)")
     val base = docs.select(col(idCol), tokens(col(textCol)).as("w"))
       .withColumn("n_segs",
-        ((size(col("w")) + lit(segLen - 1)).divide(lit(segLen)))
-          .cast("long"))
+        idiv(size(col("w")) + lit(segLen - 1), lit(segLen)).cast("long"))
     val segText: Column => Column = i =>
       array_join(slice(col("w"), i * segLen + 1, lit(segLen)), " ")
     val segHashes = base.select(col(idCol),
@@ -418,7 +483,7 @@ object DedupOps {
       .select(tokens(col(textCol)).as("w"))
       .select(explode(transform(
         sequence(lit(0),
-          ((size(col("w")) + lit(segLen - 1)).divide(lit(segLen)))
+          idiv(size(col("w")) + lit(segLen - 1), lit(segLen))
             .cast("int") - 1),
         i => xxhash64(array_join(
           slice(col("w"), i * segLen + 1, lit(segLen)), " "))))
@@ -649,6 +714,9 @@ object DedupOps {
     val corpusBuckets = corpusBands
       .groupBy(col("band_id"), col("band_hash"))
       .agg(boundedCollectSet(col(idCol), maxBucket + 1).as("ids"))
+      .observe(nextMetricName(),
+        sum(when(size(col("ids")) === maxBucket + 1, 1L).otherwise(0L))
+          .as("dropped_buckets"))
       .filter(size(col("ids")) <= maxBucket)
     val newVsCorpus = newBands
       .join(corpusBuckets, Seq("band_id", "band_hash"))

@@ -108,12 +108,12 @@ object CorpusIngest {
       .withColumn("__w", DedupOps.tokens(col(textCol)))
       .withColumn("__keep", filter(
         sequence(lit(0),
-          ((size(col("__w")) + lit(segLen - 1)).divide(lit(segLen)))
+          DedupOps.idiv(size(col("__w")) + lit(segLen - 1), lit(segLen))
             .cast("int") - 1),
         i => !DedupOps.bloomMightContain(bloomBytes,
           xxhash64(segText(i)))))
       .select(col(idCol), col(tsCol),
-        ((size(col("__w")) + lit(segLen - 1)).divide(lit(segLen)))
+        DedupOps.idiv(size(col("__w")) + lit(segLen - 1), lit(segLen))
           .cast("long").as("n_segs"),
         size(col("__keep")).cast("long").as("n_novel"),
         md5(array_join(transform(col("__keep"), segText), " "))

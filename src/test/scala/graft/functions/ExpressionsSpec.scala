@@ -147,6 +147,41 @@ class ExpressionsSpec extends SparkSpec {
       s"kernel diverged from reference on: ${bad.take(3).mkString("; ")}")
   }
 
+  test("word skipgrams: matches HOF reference impl, stays codegen'd") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(col("text"))
+      .union(Seq("", "one", "a b", "a  b", " lead", "trail ", "a b c",
+        "a b c d e").toDF("text"))
+    // the round-8 HOF spelling this kernel replaces — kept here as the
+    // reference implementation (flatten of per-position 1..2-offset
+    // context structs, nulls filtered)
+    val ref = expr(
+      "flatten(transform(sequence(0, greatest(size(w) - 2, 0)), i -> " +
+        "filter(transform(array(1, 2), o -> IF(i + o <= size(w) - 1, " +
+        "struct(element_at(w, i + 1) AS center, " +
+        "element_at(w, i + o + 1) AS context), null)), " +
+        "x -> x IS NOT NULL)))")
+    val bad = docs.select(split(col("text"), " ").as("w"), col("text"))
+      .select(col("text"),
+        HashFunctions.wordSkipgrams(col("text"), 2).as("k"), ref.as("r"))
+      .filter(not(col("k") <=> col("r")))
+    assert(bad.count() == 0L,
+      s"skipgram kernel diverged on: ${bad.take(3).mkString("; ")}")
+    // the whole point of the kernel: the pair generator must stay
+    // inside a WholeStageCodegen span (the HOF spelling interpreted
+    // its lambdas per token)
+    val q = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(explode(HashFunctions.wordSkipgrams(lower(col("text")), 2))
+        .as("p"))
+      .select(col("p.center"), col("p.context"))
+    assert(q.queryExecution.toRdd.count() > 0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(1)") && l.contains("word_skipgrams")),
+      s"skipgram generate must be codegen'd:\n$plan")
+  }
+
   test("round-5 expressions are reachable from the SQL path") {
     import spark.implicits._
     Registry.registerAll(spark)
@@ -154,9 +189,13 @@ class ExpressionsSpec extends SparkSpec {
       .createOrReplaceTempView("r5_sql_v")
     val r = spark.sql(
       """SELECT word_bigrams(text) AS bg, zorder_value(x, y) AS z,
-        |  misra_gries_keys(text, 4) OVER () AS mg
+        |  misra_gries_keys(text, 4) OVER () AS mg,
+        |  word_skipgrams(text, 2) AS sg
         |FROM r5_sql_v""".stripMargin).head()
     assert(r.getSeq[String](0) == Seq("a b", "b c"))
+    assert(r.getSeq[org.apache.spark.sql.Row](3).map(p =>
+      (p.getString(0), p.getString(1))) ==
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
     // interleave(3=0b11, 7=0b111): a on odd bits -> 0b1010, b on even
     // bits -> 0b10101; union = 0b11111 = 31
     assert(r.getLong(1) == 31L)
