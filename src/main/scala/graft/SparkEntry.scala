@@ -3822,6 +3822,49 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // The SAME ingest composition against the PERSISTED inventory
+    // artifact (ops.IngestOps): the corpus md5 set and 16-token
+    // segment inventory are built ONCE per corpus bytes (content-
+    // signature-keyed parquet under the 0700 scratch root) and every
+    // later batch reads only hash-compact inventory files plus the
+    // batch itself — no stored corpus text is re-scanned
+    // (IngestOpsSpec gates the second batch's inputFiles against the
+    // corpus source). Results are identical to the full-recompute
+    // pipeline_ingest by construction, so this entry shares its
+    // DuckDB oracle — the cross-engine check certifies the artifact
+    // path end-to-end.
+    "pipeline_ingest_incr" -> ((s, d) => {
+      val segLen = 16
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val key = ops.IngestOps.cachedInventory(s,
+        s"$d/documents.parquet", "ing5", corpus, "text", segLen)
+      val evalSet = corpus.filter(pmod(col("doc_id"), lit(50)) === 1)
+      def grams(c: Column): Column = {
+        val w = split(lower(c), " ")
+        when(size(w) >= 3, transform(sequence(lit(0), size(w) - 3),
+          i => concat_ws(" ", element_at(w, i + 1),
+            element_at(w, i + 2), element_at(w, i + 3))))
+          .otherwise(array(array_join(w, " ")))
+      }
+      val evalGrams = evalSet
+        .select(explode(array_distinct(grams(col("text")))).as("g"))
+        .distinct()
+      val st = ops.IngestOps.ingestBatch(s, key, incoming, "doc_id",
+        "text", Some(evalGrams), segLen)
+      def stage(name: String, df: DataFrame) = df
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
+        .select(lit(name).as("stage"), col("n_docs"), col("id_sum"))
+      stage("0_incoming", incoming)
+        .unionByName(stage("1_exact", st.s1))
+        .unionByName(stage("2_segments", st.s2))
+        .unionByName(stage("3_quality", st.s3))
+        .unionByName(stage("4_decon", st.s4))
+        .orderBy(col("stage"))
+    }),
+
     "pipeline_full" -> ((s, d) => {
       val evalSet = t(s, d, "documents")
         .filter(pmod(col("doc_id"), lit(50)) === 0)
@@ -4057,6 +4100,81 @@ object SparkEntry {
   // bounded-Aggregator top-k), and q_asof_join_native to q_asof_join
   // (custom sorted-merge SparkPlan vs composed union+window) — each
   // pair shares one oracle.
+    // The incremental-ingest composition replayed stage by stage:
+  // exact dedup (row_number first-wins + corpus md5 set), segment
+  // excision against the corpus segment inventory, cleaned-text
+  // quality band in integer rational arithmetic, n-gram decon of
+  // the cleaned text — per-stage counts and id sums all certified.
+  // Shared by pipeline_ingest (full recompute) and
+  // pipeline_ingest_incr (persisted-inventory flow) — the two are
+  // result-identical by construction.
+  private lazy val ingestOracleSql: String =
+    """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        |inc AS (SELECT doc_id, text FROM documents
+        |        WHERE doc_id % 5 = 0),
+        |s1 AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, md5(text) AS h,
+        |      row_number() OVER (PARTITION BY md5(text)
+        |                         ORDER BY doc_id) AS rn
+        |    FROM inc) i
+        |  WHERE rn = 1
+        |    AND h NOT IN (SELECT DISTINCT md5(text) FROM corpus)),
+        |cw AS (SELECT string_split(lower(text), ' ') AS w FROM corpus),
+        |cseg AS (SELECT DISTINCT
+        |  md5(array_to_string(w[(i-1)*16+1 : (i-1)*16+16], ' ')) AS sh
+        |  FROM cw, LATERAL unnest(generate_series(1, (len(w)+15)//16))
+        |    s(i)),
+        |sw AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |       FROM s1),
+        |srows AS (SELECT doc_id, i - 1 AS seg_idx,
+        |  array_to_string(w[(i-1)*16+1 : (i-1)*16+16], ' ') AS seg
+        |  FROM sw, LATERAL unnest(generate_series(1, (len(w)+15)//16))
+        |    s(i)),
+        |kept AS (SELECT doc_id, seg_idx, seg FROM srows
+        |         WHERE md5(seg) NOT IN (SELECT sh FROM cseg)),
+        |s2 AS (SELECT doc_id,
+        |         string_agg(seg, ' ' ORDER BY seg_idx) AS clean
+        |       FROM kept GROUP BY doc_id
+        |       HAVING string_agg(seg, ' ' ORDER BY seg_idx) <> ''),
+        |s3 AS (SELECT doc_id, clean FROM (
+        |  SELECT doc_id, clean,
+        |    len(string_split(clean, ' ')) AS n_tok,
+        |    len(replace(clean, ' ', '')) AS n_ch FROM s2)
+        |  WHERE n_tok >= 24 AND n_ch * 10 >= n_tok * 20
+        |    AND n_ch * 10 <= n_tok * 100),
+        |ev AS (SELECT DISTINCT g FROM (
+        |  SELECT unnest(list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w) - 2),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE [array_to_string(w, ' ')] END)) AS g
+        |  FROM (SELECT string_split(lower(text), ' ') AS w FROM corpus
+        |        WHERE doc_id % 50 = 1))),
+        |hot AS (SELECT doc_id FROM (
+        |  SELECT sg.doc_id, count(*) AS n_shared FROM (
+        |    SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
+        |      THEN list_transform(generate_series(1, len(w) - 2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [array_to_string(w, ' ')] END)) AS g
+        |    FROM (SELECT doc_id, string_split(lower(clean), ' ') AS w
+        |          FROM s3)) sg
+        |  JOIN ev USING (g) GROUP BY sg.doc_id)
+        |  WHERE n_shared >= 3),
+        |s4 AS (SELECT doc_id FROM s3
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM hot))
+        |SELECT * FROM (
+        |  SELECT '0_incoming' AS stage, count(*) AS n_docs,
+        |    coalesce(cast(sum(doc_id) AS BIGINT), 0) AS id_sum FROM inc
+        |  UNION ALL SELECT '1_exact', count(*),
+        |    coalesce(cast(sum(doc_id) AS BIGINT), 0) FROM s1
+        |  UNION ALL SELECT '2_segments', count(*),
+        |    coalesce(cast(sum(doc_id) AS BIGINT), 0) FROM s2
+        |  UNION ALL SELECT '3_quality', count(*),
+        |    coalesce(cast(sum(doc_id) AS BIGINT), 0) FROM s3
+        |  UNION ALL SELECT '4_decon', count(*),
+        |    coalesce(cast(sum(doc_id) AS BIGINT), 0) FROM s4)
+        |ORDER BY stage""".stripMargin
+
   def oracleSql: Map[String, String] =
     baseOracle +
       ("ann_brute_agg" -> baseOracle("ann_brute")) +
@@ -4788,72 +4906,11 @@ object SparkEntry {
     // excision against the corpus segment inventory, cleaned-text
     // quality band in integer rational arithmetic, n-gram decon of
     // the cleaned text — per-stage counts and id sums all certified.
-    "pipeline_ingest" ->
-      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
-        |inc AS (SELECT doc_id, text FROM documents
-        |        WHERE doc_id % 5 = 0),
-        |s1 AS (
-        |  SELECT doc_id, text FROM (
-        |    SELECT doc_id, text, md5(text) AS h,
-        |      row_number() OVER (PARTITION BY md5(text)
-        |                         ORDER BY doc_id) AS rn
-        |    FROM inc) i
-        |  WHERE rn = 1
-        |    AND h NOT IN (SELECT DISTINCT md5(text) FROM corpus)),
-        |cw AS (SELECT string_split(lower(text), ' ') AS w FROM corpus),
-        |cseg AS (SELECT DISTINCT
-        |  md5(array_to_string(w[(i-1)*16+1 : (i-1)*16+16], ' ')) AS sh
-        |  FROM cw, LATERAL unnest(generate_series(1, (len(w)+15)//16))
-        |    s(i)),
-        |sw AS (SELECT doc_id, string_split(lower(text), ' ') AS w
-        |       FROM s1),
-        |srows AS (SELECT doc_id, i - 1 AS seg_idx,
-        |  array_to_string(w[(i-1)*16+1 : (i-1)*16+16], ' ') AS seg
-        |  FROM sw, LATERAL unnest(generate_series(1, (len(w)+15)//16))
-        |    s(i)),
-        |kept AS (SELECT doc_id, seg_idx, seg FROM srows
-        |         WHERE md5(seg) NOT IN (SELECT sh FROM cseg)),
-        |s2 AS (SELECT doc_id,
-        |         string_agg(seg, ' ' ORDER BY seg_idx) AS clean
-        |       FROM kept GROUP BY doc_id
-        |       HAVING string_agg(seg, ' ' ORDER BY seg_idx) <> ''),
-        |s3 AS (SELECT doc_id, clean FROM (
-        |  SELECT doc_id, clean,
-        |    len(string_split(clean, ' ')) AS n_tok,
-        |    len(replace(clean, ' ', '')) AS n_ch FROM s2)
-        |  WHERE n_tok >= 24 AND n_ch * 10 >= n_tok * 20
-        |    AND n_ch * 10 <= n_tok * 100),
-        |ev AS (SELECT DISTINCT g FROM (
-        |  SELECT unnest(list_distinct(CASE WHEN len(w) >= 3
-        |    THEN list_transform(generate_series(1, len(w) - 2),
-        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-        |    ELSE [array_to_string(w, ' ')] END)) AS g
-        |  FROM (SELECT string_split(lower(text), ' ') AS w FROM corpus
-        |        WHERE doc_id % 50 = 1))),
-        |hot AS (SELECT doc_id FROM (
-        |  SELECT sg.doc_id, count(*) AS n_shared FROM (
-        |    SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
-        |      THEN list_transform(generate_series(1, len(w) - 2),
-        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-        |      ELSE [array_to_string(w, ' ')] END)) AS g
-        |    FROM (SELECT doc_id, string_split(lower(clean), ' ') AS w
-        |          FROM s3)) sg
-        |  JOIN ev USING (g) GROUP BY sg.doc_id)
-        |  WHERE n_shared >= 3),
-        |s4 AS (SELECT doc_id FROM s3
-        |       WHERE doc_id NOT IN (SELECT doc_id FROM hot))
-        |SELECT * FROM (
-        |  SELECT '0_incoming' AS stage, count(*) AS n_docs,
-        |    coalesce(cast(sum(doc_id) AS BIGINT), 0) AS id_sum FROM inc
-        |  UNION ALL SELECT '1_exact', count(*),
-        |    coalesce(cast(sum(doc_id) AS BIGINT), 0) FROM s1
-        |  UNION ALL SELECT '2_segments', count(*),
-        |    coalesce(cast(sum(doc_id) AS BIGINT), 0) FROM s2
-        |  UNION ALL SELECT '3_quality', count(*),
-        |    coalesce(cast(sum(doc_id) AS BIGINT), 0) FROM s3
-        |  UNION ALL SELECT '4_decon', count(*),
-        |    coalesce(cast(sum(doc_id) AS BIGINT), 0) FROM s4)
-        |ORDER BY stage""".stripMargin,
+    "pipeline_ingest" -> ingestOracleSql,
+
+    // identical result by construction (see the pipeline_ingest_incr
+    // query comment): the artifact-backed flow shares the oracle
+    "pipeline_ingest_incr" -> ingestOracleSql,
 
     // Fixpoint of the distributed CC loop over identical-text chain
     // edges == per-text-group minimum, which IS SQL-expressible.

@@ -422,6 +422,44 @@ object AnnOps {
       nearestCentroid(col(vecCol), model).as("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
 
+  /** Deterministic generation token of an IVF model — a hash of the
+    * exact centroid bytes. Persisted index paths embed it (see
+    * [[ivfIndexPath]]) so an index whose cells were assigned under
+    * centroid generation G can never be probed, appended to, or
+    * compared under any other generation: a retrain changes the token
+    * and the layout rebuilds instead of silently mixing assignments
+    * from two models. */
+  def modelGeneration(model: IvfModel): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(4)
+    model.centroids.foreach(_.foreach { f =>
+      bb.clear(); bb.putFloat(f); md.update(bb.array())
+    })
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** The generation-versioned path a persisted IVF/IVF-PQ layout lives
+    * under. Callers append batches ONLY through this path, so frozen
+    * centroids and stored cells stay consistent by construction. */
+  def ivfIndexPath(base: String, model: IvfModel): String =
+    s"${base}_${ModelFormatVersion}_g${modelGeneration(model)}"
+
+  /** INCREMENTAL APPEND to a persisted IVF index: assign the new batch
+    * to its nearest FROZEN centroids and append the rows under the
+    * cell partition directories — no retrain, no rewrite of existing
+    * cells, batch-sized I/O. This is the 100-TB freshness path: the
+    * index stays a partition-pruned layout (new files land inside the
+    * probed-or-not cell dirs), and because [[nearestCentroid]] is a
+    * pure function of (vector, centroids), append-then-query equals
+    * rebuild-at-the-same-centroids exactly (AnnOpsSpec gate). Callers
+    * pass a [[ivfIndexPath]]-derived path so the frozen model and the
+    * layout can never diverge. */
+  def appendIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
+      model: IvfModel, path: String): Unit =
+    batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
+      nearestCentroid(col(vecCol), model).as("cid"))
+      .write.mode("append").partitionBy("cid").parquet(path)
+
   /** Top-k over a persisted IVF index: probe cells are resolved first
     * (centroids are driver-side model metadata, probe set is
     * nprobe x |queries| ints), then pushed as a STATIC partition filter
@@ -829,6 +867,24 @@ object AnnOps {
       .select(col(idCol).as("neighbor_id"), col("codes"))
       .join(cells, Seq("neighbor_id"))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
+  }
+
+  /** [[appendIvfIndex]] for the IVF-PQ layout: encode the batch with
+    * the FROZEN codebooks, assign with the FROZEN centroids, append
+    * (neighbor_id, codes) rows under the cell partitions. Both models
+    * stay fixed, so the appended layout is bit-identical to a rebuild
+    * over the union corpus at the same generation (AnnOpsSpec gate);
+    * the path should derive from [[ivfIndexPath]] (the PQ codebooks
+    * are keyed by the same source-content signature as the IVF model,
+    * so one generation token governs both). */
+  def appendIvfPqIndex(batch: DataFrame, idCol: String, vecCol: String,
+      ivf: IvfModel, pq: PqModel, path: String): Unit = {
+    val cells = batch.select(col(idCol).as("neighbor_id"),
+      nearestCentroid(col(vecCol), ivf).as("cid"))
+    pqEncode(batch, idCol, vecCol, pq)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+      .join(cells, Seq("neighbor_id"))
+      .write.mode("append").partitionBy("cid").parquet(path)
   }
 
   /** Top-k over a persisted IVF-PQ index: probe cells resolve to a

@@ -1,0 +1,216 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** PERSISTED incremental-ingest inventories — the artifact flow that
+  * makes per-batch ingest cost BATCH-sized instead of corpus-sized.
+  *
+  * `pipeline_ingest` (the oracle-replayed composition) derives the
+  * corpus's doc-md5 set and 16-token segment inventory from the full
+  * corpus text on every batch. At 100 TB that is a full-corpus scan
+  * per arriving shard. This object persists both inventories ONCE
+  * (parquet under the content-signature-keyed 0700 scratch root — the
+  * [[SuffixArrayOps.cachedSuffixArray]] / [[DedupOps.cachedEvalBloom]]
+  * discipline) and MERGES each accepted batch in, so batch N+1 reads
+  * only (a) the batch itself and (b) the hash-compact inventories —
+  * never stored corpus text (IngestOpsSpec gates `inputFiles` of the
+  * second batch's plan against the corpus source path).
+  *
+  * Inventory contents are derived from the STORED corpus text (what
+  * acceptance appends is the batch's cleaned text, so the inventories
+  * stay exactly `f(stored corpus)` after every merge — the
+  * merged-vs-recomputed equality gate):
+  *  - `md5/`: one `h` (hex md5 of the stored text) per doc;
+  *  - `seg/`: per distinct 16-token segment string, `sh` (md5 — what
+  *    the batch excision anti-joins and the DuckDB oracle replays) and
+  *    `sx` (xxhash64 — what [[graft.streaming.CorpusIngest
+  *    .segmentGateStream]]'s bloom probes), both over the same tiling
+  *    as [[DedupOps.segmentDedup]].
+  *
+  * Scale shape: every join against an inventory moves 16-byte hashes;
+  * the merge appends batch-sized parquet files (hash-only, anti-joined
+  * so the inventory stays a set); the bloom artifact for the streaming
+  * gate compresses the segment inventory without re-reading any text.
+  */
+object IngestOps {
+
+  private val FormatVersion = "v1"
+
+  private def invRoot(key: String): String =
+    StorageOps.scratchPath(s"inv_${FormatVersion}_$key")
+
+  private def md5Dir(key: String): String = s"${invRoot(key)}/md5"
+  private def segDir(key: String): String = s"${invRoot(key)}/seg"
+
+  /** The 16-token tiling shared with [[DedupOps.segmentDedup]] and
+    * `pipeline_ingest`: lowercased whitespace tokens, `segLen`-token
+    * slices joined with single spaces. */
+  private def segmentStrings(docs: DataFrame, textCol: String,
+      segLen: Int): DataFrame = {
+    val segText: Column => Column = i =>
+      array_join(slice(col("__w"), i * segLen + 1, lit(segLen)), " ")
+    docs
+      .select(DedupOps.tokens(col(textCol)).as("__w"))
+      .select(explode(transform(
+        sequence(lit(0),
+          DedupOps.idiv(size(col("__w")) + lit(segLen - 1), lit(segLen))
+            .cast("int") - 1),
+        segText)).as("s"))
+  }
+
+  /** Distinct doc-text md5s of a corpus — the stage-1 inventory. */
+  def docMd5s(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(md5(col(textCol)).as("h")).distinct()
+
+  /** Distinct (sh = md5, sx = xxhash64) segment hashes of a corpus —
+    * the stage-2 inventory (md5 for the exact excision anti-join and
+    * oracle replay, xxhash64 for the streaming bloom gate). */
+  def docSegments(docs: DataFrame, textCol: String,
+      segLen: Int = 16): DataFrame =
+    segmentStrings(docs, textCol, segLen)
+      .select(md5(col("s")).as("sh"), xxhash64(col("s")).as("sx"))
+      .distinct()
+
+  /** Build and atomically publish the inventory for a stored corpus
+    * under `key` (overwrites nothing — losing a publish race to an
+    * equivalent build is harmless, the winner's bytes serve). */
+  def buildInventory(spark: SparkSession, key: String, corpus: DataFrame,
+      textCol: String, segLen: Int = 16): Unit = {
+    val root = invRoot(key)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(root))) return
+    val tmp = root + ".build-" + java.util.UUID.randomUUID().toString
+    docMd5s(corpus, textCol).write.mode("overwrite").parquet(s"$tmp/md5")
+    docSegments(corpus, textCol, segLen)
+      .write.mode("overwrite").parquet(s"$tmp/seg")
+    try java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.DirectoryNotEmptyException =>
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(tmp))
+    }
+  }
+
+  /** [[buildInventory]] keyed by the SOURCE PATH's content signature
+    * (plus a caller tag for slices of the same path): first call per
+    * corpus bytes builds, every later call is a no-op returning the
+    * key. Regenerated data at the same path changes the signature and
+    * rebuilds — a stale inventory is structurally unservable. */
+  def cachedInventory(spark: SparkSession, srcPath: String, tag: String,
+      corpus: DataFrame, textCol: String, segLen: Int = 16): String = {
+    val sig = StorageOps.contentSignature(spark, srcPath)
+    val key = s"${tag}_${segLen}_${java.lang.Long.toHexString(sig)}"
+    buildInventory(spark, key, corpus, textCol, segLen)
+    key
+  }
+
+  def inventoryMd5s(spark: SparkSession, key: String): DataFrame =
+    spark.read.parquet(md5Dir(key))
+
+  def inventorySegments(spark: SparkSession, key: String): DataFrame =
+    spark.read.parquet(segDir(key))
+
+  /** The four ingest stages of `pipeline_ingest`, with every
+    * corpus-derived side read from the PERSISTED inventory instead of
+    * recomputed from corpus text. Identical semantics (the declared
+    * `pipeline_ingest_incr` query shares `pipeline_ingest`'s DuckDB
+    * oracle): s1 = in-batch first-occurrence dedup + anti-join vs the
+    * md5 inventory; s2 = segment excision vs the segment inventory
+    * (fully-excised docs drop); s3 = quality band on the cleaned
+    * text; s4 = optional n-gram decontamination against `evalGrams`
+    * (a one-column frame of gram strings `g`). */
+  case class IngestStages(s1: DataFrame, s2: DataFrame, s3: DataFrame,
+      s4: DataFrame)
+
+  def ingestBatch(spark: SparkSession, key: String, batch: DataFrame,
+      idCol: String, textCol: String, evalGrams: Option[DataFrame] = None,
+      segLen: Int = 16): IngestStages = {
+    val segText: Column => Column = i =>
+      array_join(slice(col("w"), i * segLen + 1, lit(segLen)), " ")
+    val nSegs = DedupOps.idiv(
+      size(col("w")) + lit(segLen - 1), lit(segLen)).cast("int")
+    // stage 1: exact dedup (in-batch first-wins + inventory md5 set)
+    val wH = Window.partitionBy(col("h")).orderBy(col(idCol))
+    val s1 = batch.withColumn("h", md5(col(textCol)))
+      .withColumn("rn", row_number().over(wH))
+      .filter(col("rn") === 1)
+      .join(inventoryMd5s(spark, key), Seq("h"), "left_anti")
+      .select(col(idCol), col(textCol))
+    // stage 2: segment excision vs the persisted segment inventory
+    val segRows = s1
+      .select(col(idCol), DedupOps.tokens(col(textCol)).as("w"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), nSegs - 1),
+          i => md5(segText(i)))))
+      .select(col(idCol), col("pos").as("seg_idx"), col("col").as("sh"))
+    val keptIdx = segRows
+      .join(inventorySegments(spark, key).select(col("sh")),
+        Seq("sh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("seg_idx"))).as("keep"))
+    val s2 = s1
+      .select(col(idCol), DedupOps.tokens(col(textCol)).as("w"))
+      .join(keptIdx, Seq(idCol)) // inner: fully-excised docs drop
+      .select(col(idCol),
+        array_join(transform(col("keep"), segText), " ").as("clean"))
+      .filter(col("clean") =!= "")
+    // stage 3: quality band on the cleaned text
+    val s3 = s2
+      .withColumn("n_tok", size(split(col("clean"), " ")))
+      .withColumn("n_ch", length(regexp_replace(col("clean"), " ", "")))
+      .filter(col("n_tok") >= 24 &&
+        col("n_ch") * lit(10) >= col("n_tok") * lit(20) &&
+        col("n_ch") * lit(10) <= col("n_tok") * lit(100))
+      .select(col(idCol), col("clean"))
+    // stage 4: decontamination (>= 3 distinct shared 3-grams drop)
+    val s4 = evalGrams match {
+      case None => s3
+      case Some(eg) =>
+        def grams(c: Column): Column = {
+          val w = split(lower(c), " ")
+          when(size(w) >= 3, transform(sequence(lit(0), size(w) - 3),
+            i => concat_ws(" ", element_at(w, i + 1),
+              element_at(w, i + 2), element_at(w, i + 3))))
+            .otherwise(array(array_join(w, " ")))
+        }
+        val hot = s3
+          .select(col(idCol),
+            explode(array_distinct(grams(col("clean")))).as("g"))
+          .join(eg, Seq("g"))
+          .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+        s3.join(hot, Seq(idCol), "left_anti")
+    }
+    IngestStages(s1, s2, s3, s4)
+  }
+
+  /** MERGE an accepted batch (its FINAL stored text) into the
+    * inventory: append the batch's doc md5s and its inventory-novel
+    * segment hashes as batch-sized parquet files. The anti-join keeps
+    * the segment inventory a SET (the reassembled clean text re-tiles,
+    * so a batch segment can coincide with a stored one); the md5 side
+    * is novel by construction (stage 1 anti-joined it) but is
+    * anti-joined too so a caller merging anything else stays safe. */
+  def mergeAccepted(spark: SparkSession, key: String, accepted: DataFrame,
+      textCol: String, segLen: Int = 16): Unit = {
+    docMd5s(accepted, textCol)
+      .join(inventoryMd5s(spark, key), Seq("h"), "left_anti")
+      .write.mode("append").parquet(md5Dir(key))
+    docSegments(accepted, textCol, segLen)
+      .join(inventorySegments(spark, key).select(col("sh")),
+        Seq("sh"), "left_anti")
+      .write.mode("append").parquet(segDir(key))
+  }
+
+  /** Bloom over the maintained segment inventory's xxhash64 column —
+    * the artifact [[graft.streaming.CorpusIngest.segmentGateStream]]
+    * probes. Rebuilt from the inventory scan (hash-only, no corpus
+    * text); callers persist the bytes per inventory generation. */
+  def segmentBloom(spark: SparkSession, key: String,
+      fpp: Double = 0.01): Array[Byte] =
+    DedupOps.buildEvalBloom(
+      inventorySegments(spark, key).select(col("sx").as("g")), fpp)
+}

@@ -99,6 +99,69 @@ class AnnOpsSpec extends SparkSpec {
         other.subqueries.flatMap(fileScans)
   }
 
+  test("incremental append == rebuild at frozen centroids (IVF + IVF-PQ), " +
+      "pruning holds, generation-keyed path") {
+    val base = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+    val model = AnnOps.buildIvf(base, "vec_id", "embedding", nlist = 8)
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-app")
+      .toString
+    // IVF: write base, append batch at the FROZEN centroids
+    val pathA = AnnOps.ivfIndexPath(s"$root/app", model)
+    AnnOps.writeIvfIndex(base, "vec_id", "embedding", model, pathA)
+    AnnOps.appendIvfIndex(batch, "vec_id", "embedding", model, pathA)
+    // rebuild over the union corpus at the SAME centroids
+    val pathB = AnnOps.ivfIndexPath(s"$root/full", model)
+    AnnOps.writeIvfIndex(emb, "vec_id", "embedding", model, pathB)
+    // layout content byte-identical: same (neighbor_id, cid, vec floats)
+    def content(p: String) = spark.read.parquet(p)
+      .select(col("neighbor_id"), col("cid"), col("vec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toList))
+      .sortBy(t => (t._1, t._2)).toList
+    assert(content(pathA) == content(pathB),
+      "appended layout must equal a rebuild at the same generation")
+    // query equality, full rows including sims
+    val q = emb.filter(col("vec_id") < 5)
+    def res(p: String) = AnnOps.ivfTopKFromIndex(spark, p, q,
+      "vec_id", "embedding", model, k = 10, nprobe = 3)
+    assert(res(pathA).collect().map(_.toSeq).toSeq ==
+      res(pathB).collect().map(_.toSeq).toSeq)
+    // pruning survives the append: probed files a strict minority
+    // (single query, 2 of 8 cells — base + appended file per cell)
+    val fromIndex = AnnOps.ivfTopKFromIndex(spark, pathA,
+      emb.filter(col("vec_id") === 0), "vec_id", "embedding", model,
+      k = 10, nprobe = 2)
+    fromIndex.collect()
+    val filesRead = fileScans(fromIndex.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1L else 0L
+    val totalFiles = walk(new java.io.File(pathA))
+    assert(filesRead > 0 && filesRead * 2 < totalFiles,
+      s"append broke pruning: read $filesRead of $totalFiles files")
+    // the artifact key versions the centroid GENERATION: a different
+    // model can never resolve to the same layout path
+    val model2 = AnnOps.buildIvf(base, "vec_id", "embedding", nlist = 4)
+    assert(AnnOps.ivfIndexPath(s"$root/app", model2) != pathA)
+    assert(AnnOps.modelGeneration(model) ==
+      AnnOps.modelGeneration(AnnOps.buildIvf(base, "vec_id", "embedding",
+        nlist = 8)), "same build must reproduce the same generation")
+    // IVF-PQ: same gate with frozen codebooks
+    val pq = AnnOps.buildPq(base, "vec_id", "embedding", m = 8, k = 16)
+    val pathC = AnnOps.ivfIndexPath(s"$root/pq_app", model)
+    AnnOps.writeIvfPqIndex(base, "vec_id", "embedding", model, pq, pathC)
+    AnnOps.appendIvfPqIndex(batch, "vec_id", "embedding", model, pq, pathC)
+    val pathD = AnnOps.ivfIndexPath(s"$root/pq_full", model)
+    AnnOps.writeIvfPqIndex(emb, "vec_id", "embedding", model, pq, pathD)
+    def pqRes(p: String) = AnnOps.ivfPqTopKFromIndex(spark, p, emb, q,
+      "vec_id", "embedding", model, pq, k = 10, nprobe = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(pqRes(pathC) == pqRes(pathD),
+      "IVF-PQ append-then-query must equal rebuild at frozen models")
+  }
+
   test("scale: 50k-vector IVF index prunes partitions (measured files) " +
       "and PQ trains at k=256") {
     import spark.implicits._

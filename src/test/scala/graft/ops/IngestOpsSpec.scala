@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Gates for the persisted incremental-ingest inventories (round-9
+  * advice #4): merged artifact == recomputed inventory, batch N+1
+  * reads NO stored corpus text, and the streaming segment gate probes
+  * the maintained artifact. */
+class IngestOpsSpec extends SparkSpec {
+
+  private lazy val docs = graft.Tables.documents(spark, Sf0001)
+
+  test("inventory flow: query parity, batch-sized second batch, merge == recompute") {
+    import spark.implicits._
+    // three disjoint slices standing in for corpus + two batches
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)).isin(1, 2, 3))
+    val batchA = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val batchB = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      .localCheckpoint(true) // batch arrives in memory: no file reads
+    val key = s"spec_${java.util.UUID.randomUUID().toString.take(8)}"
+    IngestOps.buildInventory(spark, key, corpus, "text")
+
+    // --- batch A: ingest + merge ---
+    val stA = IngestOps.ingestBatch(spark, key, batchA, "doc_id", "text")
+    val acceptedA = stA.s4.localCheckpoint(true)
+    assert(acceptedA.count() > 0, "batch A must have survivors")
+    IngestOps.mergeAccepted(spark, key, acceptedA, "clean")
+
+    // --- merged artifact == recomputed inventory over the stored
+    // corpus (corpus ∪ accepted clean texts), both directions ---
+    val stored = corpus.select(col("text"))
+      .unionByName(acceptedA.select(col("clean").as("text")))
+    def setEq(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$what diverged between merged artifact and recompute")
+    }
+    setEq(IngestOps.inventoryMd5s(spark, key),
+      IngestOps.docMd5s(stored, "text"), "md5 inventory")
+    setEq(IngestOps.inventorySegments(spark, key),
+      IngestOps.docSegments(stored, "text"), "segment inventory")
+
+    // --- batch B touches ONLY batch-sized inputs: every file in the
+    // ingest plan is an inventory parquet, never corpus source text ---
+    val stB = IngestOps.ingestBatch(spark, key, batchB, "doc_id", "text")
+    val files = stB.s4.inputFiles
+    assert(files.nonEmpty, "inventory reads should appear as files")
+    assert(files.forall(_.contains(s"inv_v1_$key")),
+      s"second batch read a non-inventory file: " +
+        files.filterNot(_.contains(s"inv_v1_$key")).take(3).mkString(", "))
+    assert(!files.exists(_.contains("documents.parquet")),
+      "second batch must not re-scan stored corpus text")
+
+    // --- a batch doc whose text equals a stored doc dies in stage 1
+    // against the MERGED inventory (accepted clean text is stored) ---
+    val firstClean = acceptedA.orderBy(col("doc_id")).select(col("clean"))
+      .head.getString(0)
+    val replay = Seq((999999L, firstClean)).toDF("doc_id", "text")
+    val stR = IngestOps.ingestBatch(spark, key, replay, "doc_id", "text")
+    assert(stR.s1.count() == 0,
+      "a re-arriving accepted doc must be exact-deduped by the merged md5s")
+
+    // --- streaming segment gate probes the maintained artifact:
+    // a doc made of stored segments reports zero novel segments ---
+    val bloom = IngestOps.segmentBloom(spark, key)
+    val dupDoc = Seq((1L, firstClean, 10L)).toDF("doc_id", "text", "ts")
+    val gate = graft.streaming.CorpusIngest
+      .segmentGateStream(dupDoc, bloom, "doc_id", "text")
+      .select(col("n_segs"), col("n_novel")).head
+    assert(gate.getLong(0) > 0 && gate.getLong(1) == 0,
+      s"stored segments must all hit the inventory bloom: $gate")
+  }
+
+  test("pipeline_ingest_incr equals pipeline_ingest (artifact path == recompute)") {
+    val full = graft.SparkEntry.queries("pipeline_ingest")(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    val incr = graft.SparkEntry.queries("pipeline_ingest_incr")(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(full == incr, s"full=$full incr=$incr")
+  }
+}
