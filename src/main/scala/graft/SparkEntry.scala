@@ -4183,7 +4183,115 @@ object SparkEntry {
       // the bloom gate has no false negatives and its false positives
       // die in the exact join — output is IDENTICAL to the exact
       // variant (spec-gated), so the same oracle certifies both
-      ("pipeline_decon_bloom" -> baseOracle("pipeline_decontaminate"))
+      ("pipeline_decon_bloom" -> baseOracle("pipeline_decontaminate")) +
+      // trained-model SCORING oracles: the models are bit-deterministic
+      // functions of the corpus, so Verify embeds their exact
+      // coefficients ({{...}} placeholders -> [[oracleParams]] values,
+      // substituted at dump time) and DuckDB replays the scoring
+      // arithmetic end-to-end — training stays spec-anchored
+      // (QualityClassifierSpec / PcaSpec), scoring becomes
+      // hash-certified cross-engine
+      ("pipeline_quality_classifier" -> qcOracleSql) +
+      ("ann_pca" -> pcaOracleSql)
+
+  /** Deterministic trained-model literals for the {{...}} placeholders
+    * in [[oracleSql]], computed at Verify-dump time on the SAME sfDir
+    * the queries ran on. Every value is a bit-deterministic function
+    * of the corpus (decimal-summed IRLS; integer-moment PCA with a
+    * fixed Jacobi sweep), and `Double.toString` round-trips — so the
+    * dumped SQL holds literally the doubles the Spark query used. */
+  def oracleParams(s: SparkSession, d: String): Map[String, String] = {
+    val feats = ops.QualityClassifierOps
+      .featurize(t(s, d, "documents"), col("text")).localCheckpoint()
+    val beta = ops.QualityClassifierOps.train(feats)
+    val qc = beta.zipWithIndex.map { case (b, i) =>
+      s"QC_B$i" -> b.toString }.toMap
+    val model = ops.PcaOps.fit(t(s, d, "embeddings"), "embedding", 64, 8)
+    val axes = model.basis.zipWithIndex.flatMap { case (axis, i) =>
+      val axisF = axis.map(_.toFloat)
+      val offset = axisF.zip(model.mean)
+        .map { case (a, m) => a * m }.sum
+      Seq(
+        s"PCA_AXIS_${i + 1}" ->
+          axisF.map(_.toDouble.toString).mkString("[", ", ", "]"),
+        s"PCA_OFF_${i + 1}" -> offset.toString)
+    }.toMap
+    // Spark's round() on doubles is BigDecimal HALF_UP — replicate
+    // driver-side so the embedded literal IS the query's output value
+    val varTopk = BigDecimal(model.explained.take(8).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble.toString
+    qc ++ axes + ("PCA_VAR" -> varTopk)
+  }
+
+  /** DuckDB mirror of the quality-classifier SCORING pass: the
+    * q_gopher_quality feature arithmetic, z as the same left-assoc
+    * multiply-add chain over the embedded beta, clf_pass via the same
+    * round-to-6dp sigmoid threshold (p >= 0.5 <=> z >= 0 — the
+    * rounding only matters within 5e-7 of the boundary). */
+  private lazy val qcOracleSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, lang,
+      |    cast(len(string_split(text, ' ')) as bigint) AS n_words,
+      |    round(cast(list_aggregate(list_transform(
+      |        string_split(text, ' '), w -> length(w)), 'sum')
+      |        as double) / len(string_split(text, ' ')), 4)
+      |      AS mean_word_len,
+      |    round(cast(len(list_filter(string_split(text, ' '),
+      |        w -> regexp_matches(w, '[A-Za-z]'))) as double)
+      |        / len(string_split(text, ' ')), 4) AS alpha_ratio,
+      |    round(cast(len(regexp_extract_all(text, '#|\.\.\.'))
+      |        as double) / len(string_split(text, ' ')), 4)
+      |      AS symbol_ratio,
+      |    cast(len(regexp_extract_all(text, '\b(the|a)\b')) as bigint)
+      |      AS stop_cnt
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, lang,
+      |    1.0 AS f0,
+      |    round(ln(1 + cast(n_words as double)), 6) AS f1,
+      |    coalesce(mean_word_len, 0.0) AS f2,
+      |    coalesce(alpha_ratio, 0.0) AS f3,
+      |    coalesce(symbol_ratio, 0.0) AS f4,
+      |    round(ln(1 + cast(stop_cnt as double)), 6) AS f5,
+      |    cast((n_words BETWEEN 10 AND 100000)
+      |      AND (mean_word_len BETWEEN 2.0 AND 12.0)
+      |      AND alpha_ratio >= 0.6 AND symbol_ratio <= 0.1
+      |      AND stop_cnt >= 1 as bigint) AS label
+      |  FROM m),
+      |s AS (
+      |  SELECT lang, label,
+      |    CASE WHEN round(1.0 / (1.0 + exp(-(
+      |      f0*({{QC_B0}}) + f1*({{QC_B1}}) + f2*({{QC_B2}})
+      |      + f3*({{QC_B3}}) + f4*({{QC_B4}}) + f5*({{QC_B5}})))), 6)
+      |      >= 0.5 THEN 1 ELSE 0 END AS clf_pass
+      |  FROM f)
+      |SELECT lang, count(*) AS n_docs,
+      |  cast(sum(label) as bigint) AS n_rule_pass,
+      |  cast(sum(clf_pass) as bigint) AS n_clf_pass,
+      |  cast(sum(CASE WHEN clf_pass = label THEN 1 ELSE 0 END)
+      |    as bigint) AS n_agree
+      |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** DuckDB mirror of the PCA PROJECTION pass: each embedded axis is
+    * the exact float-truncated basis the codegen'd DotProduct kernel
+    * uses (Double.toString round-trips), pc_j is the same
+    * index-ordered double multiply-add minus the precomputed mean
+    * offset, rounded to 6dp. */
+  private lazy val pcaOracleSql: String = {
+    val axCols = (1 to 8).map(j =>
+      s"{{PCA_AXIS_$j}} AS a$j, cast({{PCA_OFF_$j}} as double) AS o$j")
+      .mkString(",\n      ")
+    val pcCols = (1 to 8).map(j =>
+      s"""round(list_sum(list_transform(generate_series(1, 64),
+         |    i -> cast(embedding[i] as double) * a$j[i])) - o$j, 6)
+         |    AS pc$j""".stripMargin).mkString(",\n  ")
+    s"""WITH ax AS (SELECT
+       |      $axCols)
+       |SELECT vec_id,
+       |  $pcCols,
+       |  cast({{PCA_VAR}} as double) AS var_explained_topk
+       |FROM embeddings, ax ORDER BY vec_id""".stripMargin
+  }
 
   /** graph_pagerank oracle: the power-iteration rounds unrolled as
     * CTEs over the SAME fixed-point integer arithmetic as

@@ -48,8 +48,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // trained-model literals: the {{KEY}} placeholders in oracle SQL
+    // resolve to bit-deterministic coefficients computed on THIS sfDir
+    // (SparkEntry.oracleParams) — the dumped JSON is plain DuckDB SQL
+    // with the exact doubles the Spark queries scored with
+    val params = SparkEntry.oracleParams(spark, sfDir)
+    def substitute(sql: String): String =
+      params.foldLeft(sql) { case (acc, (k, v)) =>
+        acc.replace(s"{{$k}}", v) }
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(substitute(v))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
