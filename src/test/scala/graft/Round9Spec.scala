@@ -73,6 +73,109 @@ class Round9Spec extends SparkSpec {
       s"the 6-identical-doc band buckets overflowed; tally was ${dropped.sum}")
   }
 
+  // ---- graph-family skew stress (round-9 advice #7) ----------------
+  // A hash-derived power-law graph (P(node=k) ~ 1/k² via inverse
+  // transform on xxhash64 — fully deterministic, no RNG state): node 1
+  // is a hub touching ~half of all draws, the adversarial shape for
+  // wedge joins. Gates MEASURE the Suri-Vassilvitskii claims instead
+  // of arguing them: oriented out-degree <= sqrt(2m), oriented wedge
+  // volume far under the unoriented count, and no single join key
+  // carrying an outsized share of the wedge work.
+  private def powerLawEdges = {
+    val nMax = 2000L
+    spark.range(200000)
+      .select(
+        (lit(nMax) / (pmod(xxhash64(col("id"), lit(1)), lit(nMax)) + 1))
+          .cast("long").as("p"),
+        (pmod(xxhash64(col("id"), lit(2)), lit(nMax)) + 1)
+          .cast("long").as("q"))
+      .filter(col("p") =!= col("q"))
+      .select(least(col("p"), col("q")).as("u"),
+        greatest(col("p"), col("q")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+  }
+
+  test("triangles under a power-law hub: orientation bound + wedge volume " +
+      "+ key-work concentration, all measured") {
+    val und = powerLawEdges
+    val m = und.count()
+    val deg = und.select(col("u").as("n"))
+      .union(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val maxDeg = deg.agg(max(col("d"))).head.getLong(0)
+    assert(maxDeg * maxDeg > 2 * m,
+      s"fixture must be hub-heavy: max degree $maxDeg vs m=$m")
+    // replicate the orientation (lower (degree, id) endpoint first)
+    val oriented = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("a"), col("v").as("b")))
+        .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val outDeg = oriented.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val maxOut = outDeg.agg(max(col("d"))).head.getLong(0)
+    val bound = math.sqrt(2.0 * m)
+    assert(maxOut <= bound + 1,
+      s"orientation bound broken: max out-degree $maxOut > sqrt(2m)=$bound")
+    // wedge volume: sum d+^2 (what the join actually expands) vs the
+    // unoriented sum d^2 a naive wedge join would pay on the hub
+    val wedgesOriented = outDeg
+      .agg(sum(col("d") * col("d"))).head.getLong(0)
+    val wedgesNaive = deg.agg(sum(col("d") * col("d"))).head.getLong(0)
+    assert(wedgesOriented * 4 < wedgesNaive,
+      s"orientation should collapse hub wedges: $wedgesOriented vs " +
+        s"naive $wedgesNaive")
+    // KEY-work concentration in the wedge join (the quantity that
+    // capsizes a task at scale — task-level bytes are AQE-coalesced
+    // into one task at toy sizes and measure nothing): work per join
+    // key b is in(b)·out(b); no single key may dominate, because a
+    // high-degree node's edges orient INTO it (out small) and a
+    // high-out node is low-degree (in small)
+    val inDeg = oriented.groupBy(col("b")).agg(count(lit(1)).as("di"))
+    val keyWork = outDeg.withColumnRenamed("d", "do_")
+      .join(inDeg, col("a") === col("b"), "full_outer")
+      .select((coalesce(col("do_"), lit(0L)) *
+        coalesce(col("di"), lit(0L))).as("w"))
+    val kw = keyWork.agg(sum(col("w")), max(col("w"))).head
+    val (workTotal, workMax) = (kw.getLong(0), kw.getLong(1))
+    assert(workMax * 10 < workTotal,
+      s"one wedge-join key carries $workMax of $workTotal — hub skew " +
+        "survived the orientation")
+    val nTri = graft.ops.GraphOps.triangles(und, "u", "v").count()
+    assert(nTri > 0, "hub graph must contain triangles")
+    info(f"m=$m maxDeg=$maxDeg maxOut=$maxOut bound=${bound}%.0f " +
+      f"wedges=$wedgesOriented naive=$wedgesNaive triangles=$nTri " +
+      f"maxKeyWorkShare=${workMax.toDouble / workTotal}%.3f")
+  }
+
+  test("LPA on the power-law hub graph: equals the driver reference, " +
+      "hub-bounded per-round join work") {
+    val und = powerLawEdges
+    val edges = und.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = graft.ops.GraphOps.labelPropagation(und, "u", "v", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.ops.GraphOps.lpaLocal(edges, iters = 4)
+    assert(got == want,
+      s"LPA diverged from the reference on ${got.size} nodes")
+    // per-round join-key concentration: each round joins labels to the
+    // adjacency on the destination node, so a key's work is its degree
+    // — the hub must stay a bounded fraction of the total even at
+    // maxDeg ~ 2000 (2m rows per round; linear in the key's degree,
+    // never quadratic)
+    val m = edges.length.toLong
+    val maxDeg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map(_._2.size).max.toLong
+    assert(maxDeg * 10 < 2 * m,
+      s"hub degree $maxDeg dominates the 2m=${2 * m} per-round join rows")
+    info(f"nodes=${got.size} m=$m maxDeg=$maxDeg " +
+      f"hubRoundShare=${maxDeg.toDouble / (2 * m)}%.4f")
+  }
+
   test("LSH dropped-bucket metric is ZERO on the real corpus (no silent loss)") {
     val docs = Tables.documents(spark, Sf0001)
     val cand = graft.ops.DedupOps
