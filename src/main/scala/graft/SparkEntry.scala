@@ -4192,7 +4192,8 @@ object SparkEntry {
       // (QualityClassifierSpec / PcaSpec), scoring becomes
       // hash-certified cross-engine
       ("pipeline_quality_classifier" -> qcOracleSql) +
-      ("ann_pca" -> pcaOracleSql)
+      ("ann_pca" -> pcaOracleSql) +
+      ("ann_pca_prefilter" -> pcaPrefilterOracleSql)
 
   /** Deterministic trained-model literals for the {{...}} placeholders
     * in [[oracleSql]], computed at Verify-dump time on the SAME sfDir
@@ -4206,7 +4207,10 @@ object SparkEntry {
     val beta = ops.QualityClassifierOps.train(feats)
     val qc = beta.zipWithIndex.map { case (b, i) =>
       s"QC_B$i" -> b.toString }.toMap
-    val model = ops.PcaOps.fit(t(s, d, "embeddings"), "embedding", 64, 8)
+    // one k=32 fit serves both PCA oracles: the Jacobi sweep and
+    // per-axis sign fixing are k-independent, so axes 1..8 are
+    // exactly the k=8 model ann_pca trains
+    val model = ops.PcaOps.fit(t(s, d, "embeddings"), "embedding", 64, 32)
     val axes = model.basis.zipWithIndex.flatMap { case (axis, i) =>
       val axisF = axis.map(_.toFloat)
       val offset = axisF.zip(model.mean)
@@ -4221,6 +4225,54 @@ object SparkEntry {
     val varTopk = BigDecimal(model.explained.take(8).sum)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble.toString
     qc ++ axes + ("PCA_VAR" -> varTopk)
+  }
+
+  /** DuckDB mirror of the PCA-prefiltered two-stage retrieval: both
+    * sides project through the 32 embedded float-truncated axes,
+    * shortlist 50 by coarse cosine in the principal subspace
+    * ((coarse_sim DESC, neighbor_id) order), then exact full-dim
+    * rerank with the ann_brute conventions (unrounded-sim ordering,
+    * neighbor_id tiebreak, round-4 output). */
+  private lazy val pcaPrefilterOracleSql: String = {
+    val axCols = (1 to 32).map(j =>
+      s"{{PCA_AXIS_$j}} AS a$j, cast({{PCA_OFF_$j}} as double) AS o$j")
+      .mkString(",\n      ")
+    val pcEntries = (1 to 32).map(j =>
+      s"""round(list_sum(list_transform(generate_series(1, 64),
+         |      i -> cast(embedding[i] as double) * a$j[i])) - o$j, 6)"""
+        .stripMargin).mkString(",\n    ")
+    s"""WITH ax AS (SELECT
+       |      $axCols),
+       |pr AS (
+       |  SELECT vec_id, cast(embedding as DOUBLE[]) AS fvec,
+       |    cast([$pcEntries] as FLOAT[]) AS pvec
+       |  FROM embeddings, ax),
+       |q AS (SELECT vec_id AS query_id, fvec AS qvec, pvec AS qpvec
+       |      FROM pr WHERE vec_id < 5),
+       |coarse AS (
+       |  SELECT q.query_id, q.qvec, p.vec_id AS neighbor_id,
+       |    p.fvec AS nvec,
+       |    list_cosine_similarity(cast(q.qpvec as DOUBLE[]),
+       |      cast(p.pvec as DOUBLE[])) AS coarse_sim
+       |  FROM pr p CROSS JOIN q WHERE p.vec_id <> q.query_id),
+       |short AS (
+       |  SELECT query_id, qvec, neighbor_id, nvec,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY coarse_sim DESC, neighbor_id)
+       |      AS crank
+       |  FROM coarse),
+       |exact AS (
+       |  SELECT query_id, neighbor_id,
+       |    list_cosine_similarity(qvec, nvec) AS sim
+       |  FROM short WHERE crank <= 50),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM exact)
+       |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
+       |FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** DuckDB mirror of the quality-classifier SCORING pass: the
