@@ -4193,7 +4193,14 @@ object SparkEntry {
       // hash-certified cross-engine
       ("pipeline_quality_classifier" -> qcOracleSql) +
       ("ann_pca" -> pcaOracleSql) +
-      ("ann_pca_prefilter" -> pcaPrefilterOracleSql)
+      ("ann_pca_prefilter" -> pcaPrefilterOracleSql) +
+      // the persisted-index path is result-identical to the in-memory
+      // probe at the same model (AnnOpsSpec) — one oracle serves both
+      ("ann_ivf" -> ivfOracleSql) +
+      ("ann_ivf_index" -> ivfOracleSql) +
+      ("ann_ivfpq" -> ivfPqOracleSql) +
+      ("ann_ivfpq_index" -> ivfPqOracleSql) +
+      ("ann_pq" -> pqOracleSql)
 
   /** Deterministic trained-model literals for the {{...}} placeholders
     * in [[oracleSql]], computed at Verify-dump time on the SAME sfDir
@@ -4224,8 +4231,223 @@ object SparkEntry {
     // driver-side so the embedded literal IS the query's output value
     val varTopk = BigDecimal(model.explained.take(8).sum)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble.toString
-    qc ++ axes + ("PCA_VAR" -> varTopk)
+    // the deterministic nlist=8 IVF model the ann_ivf/_index queries
+    // train (cachedIvf shares buildIvf's exact arithmetic)
+    val ivf = ops.AnnOps.buildIvf(t(s, d, "embeddings"), "vec_id",
+      "embedding", nlist = 8)
+    val cents = ivf.centroids.zipWithIndex.map { case (cvec, i) =>
+      s"IVF_C${i + 1}" ->
+        cvec.map(_.toDouble.toString).mkString("[", ", ", "]")
+    }.toMap
+    // the deterministic m=8/k=64 PQ codebooks, flattened to the
+    // (mi, cid, cw, nrm) VALUES rows of the ADC oracle — norms are
+    // the exact driver doubles booksDf computes
+    val pq = ops.AnnOps.buildPq(t(s, d, "embeddings"), "vec_id",
+      "embedding", m = 8, k = 64)
+    val bookRows = (for {
+      (book, mi) <- pq.codebooks.zipWithIndex
+      (cw, cid) <- book.zipWithIndex
+    } yield {
+      val nrm = cw.map(x => x.toDouble * x.toDouble).sum
+      s"($mi, $cid, ${cw.map(_.toDouble.toString)
+        .mkString("[", ", ", "]")}, $nrm)"
+    }).mkString(",\n    ")
+    qc ++ axes ++ cents +
+      ("PCA_VAR" -> varTopk) + ("PQ_BOOK_ROWS" -> bookRows)
   }
+
+  /** DuckDB mirror of the IVF probe: the 8 deterministic k-means
+    * centroids embed as exact-double literals ({{IVF_Cn}}), cell
+    * assignment is the first-max argmax over per-centroid cosines
+    * ((sim DESC, cid) row_number — Spark's array_position-of-max),
+    * each query probes its 3 nearest cells, and candidates rerank
+    * with the ann_brute conventions. */
+  private lazy val ivfOracleSql: String = {
+    val centroidRows = (0 until 8)
+      .map(i => s"($i, {{IVF_C${i + 1}}})").mkString(",\n    ")
+    s"""WITH c AS (SELECT * FROM (VALUES
+       |    $centroidRows) AS t(cid, cvec)),
+       |e AS (SELECT vec_id, cast(embedding as DOUBLE[]) AS v
+       |      FROM embeddings),
+       |asg AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v,
+       |          cast(c.cvec as DOUBLE[])) DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |      WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT query_id, qv, cid FROM (
+       |    SELECT q.query_id, q.qv, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_cosine_similarity(q.qv,
+       |          cast(c.cvec as DOUBLE[])) DESC, c.cid) AS rn
+       |    FROM q CROSS JOIN c) WHERE rn <= 3),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    list_cosine_similarity(p.qv, a.v) AS sim
+       |  FROM probes p JOIN asg a USING (cid)
+       |  WHERE a.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM cand)
+       |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
+       |FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB mirror of the full IVF-PQ search (ADC + exact re-rank):
+    * centroids AND the m=8/k=64 codebooks embed as exact-double
+    * literals ({{PQ_BOOK_ROWS}} = 512 (mi, cid, cw, nrm) rows).
+    * Encode = first-max argmax of 2·(sub·cw) − |cw|² per subspace
+    * (Spark's nearestInBook), ADC = the same j=1..8 ordered
+    * table-lookup sum as the zip_with/aggregate spelling, shortlist
+    * k·refine=80 by (adc DESC, neighbor_id), exact rerank with the
+    * ann_brute conventions. nprobe=6 of 8 cells. */
+  private lazy val ivfPqOracleSql: String = {
+    val centroidRows = (0 until 8)
+      .map(i => s"($i, {{IVF_C${i + 1}}})").mkString(",\n    ")
+    s"""WITH c AS (SELECT * FROM (VALUES
+       |    $centroidRows) AS t(cid, cvec)),
+       |bk AS (SELECT * FROM (VALUES
+       |    {{PQ_BOOK_ROWS}}) AS t(mi, cid, cw, nrm)),
+       |e AS (SELECT vec_id, cast(embedding as DOUBLE[]) AS v
+       |      FROM embeddings),
+       |asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v,
+       |          cast(c.cvec as DOUBLE[])) DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN c) WHERE rn = 1),
+       |sub AS (
+       |  SELECT vec_id, mi, v[mi*8+1 : mi*8+8] AS sv
+       |  FROM e, (SELECT unnest(generate_series(0, 7)) AS mi)),
+       |scored AS (
+       |  SELECT s.vec_id, s.mi, b.cid,
+       |    2.0 * list_sum(list_transform(generate_series(1, 8),
+       |      i -> s.sv[i] * b.cw[i])) - b.nrm AS sc
+       |  FROM sub s JOIN bk b USING (mi)),
+       |codes1 AS (
+       |  SELECT vec_id, mi, cid FROM (
+       |    SELECT vec_id, mi, cid,
+       |      row_number() OVER (PARTITION BY vec_id, mi
+       |                         ORDER BY sc DESC, cid) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |cds AS (SELECT vec_id, list(cid ORDER BY mi) AS codes
+       |        FROM codes1 GROUP BY vec_id),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |      WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.query_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_cosine_similarity(q.qv,
+       |          cast(c.cvec as DOUBLE[])) DESC, c.cid) AS rn
+       |    FROM q CROSS JOIN c) WHERE rn <= 6),
+       |qt1 AS (
+       |  SELECT s.vec_id AS query_id, s.mi,
+       |    list(list_sum(list_transform(generate_series(1, 8),
+       |      i -> s.sv[i] * b.cw[i])) ORDER BY b.cid) AS tab
+       |  FROM sub s JOIN bk b USING (mi)
+       |  WHERE s.vec_id < 5 GROUP BY s.vec_id, s.mi),
+       |qt2 AS (SELECT query_id, list(tab ORDER BY mi) AS qtab
+       |        FROM qt1 GROUP BY query_id),
+       |adc AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    list_sum(list_transform(generate_series(1, 8),
+       |      j -> t.qtab[j][n.codes[j] + 1])) AS adc
+       |  FROM probes p
+       |  JOIN asg a USING (cid)
+       |  JOIN cds n ON n.vec_id = a.vec_id
+       |  JOIN qt2 t ON t.query_id = p.query_id
+       |  WHERE a.vec_id <> p.query_id),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY adc DESC, neighbor_id) AS ar
+       |    FROM adc) WHERE ar <= 80),
+       |exact AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    list_cosine_similarity(q.qv, e.v) AS sim
+       |  FROM short s
+       |  JOIN e ON e.vec_id = s.neighbor_id
+       |  JOIN q ON q.query_id = s.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM exact)
+       |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
+       |FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB mirror of plain PQ ADC search — [[ivfPqOracleSql]] minus
+    * the coarse quantizer: every corpus code scores against every
+    * query's ADC table, shortlist k·refine=80, exact re-rank. */
+  private lazy val pqOracleSql: String =
+    s"""WITH bk AS (SELECT * FROM (VALUES
+       |    {{PQ_BOOK_ROWS}}) AS t(mi, cid, cw, nrm)),
+       |e AS (SELECT vec_id, cast(embedding as DOUBLE[]) AS v
+       |      FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, mi, v[mi*8+1 : mi*8+8] AS sv
+       |  FROM e, (SELECT unnest(generate_series(0, 7)) AS mi)),
+       |scored AS (
+       |  SELECT s.vec_id, s.mi, b.cid,
+       |    2.0 * list_sum(list_transform(generate_series(1, 8),
+       |      i -> s.sv[i] * b.cw[i])) - b.nrm AS sc
+       |  FROM sub s JOIN bk b USING (mi)),
+       |codes1 AS (
+       |  SELECT vec_id, mi, cid FROM (
+       |    SELECT vec_id, mi, cid,
+       |      row_number() OVER (PARTITION BY vec_id, mi
+       |                         ORDER BY sc DESC, cid) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |cds AS (SELECT vec_id, list(cid ORDER BY mi) AS codes
+       |        FROM codes1 GROUP BY vec_id),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |      WHERE vec_id < 5),
+       |qt1 AS (
+       |  SELECT s.vec_id AS query_id, s.mi,
+       |    list(list_sum(list_transform(generate_series(1, 8),
+       |      i -> s.sv[i] * b.cw[i])) ORDER BY b.cid) AS tab
+       |  FROM sub s JOIN bk b USING (mi)
+       |  WHERE s.vec_id < 5 GROUP BY s.vec_id, s.mi),
+       |qt2 AS (SELECT query_id, list(tab ORDER BY mi) AS qtab
+       |        FROM qt1 GROUP BY query_id),
+       |adc AS (
+       |  SELECT t.query_id, n.vec_id AS neighbor_id,
+       |    list_sum(list_transform(generate_series(1, 8),
+       |      j -> t.qtab[j][n.codes[j] + 1])) AS adc
+       |  FROM qt2 t CROSS JOIN cds n
+       |  WHERE n.vec_id <> t.query_id),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY adc DESC, neighbor_id) AS ar
+       |    FROM adc) WHERE ar <= 80),
+       |exact AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    list_cosine_similarity(q.qv, e.v) AS sim
+       |  FROM short s
+       |  JOIN e ON e.vec_id = s.neighbor_id
+       |  JOIN q ON q.query_id = s.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM exact)
+       |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
+       |FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
 
   /** DuckDB mirror of the PCA-prefiltered two-stage retrieval: both
     * sides project through the 32 embedded float-truncated axes,
