@@ -22,6 +22,9 @@ object Verify {
       // costs time, never protects memory — keep hash aggregation
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "10000000")
+      // see Bench: the 100-entry default recompiles codegen classes
+      // across a 200-query sweep
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config(Tables.sessionConf)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
