@@ -324,7 +324,11 @@ object DedupOps {
       explode(HashFunctions.portableShingleHashes(
         tokens(col(textCol)), shingleN)).as("h"))
     val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    // per-doc hash list in global (df, h) order — row-local size
+    // per-doc hash list in global (df, h) order — row-local size.
+    // Pinned: referenced by BOTH the prefix explode and the size-
+    // compatibility frame below; without the checkpoint each reference
+    // re-runs the df join + collect aggregation (two md5 kernel passes
+    // each). The pinned payload is hash arrays, ~1/8 the corpus text.
     val ranked = tok.join(dfreq, Seq("h"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("df"), col("h"))))
@@ -332,6 +336,7 @@ object DedupOps {
       .select(col(idCol),
         transform(col("sorted"), x => x.getField("h")).as("hs"),
         size(col("sorted")).as("n"))
+      .localCheckpoint(true)
     val pre = ranked.withColumn("plen",
         col("n") - idiv(lit(tNum) * col("n") + lit(tDen - 1),
           lit(tDen)).cast("int") + lit(1))
@@ -348,10 +353,10 @@ object DedupOps {
     // min(|x|,|y|) — checked in the same integer rational arithmetic.
     // On a dense shingle space (this corpus: small vocab, fat df tail)
     // the prefix front alone leaves ~2% of all-pairs; the size cut
-    // halves that for the price of two (id, int) joins.
-    val sizes = docs.select(col(idCol),
-      size(HashFunctions.portableShingleHashes(
-        tokens(col(textCol)), shingleN)).as("__n"))
+    // halves that for the price of two (id, int) joins. Sizes come
+    // from `ranked` — its `n` IS each doc's distinct-shingle count —
+    // instead of a third full-corpus md5 kernel pass.
+    val sizes = ranked.select(col(idCol), col("n").as("__n"))
     val cand = candRaw
       .join(sizes.select(col(idCol).as("a"), col("__n").as("na")),
         Seq("a"))
