@@ -152,7 +152,8 @@ object Bench {
     "graph_communities" -> "gcm", "dedup_simhash_portable" -> "dhp",
     "text_phrase_search" -> "tps", "text_kneser_ney" -> "tkn",
     "text_tokenizer_eval" -> "tte", "q_manifest_diff" -> "mdf",
-    "pipeline_ingest" -> "pig", "pipeline_ingest_incr" -> "pgi")
+    "pipeline_ingest" -> "pig", "pipeline_ingest_incr" -> "pgi",
+    "dedup_clusters_portable" -> "dcp")
 
   /** 2-decimal seconds with trailing zeros stripped ("0.20" -> "0.2",
     * "1.00" -> "1") — still valid JSON numbers, ~0.5 chars/query saved. */

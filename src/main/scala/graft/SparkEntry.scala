@@ -1160,6 +1160,23 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Transitive near-dup CLUSTERS over the PORTABLE pair pipeline —
+    // the full LSH -> connected-components -> keep-lowest-id flow,
+    // oracle-certified END TO END: the DuckDB mirror replays the md5
+    // lane hashes, banding, candidates and exact-Jaccard verification
+    // (the dedup_minhash_portable oracle) and then the min-label
+    // propagation fixpoint as unrolled rounds. The distributed CC
+    // (pointer doubling, decimal-sum convergence, throws rather than
+    // returning unconverged labels) reaches the same unique fixpoint.
+    "dedup_clusters_portable" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val edges = ops.DedupOps.portableMinhashPairs(docs, "doc_id",
+          "text", threshold = 0.8)
+        .select(col("a"), col("b"))
+      ops.ClusterOps.clusterAssignments(docs, "doc_id", edges)
+        .orderBy(col("doc_id"))
+    }),
+
     // Segment-level global dedup + reassembly (the CCNet/C4 line-dedup
     // curation stage): first occurrence of each 16-token segment wins,
     // every other occurrence is dropped, docs reassemble from their
@@ -4206,7 +4223,8 @@ object SparkEntry {
       ("ann_ivfpq" -> ivfPqOracleSql) +
       ("ann_ivfpq_index" -> ivfPqOracleSql) +
       ("ann_pq" -> pqOracleSql) +
-      ("text_wordpiece_encode" -> wordpieceEncodeOracleSql)
+      ("text_wordpiece_encode" -> wordpieceEncodeOracleSql) +
+      ("dedup_clusters_portable" -> portableClustersOracleSql)
 
   /** Deterministic trained-model literals for the {{...}} placeholders
     * in [[oracleSql]], computed at Verify-dump time on the SAME sfDir
@@ -4399,6 +4417,63 @@ object SparkEntry {
        |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
        |FROM ranked WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB mirror of the portable LSH -> clusters pipeline: the
+    * dedup_minhash_portable pair replay (at the 0.8 cluster
+    * threshold) feeding 8 unrolled synchronous min-label-propagation
+    * rounds (the lpaOracleSql discipline) — enough for any near-dup
+    * component of diameter <= 8; the distributed CC reaches the same
+    * unique fixpoint (and throws rather than under-converging). */
+  private lazy val portableClustersOracleSql: String = {
+    val rounds = (1 to 8).map { i =>
+      s"""l$i AS (
+         |  SELECT l.node, least(l.lbl, coalesce(min(n.lbl), l.lbl))
+         |    AS lbl
+         |  FROM l${i - 1} l
+         |  LEFT JOIN adj ad ON ad.src = l.node
+         |  LEFT JOIN l${i - 1} n ON n.node = ad.dst
+         |  GROUP BY l.node, l.lbl)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |           FROM documents),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(w) >= 3
+       |       THEN list_transform(generate_series(1, len(w) - 2),
+       |            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |       ELSE [array_to_string(w, ' ')] END AS s FROM t),
+       |shd AS (SELECT doc_id, list_distinct(s) AS sd FROM sh),
+       |hmt AS (SELECT doc_id, sd,
+       |  list_transform(sd, x ->
+       |    (('0x' || substr(md5(x), 1, 15))::BIGINT) % 2147483647)
+       |    AS hm FROM shd),
+       |sig AS (SELECT doc_id,
+       |  list_transform(generate_series(0, 15),
+       |    i -> list_min(list_transform(hm, h ->
+       |      (((1103515245 * (i + 1)) % 2147483647) * h +
+       |       ((12345 * (i + 1)) % 2147483647)) % 2147483647)))
+       |    AS sig FROM hmt),
+       |band AS (SELECT doc_id, b AS band_id,
+       |  array_to_string(sig[b*2+1 : b*2+2], '|') AS band_key
+       |  FROM sig, LATERAL unnest(generate_series(0, 7)) tb(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM band x JOIN band y
+       |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+       |   AND x.doc_id < y.doc_id),
+       |hmd AS (SELECT doc_id, list_distinct(hm) AS hd FROM hmt),
+       |ver AS (SELECT c.a, c.b,
+       |  len(list_intersect(sa.hd, sb.hd)) AS inter,
+       |  len(sa.hd) AS na, len(sb.hd) AS nb
+       |  FROM cand c JOIN hmd sa ON sa.doc_id = c.a
+       |              JOIN hmd sb ON sb.doc_id = c.b),
+       |edges AS (SELECT a, b FROM ver
+       |  WHERE round(inter * 1.0 / (na + nb - inter), 4) >= 0.8),
+       |adj AS (SELECT a AS src, b AS dst FROM edges
+       |        UNION SELECT b AS src, a AS dst FROM edges),
+       |l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+       |$rounds
+       |SELECT node AS doc_id, lbl AS cluster_id, node = lbl AS keep
+       |FROM l8 ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB mirror of the WordPiece greedy encode: the trained
