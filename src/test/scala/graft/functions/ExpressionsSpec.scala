@@ -180,6 +180,23 @@ class ExpressionsSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l =>
       l.contains("*(1)") && l.contains("word_skipgrams")),
       s"skipgram generate must be codegen'd:\n$plan")
+    // general-window gate (the HOF reference above is window-2
+    // specific): window=3 vs a driver-side scala reference over the
+    // corpus
+    val got3 = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .orderBy(col("doc_id")).limit(50)
+      .select(HashFunctions.wordSkipgrams(col("text"), 3).as("k"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(p => (p.getString(0), p.getString(1))).toList).toList
+    val want3 = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .orderBy(col("doc_id")).limit(50)
+      .select(col("text")).collect().map { r =>
+        val w = r.getString(0).split(" ", -1)
+        (for {
+          i <- w.indices; o <- 1 to 3 if i + o < w.length
+        } yield (w(i), w(i + o))).toList
+      }.toList
+    assert(got3 == want3, "window=3 kernel diverged from the reference")
   }
 
   test("round-5 expressions are reachable from the SQL path") {

@@ -82,6 +82,50 @@ class IngestOpsSpec extends SparkSpec {
       s"stored segments must all hit the inventory bloom: $gate")
   }
 
+  test("merge == recompute property: 5 random small corpora") {
+    import org.scalacheck.{Gen, rng}
+    import spark.implicits._
+    // manual scalacheck sampling (the PropertiesSpec pattern): random
+    // small-vocab corpora with planted duplicates — the adversarial
+    // case for segment coincidence after reassembly re-tiling
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docGen = for {
+      n <- Gen.choose(20, 60)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    (0 until 5).foreach { trial =>
+      val params = Gen.Parameters.default
+      val texts = (0 until 12).flatMap(i =>
+        docGen.apply(params, rng.Seed(7000L * trial + i)))
+      // plant an exact dup + a shared-prefix doc so stages 1-2 both act
+      val all = (texts :+ texts.head :+
+        (texts(1).split(" ").take(32).mkString(" ") + " z z z"))
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val corpus = all.take(8).toDF("doc_id", "text")
+      val batch = all.drop(8).toDF("doc_id", "text")
+      val key = s"prop_${trial}_${java.util.UUID.randomUUID().toString.take(6)}"
+      IngestOps.buildInventory(spark, key, corpus, "text")
+      val st = IngestOps.ingestBatch(spark, key, batch, "doc_id", "text",
+        segLen = 16)
+      // accept stage-2 survivors directly (no quality gate — random
+      // short docs would rarely pass it, starving the property)
+      val accepted = st.s2.localCheckpoint(true)
+      IngestOps.mergeAccepted(spark, key, accepted, "clean")
+      val stored = corpus.select(col("text"))
+        .unionByName(accepted.select(col("clean").as("text")))
+      assert(IngestOps.inventoryMd5s(spark, key)
+        .exceptAll(IngestOps.docMd5s(stored, "text")).count() == 0 &&
+        IngestOps.docMd5s(stored, "text")
+          .exceptAll(IngestOps.inventoryMd5s(spark, key)).count() == 0,
+        s"trial=$trial md5 inventory diverged")
+      assert(IngestOps.inventorySegments(spark, key)
+        .exceptAll(IngestOps.docSegments(stored, "text")).count() == 0 &&
+        IngestOps.docSegments(stored, "text")
+          .exceptAll(IngestOps.inventorySegments(spark, key)).count() == 0,
+        s"trial=$trial segment inventory diverged")
+    }
+  }
+
   test("pipeline_ingest_incr equals pipeline_ingest (artifact path == recompute)") {
     val full = graft.SparkEntry.queries("pipeline_ingest")(spark, Sf0001)
       .collect().map(_.toSeq).toSeq
