@@ -4224,7 +4224,8 @@ object SparkEntry {
       ("ann_ivfpq_index" -> ivfPqOracleSql) +
       ("ann_pq" -> pqOracleSql) +
       ("text_wordpiece_encode" -> wordpieceEncodeOracleSql) +
-      ("dedup_clusters_portable" -> portableClustersOracleSql)
+      ("dedup_clusters_portable" -> portableClustersOracleSql) +
+      ("multimodal_phash" -> phashOracleSql)
 
   /** Deterministic trained-model literals for the {{...}} placeholders
     * in [[oracleSql]], computed at Verify-dump time on the SAME sfDir
@@ -4418,6 +4419,50 @@ object SparkEntry {
        |FROM ranked WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** DuckDB mirror of the stub perceptual-hash near-dup summary: the
+    * payload is the text's UTF-8 bytes, so the 64 sampled "pixels"
+    * extract from the hex-encoded blob (byte at floor(i·len/64),
+    * byte-exact even for multibyte text), the mean threshold packs
+    * into a BIGINT (bit 63 via the most-negative-long addition — a
+    * 1<<63 literal overflows), and the 4×16-bit banded-Hamming tail
+    * replays with arithmetic-shift-then-mask (== unsigned shift under
+    * the 16-bit mask), xor + bit_count verification. */
+  private lazy val phashOracleSql: String =
+    """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |            octet_length(encode(text)) AS len FROM documents),
+      |px AS (SELECT doc_id, i,
+      |  CASE WHEN len = 0 THEN 0
+      |       ELSE ('0x' || substr(hx, 2*((i*len)//64) + 1, 2))::INT
+      |  END AS p
+      |  FROM b, LATERAL unnest(generate_series(0, 63)) t(i)),
+      |pm AS (SELECT doc_id, i, p,
+      |  avg(p) OVER (PARTITION BY doc_id) AS mean FROM px),
+      |ph AS (SELECT doc_id,
+      |  cast(sum(CASE WHEN p > mean AND i < 63
+      |                THEN (1::BIGINT << i) ELSE 0 END) as BIGINT)
+      |  + CASE WHEN max(CASE WHEN i = 63 AND p > mean
+      |                       THEN 1 ELSE 0 END) = 1
+      |         THEN (-9223372036854775808)::BIGINT ELSE 0 END AS phash
+      |  FROM pm GROUP BY doc_id),
+      |band AS (SELECT doc_id, bb AS band_id,
+      |  (phash >> (bb*16)) & 65535 AS band_val
+      |  FROM ph, LATERAL unnest(generate_series(0, 3)) t(bb)),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM band x JOIN band y
+      |    ON x.band_id = y.band_id AND x.band_val = y.band_val
+      |   AND x.doc_id < y.doc_id),
+      |near AS (SELECT c.a, c.b FROM cand c
+      |  JOIN ph pa ON pa.doc_id = c.a
+      |  JOIN ph pb ON pb.doc_id = c.b
+      |  WHERE bit_count(xor(pa.phash, pb.phash)) <= 3),
+      |sym AS (SELECT a AS id FROM near
+      |        UNION ALL SELECT b AS id FROM near),
+      |cnt AS (SELECT id, count(*) AS n FROM sym GROUP BY id)
+      |SELECT p.doc_id, p.phash,
+      |  cast(coalesce(c.n, 0) as bigint) AS n_near
+      |FROM ph p LEFT JOIN cnt c ON c.id = p.doc_id
+      |ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of the portable LSH -> clusters pipeline: the
     * dedup_minhash_portable pair replay (at the 0.8 cluster
