@@ -4225,7 +4225,8 @@ object SparkEntry {
       ("ann_pq" -> pqOracleSql) +
       ("text_wordpiece_encode" -> wordpieceEncodeOracleSql) +
       ("dedup_clusters_portable" -> portableClustersOracleSql) +
-      ("multimodal_phash" -> phashOracleSql)
+      ("multimodal_phash" -> phashOracleSql) +
+      ("multimodal_features" -> featuresOracleSql)
 
   /** Deterministic trained-model literals for the {{...}} placeholders
     * in [[oracleSql]], computed at Verify-dump time on the SAME sfDir
@@ -4463,6 +4464,81 @@ object SparkEntry {
       |  cast(coalesce(c.n, 0) as bigint) AS n_near
       |FROM ph p LEFT JOIN cnt c ON c.id = p.doc_id
       |ORDER BY doc_id""".stripMargin
+
+  /** SQL text for `(x * k) mod 2^64` as SIGNED BIGINT, where `x` is a
+    * signed-BIGINT expression and `k` a Java long constant — the
+    * wrapping multiply of [[graft.functions.Hash64]], emulated through
+    * HUGEINT with the multiplier split into 32-bit halves (a full
+    * 64×64 product overflows INT128). */
+  private def sqlWrapMul(x: String, k: Long): String = {
+    val ku = BigInt(k) & ((BigInt(1) << 64) - 1)
+    val bh = ku >> 32
+    val bl = ku & 0xffffffffL
+    val m64 = "18446744073709551616::HUGEINT"
+    val u = s"(CASE WHEN ($x) < 0 THEN ($x)::HUGEINT + $m64 " +
+      s"ELSE ($x)::HUGEINT END)"
+    val lo = s"(($u * ${bl}::HUGEINT) % $m64)"
+    val hi = s"(((($u % 4294967296::HUGEINT) * ${bh}::HUGEINT) % " +
+      "4294967296::HUGEINT) * 4294967296::HUGEINT)"
+    val m = s"(($lo + $hi) % $m64)"
+    s"(CASE WHEN $m >= 9223372036854775808::HUGEINT " +
+      s"THEN ($m - $m64)::BIGINT ELSE $m::BIGINT END)"
+  }
+
+  /** SQL text for Java's `z >>> n` over a signed BIGINT expression. */
+  private def sqlUshr(z: String, n: Int): String =
+    s"((($z) >> $n) & ${(BigInt(1) << (64 - n)) - 1})"
+
+  /** DuckDB mirror of the stub feature extractor: Hash64 (FNV-1a with
+    * a seed-mixed initial state + the splitmix64 finalizer — wrapping
+    * 64-bit multiplies emulated via [[sqlWrapMul]], unsigned shifts
+    * via shift-and-mask) replayed per (doc, lane) with a recursive CTE
+    * walking the payload bytes, then the exact unit-norm arithmetic:
+    * v = float(hash / Long.MaxValue), norm = sqrt of the lane-ordered
+    * double square sum, f0 = float(v0 / norm) rounded to 4dp. */
+  private lazy val featuresOracleSql: String = {
+    val FnvPrime = 0x100000001b3L
+    val Gold = 0x9e3779b97f4a7c15L
+    val C1 = 0xbf58476d1ce4e5b9L
+    val C2 = 0x94d049bb133111ebL
+    val FnvOffset = 0xcbf29ce484222325L // -3750763034362895579 signed
+    val initH = s"xor(${FnvOffset}::BIGINT, " +
+      s"${sqlWrapMul("(lane+1)::BIGINT", Gold)})"
+    val stepH = sqlWrapMul(
+      "xor(r.h, ('0x' || substr(b.hx, 2*r.pos + 1, 2))::BIGINT)",
+      FnvPrime)
+    val mix1 = sqlWrapMul(s"xor(h, ${sqlUshr("h", 30)})", C1)
+    val mix2 = sqlWrapMul(s"xor(h, ${sqlUshr("h", 27)})", C2)
+    s"""WITH RECURSIVE
+       |b AS (SELECT doc_id, hex(encode(text)) AS hx,
+       |        octet_length(encode(text)) AS len FROM documents),
+       |lanes AS (SELECT unnest(generate_series(0, 15)) AS lane),
+       |rec(doc_id, lane, pos, h) AS (
+       |  SELECT b.doc_id, lanes.lane, 0, $initH
+       |  FROM b CROSS JOIN lanes
+       |  UNION ALL
+       |  SELECT r.doc_id, r.lane, r.pos + 1, $stepH
+       |  FROM rec r JOIN b ON b.doc_id = r.doc_id
+       |  WHERE r.pos < b.len),
+       |fin AS (SELECT r.doc_id, r.lane, r.h
+       |        FROM rec r JOIN b ON b.doc_id = r.doc_id
+       |        WHERE r.pos = b.len),
+       |m1 AS (SELECT doc_id, lane, $mix1 AS h FROM fin),
+       |m2 AS (SELECT doc_id, lane, $mix2 AS h FROM m1),
+       |hv AS (SELECT doc_id, lane,
+       |  CAST(xor(h, ${sqlUshr("h", 31)})::DOUBLE /
+       |    9223372036854775807::DOUBLE AS FLOAT) AS v FROM m2),
+       |vl AS (SELECT doc_id, list(v::DOUBLE ORDER BY lane) AS vs
+       |       FROM hv GROUP BY doc_id),
+       |nm AS (SELECT doc_id, vs,
+       |  sqrt(list_sum(list_transform(vs, x -> x * x))) AS norm
+       |  FROM vl)
+       |SELECT doc_id,
+       |  CASE WHEN norm = 0.0 THEN round(CAST(vs[1] AS FLOAT), 4)
+       |       ELSE round(CAST(vs[1] / norm AS FLOAT), 4) END AS f0,
+       |  16::BIGINT AS dim
+       |FROM nm ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB mirror of the portable LSH -> clusters pipeline: the
     * dedup_minhash_portable pair replay (at the 0.8 cluster
