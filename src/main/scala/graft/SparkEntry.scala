@@ -4226,7 +4226,8 @@ object SparkEntry {
       ("text_wordpiece_encode" -> wordpieceEncodeOracleSql) +
       ("dedup_clusters_portable" -> portableClustersOracleSql) +
       ("multimodal_phash" -> phashOracleSql) +
-      ("multimodal_features" -> featuresOracleSql)
+      ("multimodal_features" -> featuresOracleSql) +
+      ("dedup_simhash" -> simhashOracleSql)
 
   /** Deterministic trained-model literals for the {{...}} placeholders
     * in [[oracleSql]], computed at Verify-dump time on the SAME sfDir
@@ -4538,6 +4539,73 @@ object SparkEntry {
        |       ELSE round(CAST(vs[1] / norm AS FLOAT), 4) END AS f0,
        |  16::BIGINT AS dim
        |FROM nm ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB mirror of the production (FNV-hash) SimHash near-dup
+    * summary: each DISTINCT token hashes once through the emulated
+    * Hash64 (vocabulary-sized recursion, then a multiplicity join),
+    * the 64 bit votes aggregate per doc, the signature packs (bit 63
+    * via the most-negative-long addition), and the 4x16-bit
+    * banded-Hamming tail replays as in the phash oracle. With this,
+    * the xxhash-free production summary is cross-engine certified —
+    * not just its portable md5 twin. */
+  private lazy val simhashOracleSql: String = {
+    val FnvPrime = 0x100000001b3L
+    val C1 = 0xbf58476d1ce4e5b9L
+    val C2 = 0x94d049bb133111ebL
+    val stepH = sqlWrapMul(
+      "xor(r.h, ('0x' || substr(b.hx, 2*r.pos + 1, 2))::BIGINT)",
+      FnvPrime)
+    val mix1 = sqlWrapMul(s"xor(h, ${sqlUshr("h", 30)})", C1)
+    val mix2 = sqlWrapMul(s"xor(h, ${sqlUshr("h", 27)})", C2)
+    s"""WITH RECURSIVE
+       |tk AS (SELECT doc_id, unnest(string_split(lower(text), ' '))
+       |         AS tok FROM documents),
+       |tb AS (SELECT tok, hex(encode(tok)) AS hx,
+       |         octet_length(encode(tok)) AS len
+       |       FROM (SELECT DISTINCT tok FROM tk)),
+       |rec(tok, pos, h) AS (
+       |  SELECT tok, 0, (-3750763034362895579)::BIGINT FROM tb
+       |  UNION ALL
+       |  SELECT r.tok, r.pos + 1, $stepH
+       |  FROM rec r JOIN tb b ON b.tok = r.tok WHERE r.pos < b.len),
+       |fin AS (SELECT r.tok, r.h FROM rec r
+       |        JOIN tb b ON b.tok = r.tok WHERE r.pos = b.len),
+       |m1 AS (SELECT tok, $mix1 AS h FROM fin),
+       |m2 AS (SELECT tok, $mix2 AS h FROM m1),
+       |th AS (SELECT tok, xor(h, ${sqlUshr("h", 31)}) AS h FROM m2),
+       |votes AS (SELECT t.doc_id, g.bb,
+       |    sum(CASE WHEN (th.h >> g.bb) & 1 = 1 THEN 1 ELSE -1 END)
+       |      AS v
+       |  FROM tk t JOIN th ON th.tok = t.tok,
+       |       LATERAL unnest(generate_series(0, 63)) g(bb)
+       |  GROUP BY t.doc_id, g.bb),
+       |sig AS (SELECT doc_id,
+       |  cast(sum(CASE WHEN v > 0 AND bb < 63
+       |                THEN (1::BIGINT << bb) ELSE 0 END) as BIGINT)
+       |  + CASE WHEN max(CASE WHEN bb = 63 AND v > 0
+       |                       THEN 1 ELSE 0 END) = 1
+       |         THEN (-9223372036854775808)::BIGINT ELSE 0 END
+       |    AS simhash
+       |  FROM votes GROUP BY doc_id),
+       |band AS (SELECT doc_id, bb AS band_id,
+       |  (simhash >> (bb*16)) & 65535 AS band_val
+       |  FROM sig, LATERAL unnest(generate_series(0, 3)) t(bb)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM band x JOIN band y
+       |    ON x.band_id = y.band_id AND x.band_val = y.band_val
+       |   AND x.doc_id < y.doc_id),
+       |near AS (SELECT c.a, c.b FROM cand c
+       |  JOIN sig pa ON pa.doc_id = c.a
+       |  JOIN sig pb ON pb.doc_id = c.b
+       |  WHERE bit_count(xor(pa.simhash, pb.simhash)) <= 3),
+       |sym AS (SELECT a AS id FROM near
+       |        UNION ALL SELECT b AS id FROM near),
+       |cnt AS (SELECT id, count(*) AS n FROM sym GROUP BY id)
+       |SELECT s.doc_id, s.simhash,
+       |  cast(coalesce(c.n, 0) as bigint) AS n_near
+       |FROM sig s LEFT JOIN cnt c ON c.id = s.doc_id
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB mirror of the portable LSH -> clusters pipeline: the
