@@ -4227,7 +4227,12 @@ object SparkEntry {
       ("dedup_clusters_portable" -> portableClustersOracleSql) +
       ("multimodal_phash" -> phashOracleSql) +
       ("multimodal_features" -> featuresOracleSql) +
-      ("dedup_simhash" -> simhashOracleSql)
+      ("dedup_simhash" -> simhashOracleSql) +
+      ("dedup_ngram_jaccard" -> ngramJaccardOracleSql) +
+      ("ann_lsh" -> lshOracleSql(probe = false)) +
+      ("ann_lsh_mp" -> lshOracleSql(probe = true)) +
+      ("dedup_embedding" -> embeddingDupOracleSql) +
+      ("dedup_semantic" -> semanticDedupOracleSql)
 
   /** Deterministic trained-model literals for the {{...}} placeholders
     * in [[oracleSql]], computed at Verify-dump time on the SAME sfDir
@@ -4541,6 +4546,169 @@ object SparkEntry {
        |FROM nm ORDER BY doc_id""".stripMargin
   }
 
+  /** SQL for `(x + y) mod 2^64` as signed BIGINT (y a small
+    * non-negative expression) — the wrapping add of the hyperplane
+    * seed derivation. */
+  private def sqlWrapAdd(x: String, y: String): String = {
+    val m64 = "18446744073709551616::HUGEINT"
+    val u = s"(CASE WHEN ($x) < 0 THEN ($x)::HUGEINT + $m64 " +
+      s"ELSE ($x)::HUGEINT END)"
+    val m = s"(($u + ($y)::HUGEINT) % $m64)"
+    s"(CASE WHEN $m >= 9223372036854775808::HUGEINT " +
+      s"THEN ($m - $m64)::BIGINT ELSE $m::BIGINT END)"
+  }
+
+  /** CTE block computing each embedding's `nbits`-bit hyperplane-LSH
+    * signature exactly as [[graft.functions.SketchKernels
+    * .hyperplaneBits]]: component (p,i) = splitmix64(p·GOLD + i)
+    * mapped to [-1,1] (wrapping arithmetic via HUGEINT), dot products
+    * accumulated in dimension order, bit set when dot >= 0. Ends with
+    * `sigt(vec_id, sig)`; nbits <= 32 so the pack needs no sign
+    * handling. */
+  private def hyperplaneSigCtes(nbits: Int): String = {
+    val Gold = 0x9e3779b97f4a7c15L
+    val C1 = 0xbf58476d1ce4e5b9L
+    val C2 = 0x94d049bb133111ebL
+    val z0 = sqlWrapAdd(sqlWrapMul("p::BIGINT", Gold), "i")
+    val mz1 = sqlWrapMul(s"xor(z, ${sqlUshr("z", 30)})", C1)
+    val mz2 = sqlWrapMul(s"xor(z, ${sqlUshr("z", 27)})", C2)
+    s"""hz AS (SELECT p, i, $z0 AS z
+       |  FROM (SELECT unnest(generate_series(0, ${nbits - 1})) AS p),
+       |       (SELECT unnest(generate_series(0, 63)) AS i)),
+       |hm1 AS (SELECT p, i, $mz1 AS z FROM hz),
+       |hm2 AS (SELECT p, i, $mz2 AS z FROM hm1),
+       |wt AS (SELECT p, i,
+       |  xor(z, ${sqlUshr("z", 31)})::DOUBLE /
+       |    9223372036854775807::DOUBLE AS w FROM hm2),
+       |wl AS (SELECT p, list(w ORDER BY i) AS ws FROM wt GROUP BY p),
+       |dots AS (SELECT e.vec_id, wl.p,
+       |    list_sum(list_transform(generate_series(1, 64),
+       |      i -> cast(e.embedding[i] as double) * wl.ws[i])) AS dp
+       |  FROM embeddings e CROSS JOIN wl),
+       |sigt AS (SELECT vec_id,
+       |  cast(sum(CASE WHEN dp >= 0.0 THEN (1::BIGINT << p)
+       |                ELSE 0 END) as BIGINT) AS sig
+       |  FROM dots GROUP BY vec_id)""".stripMargin
+  }
+
+  /** DuckDB mirror of the hyperplane-LSH top-k: signatures from
+    * [[hyperplaneSigCtes]], 8 bands of 4 bits, optional one-bit
+    * multiprobe on the query side, distinct candidates, exact cosine
+    * re-rank with the ann_brute conventions. */
+  private def lshOracleSql(probe: Boolean): String = {
+    val qb =
+      if (!probe) "SELECT query_id, band_id, band_val FROM qb0"
+      else
+        """SELECT query_id, band_id, band_val FROM qb0
+          |  UNION
+          |  SELECT query_id, band_id, xor(band_val, 1::BIGINT << bx)
+          |  FROM qb0, LATERAL unnest(generate_series(0, 3)) t(bx)"""
+          .stripMargin
+    s"""WITH ${hyperplaneSigCtes(32)},
+       |qb0 AS (SELECT vec_id AS query_id, bb AS band_id,
+       |    (sig >> (bb*4)) & 15 AS band_val
+       |  FROM sigt, LATERAL unnest(generate_series(0, 7)) t(bb)
+       |  WHERE vec_id < 5),
+       |qb AS ($qb),
+       |cb AS (SELECT vec_id AS neighbor_id, bb AS band_id,
+       |    (sig >> (bb*4)) & 15 AS band_val
+       |  FROM sigt, LATERAL unnest(generate_series(0, 7)) t(bb)),
+       |cand AS (SELECT DISTINCT q.query_id, c.neighbor_id
+       |  FROM cb c JOIN qb q USING (band_id, band_val)
+       |  WHERE c.neighbor_id <> q.query_id),
+       |ev AS (SELECT vec_id, cast(embedding as DOUBLE[]) AS v
+       |       FROM embeddings),
+       |scored AS (SELECT c.query_id, c.neighbor_id,
+       |    list_cosine_similarity(q.v, n.v) AS sim
+       |  FROM cand c JOIN ev q ON q.vec_id = c.query_id
+       |             JOIN ev n ON n.vec_id = c.neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
+       |FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB mirror of the embedding near-dup summary: 16-bit
+    * hyperplane signatures, two 8-bit bands, 2..1000-sized bucket
+    * pair expansion (a<b, distinct across bands), exact cosine, and
+    * the symmetric per-vector rollup. */
+  private lazy val embeddingDupOracleSql: String =
+    s"""WITH ${hyperplaneSigCtes(16)},
+       |band AS (SELECT vec_id, bb AS band_id,
+       |    (sig >> (bb*8)) & 255 AS band_val
+       |  FROM sigt, LATERAL unnest(generate_series(0, 1)) t(bb)),
+       |okb AS (SELECT band_id, band_val FROM band
+       |        GROUP BY band_id, band_val
+       |        HAVING count(*) BETWEEN 2 AND 1000),
+       |pairs AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM band x JOIN band y
+       |    ON x.band_id = y.band_id AND x.band_val = y.band_val
+       |   AND x.vec_id < y.vec_id
+       |  JOIN okb ON okb.band_id = x.band_id
+       |          AND okb.band_val = x.band_val),
+       |ev AS (SELECT vec_id, cast(embedding as DOUBLE[]) AS v
+       |       FROM embeddings),
+       |scored AS (SELECT p.a, p.b,
+       |    list_cosine_similarity(va.v, vb.v) AS cosine
+       |  FROM pairs p JOIN ev va ON va.vec_id = p.a
+       |              JOIN ev vb ON vb.vec_id = p.b),
+       |sym AS (SELECT a AS id, cosine FROM scored
+       |        UNION ALL SELECT b AS id, cosine FROM scored),
+       |pv AS (SELECT id, count(*) AS nc, round(max(cosine), 4) AS mc
+       |       FROM sym GROUP BY id)
+       |SELECT e.vec_id,
+       |  cast(coalesce(pv.nc, 0) as bigint) AS n_candidates,
+       |  coalesce(pv.mc, -1.0) AS max_cosine
+       |FROM embeddings e LEFT JOIN pv ON pv.id = e.vec_id
+       |ORDER BY vec_id""".stripMargin
+
+  /** DuckDB mirror of the SemDedup summary: cell assignment under the
+    * embedded IVF centroids (first-max cosine argmax), within-cluster
+    * pairs (bucket capped 10000), cosine >= 0.95 verification, and
+    * the keep-lowest-id rollup. */
+  private lazy val semanticDedupOracleSql: String = {
+    val centroidRows = (0 until 8)
+      .map(i => s"($i, {{IVF_C${i + 1}}})").mkString(",\n    ")
+    s"""WITH c AS (SELECT * FROM (VALUES
+       |    $centroidRows) AS t(cid, cvec)),
+       |e AS (SELECT vec_id, cast(embedding as DOUBLE[]) AS v
+       |      FROM embeddings),
+       |asg AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v,
+       |          cast(c.cvec as DOUBLE[])) DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN c) WHERE rn = 1),
+       |okc AS (SELECT cid FROM asg GROUP BY cid
+       |        HAVING count(*) BETWEEN 2 AND 10000),
+       |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b
+       |  FROM asg x JOIN asg y
+       |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  JOIN okc ON okc.cid = x.cid),
+       |dups AS (SELECT p.a, p.b,
+       |    list_cosine_similarity(va.v, vb.v) AS cosine
+       |  FROM pairs p JOIN e va ON va.vec_id = p.a
+       |              JOIN e vb ON vb.vec_id = p.b
+       |  WHERE list_cosine_similarity(va.v, vb.v) >= 0.95),
+       |sym AS (SELECT a AS id, cosine, false AS drp FROM dups
+       |        UNION ALL SELECT b AS id, cosine, true AS drp
+       |        FROM dups),
+       |pv AS (SELECT id, count(*) AS nd, round(max(cosine), 4) AS mc,
+       |         bool_or(drp) AS dropped
+       |       FROM sym GROUP BY id)
+       |SELECT a.vec_id, cast(a.cid as bigint) AS cid,
+       |  cast(coalesce(pv.nd, 0) as bigint) AS n_semantic_dups,
+       |  coalesce(pv.mc, -1.0) AS max_cosine,
+       |  CASE WHEN coalesce(pv.dropped, false) THEN 0 ELSE 1 END::BIGINT
+       |    AS kept
+       |FROM asg a LEFT JOIN pv ON pv.id = a.vec_id
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** DuckDB mirror of the production (FNV-hash) SimHash near-dup
     * summary: each DISTINCT token hashes once through the emulated
     * Hash64 (vocabulary-sized recursion, then a multiplicity join),
@@ -4605,6 +4773,74 @@ object SparkEntry {
        |SELECT s.doc_id, s.simhash,
        |  cast(coalesce(c.n, 0) as bigint) AS n_near
        |FROM sig s LEFT JOIN cnt c ON c.id = s.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB mirror of the character-n-gram Jaccard near-dup summary:
+    * every distinct 8-byte window of the lowercased text hashes once
+    * through the emulated Hash64 (the gram's own hex string carries
+    * the recursion bytes — no side table), docs keep their signed-
+    * ascending bottom-32 distinct hashes as the inverted-index sample
+    * (the kernel's sortedDistinct + slice), candidate pairs need a
+    * 2..10-doc gram bucket and >= 2 shared sampled grams, and the
+    * exact Jaccard verifies over the FULL distinct hash sets. */
+  private lazy val ngramJaccardOracleSql: String = {
+    val FnvPrime = 0x100000001b3L
+    val C1 = 0xbf58476d1ce4e5b9L
+    val C2 = 0x94d049bb133111ebL
+    val stepH = sqlWrapMul(
+      "xor(r.h, ('0x' || substr(r.ghx, 2*r.pos + 1, 2))::BIGINT)",
+      FnvPrime)
+    val mix1 = sqlWrapMul(s"xor(h, ${sqlUshr("h", 30)})", C1)
+    val mix2 = sqlWrapMul(s"xor(h, ${sqlUshr("h", 27)})", C2)
+    s"""WITH RECURSIVE
+       |d AS (SELECT doc_id, hex(encode(lower(text))) AS hx,
+       |        octet_length(encode(lower(text))) AS len
+       |      FROM documents),
+       |gpos AS (SELECT doc_id,
+       |    substr(hx, 2*p + 1,
+       |      2 * (CASE WHEN len <= 8 THEN len ELSE 8 END)) AS ghx
+       |  FROM d, LATERAL unnest(generate_series(0,
+       |    CASE WHEN len <= 8 THEN 0 ELSE len - 8 END)) t(p)),
+       |gset AS (SELECT DISTINCT ghx FROM gpos),
+       |rec(ghx, pos, h) AS (
+       |  SELECT ghx, 0, (-3750763034362895579)::BIGINT FROM gset
+       |  UNION ALL
+       |  SELECT r.ghx, r.pos + 1, $stepH
+       |  FROM rec r WHERE 2*r.pos < length(r.ghx)),
+       |fin AS (SELECT ghx, h FROM rec WHERE 2*pos = length(ghx)),
+       |m1 AS (SELECT ghx, $mix1 AS h FROM fin),
+       |m2 AS (SELECT ghx, $mix2 AS h FROM m1),
+       |gh AS (SELECT ghx, xor(h, ${sqlUshr("h", 31)}) AS h FROM m2),
+       |docg AS (SELECT DISTINCT g.doc_id, gh.h
+       |         FROM gpos g JOIN gh ON gh.ghx = g.ghx),
+       |sl AS (SELECT doc_id, h FROM (
+       |    SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY h) AS rn FROM docg) WHERE rn <= 32),
+       |okg AS (SELECT h FROM sl GROUP BY h
+       |        HAVING count(*) BETWEEN 2 AND 10),
+       |cand AS (SELECT a, b FROM (
+       |    SELECT s1.doc_id AS a, s2.doc_id AS b
+       |    FROM sl s1 JOIN sl s2 ON s1.h = s2.h
+       |      AND s1.doc_id < s2.doc_id
+       |    JOIN okg ON okg.h = s1.h)
+       |  GROUP BY a, b HAVING count(*) >= 2),
+       |fullg AS (SELECT doc_id, list(h ORDER BY h) AS gs
+       |          FROM docg GROUP BY doc_id),
+       |ver AS (SELECT c.a, c.b,
+       |    len(list_intersect(ga.gs, gb.gs)) AS inter,
+       |    len(ga.gs) AS na, len(gb.gs) AS nb
+       |  FROM cand c JOIN fullg ga ON ga.doc_id = c.a
+       |              JOIN fullg gb ON gb.doc_id = c.b),
+       |jac AS (SELECT a, b, inter * 1.0 / (na + nb - inter) AS j
+       |        FROM ver),
+       |sym AS (SELECT a AS id, j FROM jac
+       |        UNION ALL SELECT b AS id, j FROM jac),
+       |agg AS (SELECT id, round(max(j), 4) AS mj, count(*) AS nc
+       |        FROM sym GROUP BY id)
+       |SELECT dd.doc_id, coalesce(a.mj, 0.0) AS max_jaccard,
+       |  cast(coalesce(a.nc, 0) as bigint) AS n_candidates
+       |FROM documents dd LEFT JOIN agg a ON a.id = dd.doc_id
        |ORDER BY doc_id""".stripMargin
   }
 
