@@ -4232,7 +4232,9 @@ object SparkEntry {
       ("ann_lsh" -> lshOracleSql(probe = false)) +
       ("ann_lsh_mp" -> lshOracleSql(probe = true)) +
       ("dedup_embedding" -> embeddingDupOracleSql) +
-      ("dedup_semantic" -> semanticDedupOracleSql)
+      ("dedup_semantic" -> semanticDedupOracleSql) +
+      ("text_cms_counts" -> cmsOracleSql) +
+      ("q_kmv_overlap" -> kmvOracleSql)
 
   /** Deterministic trained-model literals for the {{...}} placeholders
     * in [[oracleSql]], computed at Verify-dump time on the SAME sfDir
@@ -4707,6 +4709,144 @@ object SparkEntry {
        |    AS kept
        |FROM asg a LEFT JOIN pv ON pv.id = a.vec_id
        |ORDER BY vec_id""".stripMargin
+  }
+
+  /** DuckDB mirror of the Count-Min certification query: each
+    * distinct term hashes once per sketch row through the emulated
+    * Hash64 (row-seeded inits precomputed with JVM wrapping
+    * arithmetic), cells sum the stream counts landing there, and the
+    * point estimate is the row-wise minimum — replayed for the exact
+    * top-20 keys. The sketch bytes themselves are partition-invariant
+    * (cell-wise sums), so this certifies the whole estimate path. */
+  private lazy val cmsOracleSql: String = {
+    val FnvPrime = 0x100000001b3L
+    val Gold = 0x9e3779b97f4a7c15L
+    val C1 = 0xbf58476d1ce4e5b9L
+    val C2 = 0x94d049bb133111ebL
+    val FnvOffset = 0xcbf29ce484222325L
+    // JVM Long wrap == Scala Long wrap: the row-seeded FNV inits
+    val seedRows = (0 until 4)
+      .map(r => s"($r, ${FnvOffset ^ (r.toLong * Gold)}::BIGINT)")
+      .mkString(", ")
+    val stepH = sqlWrapMul(
+      "xor(r2.h, ('0x' || substr(b.hx, 2*r2.pos + 1, 2))::BIGINT)",
+      FnvPrime)
+    val mix1 = sqlWrapMul(s"xor(h, ${sqlUshr("h", 30)})", C1)
+    val mix2 = sqlWrapMul(s"xor(h, ${sqlUshr("h", 27)})", C2)
+    s"""WITH RECURSIVE
+       |tk AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+       |       FROM documents),
+       |tc AS (SELECT term, count(*) AS n FROM tk WHERE term <> ''
+       |       GROUP BY term),
+       |sd AS (SELECT * FROM (VALUES $seedRows) t(r, h0)),
+       |tb AS (SELECT term, hex(encode(term)) AS hx,
+       |         octet_length(encode(term)) AS len FROM tc),
+       |rec(term, r, pos, h) AS (
+       |  SELECT tb.term, sd.r, 0, sd.h0 FROM tb CROSS JOIN sd
+       |  UNION ALL
+       |  SELECT r2.term, r2.r, r2.pos + 1, $stepH
+       |  FROM rec r2 JOIN tb b ON b.term = r2.term
+       |  WHERE r2.pos < b.len),
+       |fin AS (SELECT r2.term, r2.r, r2.h FROM rec r2
+       |        JOIN tb b ON b.term = r2.term WHERE r2.pos = b.len),
+       |m1 AS (SELECT term, r, $mix1 AS h FROM fin),
+       |m2 AS (SELECT term, r, $mix2 AS h FROM m1),
+       |th AS (SELECT term, r, xor(h, ${sqlUshr("h", 31)}) AS h
+       |       FROM m2),
+       |cellof AS (SELECT term, r,
+       |    ((h % 1024) + 1024) % 1024 AS c FROM th),
+       |cells AS (SELECT co.r, co.c, sum(tc.n) AS v
+       |  FROM cellof co JOIN tc ON tc.term = co.term
+       |  GROUP BY co.r, co.c),
+       |est AS (SELECT co.term, min(cl.v) AS e
+       |  FROM cellof co JOIN cells cl ON cl.r = co.r AND cl.c = co.c
+       |  GROUP BY co.term),
+       |top AS (SELECT term, n FROM tc
+       |        ORDER BY n DESC, term LIMIT 20)
+       |SELECT t.term, t.n AS true_n, cast(e.e as bigint) AS cms_est,
+       |  cast(e.e - t.n as bigint) AS overcount
+       |FROM top t JOIN est e ON e.term = t.term
+       |ORDER BY true_n DESC, t.term""".stripMargin
+  }
+
+  /** DuckDB mirror of the KMV overlap audit: the k=512 smallest
+    * signed FNV hashes of each side's distinct user-id strings (one
+    * vocabulary-sized recursion; seed = the golden-ratio constant,
+    * its wrapped self-product precomputed with JVM arithmetic),
+    * estimates via (k-1)/unit(kth-min) with the exact unit() float
+    * chain, theta-style union/jaccard/intersection over the k-min
+    * sets, and math.rint == round_even for the output rounding. */
+  private lazy val kmvOracleSql: String = {
+    val FnvPrime = 0x100000001b3L
+    val Gold = 0x9e3779b97f4a7c15L
+    val C1 = 0xbf58476d1ce4e5b9L
+    val C2 = 0x94d049bb133111ebL
+    val FnvOffset = 0xcbf29ce484222325L
+    val init = FnvOffset ^ (Gold * Gold) // JVM wrap
+    val stepH = sqlWrapMul(
+      "xor(r2.h, ('0x' || substr(b.hx, 2*r2.pos + 1, 2))::BIGINT)",
+      FnvPrime)
+    val mix1 = sqlWrapMul(s"xor(h, ${sqlUshr("h", 30)})", C1)
+    val mix2 = sqlWrapMul(s"xor(h, ${sqlUshr("h", 27)})", C2)
+    val unit = "((mx::DOUBLE - (-9.223372036854776e18) + 1.0) / " +
+      "1.8446744073709552e19)"
+    val estExpr = s"CASE WHEN sz < 512 THEN sz::DOUBLE " +
+      s"ELSE 511.0 / $unit END"
+    s"""WITH RECURSIVE
+       |us AS (SELECT DISTINCT event_type,
+       |         cast(user_id as varchar) AS s
+       |       FROM events WHERE event_type IN ('click', 'view')),
+       |tb AS (SELECT s, hex(encode(s)) AS hx,
+       |         octet_length(encode(s)) AS len
+       |       FROM (SELECT DISTINCT s FROM us)),
+       |rec(s, pos, h) AS (
+       |  SELECT s, 0, ${init}::BIGINT FROM tb
+       |  UNION ALL
+       |  SELECT r2.s, r2.pos + 1, $stepH
+       |  FROM rec r2 JOIN tb b ON b.s = r2.s WHERE r2.pos < b.len),
+       |fin AS (SELECT r2.s, r2.h FROM rec r2
+       |        JOIN tb b ON b.s = r2.s WHERE r2.pos = b.len),
+       |m1 AS (SELECT s, $mix1 AS h FROM fin),
+       |m2 AS (SELECT s, $mix2 AS h FROM m1),
+       |th AS (SELECT s, xor(h, ${sqlUshr("h", 31)}) AS h FROM m2),
+       |ka AS (SELECT h FROM (SELECT DISTINCT th.h FROM us
+       |         JOIN th ON th.s = us.s WHERE event_type = 'click')
+       |       ORDER BY h LIMIT 512),
+       |kb AS (SELECT h FROM (SELECT DISTINCT th.h FROM us
+       |         JOIN th ON th.s = us.s WHERE event_type = 'view')
+       |       ORDER BY h LIMIT 512),
+       |ku AS (SELECT h FROM (SELECT h FROM ka
+       |         UNION SELECT h FROM kb)
+       |       ORDER BY h LIMIT 512),
+       |ea AS (SELECT count(*) AS sz, max(h) AS mx FROM ka),
+       |eb AS (SELECT count(*) AS sz, max(h) AS mx FROM kb),
+       |eu AS (SELECT count(*) AS sz, max(h) AS mx FROM ku),
+       |jc AS (SELECT
+       |    CASE WHEN (SELECT count(*) FROM ku) = 0 THEN 0.0
+       |         ELSE (SELECT count(*) FROM ku u
+       |               WHERE u.h IN (SELECT h FROM ka)
+       |                 AND u.h IN (SELECT h FROM kb))::DOUBLE /
+       |              (SELECT count(*) FROM ku) END AS j),
+       |ex AS (SELECT
+       |  (SELECT count(DISTINCT user_id) FROM events
+       |   WHERE event_type = 'click') AS n_click,
+       |  (SELECT count(DISTINCT user_id) FROM events
+       |   WHERE event_type = 'view') AS n_view,
+       |  (SELECT count(*) FROM
+       |    (SELECT DISTINCT user_id FROM events
+       |     WHERE event_type = 'click'
+       |     INTERSECT
+       |     SELECT DISTINCT user_id FROM events
+       |     WHERE event_type = 'view')) AS n_common)
+       |SELECT ex.n_click, ex.n_view, ex.n_common,
+       |  round_even((SELECT $estExpr FROM ea) * 100, 0) / 100
+       |    AS est_click,
+       |  round_even((SELECT $estExpr FROM eb) * 100, 0) / 100
+       |    AS est_view,
+       |  round_even(jc.j * (SELECT $estExpr FROM eu) * 100, 0) / 100
+       |    AS est_common,
+       |  round_even(jc.j * 1e4, 0) / 1e4 AS jaccard_est
+       |FROM ex, jc""".stripMargin
   }
 
   /** DuckDB mirror of the production (FNV-hash) SimHash near-dup
