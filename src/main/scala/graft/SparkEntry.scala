@@ -4234,7 +4234,9 @@ object SparkEntry {
       ("dedup_embedding" -> embeddingDupOracleSql) +
       ("dedup_semantic" -> semanticDedupOracleSql) +
       ("text_cms_counts" -> cmsOracleSql) +
-      ("q_kmv_overlap" -> kmvOracleSql)
+      ("q_kmv_overlap" -> kmvOracleSql) +
+      ("dedup_minhash" -> minhashSummaryOracleSql) +
+      ("dedup_clusters" -> minhashClustersOracleSql)
 
   /** Deterministic trained-model literals for the {{...}} placeholders
     * in [[oracleSql]], computed at Verify-dump time on the SAME sfDir
@@ -4849,6 +4851,183 @@ object SparkEntry {
        |FROM ex, jc""".stripMargin
   }
 
+  /** 32-bit wrapping multiply mod 2^32 over unsigned-in-BIGINT values
+    * (the Murmur3 building block) — split at 16 bits so no product
+    * exceeds 2^48. */
+  private def sqlU32Mul(k: String, c: Long): String =
+    s"(((($k) & 65535) * $c + (((($k) >> 16) & 65535) * $c % 65536) " +
+      s"* 65536) & 4294967295)"
+
+  private def sqlRotl32(x: String, r: Int): String =
+    s"(((($x) << $r) | (($x) >> ${32 - r})) & 4294967295)"
+
+  /** Staged CTE columns computing Spark's Murmur3 `hashLong(l<e>,
+    * prev)` — each intermediate is a named column so no sub-expression
+    * duplicates (the nested spelling grows 8x per level). Returns the
+    * (col, expr) stages; the final column is `h<e>`. */
+  private def murmurHashLongStages(e: Int,
+      prev: String): Seq[(String, String)] = Seq(
+    (s"lo$e", s"(l$e & 4294967295)"),
+    (s"hi$e", s"((l$e >> 32) & 4294967295)"),
+    (s"a1$e", sqlU32Mul(s"lo$e", 0xcc9e2d51L)),
+    (s"a2$e", sqlRotl32(s"a1$e", 15)),
+    (s"a3$e", sqlU32Mul(s"a2$e", 0x1b873593L)),
+    (s"m1$e", s"xor($prev, a3$e)"),
+    (s"m2$e", s"((${sqlRotl32(s"m1$e", 13)} * 5 + 3864292196) " +
+      "& 4294967295)"),
+    (s"c1$e", sqlU32Mul(s"hi$e", 0xcc9e2d51L)),
+    (s"c2$e", sqlRotl32(s"c1$e", 15)),
+    (s"c3$e", sqlU32Mul(s"c2$e", 0x1b873593L)),
+    (s"m3$e", s"xor(m2$e, c3$e)"),
+    (s"m4$e", s"((${sqlRotl32(s"m3$e", 13)} * 5 + 3864292196) " +
+      "& 4294967295)"),
+    (s"f1$e", s"xor(m4$e, 8)"),
+    (s"f2$e", s"xor(f1$e, f1$e >> 16)"),
+    (s"f3$e", sqlU32Mul(s"f2$e", 0x85ebca6bL)),
+    (s"f4$e", s"xor(f3$e, f3$e >> 13)"),
+    (s"f5$e", sqlU32Mul(s"f4$e", 0xc2b2ae35L)),
+    (s"h$e", s"xor(f5$e, f5$e >> 16)"))
+
+  /** The minhash-LSH candidate+verify FRONT as shared CTEs (the
+    * production xxhash-free spelling: FNV window hashes with the 0x1f
+    * token separator, 64 affine-xor lanes through splitmix64, 16
+    * four-lane bands keyed by Spark's Murmur3 over the lane longs —
+    * validated against `hash()` ground truth — 2..1000 bucket pair
+    * expansion, exact shingle-hash Jaccard). Ends with
+    * `jac(a, b, j)` plus `docs_all(doc_id)`. */
+  private lazy val minhashFrontCtes: String = {
+    val FnvPrime = 0x100000001b3L
+    val C1 = 0xbf58476d1ce4e5b9L
+    val C2 = 0x94d049bb133111ebL
+    val stepH = sqlWrapMul(
+      "xor(r2.h, ('0x' || substr(r2.ghx, 2*r2.pos + 1, 2))::BIGINT)",
+      FnvPrime)
+    val mix1 = sqlWrapMul(s"xor(h, ${sqlUshr("h", 30)})", C1)
+    val mix2 = sqlWrapMul(s"xor(h, ${sqlUshr("h", 27)})", C2)
+    // per-lane xor constants, wrapped with JVM Long arithmetic
+    val laneRows = (0 until 64)
+      .map(l => s"($l, ${l.toLong * 0xff51afd7ed558ccdL}::BIGINT)")
+      .mkString(", ")
+    val lmix1 = sqlWrapMul(s"xor(z, ${sqlUshr("z", 30)})", C1)
+    val lmix2 = sqlWrapMul(s"xor(z, ${sqlUshr("z", 27)})", C2)
+    // murmur over the 4 lane longs of each band, staged
+    val stages = (1 to 4).foldLeft(
+      (Seq.empty[(String, String)], "(42::BIGINT)")) {
+        case ((acc, prev), e) =>
+          (acc ++ murmurHashLongStages(e, prev), s"h$e")
+      }._1
+    val murmurCtes = stages.zipWithIndex.map { case ((col, expr), i) =>
+      val src = if (i == 0) "slices" else s"mm${i - 1}"
+      s"mm$i AS (SELECT *, $expr AS $col FROM $src)"
+    }.mkString(",\n")
+    val lastMm = s"mm${stages.length - 1}"
+    s"""tkw AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |        FROM documents),
+       |wins AS (SELECT doc_id,
+       |    CASE WHEN len(w) <= 3
+       |      THEN [list_aggregate(list_transform(w,
+       |             t -> t || chr(31)), 'string_agg', '')]
+       |      ELSE list_transform(generate_series(1, len(w) - 2),
+       |             p -> w[p] || chr(31) || w[p+1] || chr(31) ||
+       |                  w[p+2] || chr(31)) END AS ss
+       |  FROM tkw),
+       |gpos AS (SELECT doc_id, unnest(ss) AS ghs FROM wins),
+       |gset AS (SELECT ghs, hex(encode(ghs)) AS ghx,
+       |           octet_length(encode(ghs)) AS len
+       |         FROM (SELECT DISTINCT ghs FROM gpos)),
+       |rec(ghs, ghx, pos, h) AS (
+       |  SELECT ghs, ghx, 0, (-3750763034362895579)::BIGINT FROM gset
+       |  UNION ALL
+       |  SELECT r2.ghs, r2.ghx, r2.pos + 1, $stepH
+       |  FROM rec r2 WHERE 2*r2.pos < length(r2.ghx)),
+       |fin AS (SELECT ghs, h FROM rec WHERE 2*pos = length(ghx)),
+       |fm1 AS (SELECT ghs, $mix1 AS h FROM fin),
+       |fm2 AS (SELECT ghs, $mix2 AS h FROM fm1),
+       |gh AS MATERIALIZED (SELECT ghs, xor(h, ${sqlUshr("h", 31)}) AS h FROM fm2),
+       |docg AS MATERIALIZED (SELECT DISTINCT g.doc_id, gh.h
+       |         FROM gpos g JOIN gh ON gh.ghs = g.ghs),
+       |lv AS (SELECT * FROM (VALUES $laneRows) t(lane, lc)),
+       |lz AS (SELECT dh.h AS bh, lv.lane, xor(dh.h, lv.lc) AS z
+       |  FROM (SELECT DISTINCT h FROM docg) dh CROSS JOIN lv),
+       |lm1 AS (SELECT bh, lane, $lmix1 AS z FROM lz),
+       |lm2 AS (SELECT bh, lane, $lmix2 AS z FROM lm1),
+       |lmx AS MATERIALIZED (SELECT bh, lane, xor(z, ${sqlUshr("z", 31)}) AS m
+       |        FROM lm2),
+       |sigl AS MATERIALIZED (SELECT d.doc_id, list(mn ORDER BY lane) AS sig
+       |  FROM (SELECT docg.doc_id, lmx.lane, min(lmx.m) AS mn
+       |        FROM docg JOIN lmx ON lmx.bh = docg.h
+       |        GROUP BY docg.doc_id, lmx.lane) d
+       |  GROUP BY d.doc_id),
+       |slices AS (SELECT doc_id, bb AS band_id,
+       |    sig[bb*4+1] AS l1, sig[bb*4+2] AS l2,
+       |    sig[bb*4+3] AS l3, sig[bb*4+4] AS l4
+       |  FROM sigl, LATERAL unnest(generate_series(0, 15)) t(bb)),
+       |$murmurCtes,
+       |band AS MATERIALIZED (SELECT doc_id, band_id, h4 AS band_val FROM $lastMm),
+       |okb AS (SELECT band_id, band_val FROM band
+       |        GROUP BY band_id, band_val
+       |        HAVING count(*) BETWEEN 2 AND 1000),
+       |pairs AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM band x JOIN band y
+       |    ON x.band_id = y.band_id AND x.band_val = y.band_val
+       |   AND x.doc_id < y.doc_id
+       |  JOIN okb ON okb.band_id = x.band_id
+       |          AND okb.band_val = x.band_val),
+       |fullg AS MATERIALIZED (SELECT doc_id, list(h ORDER BY h) AS gs
+       |          FROM docg GROUP BY doc_id),
+       |jac AS MATERIALIZED (SELECT p.a, p.b,
+       |    len(list_intersect(ga.gs, gb.gs))::DOUBLE /
+       |    (len(ga.gs) + len(gb.gs) -
+       |     len(list_intersect(ga.gs, gb.gs))) AS j
+       |  FROM pairs p JOIN fullg ga ON ga.doc_id = p.a
+       |              JOIN fullg gb ON gb.doc_id = p.b),
+       |docs_all AS (SELECT doc_id FROM documents)""".stripMargin
+  }
+
+  /** DuckDB mirror of the production MinHash-LSH near-dup summary
+    * ([[minhashFrontCtes]] + the per-doc rollup at the 0.8
+    * threshold). */
+  private lazy val minhashSummaryOracleSql: String =
+    s"""WITH RECURSIVE
+       |$minhashFrontCtes,
+       |sym AS (SELECT a AS id, b AS partner, j FROM jac
+       |        UNION ALL SELECT b AS id, a AS partner, j FROM jac),
+       |pv AS (SELECT id, count(*) AS nc,
+       |         sum(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS nd,
+       |         min(CASE WHEN j >= 0.8 THEN partner END) AS dp
+       |       FROM sym GROUP BY id)
+       |SELECT d.doc_id,
+       |  cast(coalesce(pv.nc, 0) as bigint) AS n_candidates,
+       |  cast(coalesce(pv.nd, 0) as bigint) AS n_dups,
+       |  cast(coalesce(pv.dp, -1) as bigint) AS dup_partner
+       |FROM docs_all d LEFT JOIN pv ON pv.id = d.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of the production near-dup CLUSTERS
+    * ([[minhashFrontCtes]] edges at 0.8 + 8 unrolled min-propagation
+    * rounds, the portableClustersOracleSql discipline). */
+  private lazy val minhashClustersOracleSql: String = {
+    val rounds = (1 to 8).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT l.node, least(l.lbl, coalesce(min(n.lbl), l.lbl))
+         |    AS lbl
+         |  FROM l${i - 1} l
+         |  LEFT JOIN adj ad ON ad.src = l.node
+         |  LEFT JOIN l${i - 1} n ON n.node = ad.dst
+         |  GROUP BY l.node, l.lbl)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       |$minhashFrontCtes,
+       |edges AS MATERIALIZED (SELECT a, b FROM jac WHERE j >= 0.8),
+       |adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges
+       |        UNION SELECT b AS src, a AS dst FROM edges),
+       |l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lbl
+       |        FROM docs_all),
+       |$rounds
+       |SELECT node AS doc_id, lbl AS cluster_id, node = lbl AS keep
+       |FROM l8 ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB mirror of the production (FNV-hash) SimHash near-dup
     * summary: each DISTINCT token hashes once through the emulated
     * Hash64 (vocabulary-sized recursion, then a multiplicity join),
@@ -4992,7 +5171,7 @@ object SparkEntry {
     * unique fixpoint (and throws rather than under-converging). */
   private lazy val portableClustersOracleSql: String = {
     val rounds = (1 to 8).map { i =>
-      s"""l$i AS (
+      s"""l$i AS MATERIALIZED (
          |  SELECT l.node, least(l.lbl, coalesce(min(n.lbl), l.lbl))
          |    AS lbl
          |  FROM l${i - 1} l
@@ -5033,9 +5212,10 @@ object SparkEntry {
        |              JOIN hmd sb ON sb.doc_id = c.b),
        |edges AS (SELECT a, b FROM ver
        |  WHERE round(inter * 1.0 / (na + nb - inter), 4) >= 0.8),
-       |adj AS (SELECT a AS src, b AS dst FROM edges
+       |adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges
        |        UNION SELECT b AS src, a AS dst FROM edges),
-       |l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+       |l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lbl
+       |        FROM documents),
        |$rounds
        |SELECT node AS doc_id, lbl AS cluster_id, node = lbl AS keep
        |FROM l8 ORDER BY doc_id""".stripMargin
