@@ -4236,7 +4236,9 @@ object SparkEntry {
       ("text_cms_counts" -> cmsOracleSql) +
       ("q_kmv_overlap" -> kmvOracleSql) +
       ("dedup_minhash" -> minhashSummaryOracleSql) +
-      ("dedup_clusters" -> minhashClustersOracleSql)
+      ("dedup_clusters" -> minhashClustersOracleSql) +
+      ("dedup_incremental" -> incrementalMinhashOracleSql) +
+      ("pipeline_curate_neardup" -> curateNeardupOracleSql)
 
   /** Deterministic trained-model literals for the {{...}} placeholders
     * in [[oracleSql]], computed at Verify-dump time on the SAME sfDir
@@ -4895,7 +4897,7 @@ object SparkEntry {
     * validated against `hash()` ground truth — 2..1000 bucket pair
     * expansion, exact shingle-hash Jaccard). Ends with
     * `jac(a, b, j)` plus `docs_all(doc_id)`. */
-  private lazy val minhashFrontCtes: String = {
+  private def minhashFrontCtes(src: String = "documents"): String = {
     val FnvPrime = 0x100000001b3L
     val C1 = 0xbf58476d1ce4e5b9L
     val C2 = 0x94d049bb133111ebL
@@ -4922,7 +4924,7 @@ object SparkEntry {
     }.mkString(",\n")
     val lastMm = s"mm${stages.length - 1}"
     s"""tkw AS (SELECT doc_id, string_split(lower(text), ' ') AS w
-       |        FROM documents),
+       |        FROM $src),
        |wins AS (SELECT doc_id,
        |    CASE WHEN len(w) <= 3
        |      THEN [list_aggregate(list_transform(w,
@@ -4981,7 +4983,7 @@ object SparkEntry {
        |     len(list_intersect(ga.gs, gb.gs))) AS j
        |  FROM pairs p JOIN fullg ga ON ga.doc_id = p.a
        |              JOIN fullg gb ON gb.doc_id = p.b),
-       |docs_all AS (SELECT doc_id FROM documents)""".stripMargin
+       |docs_all AS (SELECT doc_id FROM $src)""".stripMargin
   }
 
   /** DuckDB mirror of the production MinHash-LSH near-dup summary
@@ -4989,7 +4991,7 @@ object SparkEntry {
     * threshold). */
   private lazy val minhashSummaryOracleSql: String =
     s"""WITH RECURSIVE
-       |$minhashFrontCtes,
+       |${minhashFrontCtes()},
        |sym AS (SELECT a AS id, b AS partner, j FROM jac
        |        UNION ALL SELECT b AS id, a AS partner, j FROM jac),
        |pv AS (SELECT id, count(*) AS nc,
@@ -5017,7 +5019,7 @@ object SparkEntry {
          |  GROUP BY l.node, l.lbl)""".stripMargin
     }.mkString(",\n")
     s"""WITH RECURSIVE
-       |$minhashFrontCtes,
+       |${minhashFrontCtes()},
        |edges AS MATERIALIZED (SELECT a, b FROM jac WHERE j >= 0.8),
        |adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges
        |        UNION SELECT b AS src, a AS dst FROM edges),
@@ -5026,6 +5028,102 @@ object SparkEntry {
        |$rounds
        |SELECT node AS doc_id, lbl AS cluster_id, node = lbl AS keep
        |FROM l8 ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB mirror of the incremental dedup: the same banded
+    * signatures ([[minhashFrontCtes]] — the persisted sketch tables
+    * hold exactly these values), corpus-side buckets compacted and
+    * capped at 1000, new-vs-corpus plus new-vs-new candidates, exact
+    * shingle-set Jaccard, and the fresh-side rollup at 0.8. */
+  private lazy val incrementalMinhashOracleSql: String =
+    s"""WITH RECURSIVE
+       |${minhashFrontCtes()},
+       |cb2 AS (SELECT band_id, band_val, doc_id FROM band
+       |        WHERE doc_id % 5 <> 0),
+       |nb2 AS (SELECT band_id, band_val, doc_id FROM band
+       |        WHERE doc_id % 5 = 0),
+       |cbuck AS MATERIALIZED (SELECT band_id, band_val,
+       |    list(doc_id ORDER BY doc_id) AS ids
+       |  FROM cb2 GROUP BY band_id, band_val
+       |  HAVING count(*) <= 1000),
+       |nvc AS (SELECT DISTINCT nb2.doc_id AS a, u.cid AS b
+       |  FROM nb2 JOIN cbuck USING (band_id, band_val),
+       |       LATERAL unnest(cbuck.ids) u(cid)
+       |  WHERE u.cid <> nb2.doc_id),
+       |okn AS (SELECT band_id, band_val FROM nb2
+       |        GROUP BY band_id, band_val
+       |        HAVING count(*) BETWEEN 2 AND 1000),
+       |nvn AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM nb2 x JOIN nb2 y
+       |    ON x.band_id = y.band_id AND x.band_val = y.band_val
+       |   AND x.doc_id < y.doc_id
+       |  JOIN okn ON okn.band_id = x.band_id
+       |          AND okn.band_val = x.band_val),
+       |candi AS (SELECT a, b FROM nvc UNION SELECT a, b FROM nvn),
+       |jaci AS MATERIALIZED (SELECT c.a, c.b,
+       |    len(list_intersect(ga.gs, gb.gs))::DOUBLE /
+       |    (len(ga.gs) + len(gb.gs) -
+       |     len(list_intersect(ga.gs, gb.gs))) AS j
+       |  FROM candi c JOIN fullg ga ON ga.doc_id = c.a
+       |              JOIN fullg gb ON gb.doc_id = c.b),
+       |symi AS (SELECT a AS id, b AS partner, j FROM jaci
+       |         UNION ALL SELECT b AS id, a AS partner, j FROM jaci),
+       |pvi AS (SELECT id, count(*) AS nd, min(partner) AS dp
+       |        FROM symi WHERE j >= 0.8 GROUP BY id)
+       |SELECT f.doc_id,
+       |  cast(coalesce(pvi.nd, 0) as bigint) AS n_dups,
+       |  cast(coalesce(pvi.dp, -1) as bigint) AS dup_partner
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) f
+       |LEFT JOIN pvi ON pvi.id = f.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of the near-dup curation pipeline: the
+    * pipeline_curate scored CTE (verbatim arithmetic, plus the text
+    * column), the minhash front over its survivors, 0.8 edges, the
+    * unrolled min-propagation fixpoint, keep = component minimum, and
+    * the attribute join back to the scored rows. */
+  private lazy val curateNeardupOracleSql: String = {
+    val rounds = (1 to 8).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT l.node, least(l.lbl, coalesce(min(n.lbl), l.lbl))
+         |    AS lbl
+         |  FROM l${i - 1} l
+         |  LEFT JOIN adj ad ON ad.src = l.node
+         |  LEFT JOIN l${i - 1} n ON n.node = ad.dst
+         |  GROUP BY l.node, l.lbl)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE scored AS (
+       |  SELECT doc_id, text,
+       |    ${TextOps.sql.tokenCount} AS n_tokens,
+       |    round(least(1.0, ${TextOps.sql.tokenCount} / 100.0) *
+       |      (1.0 - cast(${TextOps.sql.patCount(TextOps.sql.stopword)}
+       |                  as double)
+       |             / ${TextOps.sql.tokenCount}), 4) AS quality_score,
+       |    CASE WHEN ${TextOps.sql.patCount(TextOps.sql.zh)} > 0 THEN 'zh'
+       |         WHEN ${TextOps.sql.patCount(TextOps.sql.en)} >=
+       |              greatest(${TextOps.sql.patCount(TextOps.sql.fr)},
+       |                ${TextOps.sql.patCount(TextOps.sql.es)},
+       |                ${TextOps.sql.patCount(TextOps.sql.de)}) THEN 'en'
+       |         WHEN ${TextOps.sql.patCount(TextOps.sql.fr)} >=
+       |              greatest(${TextOps.sql.patCount(TextOps.sql.es)},
+       |                ${TextOps.sql.patCount(TextOps.sql.de)}) THEN 'fr'
+       |         WHEN ${TextOps.sql.patCount(TextOps.sql.es)} >=
+       |              ${TextOps.sql.patCount(TextOps.sql.de)} THEN 'es'
+       |         ELSE 'de' END AS pred_lang
+       |  FROM documents),
+       |cdocs AS MATERIALIZED (SELECT doc_id, text FROM scored
+       |        WHERE quality_score >= 0.3),
+       |${minhashFrontCtes("cdocs")},
+       |edges AS MATERIALIZED (SELECT a, b FROM jac WHERE j >= 0.8),
+       |adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges
+       |        UNION SELECT b AS src, a AS dst FROM edges),
+       |l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lbl
+       |        FROM cdocs),
+       |$rounds
+       |SELECT s.doc_id, s.pred_lang, s.n_tokens, s.quality_score
+       |FROM l8 JOIN scored s ON s.doc_id = l8.node
+       |WHERE l8.node = l8.lbl
+       |ORDER BY s.doc_id""".stripMargin
   }
 
   /** DuckDB mirror of the production (FNV-hash) SimHash near-dup
