@@ -724,7 +724,9 @@ object SparkEntry {
     // whole-stage-codegen span — plan-gated in BpeSpec) and report the
     // top-20 subwords by stream frequency. The real-tokenizer upgrade
     // of text_bpe_tokens' regex estimate; closes the §8.5 "true-BPE
-    // chunker" gap at the tokenizer level.
+    // chunker" gap at the tokenizer level. Oracle-checked: the merge
+    // table embeds as {{BPE_RANK_MAP}} and DuckDB replays the greedy
+    // encode itself ([[bpeEncodeOracleSql]]).
     "text_bpe_encode" -> ((s, d) => {
       val model = BpeOps.cachedTrain(s, s"$d/documents.parquet",
         t(s, d, "documents"), col("text"), numMerges = 64)
@@ -789,6 +791,8 @@ object SparkEntry {
     // pieces by stream frequency (the unigram twin of text_bpe_encode;
     // the codegen'd UnigramEncode keeps the Project in the scan's
     // whole-stage-codegen span — plan-gated in UnigramSpec).
+    // Oracle-checked: the vocabulary embeds as {{UNI_LP_MAP}} and
+    // DuckDB re-runs the Viterbi DP ([[unigramEncodeOracleSql]]).
     "text_unigram_encode" -> ((s, d) => {
       val model = ops.UnigramOps.cachedTrain(s, s"$d/documents.parquet",
         t(s, d, "documents"), col("text"), vocabSize = 128)
@@ -903,8 +907,9 @@ object SparkEntry {
     // better for sequence-length budgets) and source chars per piece
     // (compression) for the three trained families over the SAME
     // corpus and encoders the pipeline ships. Three encode scans, one
-    // 3-row table; rows-only (trained models are not SQL-expressible)
-    // with invariant gates in Round8Spec.
+    // 3-row table; oracle-checked — all three trained models embed as
+    // literals and DuckDB replays every encoder's piece counts
+    // ([[tokenizerEvalOracleSql]]); invariant gates in Round8Spec.
     "text_tokenizer_eval" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val src = s"$d/documents.parquet"
@@ -3472,9 +3477,10 @@ object SparkEntry {
     // windows, so no trained token unit is ever split across a chunk —
     // what a real sequence-packing pipeline feeds the dataloader.
     // Narrow except the output sort; chunk content is md5'd so BpeSpec
-    // can verify every chunk against the reference encoder. No SQL
-    // oracle can express the merge loop → rows-only + BpeSpec tiling/
-    // totals/content gates.
+    // can verify every chunk against the reference encoder.
+    // Oracle-checked: the embedded merge table lets DuckDB replay
+    // encode + tiling + chunk md5s ([[chunkBpeOracleSql]]); BpeSpec
+    // keeps the tiling/totals/content gates.
     "q_chunk_bpe" -> ((s, d) => {
       val csize = 64
       val model = BpeOps.cachedTrain(s, s"$d/documents.parquet",
@@ -4224,6 +4230,14 @@ object SparkEntry {
       ("ann_ivfpq_index" -> ivfPqOracleSql) +
       ("ann_pq" -> pqOracleSql) +
       ("text_wordpiece_encode" -> wordpieceEncodeOracleSql) +
+      // trained-TOKENIZER replays: the learned models embed as MAP
+      // literals and DuckDB re-runs encoding itself — greedy
+      // lowest-rank BPE merging, the unigram Viterbi lattice, and
+      // (for the eval table) all three families' piece counts
+      ("text_bpe_encode" -> bpeEncodeOracleSql) +
+      ("q_chunk_bpe" -> chunkBpeOracleSql) +
+      ("text_unigram_encode" -> unigramEncodeOracleSql) +
+      ("text_tokenizer_eval" -> tokenizerEvalOracleSql) +
       ("dedup_clusters_portable" -> portableClustersOracleSql) +
       ("multimodal_phash" -> phashOracleSql) +
       ("multimodal_features" -> featuresOracleSql) +
@@ -4296,9 +4310,30 @@ object SparkEntry {
       t(s, d, "documents"), col("text"), numMerges = 64)
     val wpRows = wp.vocab
       .map(p => s"('${p.replace("'", "''")}')").mkString(",\n    ")
+    // the trained BPE merge table as a DuckDB MAP literal
+    // ('left right' -> rank): the oracle replays greedy
+    // lowest-rank-pair encoding from these exact merges
+    val bpe = BpeOps.cachedTrain(s, s"$d/documents.parquet",
+      t(s, d, "documents"), col("text"), numMerges = 64)
+    val bpeMap = "MAP {" + bpe.lefts.zip(bpe.rights).zipWithIndex
+      .map { case ((l, r), i) =>
+        s"'${(l + " " + r).replace("'", "''")}': $i" }
+      .mkString(", ") + "}"
+    // the trained unigram vocabulary as a piece -> log-prob MAP with
+    // the model's exact doubles (Double.toString round-trips), plus
+    // the Viterbi window bound
+    val uni = ops.UnigramOps.cachedTrain(s, s"$d/documents.parquet",
+      t(s, d, "documents"), col("text"), vocabSize = 128)
+    val uniMap = "MAP {" + uni.pieces.zip(uni.logProbs)
+      .map { case (p, lp) =>
+        s"'${p.replace("'", "''")}': ${lp.toString}" }
+      .mkString(", ") + "}"
+    val uniMaxLen =
+      if (uni.pieces.isEmpty) 1 else uni.pieces.map(_.length).max
     qc ++ axes ++ cents +
       ("PCA_VAR" -> varTopk) + ("PQ_BOOK_ROWS" -> bookRows) +
-      ("WP_VOCAB_ROWS" -> wpRows)
+      ("WP_VOCAB_ROWS" -> wpRows) + ("BPE_RANK_MAP" -> bpeMap) +
+      ("UNI_LP_MAP" -> uniMap) + ("UNI_MAXLEN" -> uniMaxLen.toString)
   }
 
   /** DuckDB mirror of the IVF probe: the 8 deterministic k-means
@@ -5371,6 +5406,274 @@ object SparkEntry {
       |  JOIN words wo ON u.w = wo.w)
       |SELECT piece, cast(sum(n) as bigint) AS n FROM stream
       |GROUP BY piece ORDER BY n DESC, piece LIMIT 20""".stripMargin
+
+  /** DuckDB replay of trained-BPE encoding ({{BPE_RANK_MAP}} embeds
+    * the 64 learned merges as a 'left right' -> rank MAP): per
+    * distinct word type, repeatedly merge the single LEFTMOST
+    * occurrence of the minimum-rank adjacent pair. That is provably
+    * identical to the kernel's find-min-rank-then-sweep loop
+    * ([[graft.functions.BpeKernels.encodeWord]]): a merge's output
+    * symbol can only appear as a component of STRICTLY HIGHER-rank
+    * rules (the training order invariant), so the minimum rank
+    * present is unchanged until its last occurrence is consumed, and
+    * leftmost-one-at-a-time visits exactly the sweep's positions. */
+  private lazy val bpeEncodeOracleSql: String =
+    """WITH RECURSIVE words AS (
+      |  SELECT w, count(*) AS n FROM (
+      |    SELECT unnest(regexp_extract_all(text,
+      |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+')) AS w
+      |    FROM documents) GROUP BY w),
+      |rec(w, n, syms) AS (
+      |  SELECT w, n, list_transform(range(1, length(w)+1), i -> w[i])
+      |  FROM words
+      |  UNION ALL
+      |  SELECT w, n,
+      |    syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:]
+      |  FROM (
+      |    SELECT w, n, syms, list_position(pr, list_min(pr)) AS bi,
+      |      list_min(pr) AS br
+      |    FROM (
+      |      SELECT w, n, syms,
+      |        list_transform(range(1, len(syms)), i ->
+      |          coalesce(({{BPE_RANK_MAP}}[syms[i] || ' ' ||
+      |            syms[i+1]])[1], 1000000)) AS pr
+      |      FROM rec WHERE len(syms) >= 2) t) u
+      |  WHERE br < 1000000),
+      |fin AS (
+      |  SELECT w, n, syms FROM (
+      |    SELECT w, n, syms,
+      |      row_number() OVER (PARTITION BY w ORDER BY len(syms)) AS rn
+      |    FROM rec) WHERE rn = 1)
+      |SELECT token, cast(sum(n) AS BIGINT) AS n
+      |FROM (SELECT unnest(syms) AS token, n FROM fin)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+
+  /** DuckDB replay of BPE chunking: the [[bpeEncodeOracleSql]]
+    * recursion encodes distinct word types, each document's ordered
+    * word sequence flattens back through it (ORDER BY word ordinal),
+    * and 64-token slices hash exactly as the Spark side's
+    * md5(array_join(slice)). Zero-token documents keep their one
+    * empty chunk via the LEFT JOIN + greatest(1, ...). */
+  private lazy val chunkBpeOracleSql: String =
+    """WITH RECURSIVE words AS (
+      |  SELECT DISTINCT w FROM (
+      |    SELECT unnest(regexp_extract_all(text,
+      |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+')) AS w
+      |    FROM documents)),
+      |rec(w, syms) AS (
+      |  SELECT w, list_transform(range(1, length(w)+1), i -> w[i])
+      |  FROM words
+      |  UNION ALL
+      |  SELECT w, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:]
+      |  FROM (
+      |    SELECT w, syms, list_position(pr, list_min(pr)) AS bi,
+      |      list_min(pr) AS br
+      |    FROM (
+      |      SELECT w, syms,
+      |        list_transform(range(1, len(syms)), i ->
+      |          coalesce(({{BPE_RANK_MAP}}[syms[i] || ' ' ||
+      |            syms[i+1]])[1], 1000000)) AS pr
+      |      FROM rec WHERE len(syms) >= 2) t) u
+      |  WHERE br < 1000000),
+      |fin AS (
+      |  SELECT w, syms FROM (
+      |    SELECT w, syms,
+      |      row_number() OVER (PARTITION BY w ORDER BY len(syms)) AS rn
+      |    FROM rec) WHERE rn = 1),
+      |dw AS (
+      |  SELECT doc_id, regexp_extract_all(text,
+      |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+') AS ws
+      |  FROM documents),
+      |seq AS (
+      |  SELECT doc_id, unnest(range(1, len(ws)+1)) AS ord,
+      |    unnest(ws) AS w FROM dw),
+      |docseq AS (
+      |  SELECT s.doc_id, flatten(list(f.syms ORDER BY s.ord)) AS toks
+      |  FROM seq s JOIN fin f USING (w) GROUP BY s.doc_id),
+      |alldocs AS (
+      |  SELECT d.doc_id, coalesce(ds.toks, []) AS toks
+      |  FROM dw d LEFT JOIN docseq ds USING (doc_id)),
+      |chunks AS (
+      |  SELECT doc_id, toks,
+      |    unnest(range(0, greatest(1,
+      |      cast(ceil(len(toks) / 64.0) AS BIGINT)))) AS chunk_id
+      |  FROM alldocs)
+      |SELECT doc_id, chunk_id,
+      |  cast(len(toks[chunk_id*64+1 : chunk_id*64+64]) AS BIGINT)
+      |    AS n_subwords,
+      |  md5(array_to_string(toks[chunk_id*64+1 : chunk_id*64+64], ' '))
+      |    AS chunk_md5
+      |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** DuckDB replay of unigram Viterbi encoding ({{UNI_LP_MAP}} embeds
+    * the trained vocabulary with its exact-double log-probs): the DP
+    * recursion carries each word's best/backpointer arrays as lists,
+    * one character position per step, with the kernel's exact
+    * tie-break (max score, then SMALLEST start = longest piece — the
+    * ascending-scan strict-improvement rule) and the -100.0
+    * unknown-character fallback; a second recursion walks the
+    * backpointers to emit the chosen pieces. Both engines add the
+    * same doubles in the same order, so scores compare identically. */
+  private lazy val unigramEncodeOracleSql: String =
+    """WITH RECURSIVE words AS (
+      |  SELECT w, count(*) AS n FROM (
+      |    SELECT unnest(regexp_extract_all(text,
+      |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+')) AS w
+      |    FROM documents) GROUP BY w),
+      |dp(w, n, e, bests, backs) AS (
+      |  SELECT w, n, 0, [cast(0.0 AS DOUBLE)], [0] FROM words
+      |  UNION ALL
+      |  SELECT w, n, e + 1,
+      |    bests || [CASE WHEN bc IS NULL
+      |      THEN bests[e+1] + (-100.0) ELSE bc END],
+      |    backs || [CASE WHEN bc IS NULL THEN e ELSE bs END]
+      |  FROM (
+      |    SELECT w, n, e, bests, backs,
+      |      list_max(list_transform(kn, x -> x.c)) AS bc,
+      |      list_min(list_transform(list_filter(kn, x ->
+      |        x.c = list_max(list_transform(kn, y -> y.c))),
+      |        x -> x.s)) AS bs
+      |    FROM (
+      |      SELECT w, n, e, bests, backs,
+      |        list_filter(list_transform(
+      |          range(greatest(0, e+1-{{UNI_MAXLEN}}), e+1), s ->
+      |            struct_pack(c := bests[s+1] +
+      |              ({{UNI_LP_MAP}}[substr(w, s+1, e+1-s)])[1],
+      |              s := s)), x -> x.c IS NOT NULL) AS kn
+      |      FROM dp WHERE e < length(w)) t) u),
+      |fin AS (
+      |  SELECT w, n, backs FROM (
+      |    SELECT w, n, backs,
+      |      row_number() OVER (PARTITION BY w ORDER BY e DESC) AS rn
+      |    FROM dp) WHERE rn = 1),
+      |bt(w, n, p, piece) AS (
+      |  SELECT w, n, cast(length(w) AS INTEGER), NULL::VARCHAR FROM fin
+      |  UNION ALL
+      |  SELECT b.w, b.n, f.backs[b.p+1],
+      |    substr(b.w, f.backs[b.p+1]+1, b.p - f.backs[b.p+1])
+      |  FROM bt b JOIN fin f USING (w) WHERE b.p > 0)
+      |SELECT piece, cast(sum(n) AS BIGINT) AS n
+      |FROM bt WHERE piece IS NOT NULL
+      |GROUP BY piece ORDER BY n DESC, piece LIMIT 20""".stripMargin
+
+  /** DuckDB replay of the three-family tokenizer evaluation: the BPE
+    * merge recursion, the unigram Viterbi DP, and the WordPiece
+    * longest-match recursion (each identical to its standalone
+    * oracle) reduce to per-word-type PIECE COUNTS, weighted by corpus
+    * word frequency; words/chars come from the same split/strip
+    * string ops the Spark side aggregates. */
+  private lazy val tokenizerEvalOracleSql: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT cast(sum(len(string_split(text, ' '))) AS BIGINT)
+      |      AS n_words,
+      |    cast(sum(length(regexp_replace(text, ' ', '', 'g')))
+      |      AS BIGINT) AS n_chars
+      |  FROM documents),
+      |words AS (
+      |  SELECT w, count(*) AS n FROM (
+      |    SELECT unnest(regexp_extract_all(text,
+      |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+')) AS w
+      |    FROM documents) GROUP BY w),
+      |brec(w, syms) AS (
+      |  SELECT w, list_transform(range(1, length(w)+1), i -> w[i])
+      |  FROM words
+      |  UNION ALL
+      |  SELECT w, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:]
+      |  FROM (
+      |    SELECT w, syms, list_position(pr, list_min(pr)) AS bi,
+      |      list_min(pr) AS br
+      |    FROM (
+      |      SELECT w, syms,
+      |        list_transform(range(1, len(syms)), i ->
+      |          coalesce(({{BPE_RANK_MAP}}[syms[i] || ' ' ||
+      |            syms[i+1]])[1], 1000000)) AS pr
+      |      FROM brec WHERE len(syms) >= 2) t) u
+      |  WHERE br < 1000000),
+      |bfin AS (
+      |  SELECT w, len(syms) AS np FROM (
+      |    SELECT w, syms,
+      |      row_number() OVER (PARTITION BY w ORDER BY len(syms)) AS rn
+      |    FROM brec) WHERE rn = 1),
+      |bpe_total AS (
+      |  SELECT cast(sum(f.np * wo.n) AS BIGINT) AS n_pieces
+      |  FROM bfin f JOIN words wo USING (w)),
+      |udp(w, e, bests, backs) AS (
+      |  SELECT w, 0, [cast(0.0 AS DOUBLE)], [0] FROM words
+      |  UNION ALL
+      |  SELECT w, e + 1,
+      |    bests || [CASE WHEN bc IS NULL
+      |      THEN bests[e+1] + (-100.0) ELSE bc END],
+      |    backs || [CASE WHEN bc IS NULL THEN e ELSE bs END]
+      |  FROM (
+      |    SELECT w, e, bests, backs,
+      |      list_max(list_transform(kn, x -> x.c)) AS bc,
+      |      list_min(list_transform(list_filter(kn, x ->
+      |        x.c = list_max(list_transform(kn, y -> y.c))),
+      |        x -> x.s)) AS bs
+      |    FROM (
+      |      SELECT w, e, bests, backs,
+      |        list_filter(list_transform(
+      |          range(greatest(0, e+1-{{UNI_MAXLEN}}), e+1), s ->
+      |            struct_pack(c := bests[s+1] +
+      |              ({{UNI_LP_MAP}}[substr(w, s+1, e+1-s)])[1],
+      |              s := s)), x -> x.c IS NOT NULL) AS kn
+      |      FROM udp WHERE e < length(w)) t) u),
+      |ufin AS (
+      |  SELECT w, backs FROM (
+      |    SELECT w, backs,
+      |      row_number() OVER (PARTITION BY w ORDER BY e DESC) AS rn
+      |    FROM udp) WHERE rn = 1),
+      |ubt(w, p, np) AS (
+      |  SELECT w, cast(length(w) AS INTEGER), 0 FROM ufin
+      |  UNION ALL
+      |  SELECT b.w, f.backs[b.p+1], b.np + 1
+      |  FROM ubt b JOIN ufin f USING (w) WHERE b.p > 0),
+      |ucnt AS (SELECT w, max(np) AS np FROM ubt GROUP BY w),
+      |uni_total AS (
+      |  SELECT cast(sum(u.np * wo.n) AS BIGINT) AS n_pieces
+      |  FROM ucnt u JOIN words wo USING (w)),
+      |v(p) AS (SELECT * FROM (VALUES
+      |    {{WP_VOCAB_ROWS}}) t(p)),
+      |wrec(w, pos, piece) AS (
+      |  SELECT w, 1, NULL::VARCHAR FROM words WHERE length(w) <= 100
+      |  UNION ALL
+      |  SELECT r.w,
+      |    r.pos + CASE WHEN r.pos = 1 THEN length(v.p)
+      |                 ELSE length(v.p) - 2 END,
+      |    v.p
+      |  FROM wrec r JOIN v ON
+      |    CASE WHEN r.pos = 1
+      |      THEN v.p NOT LIKE '##%'
+      |        AND substr(r.w, 1, length(v.p)) = v.p
+      |      ELSE v.p LIKE '##%' AND length(v.p) > 2
+      |        AND substr(r.w, r.pos, length(v.p) - 2) = substr(v.p, 3)
+      |    END
+      |  WHERE r.pos <= length(r.w)
+      |  QUALIFY row_number() OVER (PARTITION BY r.w, r.pos
+      |    ORDER BY length(v.p) DESC) = 1),
+      |wprog AS (SELECT w, max(pos) AS mp FROM wrec GROUP BY w),
+      |wenc AS (
+      |  SELECT r.w, count(*) AS np FROM wrec r JOIN wprog g USING (w)
+      |  WHERE r.piece IS NOT NULL AND g.mp = length(r.w) + 1
+      |  GROUP BY r.w),
+      |wcnt AS (
+      |  SELECT w, np FROM wenc
+      |  UNION ALL
+      |  SELECT w, 1 AS np FROM wprog WHERE mp <= length(w)
+      |  UNION ALL
+      |  SELECT w, 1 AS np FROM words WHERE length(w) > 100),
+      |wp_total AS (
+      |  SELECT cast(sum(c.np * wo.n) AS BIGINT) AS n_pieces
+      |  FROM wcnt c JOIN words wo USING (w)),
+      |fams AS (
+      |  SELECT 'bpe' AS family, n_pieces FROM bpe_total
+      |  UNION ALL SELECT 'unigram', n_pieces FROM uni_total
+      |  UNION ALL SELECT 'wordpiece', n_pieces FROM wp_total)
+      |SELECT family, b.n_words, f.n_pieces,
+      |  round(f.n_pieces / cast(b.n_words AS DOUBLE), 4) AS fertility,
+      |  round(b.n_chars / cast(f.n_pieces AS DOUBLE), 4)
+      |    AS chars_per_piece
+      |FROM fams f CROSS JOIN base b ORDER BY family""".stripMargin
 
   /** DuckDB mirror of plain PQ ADC search — [[ivfPqOracleSql]] minus
     * the coarse quantizer: every corpus code scores against every
