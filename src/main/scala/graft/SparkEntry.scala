@@ -704,10 +704,12 @@ object SparkEntry {
     // the merge table itself, learned from this corpus — one
     // distributed word-type-count pass, then a driver loop over the
     // compact type dict (O(types × merges), corpus-size-independent;
-    // BpeOps scaladoc has the 100-TB split). No SQL oracle exists for
-    // an iterative merge loop → rows-only here; BpeSpec proves the
-    // trainer equals an independent reference implementation exactly
-    // and checks the classic hand corpus.
+    // BpeOps scaladoc has the 100-TB split). Oracle-checked with NO
+    // embedded artifacts: DuckDB re-runs the whole training loop from
+    // the raw corpus ([[bpeTrainOracleSql]]) and must reproduce every
+    // merge; BpeSpec additionally proves the trainer equals an
+    // independent reference implementation and checks the classic
+    // hand corpus.
     "text_bpe_train" -> ((s, d) => {
       import s.implicits._
       val model = BpeOps.cachedTrain(s, s"$d/documents.parquet",
@@ -4238,6 +4240,10 @@ object SparkEntry {
       ("q_chunk_bpe" -> chunkBpeOracleSql) +
       ("text_unigram_encode" -> unigramEncodeOracleSql) +
       ("text_tokenizer_eval" -> tokenizerEvalOracleSql) +
+      // the strongest certification in the file: DuckDB re-RUNS BPE
+      // TRAINING from the raw corpus (no embedded artifacts) and must
+      // reproduce the learned merge table row for row
+      ("text_bpe_train" -> bpeTrainOracleSql) +
       ("dedup_clusters_portable" -> portableClustersOracleSql) +
       ("multimodal_phash" -> phashOracleSql) +
       ("multimodal_features" -> featuresOracleSql) +
@@ -5504,6 +5510,89 @@ object SparkEntry {
       |  md5(array_to_string(toks[chunk_id*64+1 : chunk_id*64+64], ' '))
       |    AS chunk_md5
       |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** DuckDB replay of BPE TRAINING itself — no embedded model: the
+    * oracle re-learns the merge table from the raw corpus and must
+    * reproduce every (rank, left, right) row. The driver loop
+    * ([[graft.ops.BpeOps.trainMerges]]) becomes one recursive CTE
+    * whose working set is the word-type dict: each step explodes
+    * adjacent symbol pairs, finds the global argmax count via window
+    * functions (sum per pair + a whole-frontier first_value — no
+    * GROUP BY, which recursive terms forbid), applies the winning
+    * merge with a left-fold whose token-boundary check makes it
+    * exactly the kernel's left-to-right sweep (a just-merged token
+    * can never re-match as the pair's left part, since left+right
+    * equalling left would need an empty right), and emits the merge
+    * as a marker row alongside the rewritten dict. Tie-break
+    * fidelity: ORDER BY (count DESC, 'left right') equals the
+    * driver's (count DESC, left, right) because symbols never
+    * contain spaces and ' ' sorts below every symbol byte. Stops at
+    * 64 merges or when no pair occurs twice, like the trainer. */
+  private lazy val bpeTrainOracleSql: String =
+    """WITH RECURSIVE words AS (
+      |  SELECT w, n FROM (
+      |    SELECT w, count(*) AS n FROM (
+      |      SELECT unnest(regexp_extract_all(text,
+      |        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+')) AS w
+      |      FROM documents) GROUP BY w)
+      |  ORDER BY n DESC, w LIMIT 100000),
+      |rec(iter, kind, w, n, toks) AS (
+      |  SELECT 0, 'w', w, n,
+      |    array_to_string(list_transform(range(1, length(w)+1),
+      |      i -> w[i]), ' ')
+      |  FROM words
+      |  UNION ALL
+      |  SELECT iter + 1, el.kind, el.w, el.n, el.toks
+      |  FROM (
+      |    SELECT iter,
+      |      CASE WHEN pi = 1 AND grn = 1 THEN
+      |        [struct_pack(kind := 'w', w := w, n := n, toks := mtoks),
+      |         struct_pack(kind := 'm', w := bpair, n := btotal,
+      |           toks := '')]
+      |      WHEN pi = 1 THEN
+      |        [struct_pack(kind := 'w', w := w, n := n, toks := mtoks)]
+      |      WHEN grn = 1 THEN
+      |        [struct_pack(kind := 'm', w := bpair, n := btotal,
+      |           toks := '')]
+      |      ELSE [] END AS emits
+      |    FROM (
+      |      SELECT iter, w, n, toks, pi, btotal, bpair,
+      |        row_number() OVER (ORDER BY total DESC, pair, w, pi)
+      |          AS grn,
+      |        list_reduce(string_split(toks, ' '), (acc, s) ->
+      |          CASE WHEN s = string_split(bpair, ' ')[2]
+      |                AND (acc = string_split(bpair, ' ')[1]
+      |                  OR ends_with(acc,
+      |                    ' ' || string_split(bpair, ' ')[1]))
+      |               THEN acc || s ELSE acc || ' ' || s END) AS mtoks
+      |      FROM (
+      |        SELECT iter, w, n, toks, pi, pair, total,
+      |          first_value(pair) OVER (ORDER BY total DESC, pair
+      |            ROWS BETWEEN UNBOUNDED PRECEDING
+      |            AND UNBOUNDED FOLLOWING) AS bpair,
+      |          first_value(total) OVER (ORDER BY total DESC, pair
+      |            ROWS BETWEEN UNBOUNDED PRECEDING
+      |            AND UNBOUNDED FOLLOWING) AS btotal
+      |        FROM (
+      |          SELECT iter, w, n, toks, pi,
+      |            string_split(toks, ' ')[pi] || ' ' ||
+      |              string_split(toks, ' ')[pi+1] AS pair,
+      |            sum(n) OVER (PARTITION BY
+      |              string_split(toks, ' ')[pi] || ' ' ||
+      |              string_split(toks, ' ')[pi+1]) AS total
+      |          FROM (
+      |            SELECT iter, w, n, toks,
+      |              unnest(range(1, len(string_split(toks, ' ')))) AS pi
+      |            FROM rec
+      |            WHERE kind = 'w' AND iter < 64
+      |              AND len(string_split(toks, ' ')) >= 2) p1) p2) p3
+      |      WHERE btotal >= 2) p4) p4b,
+      |    unnest(p4b.emits) AS t(el))
+      |SELECT cast(iter - 1 AS BIGINT) AS rank,
+      |  string_split(w, ' ')[1] AS "left",
+      |  string_split(w, ' ')[2] AS "right",
+      |  string_split(w, ' ')[1] || string_split(w, ' ')[2] AS merged
+      |FROM rec WHERE kind = 'm' ORDER BY rank""".stripMargin
 
   /** DuckDB replay of unigram Viterbi encoding ({{UNI_LP_MAP}} embeds
     * the trained vocabulary with its exact-double log-probs): the DP
