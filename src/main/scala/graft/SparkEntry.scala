@@ -743,7 +743,10 @@ object SparkEntry {
     // the THIRD trained family, same one-pass distributed type-count
     // front as BPE/unigram; merges maximize the likelihood ratio
     // count(lr)/(count(l)·count(r)) with exact BigInt score compares.
-    // Training is not SQL-expressible → rows-only; WordPieceSpec
+    // Oracle-checked with NO embedded artifacts: DuckDB re-runs the
+    // training loop from the raw corpus, including the exact-rational
+    // argmax via a HUGEINT fixed-point key
+    // ([[wordpieceTrainOracleSql]]); WordPieceSpec additionally
     // anchors the trainer against an independent reference recompute.
     "text_wordpiece_train" -> ((s, d) => {
       import s.implicits._
@@ -4240,10 +4243,11 @@ object SparkEntry {
       ("q_chunk_bpe" -> chunkBpeOracleSql) +
       ("text_unigram_encode" -> unigramEncodeOracleSql) +
       ("text_tokenizer_eval" -> tokenizerEvalOracleSql) +
-      // the strongest certification in the file: DuckDB re-RUNS BPE
-      // TRAINING from the raw corpus (no embedded artifacts) and must
-      // reproduce the learned merge table row for row
+      // the strongest certifications in the file: DuckDB re-RUNS BPE
+      // and WordPiece TRAINING from the raw corpus (no embedded
+      // artifacts) and must reproduce the learned tables row for row
       ("text_bpe_train" -> bpeTrainOracleSql) +
+      ("text_wordpiece_train" -> wordpieceTrainOracleSql) +
       ("dedup_clusters_portable" -> portableClustersOracleSql) +
       ("multimodal_phash" -> phashOracleSql) +
       ("multimodal_features" -> featuresOracleSql) +
@@ -5593,6 +5597,149 @@ object SparkEntry {
       |  string_split(w, ' ')[2] AS "right",
       |  string_split(w, ' ')[1] || string_split(w, ' ')[2] AS merged
       |FROM rec WHERE kind = 'm' ORDER BY rank""".stripMargin
+
+  /** DuckDB replay of WordPiece TRAINING — no embedded model: the
+    * oracle re-learns the vocabulary from the raw corpus. Same
+    * recursive-frontier shape as [[bpeTrainOracleSql]], with the two
+    * WordPiece twists made exact:
+    *
+    *  1. The objective count(lr)/(count(l)·count(r)) needs SYMBOL
+    *     counts as denominators. Each position row explodes into a
+    *     count-contributor row (role 'c') plus, when a successor
+    *     exists, a pair row (role 'p') keyed by the NEXT symbol — so
+    *     one window partition over `curr` serves count(l), one over
+    *     `key` serves count(r), and one over `pair` serves count(lr),
+    *     all from a single scan of the recursive frontier (which may
+    *     be referenced only once).
+    *  2. The driver compares scores by exact BigInt
+    *     cross-multiplication. A ratio is not a sort key, so the
+    *     oracle sorts by the HUGEINT fixed-point key
+    *     floor(count(lr)·2^96 / (count(l)·count(r))): two distinct
+    *     rationals with denominators ≤ (corpus tokens)² differ by at
+    *     least 1/den₁den₂, which scaled by 2^96 exceeds 1 by orders
+    *     of magnitude at any testable corpus size — so equal keys ⟺
+    *     equal ratios and the (hkey DESC, pair) order IS the
+    *     driver's (exact score, left, right) order.
+    *
+    * Single-symbol words stay in the frontier (they still feed the
+    * denominators); the merge fold strips the '##' continuation
+    * prefix exactly like mergedSym = left + right.stripPrefix("##").
+    * The final ranks are vocabulary indexes: [UNK] at 0, the sorted
+    * initial alphabet next (single-char pieces, filtered out like the
+    * Spark side), then merges at alphabet-size + iteration. */
+  private lazy val wordpieceTrainOracleSql: String =
+    """WITH RECURSIVE words AS (
+      |  SELECT w, n FROM (
+      |    SELECT w, count(*) AS n FROM (
+      |      SELECT unnest(regexp_extract_all(text,
+      |        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+')) AS w
+      |      FROM documents) GROUP BY w)
+      |  ORDER BY n DESC, w LIMIT 100000),
+      |init AS (
+      |  SELECT w, n, array_to_string(list_transform(
+      |    range(1, length(w)+1),
+      |    i -> CASE WHEN i = 1 THEN w[i] ELSE '##' || w[i] END), ' ')
+      |    AS toks
+      |  FROM words),
+      |alpha AS (
+      |  SELECT count(DISTINCT sym) AS na FROM (
+      |    SELECT unnest(string_split(toks, ' ')) AS sym FROM init)),
+      |rec(iter, kind, w, n, toks) AS (
+      |  SELECT 0, 'w', w, n, toks FROM init
+      |  UNION ALL
+      |  SELECT iter + 1, el.kind, el.w, el.n, el.toks
+      |  FROM (
+      |    SELECT iter,
+      |      CASE WHEN role = 'c' AND pi = 1 AND grn = 1 THEN
+      |        [struct_pack(kind := 'w', w := w, n := n, toks := mtoks),
+      |         struct_pack(kind := 'm', w := bmerged, n := btotal,
+      |           toks := '')]
+      |      WHEN role = 'c' AND pi = 1 THEN
+      |        [struct_pack(kind := 'w', w := w, n := n, toks := mtoks)]
+      |      WHEN grn = 1 THEN
+      |        [struct_pack(kind := 'm', w := bmerged, n := btotal,
+      |           toks := '')]
+      |      ELSE [] END AS emits
+      |    FROM (
+      |      SELECT iter, w, n, toks, pi, role, btotal, bmerged, bl, br,
+      |        row_number() OVER (ORDER BY
+      |          CASE WHEN role = 'p' THEN hkey END DESC NULLS LAST,
+      |          pair ASC NULLS LAST, w, pi, role) AS grn,
+      |        list_reduce(string_split(toks, ' '), (acc, s) ->
+      |          CASE WHEN s = br AND (acc = bl
+      |                  OR ends_with(acc, ' ' || bl))
+      |               THEN acc || CASE WHEN s LIKE '##%'
+      |                 THEN substr(s, 3) ELSE s END
+      |               ELSE acc || ' ' || s END) AS mtoks
+      |      FROM (
+      |        SELECT *,
+      |          first_value(CASE WHEN role = 'p' THEN ptotal END)
+      |            OVER wbest AS btotal,
+      |          first_value(CASE WHEN role = 'p' THEN curr END)
+      |            OVER wbest AS bl,
+      |          first_value(CASE WHEN role = 'p' THEN key END)
+      |            OVER wbest AS br,
+      |          first_value(CASE WHEN role = 'p' THEN
+      |            curr || CASE WHEN key LIKE '##%' THEN substr(key, 3)
+      |                         ELSE key END END) OVER wbest AS bmerged
+      |        FROM (
+      |          SELECT iter, w, n, toks, pi, role, key, curr, pair,
+      |            ptotal,
+      |            CASE WHEN role = 'p' THEN
+      |              (cast(ptotal AS HUGEINT) *
+      |               79228162514264337593543950336) //
+      |              (cast(cl AS HUGEINT) * cast(cr AS HUGEINT)) END
+      |              AS hkey
+      |          FROM (
+      |            SELECT *,
+      |              sum(CASE WHEN role = 'c' THEN n ELSE 0 END)
+      |                OVER (PARTITION BY curr) AS cl,
+      |              sum(CASE WHEN role = 'c' THEN n ELSE 0 END)
+      |                OVER (PARTITION BY key) AS cr,
+      |              sum(CASE WHEN role = 'p' THEN n ELSE 0 END)
+      |                OVER (PARTITION BY pair) AS ptotal
+      |            FROM (
+      |              SELECT iter, w, n, toks, pi, el2.role AS role,
+      |                el2.key AS key, el2.curr AS curr,
+      |                CASE WHEN el2.role = 'p'
+      |                  THEN el2.curr || ' ' || el2.key END AS pair
+      |              FROM (
+      |                SELECT iter, w, n, toks, pi,
+      |                  CASE WHEN pi < len(string_split(toks, ' '))
+      |                  THEN
+      |                    [struct_pack(role := 'c',
+      |                       key := string_split(toks, ' ')[pi],
+      |                       curr := string_split(toks, ' ')[pi]),
+      |                     struct_pack(role := 'p',
+      |                       key := string_split(toks, ' ')[pi+1],
+      |                       curr := string_split(toks, ' ')[pi])]
+      |                  ELSE
+      |                    [struct_pack(role := 'c',
+      |                       key := string_split(toks, ' ')[pi],
+      |                       curr := string_split(toks, ' ')[pi])]
+      |                  END AS posrows
+      |                FROM (
+      |                  SELECT iter, w, n, toks,
+      |                    unnest(range(1,
+      |                      len(string_split(toks, ' ')) + 1)) AS pi
+      |                  FROM rec WHERE kind = 'w' AND iter < 64) e1)
+      |                e2,
+      |              unnest(e2.posrows) AS t2(el2)) e3) e4) e5
+      |        WINDOW wbest AS (ORDER BY
+      |          CASE WHEN role = 'p' THEN hkey END DESC NULLS LAST,
+      |          pair ASC NULLS LAST
+      |          ROWS BETWEEN UNBOUNDED PRECEDING
+      |          AND UNBOUNDED FOLLOWING)
+      |        ) e6
+      |      WHERE btotal >= 2) p4) p4b,
+      |    unnest(p4b.emits) AS t(el))
+      |SELECT rank, piece, continuation FROM (
+      |  SELECT cast(0 AS BIGINT) AS rank, '[UNK]' AS piece,
+      |    false AS continuation
+      |  UNION ALL
+      |  SELECT cast(a.na + r.iter AS BIGINT), r.w, r.w LIKE '##%'
+      |  FROM rec r CROSS JOIN alpha a WHERE r.kind = 'm')
+      |ORDER BY rank LIMIT 64""".stripMargin
 
   /** DuckDB replay of unigram Viterbi encoding ({{UNI_LP_MAP}} embeds
     * the trained vocabulary with its exact-double log-probs): the DP
