@@ -5,12 +5,15 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.ops.BpeOps
 
-/** Trained BPE: the merge loop has no SQL oracle, so correctness is
-  * anchored here — an INDEPENDENT reference trainer/encoder (plain
-  * maps and lists, no shared code with the BpeOps/BpeKernels
-  * implementations beyond the pre-token regex) must agree exactly,
-  * plus the classic hand corpus from the subword-nmt paper and a
-  * codegen plan gate. */
+/** Trained BPE: correctness is anchored here by an INDEPENDENT
+  * reference trainer/encoder (plain maps and lists, no shared code
+  * with the BpeOps/BpeKernels implementations beyond the pre-token
+  * regex) that must agree exactly, plus the classic hand corpus from
+  * the subword-nmt paper and a codegen plan gate. Since round 9 the
+  * merge loop ALSO has a DuckDB oracle (SparkEntry
+  * `bpeTrainOracleSql` re-learns the table from the raw corpus);
+  * this spec stays the Scala-side anchor and covers the encode
+  * kernel's codegen path, which no SQL can. */
 class BpeSpec extends SparkSpec {
 
   // ---- independent reference implementation ------------------------
