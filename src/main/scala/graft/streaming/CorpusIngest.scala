@@ -119,4 +119,55 @@ object CorpusIngest {
         md5(array_join(transform(col("__keep"), segText), " "))
           .as("novel_md5"))
   }
+
+  /** Streaming TOKENIZER-DRIFT monitor: per event-time window, how
+    * well the SHIPPED frozen tokenizer models fit the live document
+    * stream — the WordPiece `[UNK]` rate (words the trained
+    * vocabulary cannot tile at all) and the trained-BPE fertility
+    * (pieces per word; rises when the stream's subword distribution
+    * leaves the training corpus). A corpus shift — a new language, a
+    * new domain, a markup burst — moves these hours before anyone
+    * inspects samples, which is exactly when a retrain
+    * ([[graft.ops.BpeOps.cachedTrain]] on the grown corpus) should be
+    * scheduled.
+    *
+    * Scale/state discipline: both models ride as KILOBYTE task
+    * references inside the codegen'd encode expressions
+    * ([[graft.functions.WordPieceEncode]]/[[graft.functions.BpeEncode]]
+    * — map-side, whole-stage codegen, nothing corpus-shaped anywhere);
+    * per-doc counts collapse map-side into ONE watermarked windowed
+    * aggregation, the query's only stateful operator. Rates divide
+    * exact long sums once at the end, so streaming and batch agree
+    * bit-for-bit (the spec gate). On batch input the identical plan
+    * runs without the watermark. */
+  def tokenizerDriftStream(docs: DataFrame,
+      wp: graft.functions.WordPieceModel,
+      bpe: graft.functions.BpeModel, textCol: String,
+      tsCol: String = "ts", windowDur: String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val base = if (docs.isStreaming)
+      docs.withWatermark(tsCol, watermark) else docs
+    val pieces = graft.ops.WordPieceOps.encode(col(textCol), wp)
+    base
+      .select(col(tsCol),
+        size(split(col(textCol), " ")).cast("long").as("__w"),
+        size(graft.ops.BpeOps.encode(col(textCol), bpe)).cast("long")
+          .as("__bp"),
+        size(pieces).cast("long").as("__wp"),
+        size(filter(pieces, p => p === "[UNK]")).cast("long")
+          .as("__unk"))
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_words"),
+        sum(col("__bp")).as("n_bpe_pieces"),
+        sum(col("__wp")).as("n_wp_pieces"),
+        sum(col("__unk")).as("n_unk"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("n_docs"),
+        col("n_words"), col("n_bpe_pieces"), col("n_wp_pieces"),
+        col("n_unk"),
+        round(col("n_unk") / col("n_wp_pieces").cast("double"), 6)
+          .as("unk_rate"),
+        round(col("n_bpe_pieces") / col("n_words").cast("double"), 4)
+          .as("bpe_fertility"))
+  }
 }

@@ -164,4 +164,76 @@ class CorpusIngestSpec extends SparkSpec {
     assert(m3 == md5hex("entirely novel closing tokens appended for " +
       "segment three"), s"novel reassembly digest mismatch: $m3")
   }
+
+  test("tokenizer drift monitor: streaming == batch, drift raises " +
+    "UNK rate and fertility, one stateful operator") {
+    // frozen models trained on the in-domain corpus word counts
+    val wcounts = (corpusText + " " + corpusText).split(" ")
+      .groupBy(identity).map { case (w, xs) => (w, xs.length.toLong) }
+      .toArray.sortBy { case (w, n) => (-n, w) }
+    val wp = graft.ops.WordPieceOps.trainVocab(wcounts, numMerges = 16)
+    val bpe = graft.ops.BpeOps.trainMerges(wcounts, numMerges = 16)
+
+    // window 1 (10:00-10:10): in-domain; window 2 (10:20-10:30):
+    // drifted — z/q/x appear in the corpus only in positions whose
+    // alphabet CLASS the drifted words violate ('z' never
+    // word-initial so bare 'z' is absent; 'q'/'x' never continue so
+    // '##q'/'##x' are absent) -> every drifted word is WordPiece
+    // [UNK], and no learned merge applies -> per-char BPE fertility
+    // jump; sentinel next day closes both windows past the watermark
+    val b1 = Seq(
+      (1L, ts(0), corpusText),
+      (2L, ts(4), "the quick fox jumps over the lazy dog"))
+    val b2 = Seq(
+      (3L, ts(21), "zzzz qqqq xxxx zzqq qqzz xxqq zzxx qqxx"),
+      (4L, ts(24), "zzzzzzzz qqqqqqqq"))
+    val sentinel = Seq(
+      (9L, Timestamp.valueOf("2024-01-02 10:00:00"), "the end"))
+
+    val dir = Files.createTempDirectory("graft-drift").toString
+    def write(rows: Seq[(Long, Timestamp, String)], name: String): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(
+          rows.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3))),
+          docSchema)
+        .write.parquet(s"$dir/$name")
+    write(b1, "b1"); write(b2, "b2"); write(sentinel, "b3")
+
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/b*")
+    val q = CorpusIngest.tokenizerDriftStream(stream, wp, bpe, "text")
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("append").start()
+    val streamed = try {
+      q.processAllAvailable()
+      val ops = q.lastProgress.stateOperators
+      assert(ops.length == 1,
+        s"exactly one stateful operator expected: ${ops.mkString(",")}")
+      spark.table("drift_out").orderBy(col("win_start")).collect()
+    } finally q.stop()
+
+    // batch on the same rows computes every window; the sentinel's
+    // own window never closes in the stream, so compare the rest
+    val batchDocs = spark.createDataFrame(spark.sparkContext.parallelize(
+      (b1 ++ b2 ++ sentinel)
+        .map(t => org.apache.spark.sql.Row(t._1, t._2, t._3))),
+      docSchema)
+    val batch = CorpusIngest.tokenizerDriftStream(batchDocs, wp, bpe,
+        "text")
+      .filter(col("win_start") < lit(Timestamp.valueOf(
+        "2024-01-02 00:00:00")))
+      .orderBy(col("win_start")).collect()
+    assert(streamed.toSeq == batch.toSeq,
+      s"streaming != batch:\n${streamed.mkString("\n")}\nvs\n" +
+        batch.mkString("\n"))
+
+    assert(streamed.length == 2, streamed.mkString("\n"))
+    val Array(inDomain, drifted) = streamed.map(r =>
+      (r.getDouble(7), r.getDouble(8))) // (unk_rate, bpe_fertility)
+    assert(inDomain._1 == 0.0,
+      s"in-domain window must have zero UNK rate: $inDomain")
+    assert(drifted._1 == 1.0,
+      s"every drifted word is untileable -> UNK rate 1.0: $drifted")
+    assert(drifted._2 > inDomain._2 + 1.0,
+      s"drift must raise BPE fertility: $inDomain vs $drifted")
+  }
 }
