@@ -151,7 +151,8 @@ object Bench {
     "dedup_segments" -> "dsg", "q_resample_ffill" -> "rff",
     "graph_communities" -> "gcm", "dedup_simhash_portable" -> "dhp",
     "text_phrase_search" -> "tps", "text_kneser_ney" -> "tkn",
-    "text_tokenizer_eval" -> "tte", "q_manifest_diff" -> "mdf",
+    "text_tokenizer_eval" -> "tte", "text_tokenizer_drift" -> "ttd",
+    "q_manifest_diff" -> "mdf",
     "pipeline_ingest" -> "pig", "pipeline_ingest_incr" -> "pgi",
     "dedup_clusters_portable" -> "dcp")
 

@@ -943,6 +943,46 @@ object SparkEntry {
       }.reduce(_ unionByName _).orderBy(col("family"))
     }),
 
+    // Per-SOURCE tokenizer-drift audit — the batch twin of
+    // [[graft.streaming.CorpusIngest.tokenizerDriftStream]]: for each
+    // source, the WordPiece [UNK] rate and trained-BPE fertility under
+    // the SHIPPED frozen models. A source whose fertility/[UNK] sits
+    // above the corpus band is drifting away from the tokenizer — the
+    // retrain trigger, per domain instead of per time window. Both
+    // models ride as task references in the codegen'd encoders;
+    // one aggregation, exact long sums, one division at the end.
+    // Oracle-checked: the embedded-model recursions reduce to
+    // per-word-type (pieces, is-unk) and weight by per-source word
+    // frequency ([[tokenizerDriftOracleSql]]).
+    "text_tokenizer_drift" -> ((s, d) => {
+      val src = s"$d/documents.parquet"
+      val docs = t(s, d, "documents")
+      val wp = ops.WordPieceOps.cachedTrain(s, src, docs, col("text"),
+        numMerges = 64)
+      val bpe = BpeOps.cachedTrain(s, src, docs, col("text"),
+        numMerges = 64)
+      val pieces = ops.WordPieceOps.encode(col("text"), wp)
+      docs
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("__w"),
+          size(BpeOps.encode(col("text"), bpe)).cast("long").as("__bp"),
+          size(pieces).cast("long").as("__wp"),
+          size(filter(pieces, p => p === "[UNK]")).cast("long")
+            .as("__unk"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_words"),
+          sum(col("__bp")).as("n_bpe_pieces"),
+          sum(col("__wp")).as("n_wp_pieces"),
+          sum(col("__unk")).as("n_unk"))
+        .select(col("source"), col("n_docs"), col("n_words"),
+          col("n_bpe_pieces"), col("n_wp_pieces"), col("n_unk"),
+          round(col("n_unk") / col("n_wp_pieces").cast("double"), 6)
+            .as("unk_rate"),
+          round(col("n_bpe_pieces") / col("n_words").cast("double"), 4)
+            .as("bpe_fertility"))
+        .orderBy(col("source"))
+    }),
+
     // Interpolated Kneser-Ney bigram LM estimation (Kneser & Ney '95,
     // Chen & Goodman '98 — the classic statistical-LM smoothing;
     // public literature, independent derivation): with discount
@@ -4243,6 +4283,7 @@ object SparkEntry {
       ("q_chunk_bpe" -> chunkBpeOracleSql) +
       ("text_unigram_encode" -> unigramEncodeOracleSql) +
       ("text_tokenizer_eval" -> tokenizerEvalOracleSql) +
+      ("text_tokenizer_drift" -> tokenizerDriftOracleSql) +
       // the strongest certifications in the file: DuckDB re-RUNS BPE
       // and WordPiece TRAINING from the raw corpus (no embedded
       // artifacts) and must reproduce the learned tables row for row
@@ -5514,6 +5555,92 @@ object SparkEntry {
       |  md5(array_to_string(toks[chunk_id*64+1 : chunk_id*64+64], ' '))
       |    AS chunk_md5
       |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** DuckDB replay of the per-source tokenizer-drift audit: the BPE
+    * merge recursion and the WordPiece longest-match recursion (each
+    * identical to its standalone oracle) reduce to per-word-type
+    * (piece count, is-[UNK]) rows, weighted by PER-SOURCE word
+    * frequency. is-[UNK] is exactly the unmatchable/over-long word
+    * condition — an encodable word can never emit the literal
+    * '[UNK]' piece, because the pre-tokenizer's class runs make a
+    * word containing '[UNK]''s mixed bracket+letter characters
+    * impossible. */
+  private lazy val tokenizerDriftOracleSql: String =
+    """WITH RECURSIVE docsrc AS (
+      |  SELECT source, text FROM documents),
+      |base AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    cast(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words
+      |  FROM docsrc GROUP BY source),
+      |swords AS (
+      |  SELECT source, w, count(*) AS n FROM (
+      |    SELECT source, unnest(regexp_extract_all(text,
+      |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+')) AS w
+      |    FROM docsrc)
+      |  GROUP BY source, w),
+      |words AS (SELECT DISTINCT w FROM swords),
+      |brec(w, syms) AS (
+      |  SELECT w, list_transform(range(1, length(w)+1), i -> w[i])
+      |  FROM words
+      |  UNION ALL
+      |  SELECT w, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:]
+      |  FROM (
+      |    SELECT w, syms, list_position(pr, list_min(pr)) AS bi,
+      |      list_min(pr) AS br
+      |    FROM (SELECT w, syms,
+      |        list_transform(range(1, len(syms)), i ->
+      |          coalesce(({{BPE_RANK_MAP}}[syms[i] || ' ' ||
+      |            syms[i+1]])[1], 1000000)) AS pr
+      |      FROM brec WHERE len(syms) >= 2) t) u
+      |  WHERE br < 1000000),
+      |bfin AS (
+      |  SELECT w, len(syms) AS np FROM (
+      |    SELECT w, syms,
+      |      row_number() OVER (PARTITION BY w ORDER BY len(syms)) AS rn
+      |    FROM brec) WHERE rn = 1),
+      |v(p) AS (SELECT * FROM (VALUES
+      |    {{WP_VOCAB_ROWS}}) t(p)),
+      |wrec(w, pos, piece) AS (
+      |  SELECT w, 1, NULL::VARCHAR FROM words WHERE length(w) <= 100
+      |  UNION ALL
+      |  SELECT r.w,
+      |    r.pos + CASE WHEN r.pos = 1 THEN length(v.p)
+      |                 ELSE length(v.p) - 2 END,
+      |    v.p
+      |  FROM wrec r JOIN v ON
+      |    CASE WHEN r.pos = 1
+      |      THEN v.p NOT LIKE '##%'
+      |        AND substr(r.w, 1, length(v.p)) = v.p
+      |      ELSE v.p LIKE '##%' AND length(v.p) > 2
+      |        AND substr(r.w, r.pos, length(v.p) - 2) = substr(v.p, 3)
+      |    END
+      |  WHERE r.pos <= length(r.w)
+      |  QUALIFY row_number() OVER (PARTITION BY r.w, r.pos
+      |    ORDER BY length(v.p) DESC) = 1),
+      |wprog AS (SELECT w, max(pos) AS mp FROM wrec GROUP BY w),
+      |wenc AS (
+      |  SELECT r.w, count(*) AS np, 0 AS unk
+      |  FROM wrec r JOIN wprog g USING (w)
+      |  WHERE r.piece IS NOT NULL AND g.mp = length(r.w) + 1
+      |  GROUP BY r.w),
+      |wcnt AS (
+      |  SELECT w, np, unk FROM wenc
+      |  UNION ALL SELECT w, 1, 1 FROM wprog WHERE mp <= length(w)
+      |  UNION ALL SELECT w, 1, 1 FROM words WHERE length(w) > 100),
+      |persrc AS (
+      |  SELECT s.source,
+      |    cast(sum(b.np * s.n) AS BIGINT) AS n_bpe_pieces,
+      |    cast(sum(c.np * s.n) AS BIGINT) AS n_wp_pieces,
+      |    cast(sum(c.unk * s.n) AS BIGINT) AS n_unk
+      |  FROM swords s JOIN bfin b USING (w) JOIN wcnt c USING (w)
+      |  GROUP BY s.source)
+      |SELECT b.source, b.n_docs, b.n_words, p.n_bpe_pieces,
+      |  p.n_wp_pieces, p.n_unk,
+      |  round(p.n_unk / cast(p.n_wp_pieces AS DOUBLE), 6) AS unk_rate,
+      |  round(p.n_bpe_pieces / cast(b.n_words AS DOUBLE), 4)
+      |    AS bpe_fertility
+      |FROM base b JOIN persrc p USING (source)
+      |ORDER BY b.source""".stripMargin
 
   /** DuckDB replay of BPE TRAINING itself — no embedded model: the
     * oracle re-learns the merge table from the raw corpus and must
