@@ -967,8 +967,11 @@ object SparkEntry {
           size(split(col("text"), " ")).cast("long").as("__w"),
           size(BpeOps.encode(col("text"), bpe)).cast("long").as("__bp"),
           size(pieces).cast("long").as("__wp"),
-          size(filter(pieces, p => p === "[UNK]")).cast("long")
-            .as("__unk"))
+          // array_remove, not filter(=== "[UNK]"): ArrayFilter is a
+          // CodegenFallback HOF; the size difference counts [UNK]
+          // occurrences entirely inside codegen
+          (size(pieces) - size(array_remove(pieces, "[UNK]")))
+            .cast("long").as("__unk"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_words"),
           sum(col("__bp")).as("n_bpe_pieces"),

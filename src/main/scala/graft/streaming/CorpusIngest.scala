@@ -154,8 +154,11 @@ object CorpusIngest {
         size(graft.ops.BpeOps.encode(col(textCol), bpe)).cast("long")
           .as("__bp"),
         size(pieces).cast("long").as("__wp"),
-        size(filter(pieces, p => p === "[UNK]")).cast("long")
-          .as("__unk"))
+        // array_remove, not filter(=== "[UNK]"): ArrayFilter is a
+        // CodegenFallback HOF; the size difference counts [UNK]
+        // occurrences entirely inside codegen
+        (size(pieces) - size(array_remove(pieces, "[UNK]")))
+          .cast("long").as("__unk"))
       .groupBy(window(col(tsCol), windowDur))
       .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_words"),
         sum(col("__bp")).as("n_bpe_pieces"),
