@@ -139,27 +139,47 @@ object Multimodal {
       media: DataFrame): Dataset[MediaHash] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      rows.map { r =>
-        val len = r.content.length
-        val px = new Array[Int](64)
-        var i = 0
-        while (i < 64) {
-          // long arithmetic: i * len overflows Int past ~34 MB payloads
-          px(i) =
-            if (len == 0) 0
-            else r.content((i.toLong * len / 64).toInt) & 0xff
-          i += 1
-        }
-        val mean = px.sum.toDouble / 64.0
-        var h = 0L
-        i = 0
-        while (i < 64) {
-          if (px(i) > mean) h |= (1L << i)
-          i += 1
-        }
-        MediaHash(r.doc_id, h)
-      }
+      rows.map(r => MediaHash(r.doc_id, phashBytes(r.content)))
     }
+  }
+
+  /** The stub average-hash kernel on one payload (shared by the batch
+    * [[perceptualHashAll]] and the streaming ingest gate, so both
+    * sides of the artifact contract hash identically). */
+  def phashBytes(content: Array[Byte]): Long = {
+    val len = content.length
+    val px = new Array[Int](64)
+    var i = 0
+    while (i < 64) {
+      // long arithmetic: i * len overflows Int past ~34 MB payloads
+      px(i) =
+        if (len == 0) 0
+        else content((i.toLong * len / 64).toInt) & 0xff
+      i += 1
+    }
+    val mean = px.sum.toDouble / 64.0
+    var h = 0L
+    i = 0
+    while (i < 64) {
+      if (px(i) > mean) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** The persisted BLOCKING artifact for streaming multimodal ingest:
+    * every corpus image's perceptual hash exploded into its 4×16-bit
+    * bands — the table a stream-side probe equi-joins on (the image
+    * analogue of [[DedupOps.minhashBands]]). 24 bytes × 4 rows per
+    * image; any pair within Hamming 3 shares ≥1 band (pigeonhole). */
+  def phashBands(spark: SparkSession, media: DataFrame): DataFrame = {
+    val withH = perceptualHashAll(spark, media).toDF("doc_id", "phash")
+    val bandVals = (0 until 4).map(b =>
+      shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xffffL)))
+    withH.select(col("doc_id"), col("phash"),
+      posexplode(array(bandVals: _*)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_val")
   }
 
   /** Per-image near-dup summary over perceptual hashes: 4×16-bit
