@@ -778,8 +778,13 @@ object SparkEntry {
     // Unigram-LM tokenizer (Kudo '18 / SentencePiece shape): trained by
     // Viterbi-EM on the SAME compact word-type dict as BPE (one shared
     // distributed pass), emitted as the ranked multi-char vocabulary
-    // with rounded log-probs. Training is not SQL-expressible →
-    // rows-only; UnigramSpec anchors the trainer and encoder.
+    // with rounded log-probs. ★ r10: ORACLE-REPLAYED from the raw
+    // corpus — the hard-EM E-step now scores Viterbi paths as
+    // PROBABILITY-SPACE IEEE products (UnigramKernels.viterbiPortable;
+    // no libm transcendental anywhere in training), so DuckDB re-runs
+    // all 4 EM iterations itself ([[unigramTrainOracleSql]]) and must
+    // reproduce every learned count. UnigramSpec still anchors the
+    // trainer and encoder behaviorally.
     "text_unigram_train" -> ((s, d) => {
       import s.implicits._
       val model = ops.UnigramOps.cachedTrain(s, s"$d/documents.parquet",
@@ -1141,28 +1146,27 @@ object SparkEntry {
     // One 32 KB sketch per partition moves instead of the term
     // stream; cells are pure sums, so the sketch bytes are
     // bit-identical under any partitioning (spec-gated) and the whole
-    // query is deterministic. The driver probes only the exact top-20
-    // keys against the collected sketch (bounded, 20 rows). CMS
-    // guarantee spec-gated: never an underestimate.
+    // query is deterministic. The probe stays DISTRIBUTED: the 1-row
+    // sketch broadcasts onto the exact top-20 keys and each key is
+    // estimated map-side by the codegen'd CmsPointEstimate (O(depth)
+    // byte reads against the wire bytes — no driver-side .head+loop).
+    // CMS guarantee spec-gated: never an underestimate.
     "text_cms_counts" -> ((s, d) => {
-      import s.implicits._
       val depth = 4; val width = 1024
       val terms = t(s, d, "documents")
         .select(explode(split(lower(col("text")), " ")).as("term"))
         .filter(col("term") =!= "")
-      val bytes = terms
+      val sketch = terms
         .agg(graft.functions.CountMin
           .cmsSketch(col("term"), depth, width).as("sk"))
-        .head.getAs[Array[Byte]](0)
-      val cms = graft.functions.CMSBuffer.fromBytes(bytes, depth, width)
-      val top = terms.groupBy(col("term"))
+      terms.groupBy(col("term"))
         .agg(count(lit(1)).as("true_n"))
         .orderBy(col("true_n").desc, col("term"))
         .limit(20)
-        .collect()
-        .map(r => (r.getString(0), r.getLong(1),
-          cms.estimate(r.getString(0))))
-      top.toSeq.toDF("term", "true_n", "cms_est")
+        .crossJoin(broadcast(sketch))
+        .withColumn("cms_est", graft.functions.CountMin
+          .cmsEstimate(col("sk"), col("term"), depth, width))
+        .select(col("term"), col("true_n"), col("cms_est"))
         .withColumn("overcount", col("cms_est") - col("true_n"))
         .orderBy(col("true_n").desc, col("term"))
     }),
@@ -3941,6 +3945,142 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // ★ r10: the STREAMING END-TO-END ingest loop as a declared,
+    // oracle-replayed query — ONE continuous Structured Streaming
+    // query (file source, Trigger.AvailableNow, maxFilesPerTrigger=1)
+    // drains two arriving batches through
+    // [[graft.streaming.IngestLoop]]: each micro-batch is gated
+    // through all four ingest stages against the PERSISTED
+    // inventories, its accepted docs are MERGED before the next batch
+    // arrives, and per-batch stage accounting is emitted. Batch b1
+    // RE-DELIVERS half of batch b0 (doc_id%20==0, the at-least-once
+    // reality of any ingest feed), so at EVERY scale factor some b1
+    // docs are accepted-in-b0 re-arrivals that die against the merged
+    // inventory — the DuckDB oracle replays both batches sequentially
+    // against the states the merges left behind, so it certifies the
+    // composition (gate → merge → gate), not the stages in isolation.
+    // The inventory is built fresh per run (the loop mutates it);
+    // batch inputs are content-signature-cached with strictly
+    // increasing mtimes so the file source's timestamp order delivers
+    // them as two micro-batches in arrival order (a mixed batch fails
+    // loud via the loop's tag-purity check on the `arrival` column).
+    "pipeline_ingest_stream" -> ((s, d) => {
+      val segLen = 16
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val sig = ops.StorageOps.contentSignature(s, s"$d/documents.parquet")
+      val inDir = ops.StorageOps.scratchPath(
+        s"ingstream_v2_${java.lang.Long.toHexString(sig)}")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(inDir))) {
+        val tmp = inDir + ".build-" + java.util.UUID.randomUUID().toString
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .withColumn("arrival", lit("b0"))
+          .coalesce(1).write.parquet(s"$tmp/b0")
+        docs.filter(pmod(col("doc_id"), lit(10)) === 5 ||
+            pmod(col("doc_id"), lit(20)) === 0)
+          .withColumn("arrival", lit("b1"))
+          .coalesce(1).write.parquet(s"$tmp/b1")
+        def stamp(sub: String, ts: Long): Unit =
+          new java.io.File(s"$tmp/$sub").listFiles()
+            .filter(_.getName.endsWith(".parquet"))
+            .foreach(_.setLastModified(ts))
+        val t0 = System.currentTimeMillis() - 120000
+        stamp("b0", t0); stamp("b1", t0 + 60000)
+        try java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+          java.nio.file.Paths.get(inDir),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException |
+                     _: java.nio.file.DirectoryNotEmptyException =>
+          org.apache.commons.io.FileUtils.deleteDirectory(
+            new java.io.File(tmp))
+        }
+      }
+      def grams(c: Column): Column = {
+        val w = split(lower(c), " ")
+        when(size(w) >= 3, transform(sequence(lit(0), size(w) - 3),
+          i => concat_ws(" ", element_at(w, i + 1),
+            element_at(w, i + 2), element_at(w, i + 3))))
+          .otherwise(array(array_join(w, " ")))
+      }
+      val evalGrams = corpus.filter(pmod(col("doc_id"), lit(50)) === 1)
+        .select(explode(array_distinct(grams(col("text")))).as("g"))
+        .distinct()
+      // the loop MERGES into its inventory, so each run gets a private
+      // clone of the once-per-corpus cached base (a hash-file dir copy,
+      // not a corpus re-derivation)
+      val run = java.util.UUID.randomUUID().toString.take(12)
+      val key = s"ingstream_$run"
+      val baseKey = ops.IngestOps.cachedInventory(s,
+        s"$d/documents.parquet", "ingsbase", corpus, "text", segLen)
+      ops.IngestOps.cloneInventory(baseKey, key)
+      val src = s"$d/documents.parquet"
+      val wp = ops.WordPieceOps.cachedTrain(s, src, docs, col("text"),
+        numMerges = 64)
+      val bpe = BpeOps.cachedTrain(s, src, docs, col("text"),
+        numMerges = 64)
+      val loop = new graft.streaming.IngestLoop(s, key, "doc_id", "text",
+        Some(evalGrams), segLen, Some(wp), Some(bpe))
+      val ckpt = ops.StorageOps.scratchPath(s"ingstream_ckpt_$run")
+      val streamSchema = org.apache.spark.sql.types.StructType(
+        docs.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "arrival", org.apache.spark.sql.types.StringType))
+      val stream = s.readStream.schema(streamSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$inDir/b*")
+      val q = loop.start(stream, col("arrival"), ckpt)
+      q.awaitTermination()
+      // reports are driver-local bounded rows; the per-run mutable
+      // artifacts (merged inventory, stream checkpoint) are garbage
+      // once the loop ends — drop them so repeated runs don't pile up
+      ops.IngestOps.dropInventory(key)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(ckpt))
+      loop.stageReport.orderBy(col("batch"), col("stage"))
+    }),
+
+    // ★ r10: the ingest loop's DRIFT EMISSION as its own
+    // oracle-certified query — the same two-batch loop (batch-twin
+    // processBatch calls: identical code path, spec-gated equal to
+    // the streaming run) reporting the tokenizer-drift metrics over
+    // each batch's ACCEPTED text under the shipped frozen models.
+    // The oracle composes the ingest-stream replay (which re-derives
+    // the accepted clean text per batch against the merged inventory
+    // states) with the tokenizer-drift machinery — certifying the
+    // loop's third output end-to-end: gate, merge, AND drift.
+    "pipeline_ingest_drift" -> ((s, d) => {
+      val segLen = 16
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      def grams(c: Column): Column = {
+        val w = split(lower(c), " ")
+        when(size(w) >= 3, transform(sequence(lit(0), size(w) - 3),
+          i => concat_ws(" ", element_at(w, i + 1),
+            element_at(w, i + 2), element_at(w, i + 3))))
+          .otherwise(array(array_join(w, " ")))
+      }
+      val evalGrams = corpus.filter(pmod(col("doc_id"), lit(50)) === 1)
+        .select(explode(array_distinct(grams(col("text")))).as("g"))
+        .distinct()
+      val run = java.util.UUID.randomUUID().toString.take(12)
+      val key = s"ingdrift_$run"
+      val baseKey = ops.IngestOps.cachedInventory(s,
+        s"$d/documents.parquet", "ingsbase", corpus, "text", segLen)
+      ops.IngestOps.cloneInventory(baseKey, key)
+      val src = s"$d/documents.parquet"
+      val wp = ops.WordPieceOps.cachedTrain(s, src, docs, col("text"),
+        numMerges = 64)
+      val bpe = BpeOps.cachedTrain(s, src, docs, col("text"),
+        numMerges = 64)
+      val loop = new graft.streaming.IngestLoop(s, key, "doc_id",
+        "text", Some(evalGrams), segLen, Some(wp), Some(bpe))
+      loop.processBatch(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0), "b0")
+      loop.processBatch(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 5 ||
+          pmod(col("doc_id"), lit(20)) === 0), "b1")
+      ops.IngestOps.dropInventory(key)
+      loop.driftReport.orderBy(col("batch"))
+    }),
+
     "pipeline_full" -> ((s, d) => {
       val evalSet = t(s, d, "documents")
         .filter(pmod(col("doc_id"), lit(50)) === 0)
@@ -4251,6 +4391,114 @@ object SparkEntry {
         |    coalesce(cast(sum(doc_id) AS BIGINT), 0) FROM s4)
         |ORDER BY stage""".stripMargin
 
+  /** One arriving batch of the streaming ingest loop, unrolled: the
+    * four `pipeline_ingest` stages with the stage-1 md5 anti-join and
+    * stage-2 segment excision pointed at the INVENTORY STATE the
+    * previous merges left behind (`md5Inv`/`segInv` CTE names). CTE
+    * names are suffixed so two batches chain in one WITH clause. */
+  private def ingestStreamBatchCtes(sfx: String, incPred: String,
+      md5Inv: String, segInv: String): String =
+    s"""inc_$sfx AS (SELECT doc_id, text FROM documents WHERE $incPred),
+       |s1_$sfx AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text, md5(text) AS h,
+       |      row_number() OVER (PARTITION BY md5(text)
+       |                         ORDER BY doc_id) AS rn
+       |    FROM inc_$sfx) i
+       |  WHERE rn = 1 AND h NOT IN (SELECT h FROM $md5Inv)),
+       |sw_$sfx AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |            FROM s1_$sfx),
+       |srows_$sfx AS (SELECT doc_id, i - 1 AS seg_idx,
+       |  array_to_string(w[(i-1)*16+1 : (i-1)*16+16], ' ') AS seg
+       |  FROM sw_$sfx,
+       |    LATERAL unnest(generate_series(1, (len(w)+15)//16)) s(i)),
+       |kept_$sfx AS (SELECT doc_id, seg_idx, seg FROM srows_$sfx
+       |  WHERE md5(seg) NOT IN (SELECT sh FROM $segInv)),
+       |s2_$sfx AS (SELECT doc_id,
+       |    string_agg(seg, ' ' ORDER BY seg_idx) AS clean
+       |  FROM kept_$sfx GROUP BY doc_id
+       |  HAVING string_agg(seg, ' ' ORDER BY seg_idx) <> ''),
+       |s3_$sfx AS (SELECT doc_id, clean FROM (
+       |  SELECT doc_id, clean,
+       |    len(string_split(clean, ' ')) AS n_tok,
+       |    len(replace(clean, ' ', '')) AS n_ch FROM s2_$sfx)
+       |  WHERE n_tok >= 24 AND n_ch * 10 >= n_tok * 20
+       |    AND n_ch * 10 <= n_tok * 100),
+       |hot_$sfx AS (SELECT doc_id FROM (
+       |  SELECT sg.doc_id, count(*) AS n_shared FROM (
+       |    SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
+       |      THEN list_transform(generate_series(1, len(w) - 2),
+       |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |      ELSE [array_to_string(w, ' ')] END)) AS g
+       |    FROM (SELECT doc_id, string_split(lower(clean), ' ') AS w
+       |          FROM s3_$sfx)) sg
+       |  JOIN ev USING (g) GROUP BY sg.doc_id)
+       |  WHERE n_shared >= 3),
+       |s4_$sfx AS (SELECT doc_id, clean FROM s3_$sfx
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM hot_$sfx))"""
+      .stripMargin
+
+  private def ingestStreamStageRows(tag: String, sfx: String): String =
+    s"""SELECT '$tag' AS batch, '0_incoming' AS stage,
+       |    count(*) AS n_docs,
+       |    coalesce(cast(sum(doc_id) AS BIGINT), 0) AS id_sum
+       |  FROM inc_$sfx
+       |  UNION ALL SELECT '$tag', '1_exact', count(*),
+       |    coalesce(cast(sum(doc_id) AS BIGINT), 0) FROM s1_$sfx
+       |  UNION ALL SELECT '$tag', '2_segments', count(*),
+       |    coalesce(cast(sum(doc_id) AS BIGINT), 0) FROM s2_$sfx
+       |  UNION ALL SELECT '$tag', '3_quality', count(*),
+       |    coalesce(cast(sum(doc_id) AS BIGINT), 0) FROM s3_$sfx
+       |  UNION ALL SELECT '$tag', '4_decon', count(*),
+       |    coalesce(cast(sum(doc_id) AS BIGINT), 0) FROM s4_$sfx"""
+      .stripMargin
+
+  /** The streaming ingest LOOP replayed end-to-end: batch b0's four
+    * stages run against the corpus-built inventories, its accepted
+    * clean texts merge in (md5s + re-tiled 16-token segment hashes —
+    * exactly [[graft.ops.IngestOps.mergeAccepted]]), and batch b1's
+    * stages run against the MERGED state. Certifies the composition
+    * (gate → merge → gate), not just the stages in isolation. The CTE
+    * prefix is shared with [[ingestDriftOracleSql]], which appends the
+    * tokenizer-drift machinery over the per-batch ACCEPTED text. */
+  private lazy val ingestStreamCtes: String =
+    s"""corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+       |inv_md5_0 AS (SELECT DISTINCT md5(text) AS h FROM corpus),
+       |cw AS (SELECT string_split(lower(text), ' ') AS w FROM corpus),
+       |inv_seg_0 AS (SELECT DISTINCT
+       |  md5(array_to_string(w[(i-1)*16+1 : (i-1)*16+16], ' ')) AS sh
+       |  FROM cw,
+       |    LATERAL unnest(generate_series(1, (len(w)+15)//16)) s(i)),
+       |ev AS (SELECT DISTINCT g FROM (
+       |  SELECT unnest(list_distinct(CASE WHEN len(w) >= 3
+       |    THEN list_transform(generate_series(1, len(w) - 2),
+       |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE [array_to_string(w, ' ')] END)) AS g
+       |  FROM (SELECT string_split(lower(text), ' ') AS w FROM corpus
+       |        WHERE doc_id % 50 = 1))),
+       |${ingestStreamBatchCtes("a", "doc_id % 10 = 0",
+           "inv_md5_0", "inv_seg_0")},
+       |-- merge of batch b0's ACCEPTED clean texts: md5s plus the
+       |-- re-tiled 16-token segment hashes (IngestOps.mergeAccepted)
+       |inv_md5_1 AS (SELECT h FROM inv_md5_0
+       |  UNION SELECT md5(clean) FROM s4_a),
+       |aw AS (SELECT string_split(lower(clean), ' ') AS w FROM s4_a),
+       |inv_seg_1 AS (SELECT sh FROM inv_seg_0 UNION
+       |  SELECT DISTINCT
+       |    md5(array_to_string(w[(i-1)*16+1 : (i-1)*16+16], ' ')) AS sh
+       |  FROM aw,
+       |    LATERAL unnest(generate_series(1, (len(w)+15)//16)) s(i)),
+       |${ingestStreamBatchCtes("b",
+           "doc_id % 10 = 5 OR doc_id % 20 = 0",
+           "inv_md5_1", "inv_seg_1")}""".stripMargin
+
+  private lazy val ingestStreamOracleSql: String =
+    s"""WITH $ingestStreamCtes
+       |SELECT * FROM (
+       |  ${ingestStreamStageRows("b0", "a")}
+       |  UNION ALL ${ingestStreamStageRows("b1", "b")})
+       |ORDER BY batch, stage""".stripMargin
+
   def oracleSql: Map[String, String] =
     baseOracle +
       ("ann_brute_agg" -> baseOracle("ann_brute")) +
@@ -4260,6 +4508,11 @@ object SparkEntry {
       // die in the exact join — output is IDENTICAL to the exact
       // variant (spec-gated), so the same oracle certifies both
       ("pipeline_decon_bloom" -> baseOracle("pipeline_decontaminate")) +
+      // the streaming loop replayed batch-by-batch against the merged
+      // inventory states — see ingestStreamOracleSql; its drift
+      // emission replayed over the accepted text per batch
+      ("pipeline_ingest_stream" -> ingestStreamOracleSql) +
+      ("pipeline_ingest_drift" -> ingestDriftOracleSql) +
       // trained-model SCORING oracles: the models are bit-deterministic
       // functions of the corpus, so Verify embeds their exact
       // coefficients ({{...}} placeholders -> [[oracleParams]] values,
@@ -4292,6 +4545,10 @@ object SparkEntry {
       // artifacts) and must reproduce the learned tables row for row
       ("text_bpe_train" -> bpeTrainOracleSql) +
       ("text_wordpiece_train" -> wordpieceTrainOracleSql) +
+      // ★ r10: the last convertible rows-only query goes green — the
+      // oracle re-runs all 4 hard-EM iterations from the raw corpus
+      // (portable probability-space E-step, see unigramTrainOracleSql)
+      ("text_unigram_train" -> unigramTrainOracleSql) +
       ("dedup_clusters_portable" -> portableClustersOracleSql) +
       ("multimodal_phash" -> phashOracleSql) +
       ("multimodal_features" -> featuresOracleSql) +
@@ -5569,18 +5826,26 @@ object SparkEntry {
     * word containing '[UNK]''s mixed bracket+letter characters
     * impossible. */
   private lazy val tokenizerDriftOracleSql: String =
-    """WITH RECURSIVE docsrc AS (
-      |  SELECT source, text FROM documents),
-      |base AS (
-      |  SELECT source, count(*) AS n_docs,
+    "WITH RECURSIVE docsrc AS (\n" +
+      "  SELECT source AS grp, text FROM documents),\n" +
+      driftMachineryTail("source")
+
+  /** The drift CTE chain + final select over a caller-provided
+    * `docsrc(grp, text)` CTE — shared verbatim by the per-source
+    * audit ([[tokenizerDriftOracleSql]]) and the per-batch accepted-
+    * text audit of the ingest loop ([[ingestDriftOracleSql]]); the
+    * group column is emitted as `outCol`. */
+  private def driftMachineryTail(outCol: String): String =
+    s"""base AS (
+      |  SELECT grp, count(*) AS n_docs,
       |    cast(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words
-      |  FROM docsrc GROUP BY source),
+      |  FROM docsrc GROUP BY grp),
       |swords AS (
-      |  SELECT source, w, count(*) AS n FROM (
-      |    SELECT source, unnest(regexp_extract_all(text,
-      |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+')) AS w
+      |  SELECT grp, w, count(*) AS n FROM (
+      |    SELECT grp, unnest(regexp_extract_all(text,
+      |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]+')) AS w
       |    FROM docsrc)
-      |  GROUP BY source, w),
+      |  GROUP BY grp, w),
       |words AS (SELECT DISTINCT w FROM swords),
       |brec(w, syms) AS (
       |  SELECT w, list_transform(range(1, length(w)+1), i -> w[i])
@@ -5631,19 +5896,33 @@ object SparkEntry {
       |  UNION ALL SELECT w, 1, 1 FROM wprog WHERE mp <= length(w)
       |  UNION ALL SELECT w, 1, 1 FROM words WHERE length(w) > 100),
       |persrc AS (
-      |  SELECT s.source,
+      |  SELECT s.grp,
       |    cast(sum(b.np * s.n) AS BIGINT) AS n_bpe_pieces,
       |    cast(sum(c.np * s.n) AS BIGINT) AS n_wp_pieces,
       |    cast(sum(c.unk * s.n) AS BIGINT) AS n_unk
       |  FROM swords s JOIN bfin b USING (w) JOIN wcnt c USING (w)
-      |  GROUP BY s.source)
-      |SELECT b.source, b.n_docs, b.n_words, p.n_bpe_pieces,
+      |  GROUP BY s.grp)
+      |SELECT b.grp AS $outCol, b.n_docs, b.n_words, p.n_bpe_pieces,
       |  p.n_wp_pieces, p.n_unk,
       |  round(p.n_unk / cast(p.n_wp_pieces AS DOUBLE), 6) AS unk_rate,
       |  round(p.n_bpe_pieces / cast(b.n_words AS DOUBLE), 4)
       |    AS bpe_fertility
-      |FROM base b JOIN persrc p USING (source)
-      |ORDER BY b.source""".stripMargin
+      |FROM base b JOIN persrc p USING (grp)
+      |ORDER BY b.grp""".stripMargin
+
+  /** The ingest loop's DRIFT EMISSION replayed end-to-end: the
+    * [[ingestStreamCtes]] prefix re-derives each batch's ACCEPTED
+    * clean text (batch b1 gated against b0's merges), and the shared
+    * [[driftMachineryTail]] re-encodes it under the shipped frozen
+    * models — so the loop's third output (after gating and merging)
+    * is hash-certified too, not just spec-gated against its batch
+    * twin. */
+  private lazy val ingestDriftOracleSql: String =
+    "WITH RECURSIVE " + ingestStreamCtes + ",\n" +
+      "docsrc AS (\n" +
+      "  SELECT 'b0' AS grp, clean AS text FROM s4_a\n" +
+      "  UNION ALL SELECT 'b1', clean FROM s4_b),\n" +
+      driftMachineryTail("batch")
 
   /** DuckDB replay of BPE TRAINING itself — no embedded model: the
     * oracle re-learns the merge table from the raw corpus and must
@@ -5727,6 +6006,222 @@ object SparkEntry {
       |  string_split(w, ' ')[2] AS "right",
       |  string_split(w, ' ')[1] || string_split(w, ' ')[2] AS merged
       |FROM rec WHERE kind = 'm' ORDER BY rank""".stripMargin
+
+  /** DuckDB replay of unigram-LM Viterbi-EM TRAINING — no embedded
+    * model: the oracle re-learns the vocabulary from the raw corpus,
+    * closing the last convertible rows-only query. What made it
+    * possible is a Spark-side restructure, not SQL heroics: the
+    * hard-EM E-step ([[graft.functions.UnigramKernels
+    * .viterbiPortable]]) compares Viterbi paths as probability-space
+    * products `Π cnt_i/total` — IEEE-754 division and multiplication
+    * are correctly rounded in every engine, so with counts held as
+    * exact BIGINTs both engines reproduce every comparison bit for
+    * bit; `ln` appears only in the final emitted log-prob (rounded to
+    * 6 decimals, the text_tfidf_top discipline).
+    *
+    * Replay shape — the recursion is a LOCKSTEP STATE MACHINE over
+    * phases, because DuckDB 1.0's nested-lambda captures misalign
+    * rows (observed: a per-word `list_reduce` DP inside a second
+    * lambda layer pairs row i's accumulator with row i+1's captured
+    * column), so no lambda touches the DP at all:
+    *  - model rows (kind 'm') and word rows (kind 'w') advance
+    *    together through a per-iteration phase counter `ph`;
+    *  - ph < ml: one Viterbi position per step — the 6 candidate
+    *    scores are UNROLLED scalar expressions over the carried
+    *    `bests` array and the model map (rebuilt each step by a
+    *    window-list over the 'm' rows; the frontier is referenced
+    *    once); `list_max` picks the best, a CASE scanning L
+    *    descending recovers the earliest (longest-piece) start —
+    *    exactly viterbiPortable's strict-improvement tie-break;
+    *  - ph = ml..2·ml: backtrack, one piece per step, prepending
+    *    into a space-joined `segs` string;
+    *  - transition: every word explodes its segments (weight = word
+    *    freq), a window sum per piece + row_number pick aggregates
+    *    the next model (GROUP BY is banned in recursive terms),
+    *    single-char rows from the old model inject zero-count
+    *    entries so the char floor (`missing chars → 1`) can act, and
+    *    fresh word rows start the next E-step — 4 iterations, then
+    *    the count-rank prune and the final rounded log-probs. */
+  private lazy val unigramTrainOracleSql: String = {
+    val emptyEl = "CAST([] AS STRUCT(k VARCHAR, w VARCHAR, n BIGINT, " +
+      "piece VARCHAR, cnt BIGINT, bests DOUBLE[], backs INTEGER[], " +
+      "pos INTEGER, segs VARCHAR, nn BIGINT)[])"
+    def mSelf = // a model row re-emitting itself unchanged
+      "[struct_pack(k := 'm', w := '', n := CAST(0 AS BIGINT), " +
+        "piece := piece, cnt := cnt, bests := CAST(NULL AS DOUBLE[]), " +
+        "backs := CAST(NULL AS INTEGER[]), pos := CAST(NULL AS INTEGER), " +
+        "segs := CAST(NULL AS VARCHAR), nn := CAST(0 AS BIGINT))]"
+    val cands = (1 to 6).map { l =>
+      val sub = s"substr(w, ph + 1 - $l + 1, $l)"
+      s"""CASE WHEN kind = 'w' AND ph < ml AND ph + 1 <= length(w)
+         |  AND $l <= ph + 1 AND len(m[$sub]) > 0
+         |  THEN bests[ph + 1 - $l + 1] *
+         |    (CAST((m[$sub])[1] AS DOUBLE) / CAST(tot AS DOUBLE))
+         |  END AS c$l""".stripMargin
+    }.mkString(",\n")
+    val bst = (6 to 1 by -1)
+      .map(l => s"WHEN c$l = bsc THEN ph + 1 - $l").mkString(" ")
+    s"""WITH RECURSIVE words AS (
+       |  SELECT w, n FROM (
+       |    SELECT w, count(*) AS n FROM (
+       |      SELECT unnest(regexp_extract_all(text,
+       |        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]+')) AS w
+       |      FROM documents) GROUP BY w)
+       |  ORDER BY n DESC, w LIMIT 100000),
+       |subcnt AS (
+       |  SELECT sub, cast(sum(n) AS BIGINT) AS c FROM (
+       |    SELECT substr(w, i, L) AS sub, n
+       |    FROM words,
+       |      LATERAL unnest(generate_series(1, length(w))) s(i),
+       |      LATERAL unnest(generate_series(1,
+       |        least(6, length(w) - i + 1))) t(L))
+       |  GROUP BY sub),
+       |nch AS (SELECT count(*) AS nc FROM subcnt WHERE length(sub) = 1),
+       |seed AS (
+       |  SELECT sub AS piece, c AS cnt FROM subcnt WHERE length(sub) = 1
+       |  UNION ALL
+       |  SELECT sub, c FROM (
+       |    SELECT sub, c, row_number() OVER (ORDER BY c DESC, sub) AS r
+       |    FROM subcnt WHERE length(sub) > 1)
+       |  WHERE r <= greatest(512, 128 + (SELECT nc FROM nch))
+       |             - (SELECT nc FROM nch)),
+       |rec(it, ph, kind, w, n, piece, cnt, bests, backs, pos, segs) AS (
+       |  SELECT 0, 0, 'm', '', CAST(0 AS BIGINT), piece, cnt,
+       |    CAST(NULL AS DOUBLE[]), CAST(NULL AS INTEGER[]),
+       |    CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR)
+       |  FROM seed
+       |  UNION ALL
+       |  SELECT 0, 0, 'w', w, n, '', CAST(NULL AS BIGINT),
+       |    [CAST(1.0 AS DOUBLE)], [0], NULL, NULL
+       |  FROM words
+       |  UNION ALL
+       |  SELECT
+       |    CASE WHEN el.k IN ('pc', 'nw') THEN it + 1 ELSE it END,
+       |    CASE WHEN el.k IN ('pc', 'nw') THEN 0 ELSE ph + 1 END,
+       |    CASE WHEN el.k = 'pc' THEN 'm'
+       |         WHEN el.k = 'nw' THEN 'w' ELSE el.k END,
+       |    el.w, el.n, el.piece,
+       |    CASE WHEN el.k = 'pc'
+       |         THEN CASE WHEN length(el.piece) = 1 AND scnt = 0
+       |                   THEN 1 ELSE scnt END
+       |         ELSE el.cnt END,
+       |    el.bests, el.backs, el.pos, el.segs
+       |  FROM (
+       |    SELECT t2.it, t2.ph, el,
+       |      cast(sum(el.nn) OVER (PARTITION BY el.k, el.piece)
+       |        AS BIGINT) AS scnt,
+       |      row_number() OVER (PARTITION BY el.k, el.piece
+       |        ORDER BY el.w) AS prn
+       |    FROM (
+       |      SELECT it, ph,
+       |        CASE
+       |        WHEN ph < ml THEN
+       |          CASE WHEN kind = 'w' THEN
+       |            [struct_pack(k := 'w', w := w, n := n, piece := '',
+       |               cnt := CAST(NULL AS BIGINT),
+       |               bests := CASE WHEN ph + 1 <= length(w)
+       |                 THEN list_append(bests, coalesce(bsc,
+       |                        bests[ph + 1] * 1e-100))
+       |                 ELSE bests END,
+       |               backs := CASE WHEN ph + 1 <= length(w)
+       |                 THEN list_append(backs, coalesce(bst, ph))
+       |                 ELSE backs END,
+       |               pos := pos, segs := segs,
+       |               nn := CAST(0 AS BIGINT))]
+       |          ELSE $mSelf END
+       |        WHEN ph = ml THEN
+       |          CASE WHEN kind = 'w' THEN
+       |            [struct_pack(k := 'w', w := w, n := n, piece := '',
+       |               cnt := CAST(NULL AS BIGINT), bests := bests,
+       |               backs := backs, pos := length(w), segs := '',
+       |               nn := CAST(0 AS BIGINT))]
+       |          ELSE $mSelf END
+       |        WHEN ph <= 2 * ml THEN
+       |          CASE WHEN kind = 'w' THEN
+       |            [struct_pack(k := 'w', w := w, n := n, piece := '',
+       |               cnt := CAST(NULL AS BIGINT), bests := bests,
+       |               backs := backs,
+       |               pos := CASE WHEN pos > 0 THEN backs[pos + 1]
+       |                      ELSE pos END,
+       |               segs := CASE WHEN pos > 0 THEN
+       |                 CASE WHEN segs = ''
+       |                   THEN substr(w, backs[pos + 1] + 1,
+       |                          pos - backs[pos + 1])
+       |                   ELSE substr(w, backs[pos + 1] + 1,
+       |                          pos - backs[pos + 1]) || ' ' || segs
+       |                 END ELSE segs END,
+       |               nn := CAST(0 AS BIGINT))]
+       |          ELSE $mSelf END
+       |        ELSE
+       |          CASE WHEN kind = 'w' THEN
+       |            CASE WHEN it < 3 THEN
+       |              [struct_pack(k := 'nw', w := w, n := n,
+       |                 piece := '', cnt := CAST(NULL AS BIGINT),
+       |                 bests := [CAST(1.0 AS DOUBLE)], backs := [0],
+       |                 pos := CAST(NULL AS INTEGER),
+       |                 segs := CAST(NULL AS VARCHAR),
+       |                 nn := CAST(0 AS BIGINT))]
+       |            ELSE $emptyEl END
+       |            || list_transform(string_split(segs, ' '), s ->
+       |                 struct_pack(k := 'pc', w := w, n := n,
+       |                   piece := s, cnt := CAST(NULL AS BIGINT),
+       |                   bests := CAST(NULL AS DOUBLE[]),
+       |                   backs := CAST(NULL AS INTEGER[]),
+       |                   pos := CAST(NULL AS INTEGER),
+       |                   segs := CAST(NULL AS VARCHAR), nn := n))
+       |          WHEN length(piece) = 1 THEN
+       |            [struct_pack(k := 'pc', w := '',
+       |               n := CAST(0 AS BIGINT), piece := piece,
+       |               cnt := CAST(NULL AS BIGINT),
+       |               bests := CAST(NULL AS DOUBLE[]),
+       |               backs := CAST(NULL AS INTEGER[]),
+       |               pos := CAST(NULL AS INTEGER),
+       |               segs := CAST(NULL AS VARCHAR),
+       |               nn := CAST(0 AS BIGINT))]
+       |          ELSE $emptyEl END
+       |        END AS emits
+       |      FROM (
+       |        SELECT r2.*, list_max([c1, c2, c3, c4, c5, c6]) AS bsc,
+       |          CASE $bst END AS bst
+       |        FROM (
+       |          SELECT r1.*,
+       |$cands
+       |          FROM (
+       |            SELECT *,
+       |              map_from_entries(list_filter(
+       |                list(CASE WHEN kind = 'm' THEN
+       |                  struct_pack(kk := piece, vv := cnt) END)
+       |                  OVER (),
+       |                x -> x IS NOT NULL)) AS m,
+       |              cast(sum(CASE WHEN kind = 'm' THEN cnt END)
+       |                OVER () AS BIGINT) AS tot,
+       |              max(CASE WHEN kind = 'w' THEN length(w) END)
+       |                OVER () AS ml
+       |            FROM rec
+       |            WHERE NOT (kind = 'm' AND it = 4)) r1) r2) t1) t2,
+       |    LATERAL unnest(t2.emits) AS u(el)) t3
+       |  WHERE el.k IN ('w', 'm', 'nw') OR (el.k = 'pc' AND prn = 1)
+       |),
+       |last AS (SELECT piece, cnt FROM rec WHERE kind = 'm' AND it = 4),
+       |kept AS (
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt,
+       |      row_number() OVER (ORDER BY cnt DESC, piece) AS r
+       |    FROM last WHERE length(piece) > 1)
+       |  WHERE r <= 128 - (SELECT nc FROM nch)
+       |  UNION ALL
+       |  SELECT piece, cnt FROM last WHERE length(piece) = 1),
+       |tot2 AS (SELECT cast(sum(cnt) AS BIGINT) AS t FROM kept)
+       |SELECT rank, piece, log_prob FROM (
+       |  SELECT cast(row_number() OVER (ORDER BY cnt DESC, piece) - 1
+       |           AS BIGINT) AS rank,
+       |    piece,
+       |    round(ln(CAST(cnt AS DOUBLE)
+       |             / CAST((SELECT t FROM tot2) AS DOUBLE)), 6)
+       |      AS log_prob
+       |  FROM kept)
+       |WHERE length(piece) > 1 ORDER BY rank LIMIT 64""".stripMargin
+  }
 
   /** DuckDB replay of WordPiece TRAINING — no embedded model: the
     * oracle re-learns the vocabulary from the raw corpus. Same

@@ -28,6 +28,11 @@ object Verify {
       .config(Tables.sessionConf)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // see Bench: the two allowlisted tiny global windows would spam
+    // "No Partition Defined" across the 200-query sweep
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) =>

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Count-Min sketch buffer (Cormode & Muthukrishnan '05): `depth`
@@ -134,9 +134,68 @@ case class CountMinSketchAgg(
     copy(child = c)
 }
 
+/** Static probe kernel for codegen: estimate a key directly against
+  * the WIRE BYTES of a sketch — O(depth) 8-byte reads at computed
+  * offsets, no 32 KB buffer deserialization per probed row. */
+object CmsKernels {
+  def estimate(bytes: Array[Byte], key: UTF8String, depth: Int,
+      width: Int): Long = {
+    val kb = key.getBytes
+    var est = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val h = Hash64.hashBytes(kb, r.toLong)
+      val idx = (((h % width) + width) % width).toInt + r * width
+      val off = 8 + 8 * idx // first 8 bytes carry n (CMSBuffer.toBytes)
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (bytes(off + i) & 0xffL); i += 1 }
+      if (v < est) est = v
+      r += 1
+    }
+    est
+  }
+}
+
+/** Point-frequency estimate of a key against a serialized CMS column
+  * (codegen'd; the distributed complement of [[CMSBuffer.estimate]]):
+  * lets the 32 KB sketch ride a broadcast join and be probed map-side
+  * — no driver-side `.head` + loop, the no-driver-compute discipline
+  * the rest of the codebase keeps. */
+case class CmsPointEstimate(left: Expression, right: Expression,
+    depth: Int, width: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(depth > 0 && width > 0, "depth and width must be positive")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_point_estimate"
+
+  override def nullSafeEval(sk: Any, key: Any): Any =
+    CmsKernels.estimate(sk.asInstanceOf[Array[Byte]],
+      key.asInstanceOf[UTF8String], depth, width)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (sk, key) =>
+      s"${ev.value} = graft.functions.CmsKernels.estimate(" +
+        s"$sk, $key, $depth, $width);")
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): CmsPointEstimate = copy(left = l, right = r)
+}
+
 object CountMin {
   /** Column API: serialized CMS bytes over a string column. */
   def cmsSketch(c: Column, depth: Int = 4, width: Int = 1024): Column =
     column(CountMinSketchAgg(expression(c), depth, width)
       .toAggregateExpression())
+
+  /** Column API: probe a serialized sketch column for a key column. */
+  def cmsEstimate(sketch: Column, key: Column, depth: Int = 4,
+      width: Int = 1024): Column =
+    column(CmsPointEstimate(expression(sketch), expression(key),
+      depth, width))
 }

@@ -96,6 +96,69 @@ object UnigramKernels {
     out
   }
 
+  /** PORTABLE Viterbi for the hard-EM TRAINING E-step: identical
+    * recurrence and tie-break to [[viterbi]] (start scans ascending
+    * with strict improvement → longest candidate wins ties), but the
+    * path score is the PROBABILITY PRODUCT `Π cnt_i/total` instead of
+    * a log-prob sum. Division and multiplication are IEEE-754
+    * correctly-rounded in every engine — no libm transcendental —
+    * so a DuckDB lambda performing the same operations in the same
+    * order reproduces every comparison bit for bit. That is what
+    * makes `text_unigram_train` oracle-replayable from the raw
+    * corpus: the E-step was the only float-boundary left once counts
+    * are exact longs. Underflow is structurally out of reach: pieces
+    * carry prob ≥ 1/total ≥ 1e-12 at any testable corpus, and
+    * pre-tokenized word types are bounded well under 100 chars, so
+    * the smallest path product stays far above Double.MinValue's
+    * 1e-308 range; the training corpus always covers every char, so
+    * the UNK arc (mirrored at 1e-100 for totality) never fires. */
+  def viterbiPortable(word: String,
+      counts: java.util.HashMap[String, java.lang.Long], total: Double,
+      maxPieceLen: Int): ArrayBuffer[String] = {
+    val n = word.length
+    val out = new ArrayBuffer[String]()
+    if (n == 0) return out
+    val best = new Array[Double](n + 1)
+    val back = new Array[Int](n + 1)
+    best(0) = 1.0
+    var end = 1
+    while (end <= n) {
+      best(end) = 0.0
+      back(end) = end - 1
+      val lo = math.max(0, end - maxPieceLen)
+      var start = lo
+      var found = false
+      while (start < end) {
+        val c = counts.get(word.substring(start, end))
+        if (c != null) {
+          val cand = best(start) * (c.longValue.toDouble / total)
+          if (!found || cand > best(end)) {
+            best(end) = cand
+            back(end) = start
+            found = true
+          }
+        }
+        start += 1
+      }
+      if (!found) { // unknown single character fallback (unreachable
+        best(end) = best(end - 1) * 1e-100 // in training: chars floored)
+        back(end) = end - 1
+      }
+      end += 1
+    }
+    val cuts = new ArrayBuffer[Int]()
+    var p = n
+    while (p > 0) { cuts += p; p = back(p) }
+    var i = cuts.length - 1
+    var start = 0
+    while (i >= 0) {
+      out += word.substring(start, cuts(i))
+      start = cuts(i)
+      i -= 1
+    }
+    out
+  }
+
   /** Viterbi LOG-LIKELIHOOD of the best segmentation, optionally with
     * one piece masked out of the vocabulary (`masked` may be null) —
     * the primitive behind likelihood-loss pruning: loss(p) =

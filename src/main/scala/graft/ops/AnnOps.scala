@@ -460,6 +460,83 @@ object AnnOps {
       nearestCentroid(col(vecCol), model).as("cid"))
       .write.mode("append").partitionBy("cid").parquet(path)
 
+  /** Compact a cell-partitioned index layout ([[writeIvfIndex]] /
+    * [[writeIvfPqIndex]] + their appends) IN PLACE: many small
+    * per-append files per cell directory degrade every probe (listing
+    * + open cost, tiny row groups), so periodically rewrite the
+    * layout with each cell's rows coalesced into full-sized files.
+    * `repartitionByRange(cid, id)` keeps each output task on a
+    * contiguous cell range, so the hive-partitioned rewrite emits
+    * one right-sized file per (task, cell) — the per-cell floor for a
+    * partitioned layout — while file COUNT is derived from on-disk
+    * bytes exactly like [[StorageOps.compact]]. Content is untouched
+    * (row-identical rewrite, spec-gated probe equality), and the path
+    * — which embeds the model generation via [[ivfIndexPath]] — does
+    * not change, so the content-signature discipline of every reader
+    * keeps working: a compaction changes the layout's file listing,
+    * any signature-keyed derived artifact rebuilds, and the frozen
+    * model stays valid because assignments never move. The rewrite
+    * lands in a temp dir and swaps in atomically; a crashed compaction
+    * leaves the original layout untouched. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val df = spark.read.parquet(path)
+    val totalBytes = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
+    val nFiles = math.max(1, (totalBytes / targetFileBytes).toInt +
+      (if (totalBytes % targetFileBytes > 0) 1 else 0))
+    val run = java.util.UUID.randomUUID().toString
+    val tmp = s"$path.compact-$run"
+    df.repartitionByRange(nFiles, col("cid"), col("neighbor_id"))
+      .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    val old = s"$path.old-$run"
+    java.nio.file.Files.move(java.nio.file.Paths.get(path),
+      java.nio.file.Paths.get(old),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case e: Throwable =>
+      // restore the original layout before propagating
+      java.nio.file.Files.move(java.nio.file.Paths.get(old),
+        java.nio.file.Paths.get(path),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      throw e
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(old))
+  }
+
+  /** Threshold-triggered [[compactIndex]] — the hook an append-heavy
+    * ingest calls after each [[appendIvfIndex]]/[[appendIvfPqIndex]]:
+    * compacts only when some cell directory has accumulated more than
+    * `maxFilesPerCell` files (a pure METADATA check — one recursive
+    * listing, no data read), so steady-state appends stay append-cost
+    * and the rewrite amortizes across batches. Returns whether a
+    * compaction ran. */
+  def compactIndexIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxFilesPerCell: Int = 8,
+      targetFileBytes: Long = 128L * 1024 * 1024): Boolean = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    if (!fs.exists(root)) return false
+    val perCell = scala.collection.mutable.Map.empty[String, Int]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val parent = st.getPath.getParent.getName
+      if (parent.startsWith("cid=") &&
+          st.getPath.getName.endsWith(".parquet"))
+        perCell.updateWith(parent)(n => Some(n.getOrElse(0) + 1))
+    }
+    val needs = perCell.valuesIterator.exists(_ > maxFilesPerCell)
+    if (needs) compactIndex(spark, path, targetFileBytes)
+    needs
+  }
+
   /** Top-k over a persisted IVF index: probe cells are resolved first
     * (centroids are driver-side model metadata, probe set is
     * nprobe x |queries| ints), then pushed as a STATIC partition filter

@@ -107,6 +107,24 @@ object IngestOps {
     key
   }
 
+  /** Delete a persisted inventory — for PER-RUN keys whose merged
+    * state is garbage once the run ends (the `pipeline_ingest_stream`
+    * loop builds a fresh inventory per run because it mutates it).
+    * Content-signature-keyed inventories are left alone: they are
+    * pure functions of their corpus and cache across runs. */
+  def dropInventory(key: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(invRoot(key)))
+
+  /** Copy a persisted inventory to a new PER-RUN key — the cheap way
+    * to hand a MUTATING consumer (the streaming ingest loop merges
+    * into its inventory) a private copy: the immutable base builds
+    * once per corpus bytes via [[cachedInventory]], and each run pays
+    * a hash-file directory copy instead of a corpus re-derivation. */
+  def cloneInventory(srcKey: String, dstKey: String): Unit =
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(invRoot(srcKey)), new java.io.File(invRoot(dstKey)))
+
   def inventoryMd5s(spark: SparkSession, key: String): DataFrame =
     spark.read.parquet(md5Dir(key))
 

@@ -71,14 +71,24 @@ object UnigramOps {
     var counts = seed.map(_._2)
     var iter = 0
     while (iter <= emIters) {
-      val total = counts.sum.toDouble
-      val logProbs = counts.map(c => math.log(c / total))
-      val model = new UnigramModel(pieces, logProbs)
       if (iter == emIters) return prune(pieces, counts, chars, vocabSize)
-      // E-step: exact long expected counts under Viterbi segmentation
+      // E-step: exact long expected counts under PORTABLE Viterbi
+      // segmentation (probability-space IEEE products, no libm — see
+      // UnigramKernels.viterbiPortable). Counts are exact longs and
+      // every comparison is engine-portable, which is what lets the
+      // text_unigram_train DuckDB oracle re-run this whole loop from
+      // the raw corpus.
+      val total = counts.sum.toDouble
+      val cmap = new java.util.HashMap[String, java.lang.Long](
+        pieces.length * 2)
+      var ci = 0
+      while (ci < pieces.length) {
+        cmap.put(pieces(ci), counts(ci)); ci += 1
+      }
       val next = mutable.HashMap[String, Long]()
       wordCounts.foreach { case (w, n) =>
-        val segs = UnigramKernels.viterbi(w, model)
+        val segs = UnigramKernels.viterbiPortable(w, cmap, total,
+          maxPieceLen)
         var i = 0
         while (i < segs.length) {
           next.update(segs(i), next.getOrElse(segs(i), 0L) + n)
@@ -260,7 +270,9 @@ object UnigramOps {
       srcPath: String, docs: DataFrame, text: Column, vocabSize: Int,
       maxTypes: Int = 100000): UnigramModel = {
     val sig = StorageOps.contentSignature(spark, srcPath)
-    val key = s"uni_${AnnOps.ModelFormatVersion}_${vocabSize}_${maxTypes}_" +
+    // the "p" marks the portable (product-space) E-step model format:
+    // models trained by the pre-r10 log-space E-step must not serve
+    val key = s"uni_${AnnOps.ModelFormatVersion}p_${vocabSize}_${maxTypes}_" +
       java.lang.Long.toHexString(sig)
     AnnOps.loadRows(key) match {
       case Some(rows) =>

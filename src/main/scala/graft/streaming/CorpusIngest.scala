@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.functions.HashFunctions
 import graft.ops.DedupOps
@@ -226,5 +227,141 @@ object CorpusIngest {
           .as("unk_rate"),
         round(col("n_bpe_pieces") / col("n_words").cast("double"), 4)
           .as("bpe_fertility"))
+  }
+}
+
+/** The PRODUCTION INGEST LOOP — the end-to-end composition the gates
+  * above run alone: one foreachBatch orchestration that, per arriving
+  * micro-batch, (1) gates the batch through all four
+  * [[graft.ops.IngestOps.ingestBatch]] stages against the PERSISTED
+  * inventories, (2) materializes the accepted docs BEFORE any
+  * inventory write (the ordering that makes the loop correct — see
+  * [[processBatch]]), (3) MERGES the accepted batch into the
+  * inventories so the NEXT batch is gated against everything stored so
+  * far, and (4) emits per-batch stage accounting plus (when the frozen
+  * tokenizer models are supplied) the [[CorpusIngest
+  * .tokenizerDriftStream]] drift metrics over the accepted text.
+  *
+  * Scale shape — the whole point of the composition: per batch, the
+  * loop reads (a) the batch and (b) hash-compact inventory parquet,
+  * NEVER stored corpus text (spec-gated on `inputFiles`); the merge
+  * appends batch-sized hash files; driver state per batch is a handful
+  * of accounting rows (bounded by stages × batches, not by data). The
+  * inventories are the loop's only cross-batch state, so the streaming
+  * query itself plans ZERO stateful operators — restart recovery is
+  * the file-source checkpoint plus the already-merged artifact, the
+  * same story at 100 TB.
+  *
+  * Batch-twin contract: calling [[processBatch]] directly on the same
+  * batch frames in the same order produces identical reports
+  * (streaming == batch, CorpusIngestSpec), and the declared
+  * `pipeline_ingest_stream` query replays the whole two-batch loop in
+  * DuckDB (each batch's stages unrolled against the inventory state
+  * the merges left behind) — the cross-engine certification of the
+  * loop as ONE composition, not of its stages in isolation.
+  */
+final class IngestLoop(spark: SparkSession, key: String, idCol: String,
+    textCol: String, evalGrams: Option[DataFrame] = None,
+    segLen: Int = 16,
+    wp: Option[graft.functions.WordPieceModel] = None,
+    bpe: Option[graft.functions.BpeModel] = None) {
+
+  private val stageBuf =
+    scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
+  private val driftBuf = scala.collection.mutable.ArrayBuffer
+    .empty[(String, Long, Long, Long, Long, Long, Double, Double)]
+  /** `inputFiles` of each batch's accepted-docs plan, by batch tag —
+    * the no-corpus-text-read audit surface (bounded: file names). */
+  private[graft] val acceptedInputFiles =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Array[String])]
+
+  /** Gate + account + merge ONE batch. The accepted frame is
+    * `localCheckpoint`ed BEFORE [[graft.ops.IngestOps.mergeAccepted]]
+    * runs: the stage plans read the inventory listings lazily, so an
+    * un-materialized `s4` re-evaluated after the merge would gate the
+    * batch against its OWN just-merged hashes and reject everything.
+    * Stage accounting rows collect pre-merge for the same reason. */
+  def processBatch(batch: DataFrame, tag: String): Unit = synchronized {
+    val st = graft.ops.IngestOps.ingestBatch(spark, key, batch, idCol,
+      textCol, evalGrams, segLen)
+    acceptedInputFiles += ((tag, st.s4.inputFiles))
+    val accepted = st.s4.localCheckpoint(true)
+    def acct(stage: String, df: DataFrame): Unit = {
+      val r = df.agg(count(lit(1)).as("n"),
+        coalesce(sum(col(idCol)), lit(0L)).as("s")).head
+      stageBuf += ((tag, stage, r.getLong(0), r.getLong(1)))
+    }
+    acct("0_incoming", batch)
+    acct("1_exact", st.s1)
+    acct("2_segments", st.s2)
+    acct("3_quality", st.s3)
+    acct("4_decon", accepted)
+    for (w <- wp; b <- bpe) {
+      val pieces = graft.ops.WordPieceOps.encode(col("clean"), w)
+      val r = accepted.select(
+        size(split(col("clean"), " ")).cast("long").as("__w"),
+        size(graft.ops.BpeOps.encode(col("clean"), b)).cast("long")
+          .as("__bp"),
+        size(pieces).cast("long").as("__wp"),
+        (size(pieces) - size(array_remove(pieces, "[UNK]")))
+          .cast("long").as("__unk"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("__w")), lit(0L)).as("w"),
+          coalesce(sum(col("__bp")), lit(0L)).as("bp"),
+          coalesce(sum(col("__wp")), lit(0L)).as("wpn"),
+          coalesce(sum(col("__unk")), lit(0L)).as("unk"))
+        // rates via Spark's own round(), the exact arithmetic
+        // tokenizerDriftStream emits — no driver float re-derivation
+        .select(col("n"), col("w"), col("bp"), col("wpn"), col("unk"),
+          coalesce(round(col("unk") / col("wpn").cast("double"), 6),
+            lit(0.0)).as("ur"),
+          coalesce(round(col("bp") / col("w").cast("double"), 4),
+            lit(0.0)).as("bf"))
+        .head
+      driftBuf += ((tag, r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    }
+    graft.ops.IngestOps.mergeAccepted(spark, key, accepted, "clean",
+      segLen)
+  }
+
+  /** Run the loop as ONE continuous streaming query over `stream`
+    * (Trigger.AvailableNow — drains everything available, respecting
+    * `maxFilesPerTrigger`, then stops). `tagCol` names each batch from
+    * its DATA (e.g. a doc_id residue class), so reports are keyed by
+    * content, not by micro-batch numbering; a micro-batch mixing two
+    * tags fails loud rather than producing order-dependent output. */
+  def start(stream: DataFrame, tagCol: Column,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val tags = df.select(tagCol.cast("string").as("t"))
+          .distinct().limit(3).collect().map(_.getString(0)).sorted
+        if (tags.nonEmpty) {
+          require(tags.length == 1,
+            s"micro-batch mixes tags ${tags.mkString(",")} — batch " +
+              "boundaries did not follow arrival order")
+          processBatch(df, tags.head)
+        }
+      }
+      .start()
+
+  /** Per-(batch, stage) accounting: n_docs + id_sum, the
+    * `pipeline_ingest` columns with the batch tag in front. */
+  def stageReport: DataFrame = {
+    import spark.implicits._
+    stageBuf.toSeq.toDF("batch", "stage", "n_docs", "id_sum")
+  }
+
+  /** Per-batch tokenizer drift over the ACCEPTED text (empty unless
+    * both frozen models were supplied): the [[CorpusIngest
+    * .tokenizerDriftStream]] metrics keyed by batch instead of by
+    * event-time window. */
+  def driftReport: DataFrame = {
+    import spark.implicits._
+    driftBuf.toSeq.toDF("batch", "n_docs", "n_words", "n_bpe_pieces",
+      "n_wp_pieces", "n_unk", "unk_rate", "bpe_fertility")
   }
 }

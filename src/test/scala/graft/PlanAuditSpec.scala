@@ -32,6 +32,66 @@ class PlanAuditSpec extends SparkSpec {
   private val tinyGlobalWindowOk =
     Set("pipeline_mix_temperature", "text_vocab_coverage")
 
+  /** The bench-slowest batch queries (BENCH_DETAIL round 10; the
+    * streaming loop is excluded — its returned frame is a bounded
+    * driver-local report, the hot work lives in the gated per-batch
+    * plans which PLANS.md audits). These are the plans where an
+    * interpreted expression taxes every row. */
+  private val hotQueries = Seq(
+    "dedup_setsim_exact", "graph_pagerank", "pipeline_quality_classifier",
+    "dedup_suffix_lrs", "q_tpch21", "q_stats", "pipeline_ingest",
+    "dedup_span_maximal", "graph_communities", "dedup_span_stats",
+    "dedup_clusters_portable", "dedup_substrings_hashed",
+    "dedup_span_excise", "pipeline_curate_neardup", "pipeline_ingest_incr",
+    "q_math_funcs", "graph_triangles")
+
+  /** Interpreted (CodegenFallback) expressions ALLOWED per hot query
+    * — (query, expression-class) pairs, each justified; ANY new
+    * fallback in any hot query fails the gate (the
+    * `text_tokenizer_drift` lesson — an ArrayFilter silently dropped
+    * a scan projection out of whole-stage codegen — generalized).
+    * Justifications:
+    *  - ArrayTransform/ArrayFilter (+ their LambdaFunction /
+    *    NamedLambdaVariable children): HOFs over SEGMENT/SPAN arrays
+    *    — 1/16th of the token volume by the 16-token tiling, or
+    *    span-count-bounded; the construction itself, not a per-token
+    *    inner loop (which is what the drift fix removed).
+    *  - CollectList/CollectSet: per-doc bounded index buffers
+    *    (TypedImperativeAggregate — interpreted by design).
+    *  - Percentile: q_stats IS the exact-percentile operator; Spark's
+    *    own implementation is an interpreted aggregate. */
+  private val fallbackAllowlist: Set[(String, String)] = {
+    val hofKids = Seq("LambdaFunction", "NamedLambdaVariable")
+    (Seq("pipeline_ingest", "pipeline_ingest_incr")
+        .flatMap(q => ("ArrayTransform" +: "CollectList" +: hofKids)
+          .map(q -> _)) ++
+      Seq("dedup_span_maximal", "dedup_span_stats",
+          "dedup_substrings_hashed")
+        .flatMap(q => ("ArrayTransform" +: hofKids).map(q -> _)) ++
+      Seq("dedup_span_excise")
+        .flatMap(q => (Seq("ArrayTransform", "ArrayFilter",
+          "CollectSet") ++ hofKids).map(q -> _)) ++
+      Seq("q_stats" -> "Percentile")).toSet
+  }
+
+  test("no unlisted CodegenFallback expression in the hot paths of " +
+      "the bench-slowest queries") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val offenders = hotQueries.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, Sf0001)
+        .queryExecution.sparkPlan
+      val nodes = plan.collect { case p => p } ++
+        plan.subqueries.flatMap(_.collect { case p => p })
+      nodes.flatMap(_.expressions.flatMap(_.collect {
+        case e: CodegenFallback
+            if !fallbackAllowlist((name, e.getClass.getSimpleName)) =>
+          s"$name: ${e.getClass.getSimpleName}"
+      }))
+    }.distinct
+    assert(offenders.isEmpty,
+      s"interpreted expressions in hot paths:\n${offenders.mkString("\n")}")
+  }
+
   test("no query plans a cartesian product or an unlisted global window") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

@@ -62,6 +62,25 @@ class CountMinSpec extends SparkSpec {
     assert(merged.n == whole.n)
   }
 
+  test("codegen'd CmsPointEstimate == driver CMSBuffer.estimate for " +
+      "every key (the distributed probe path)") {
+    val df = skewed
+    val cms = sketchOf(df)
+    val sketch = df.agg(CountMin.cmsSketch(col("key"), Depth, Width)
+      .as("sk"))
+    val probed = df.distinct()
+      .crossJoin(broadcast(sketch))
+      .withColumn("est",
+        CountMin.cmsEstimate(col("sk"), col("key"), Depth, Width))
+      .select(col("key"), col("est")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(probed.nonEmpty)
+    probed.foreach { case (k, est) =>
+      assert(est == cms.estimate(k),
+        s"distributed probe diverged for $k: $est vs ${cms.estimate(k)}")
+    }
+  }
+
   test("overestimate stays within the e*N/width analytic bound") {
     val df = skewed
     val n = df.count()

@@ -57,6 +57,48 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("portable (product-space) viterbi == log-space viterbi on " +
+      "random models, and ties keep the longer piece") {
+    // log is strictly monotone, so away from float-rounding knife
+    // edges the two kernels must pick identical segmentations; the
+    // product kernel is the one the training E-step and the DuckDB
+    // training oracle share
+    val rnd = new scala.util.Random(42)
+    val vocabPool = Vector("a", "b", "c", "ab", "bc", "abc", "cab",
+      "ba", "aa", "bb", "cc", "abcb")
+    (0 until 200).foreach { trial =>
+      val entries = vocabPool.filter(_ => rnd.nextDouble() > 0.3)
+      val all = (entries ++ Seq("a", "b", "c")).distinct
+      val counts = all.map(p => p -> (1L + rnd.nextInt(1000).toLong))
+      val total = counts.map(_._2).sum.toDouble
+      val m = new UnigramModel(counts.map(_._1).toArray,
+        counts.map { case (_, n) => math.log(n / total) }.toArray)
+      val cmap = new java.util.HashMap[String, java.lang.Long]()
+      counts.foreach { case (p, n) => cmap.put(p, n) }
+      val word = (0 until (1 + rnd.nextInt(8)))
+        .map(_ => "abc" (rnd.nextInt(3))).mkString
+      val logSegs = UnigramKernels.viterbi(word, m).toSeq
+      val prodSegs = UnigramKernels
+        .viterbiPortable(word, cmap, total, 6).toSeq
+      assert(prodSegs.mkString == word,
+        s"trial=$trial portable segs must tile the word: $prodSegs")
+      // compare path scores, not piece lists: distinct segmentations
+      // can carry exactly equal likelihood (then tie-breaks differ
+      // between the two arithmetics legitimately)
+      def lscore(segs: Seq[String]) = segs.map(s =>
+        m.logProbs(m.index.get(s).intValue)).sum
+      assert(math.abs(lscore(prodSegs) - lscore(logSegs)) < 1e-9,
+        s"trial=$trial $word: portable $prodSegs vs log $logSegs")
+    }
+    // exact tie: "abc"(n=2) vs "a"(4)+"bc"(8) over total 16:
+    // 2/16 == (4/16)*(8/16) = 1/8 — longer piece must win
+    val cmap = new java.util.HashMap[String, java.lang.Long]()
+    Seq("abc" -> 2L, "a" -> 4L, "bc" -> 8L, "b" -> 1L, "c" -> 1L)
+      .foreach { case (p, n) => cmap.put(p, n) }
+    assert(UnigramKernels.viterbiPortable("abc", cmap, 16.0, 6).toSeq
+      == Seq("abc"), "equal-likelihood tie must keep the longer piece")
+  }
+
   test("forward-backward expectations match the hand-computed lattice") {
     // word "ab": segmentations {ab} (p=0.5) and {a,b} (p=0.25*0.25)
     // Z = 0.5625; E[ab] = 8/9, E[a] = E[b] = 1/9

@@ -162,6 +162,67 @@ class AnnOpsSpec extends SparkSpec {
       "IVF-PQ append-then-query must equal rebuild at frozen models")
   }
 
+  test("index compaction: append x10 -> threshold-triggered compact -> " +
+      "probe equality + file-count reduction (IVF + IVF-PQ)") {
+    val model = AnnOps.buildIvf(emb, "vec_id", "embedding", nlist = 8)
+    val pq = AnnOps.buildPq(emb, "vec_id", "embedding", m = 8, k = 16)
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-cmp")
+      .toString
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1L else 0L
+    val q = emb.filter(col("vec_id") < 5)
+
+    // --- IVF: base write + 10 small appends accumulate small files ---
+    val path = AnnOps.ivfIndexPath(s"$root/ivf", model)
+    AnnOps.writeIvfIndex(emb.filter(pmod(col("vec_id"), lit(12)) > 9),
+      "vec_id", "embedding", model, path)
+    (0 to 9).foreach { i =>
+      AnnOps.appendIvfIndex(emb.filter(pmod(col("vec_id"), lit(12)) === i),
+        "vec_id", "embedding", model, path)
+    }
+    val before = walk(new java.io.File(path))
+    val resBefore = AnnOps.ivfTopKFromIndex(spark, path, q,
+      "vec_id", "embedding", model, k = 10, nprobe = 3)
+      .collect().map(_.toSeq).toSeq
+    // steady state below threshold: no rewrite
+    assert(!AnnOps.compactIndexIfNeeded(spark, path,
+      maxFilesPerCell = 100), "under-threshold layout must not rewrite")
+    assert(walk(new java.io.File(path)) == before)
+    // over threshold: compacts to ~one file per cell
+    assert(AnnOps.compactIndexIfNeeded(spark, path, maxFilesPerCell = 4),
+      "11 files per cell must trigger compaction at threshold 4")
+    val after = walk(new java.io.File(path))
+    assert(after < before / 2,
+      s"compaction must collapse small files: $before -> $after")
+    val resAfter = AnnOps.ivfTopKFromIndex(spark, path, q,
+      "vec_id", "embedding", model, k = 10, nprobe = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(resAfter == resBefore,
+      "probe results must be identical across compaction")
+    // compacted layout sits below the threshold again
+    assert(!AnnOps.compactIndexIfNeeded(spark, path, maxFilesPerCell = 4))
+
+    // --- IVF-PQ: same flow over the (neighbor_id, codes) layout ---
+    val pqPath = AnnOps.ivfIndexPath(s"$root/ivfpq", model)
+    AnnOps.writeIvfPqIndex(emb.filter(pmod(col("vec_id"), lit(12)) > 9),
+      "vec_id", "embedding", model, pq, pqPath)
+    (0 to 9).foreach { i =>
+      AnnOps.appendIvfPqIndex(
+        emb.filter(pmod(col("vec_id"), lit(12)) === i),
+        "vec_id", "embedding", model, pq, pqPath)
+    }
+    def pqRes() = AnnOps.ivfPqTopKFromIndex(spark, pqPath, emb, q,
+      "vec_id", "embedding", model, pq, k = 10, nprobe = 3)
+      .collect().map(_.toSeq).toSeq
+    val pqBefore = walk(new java.io.File(pqPath))
+    val pqResBefore = pqRes()
+    assert(AnnOps.compactIndexIfNeeded(spark, pqPath, maxFilesPerCell = 4))
+    assert(walk(new java.io.File(pqPath)) < pqBefore / 2)
+    assert(pqRes() == pqResBefore,
+      "IVF-PQ probe results must be identical across compaction")
+  }
+
   test("scale: 50k-vector IVF index prunes partitions (measured files) " +
       "and PQ trains at k=256") {
     import spark.implicits._

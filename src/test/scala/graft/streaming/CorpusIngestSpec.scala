@@ -300,4 +300,114 @@ class CorpusIngestSpec extends SparkSpec {
     assert(drifted._2 > inDomain._2 + 1.0,
       s"drift must raise BPE fertility: $inDomain vs $drifted")
   }
+
+  test("ingest loop: batch 2 gated by batch 1's merges, streaming == " +
+    "batch, no corpus text re-read") {
+    val docs = graft.Tables.documents(spark, Sf0001)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)).isin(1, 2, 3))
+    val b0 = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("text"), lit("b0").as("arrival"))
+
+    // derive a replay doc: a clean text batch 0 WILL accept (dry run
+    // of the stages on a throwaway inventory, no merge)
+    val dryKey = s"loopdry_${java.util.UUID.randomUUID().toString.take(6)}"
+    graft.ops.IngestOps.buildInventory(spark, dryKey, corpus, "text")
+    val replayClean = graft.ops.IngestOps
+      .ingestBatch(spark, dryKey, b0, "doc_id", "text")
+      .s4.orderBy(col("doc_id")).select(col("clean")).head.getString(0)
+    val b1 = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((999999L, replayClean)).toDF("doc_id", "text"))
+      .withColumn("arrival", lit("b1"))
+
+    // frozen models for the drift report (tiny, in-domain irrelevant —
+    // the gate is streaming == batch equality plus count consistency)
+    val wcounts = (corpusText + " " + corpusText).split(" ")
+      .groupBy(identity).map { case (w, xs) => (w, xs.length.toLong) }
+      .toArray.sortBy { case (w, n) => (-n, w) }
+    val wp = graft.ops.WordPieceOps.trainVocab(wcounts, numMerges = 16)
+    val bpe = graft.ops.BpeOps.trainMerges(wcounts, numMerges = 16)
+
+    // --- streaming: one continuous query, arrival order b0 -> b1 ---
+    val dir = Files.createTempDirectory("graft-ingloop").toString
+    b0.coalesce(1).write.parquet(s"$dir/b0")
+    b1.coalesce(1).write.parquet(s"$dir/b1")
+    def stamp(sub: String, ts: Long): Unit =
+      new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(ts))
+    val t0 = System.currentTimeMillis() - 120000
+    stamp("b0", t0); stamp("b1", t0 + 60000)
+    val key = s"loop_${java.util.UUID.randomUUID().toString.take(6)}"
+    graft.ops.IngestOps.buildInventory(spark, key, corpus, "text")
+    val loop = new IngestLoop(spark, key, "doc_id", "text", None, 16,
+      Some(wp), Some(bpe))
+    val schema = StructType(b0.schema.fields)
+    val q = loop.start(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/b*"),
+      col("arrival"), s"$dir/ckpt")
+    q.awaitTermination()
+    val streamedStages = loop.stageReport
+      .orderBy(col("batch"), col("stage")).collect()
+    val streamedDrift = loop.driftReport.orderBy(col("batch")).collect()
+
+    // the loop itself must hold NO streaming state: its only
+    // cross-batch state is the persisted inventory artifact
+    val stateOps = q.lastProgress.stateOperators
+    assert(stateOps == null || stateOps.isEmpty,
+      "the ingest loop must plan zero stateful operators")
+
+    // --- batch twin: same frames, same order, direct calls ---
+    val key2 = s"loopb_${java.util.UUID.randomUUID().toString.take(6)}"
+    graft.ops.IngestOps.buildInventory(spark, key2, corpus, "text")
+    val twin = new IngestLoop(spark, key2, "doc_id", "text", None, 16,
+      Some(wp), Some(bpe))
+    twin.processBatch(b0, "b0")
+    twin.processBatch(b1, "b1")
+    val twinStages = twin.stageReport
+      .orderBy(col("batch"), col("stage")).collect()
+    val twinDrift = twin.driftReport.orderBy(col("batch")).collect()
+    assert(streamedStages.toSeq == twinStages.toSeq,
+      s"streaming != batch stages:\n${streamedStages.mkString("\n")}\n" +
+        s"vs\n${twinStages.mkString("\n")}")
+    assert(streamedDrift.toSeq == twinDrift.toSeq,
+      s"streaming != batch drift:\n${streamedDrift.mkString("\n")}\n" +
+        s"vs\n${twinDrift.mkString("\n")}")
+
+    // --- batch 2 was gated against batch 1's merges: the re-arrival
+    // of an accepted clean text dies at stage 1 (merged md5 set) ---
+    val rows = streamedStages.map(r => (r.getString(0), r.getString(1))
+      -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows.size == 10, s"2 batches x 5 stages: ${rows.keys}")
+    val (n0, s0) = rows(("b1", "0_incoming"))
+    val (n1, s1) = rows(("b1", "1_exact"))
+    assert(s0 >= 999999L, "replay doc must arrive in batch b1")
+    assert(s1 < 999999L && n1 < n0,
+      s"replayed accepted doc must die against the MERGED md5 " +
+        s"inventory: 0_incoming=($n0,$s0) 1_exact=($n1,$s1)")
+
+    // --- drift rows cover exactly the accepted docs ---
+    val acceptedByBatch = Seq("b0", "b1")
+      .map(b => rows((b, "4_decon"))._1)
+    assert(streamedDrift.map(_.getLong(1)).toSeq == acceptedByBatch,
+      s"drift n_docs must equal 4_decon survivors: " +
+        s"${streamedDrift.mkString(",")} vs $acceptedByBatch")
+
+    // --- per-batch reads: inventories + the arriving batch only,
+    // never stored corpus text ---
+    val filesByTag = loop.acceptedInputFiles.toMap
+    assert(filesByTag.keySet == Set("b0", "b1"))
+    filesByTag.foreach { case (tag, files) =>
+      assert(files.nonEmpty, s"$tag: inventory reads must show up")
+      val foreign = files.filterNot(f =>
+        f.contains(s"inv_v1_$key") || f.contains(dir.stripPrefix("/")))
+      assert(foreign.isEmpty,
+        s"$tag read non-inventory, non-batch files: " +
+          foreign.take(3).mkString(", "))
+    }
+    graft.ops.IngestOps.dropInventory(key)
+    graft.ops.IngestOps.dropInventory(key2)
+    graft.ops.IngestOps.dropInventory(dryKey)
+  }
 }
