@@ -125,6 +125,51 @@ object IngestOps {
     org.apache.commons.io.FileUtils.copyDirectory(
       new java.io.File(invRoot(srcKey)), new java.io.File(invRoot(dstKey)))
 
+  /** Threshold-triggered inventory compaction — the
+    * [[AnnOps.compactIndexIfNeeded]] story applied to the OTHER
+    * append-accumulating artifact: every [[mergeAccepted]] lands
+    * batch-sized parquet files under `md5/` and `seg/`, and a
+    * long-running ingest loop degrades its own gating joins through
+    * file-listing/open cost. When either subdir exceeds
+    * `maxFiles`, both rewrite to byte-derived right-sized files
+    * ([[StorageOps.compact]]) and swap in atomically — content is
+    * untouched (set-equality spec-gated), so gating results cannot
+    * move; the inventory's content signature changes, which correctly
+    * invalidates the cached segment bloom. Metadata-only check when
+    * under threshold. Returns whether a compaction ran. */
+  def compactInventoryIfNeeded(spark: SparkSession, key: String,
+      maxFiles: Int = 16,
+      targetFileBytes: Long = 128L * 1024 * 1024): Boolean = {
+    def parquetCount(dir: String): Int = {
+      val d = new java.io.File(dir)
+      if (!d.exists()) 0
+      else d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    val needs = parquetCount(md5Dir(key)) > maxFiles ||
+      parquetCount(segDir(key)) > maxFiles
+    if (needs) Seq(md5Dir(key), segDir(key)).foreach { dir =>
+      val run = java.util.UUID.randomUUID().toString
+      val tmp = s"$dir.compact-$run"
+      StorageOps.compact(spark, dir, tmp, targetFileBytes)
+      val old = s"$dir.old-$run"
+      java.nio.file.Files.move(java.nio.file.Paths.get(dir),
+        java.nio.file.Paths.get(old),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      try java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+        java.nio.file.Paths.get(dir),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case e: Throwable =>
+        java.nio.file.Files.move(java.nio.file.Paths.get(old),
+          java.nio.file.Paths.get(dir),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        throw e
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(old))
+    }
+    needs
+  }
+
   def inventoryMd5s(spark: SparkSession, key: String): DataFrame =
     spark.read.parquet(md5Dir(key))
 
@@ -143,20 +188,28 @@ object IngestOps {
   case class IngestStages(s1: DataFrame, s2: DataFrame, s3: DataFrame,
       s4: DataFrame)
 
+  /** `materializeStages = true` localCheckpoints s1 and s2 so later
+    * stages (and per-stage accounting actions) reuse them instead of
+    * re-deriving the gating chain per action — what the ingest LOOP
+    * wants (it runs several actions per batch; at scale these are the
+    * persisted stage outputs between pipeline jobs). The lazy default
+    * keeps the full lineage visible for `inputFiles` plan gates. */
   def ingestBatch(spark: SparkSession, key: String, batch: DataFrame,
       idCol: String, textCol: String, evalGrams: Option[DataFrame] = None,
-      segLen: Int = 16): IngestStages = {
+      segLen: Int = 16, materializeStages: Boolean = false): IngestStages = {
+    def mat(df: DataFrame): DataFrame =
+      if (materializeStages) df.localCheckpoint(true) else df
     val segText: Column => Column = i =>
       array_join(slice(col("w"), i * segLen + 1, lit(segLen)), " ")
     val nSegs = DedupOps.idiv(
       size(col("w")) + lit(segLen - 1), lit(segLen)).cast("int")
     // stage 1: exact dedup (in-batch first-wins + inventory md5 set)
     val wH = Window.partitionBy(col("h")).orderBy(col(idCol))
-    val s1 = batch.withColumn("h", md5(col(textCol)))
+    val s1 = mat(batch.withColumn("h", md5(col(textCol)))
       .withColumn("rn", row_number().over(wH))
       .filter(col("rn") === 1)
       .join(inventoryMd5s(spark, key), Seq("h"), "left_anti")
-      .select(col(idCol), col(textCol))
+      .select(col(idCol), col(textCol)))
     // stage 2: segment excision vs the persisted segment inventory
     val segRows = s1
       .select(col(idCol), DedupOps.tokens(col(textCol)).as("w"))
@@ -169,12 +222,12 @@ object IngestOps {
         Seq("sh"), "left_anti")
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("seg_idx"))).as("keep"))
-    val s2 = s1
+    val s2 = mat(s1
       .select(col(idCol), DedupOps.tokens(col(textCol)).as("w"))
       .join(keptIdx, Seq(idCol)) // inner: fully-excised docs drop
       .select(col(idCol),
         array_join(transform(col("keep"), segText), " ").as("clean"))
-      .filter(col("clean") =!= "")
+      .filter(col("clean") =!= ""))
     // stage 3: quality band on the cleaned text
     val s3 = s2
       .withColumn("n_tok", size(split(col("clean"), " ")))
@@ -214,12 +267,18 @@ object IngestOps {
     * anti-joined too so a caller merging anything else stays safe. */
   def mergeAccepted(spark: SparkSession, key: String, accepted: DataFrame,
       textCol: String, segLen: Int = 16): Unit = {
+    // one file per append: the novel-hash delta is batch-sized, and
+    // writing it at shuffle parallelism would grow the inventory's
+    // file count 32x faster for no read-side benefit (see
+    // compactInventoryIfNeeded for the long-run file-count story)
     docMd5s(accepted, textCol)
       .join(inventoryMd5s(spark, key), Seq("h"), "left_anti")
+      .coalesce(1)
       .write.mode("append").parquet(md5Dir(key))
     docSegments(accepted, textCol, segLen)
       .join(inventorySegments(spark, key).select(col("sh")),
         Seq("sh"), "left_anti")
+      .coalesce(1)
       .write.mode("append").parquet(segDir(key))
   }
 

@@ -282,20 +282,27 @@ final class IngestLoop(spark: SparkSession, key: String, idCol: String,
     * batch against its OWN just-merged hashes and reject everything.
     * Stage accounting rows collect pre-merge for the same reason. */
   def processBatch(batch: DataFrame, tag: String): Unit = synchronized {
+    // the lazy twin of this plan carries the no-corpus-read audit
+    // surface; record it BEFORE the materialized run below
+    acceptedInputFiles += ((tag, graft.ops.IngestOps.ingestBatch(spark,
+      key, batch, idCol, textCol, evalGrams, segLen).s4.inputFiles))
     val st = graft.ops.IngestOps.ingestBatch(spark, key, batch, idCol,
-      textCol, evalGrams, segLen)
-    acceptedInputFiles += ((tag, st.s4.inputFiles))
+      textCol, evalGrams, segLen, materializeStages = true)
     val accepted = st.s4.localCheckpoint(true)
-    def acct(stage: String, df: DataFrame): Unit = {
-      val r = df.agg(count(lit(1)).as("n"),
-        coalesce(sum(col(idCol)), lit(0L)).as("s")).head
-      stageBuf += ((tag, stage, r.getLong(0), r.getLong(1)))
-    }
-    acct("0_incoming", batch)
-    acct("1_exact", st.s1)
-    acct("2_segments", st.s2)
-    acct("3_quality", st.s3)
-    acct("4_decon", accepted)
+    // ONE action for all five stage accountings (a per-stage .head
+    // would pay five job round-trips per batch)
+    Seq("0_incoming" -> batch, "1_exact" -> st.s1,
+      "2_segments" -> st.s2, "3_quality" -> st.s3,
+      "4_decon" -> accepted)
+      .map { case (nm, df) =>
+        df.agg(count(lit(1)).as("n"),
+          coalesce(sum(col(idCol)), lit(0L)).as("s"))
+          .select(lit(nm).as("stage"), col("n"), col("s"))
+      }
+      .reduce(_ unionByName _)
+      .collect()
+      .foreach(r =>
+        stageBuf += ((tag, r.getString(0), r.getLong(1), r.getLong(2))))
     for (w <- wp; b <- bpe) {
       val pieces = graft.ops.WordPieceOps.encode(col("clean"), w)
       val r = accepted.select(
@@ -323,6 +330,11 @@ final class IngestLoop(spark: SparkSession, key: String, idCol: String,
     }
     graft.ops.IngestOps.mergeAccepted(spark, key, accepted, "clean",
       segLen)
+    // self-maintenance: after enough merges the inventory's
+    // accumulated append files rewrite to right-sized ones (a
+    // metadata-only check until the threshold trips), so a
+    // long-running loop never degrades its own gating joins
+    graft.ops.IngestOps.compactInventoryIfNeeded(spark, key)
   }
 
   /** Run the loop as ONE continuous streaming query over `stream`

@@ -126,6 +126,46 @@ class IngestOpsSpec extends SparkSpec {
     }
   }
 
+  test("inventory compaction: merges accumulate files, threshold " +
+      "rewrite preserves content and gating, under-threshold is a no-op") {
+    import spark.implicits._
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)).isin(1, 2))
+    val key = s"cmp_${java.util.UUID.randomUUID().toString.take(6)}"
+    IngestOps.buildInventory(spark, key, corpus, "text")
+    def replayText(i: Int) =
+      s"novel merge doc number $i " + Seq.fill(40)("tok").mkString(" ")
+    (0 until 10).foreach { i =>
+      IngestOps.mergeAccepted(spark, key,
+        Seq((1000L + i, replayText(i))).toDF("doc_id", "clean"), "clean")
+    }
+    def nFiles = IngestOps.inventoryMd5s(spark, key).inputFiles.length +
+      IngestOps.inventorySegments(spark, key).inputFiles.length
+    def md5Set = IngestOps.inventoryMd5s(spark, key)
+      .collect().map(_.getString(0)).toSet
+    def segSet = IngestOps.inventorySegments(spark, key)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val (before, md5Before, segBefore) = (nFiles, md5Set, segSet)
+    assert(before >= 20, s"10 merges must accumulate files: $before")
+    assert(!IngestOps.compactInventoryIfNeeded(spark, key,
+      maxFiles = 1000), "under-threshold inventory must not rewrite")
+    assert(nFiles == before)
+    assert(IngestOps.compactInventoryIfNeeded(spark, key, maxFiles = 4),
+      s"$before files must trip threshold 4")
+    assert(nFiles < before / 2,
+      s"compaction must collapse append files: $before -> $nFiles")
+    assert(md5Set == md5Before && segSet == segBefore,
+      "compaction must not change inventory content")
+    // gating against the compacted artifact: a re-arriving merged doc
+    // still dies at stage 1
+    val st = IngestOps.ingestBatch(spark, key,
+      Seq((9999L, replayText(3))).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(st.s1.count() == 0,
+      "merged doc must still exact-dedup after compaction")
+    assert(!IngestOps.compactInventoryIfNeeded(spark, key, maxFiles = 4),
+      "compacted inventory sits below the threshold")
+  }
+
   test("pipeline_ingest_incr equals pipeline_ingest (artifact path == recompute)") {
     val full = graft.SparkEntry.queries("pipeline_ingest")(spark, Sf0001)
       .collect().map(_.toSeq).toSeq
