@@ -3644,6 +3644,65 @@ object SparkEntry {
         .orderBy(col("lang"), col("seq_id"), col("doc_id"), col("chunk_id"))
     }),
 
+    // GLOBAL concat-and-chunk packing manifest under the TRAINED BPE
+    // tokenizer: every doc's pieces (+1 end-of-doc separator) land at
+    // an absolute offset in one virtual token stream, cut into
+    // 128-token training blocks. Unlike pipeline_shard/pipeline_pack
+    // (per-language running sums, boundaries reset per key at scale),
+    // the offset here is a TRUE global prefix sum with no global
+    // window: PackOps.withGlobalOffset range-partitions the narrow
+    // (doc_id, n_tok) manifest, runs per-partition windows, and
+    // carries one bounded (pid, total) row per partition through the
+    // driver — the dataloader-schedule view a trainer actually
+    // addresses ("give me block k"). Token counts are the REAL
+    // trained-tokenizer counts (codegen'd BPE encode), so the oracle
+    // re-derives them from the raw corpus via the merge-table replay.
+    "pipeline_pack_global" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bpe = BpeOps.cachedTrain(s, s"$d/documents.parquet", docs,
+        col("text"), numMerges = 64)
+      val manifest = docs.select(col("doc_id"),
+        (size(BpeOps.encode(col("text"), bpe)) + 1).cast("long")
+          .as("n_tok"))
+      ops.PackOps.blockSpans(
+        ops.PackOps.withGlobalOffset(manifest, "doc_id", "n_tok",
+          "tok_start"),
+        "tok_start", "n_tok", blockLen = 128L)
+        .select(col("doc_id"), col("n_tok"), col("tok_start"),
+          col("first_block"), col("last_block"), col("start_off"),
+          col("n_blocks"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The block-side view of the same global packing: how many docs
+    // land in each 128-token training block, rolled into a
+    // docs-per-block histogram (n_blocks blocks hold exactly
+    // docs_per_block document fragments, carrying n_tokens tokens).
+    // The explode is bounded by total_tokens/128 rows; the histogram
+    // aggregate is tiny. Certifies the span arithmetic end-to-end —
+    // every block's fill must reconstruct to exactly 128 tokens
+    // (except the final partial), or the hash check dies.
+    "pipeline_pack_blocks" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bpe = BpeOps.cachedTrain(s, s"$d/documents.parquet", docs,
+        col("text"), numMerges = 64)
+      val manifest = docs.select(col("doc_id"),
+        (size(BpeOps.encode(col("text"), bpe)) + 1).cast("long")
+          .as("n_tok"))
+      val spans = ops.PackOps.blockSpans(
+        ops.PackOps.withGlobalOffset(manifest, "doc_id", "n_tok",
+          "tok_start"),
+        "tok_start", "n_tok", blockLen = 128L)
+      ops.PackOps.blockContributions(spans, "tok_start", "n_tok", 128L)
+        .groupBy(col("block_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("block_tokens")).as("fill"))
+        .groupBy(col("n_docs").as("docs_per_block"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(col("fill")).as("n_tokens"))
+        .orderBy(col("docs_per_block"))
+    }),
+
     // Cross-document repeated-span detection: word 8-grams appearing
     // in >= 2 distinct documents — the repeated-substring signal that
     // surfaces boilerplate and near-duplicate passages (the planted
@@ -4537,6 +4596,11 @@ object SparkEntry {
       // (for the eval table) all three families' piece counts
       ("text_bpe_encode" -> bpeEncodeOracleSql) +
       ("q_chunk_bpe" -> chunkBpeOracleSql) +
+      // global packing under the trained tokenizer: per-doc token
+      // counts re-derived from the raw corpus via the merge-table
+      // replay, then window-cumsum'd into the block manifest
+      ("pipeline_pack_global" -> packGlobalOracleSql) +
+      ("pipeline_pack_blocks" -> packBlocksOracleSql) +
       ("text_unigram_encode" -> unigramEncodeOracleSql) +
       ("text_tokenizer_eval" -> tokenizerEvalOracleSql) +
       ("text_tokenizer_drift" -> tokenizerDriftOracleSql) +
@@ -5815,6 +5879,99 @@ object SparkEntry {
       |  md5(array_to_string(toks[chunk_id*64+1 : chunk_id*64+64], ' '))
       |    AS chunk_md5
       |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Shared CTE chain for the GLOBAL packing oracles: the
+    * [[bpeEncodeOracleSql]] merge recursion reduces each distinct
+    * word type to its piece COUNT, per-doc token counts re-assemble
+    * by word multiplicity (+1 end-of-doc separator; a doc with no
+    * pre-tokenizer matches keeps the bare separator via the LEFT
+    * JOIN), and the exclusive global prefix sum over doc_id order is
+    * one window cumsum — DuckDB may run it single-threaded; the Spark
+    * side must NOT (that is exactly what
+    * [[graft.ops.PackOps.withGlobalOffset]] exists to avoid). */
+  private lazy val packCtes: String =
+    """words AS (
+      |  SELECT DISTINCT w FROM (
+      |    SELECT unnest(regexp_extract_all(text,
+      |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+')) AS w
+      |    FROM documents)),
+      |rec(w, syms) AS (
+      |  SELECT w, list_transform(range(1, length(w)+1), i -> w[i])
+      |  FROM words
+      |  UNION ALL
+      |  SELECT w, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:]
+      |  FROM (
+      |    SELECT w, syms, list_position(pr, list_min(pr)) AS bi,
+      |      list_min(pr) AS br
+      |    FROM (
+      |      SELECT w, syms,
+      |        list_transform(range(1, len(syms)), i ->
+      |          coalesce(({{BPE_RANK_MAP}}[syms[i] || ' ' ||
+      |            syms[i+1]])[1], 1000000)) AS pr
+      |      FROM rec WHERE len(syms) >= 2) t) u
+      |  WHERE br < 1000000),
+      |fin AS (
+      |  SELECT w, len(syms) AS np FROM (
+      |    SELECT w, syms,
+      |      row_number() OVER (PARTITION BY w ORDER BY len(syms)) AS rn
+      |    FROM rec) WHERE rn = 1),
+      |dw AS (
+      |  SELECT doc_id, regexp_extract_all(text,
+      |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+') AS ws
+      |  FROM documents),
+      |seq AS (
+      |  SELECT doc_id, unnest(ws) AS w FROM dw),
+      |dtok AS (
+      |  SELECT s.doc_id, cast(sum(f.np) AS BIGINT) AS nt
+      |  FROM seq s JOIN fin f USING (w) GROUP BY s.doc_id),
+      |alld AS (
+      |  SELECT d.doc_id, cast(coalesce(dt.nt, 0) + 1 AS BIGINT) AS n_tok
+      |  FROM dw d LEFT JOIN dtok dt USING (doc_id)),
+      |offs AS (
+      |  SELECT doc_id, n_tok,
+      |    cast(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS tok_start
+      |  FROM alld),
+      |spans AS (
+      |  SELECT doc_id, n_tok, tok_start,
+      |    tok_start // 128 AS first_block,
+      |    (tok_start + n_tok - 1) // 128 AS last_block,
+      |    tok_start % 128 AS start_off
+      |  FROM offs)""".stripMargin
+
+  /** DuckDB replay of the global packing manifest: trained-BPE token
+    * counts from the raw corpus ([[packCtes]]) + window cumsum +
+    * integer block arithmetic (`//` mirrors [[graft.ops.DedupOps
+    * .idiv]]). */
+  private lazy val packGlobalOracleSql: String =
+    s"""WITH RECURSIVE $packCtes
+       |SELECT doc_id, n_tok, tok_start,
+       |  cast(first_block AS BIGINT) AS first_block,
+       |  cast(last_block AS BIGINT) AS last_block,
+       |  cast(start_off AS BIGINT) AS start_off,
+       |  cast(last_block - first_block + 1 AS BIGINT) AS n_blocks
+       |FROM spans ORDER BY doc_id""".stripMargin
+
+  /** Block-side replay: every doc span explodes to the 128-token
+    * blocks it touches with its clipped token contribution, and the
+    * per-block fills roll into the docs-per-block histogram. Each
+    * interior block must reconstruct to exactly 128 tokens from its
+    * fragments or the hash check dies — the strongest certification
+    * of the span arithmetic. */
+  private lazy val packBlocksOracleSql: String =
+    s"""WITH RECURSIVE $packCtes,
+       |blocks AS (
+       |  SELECT g.b AS block_id, count(*) AS n_docs,
+       |    sum(least((g.b + 1) * 128, tok_start + n_tok)
+       |      - greatest(g.b * 128, tok_start)) AS fill
+       |  FROM spans,
+       |    LATERAL unnest(generate_series(first_block, last_block)) g(b)
+       |  GROUP BY g.b)
+       |SELECT cast(n_docs AS BIGINT) AS docs_per_block,
+       |  cast(count(*) AS BIGINT) AS n_blocks,
+       |  cast(sum(fill) AS BIGINT) AS n_tokens
+       |FROM blocks GROUP BY n_docs ORDER BY docs_per_block""".stripMargin
 
   /** DuckDB replay of the per-source tokenizer-drift audit: the BPE
     * merge recursion and the WordPiece longest-match recursion (each
