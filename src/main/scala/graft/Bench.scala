@@ -90,6 +90,8 @@ object Bench {
     "pipeline_curate_neardup" -> "pcn", "pipeline_decon_bloom" -> "pdb", "pipeline_decontaminate" -> "pde",
     "pipeline_full" -> "pfl", "pipeline_mix" -> "pmx", "pipeline_pack" -> "ppk",
     "pipeline_pack_global" -> "ppg", "pipeline_pack_blocks" -> "ppb",
+    "pipeline_pack_greedy" -> "ppy", "pipeline_pack_padding" -> "ppd",
+    "pipeline_epoch_shuffle" -> "pes", "pipeline_curriculum" -> "pcl",
     "pipeline_shard" -> "psh", "q1_agg" -> "q1", "q_anomaly" -> "ano",
     "q_anti_join" -> "ajo", "q_approx_agg" -> "axg", "q_array_agg" -> "arr",
     "q_asof_join" -> "aj", "q_asof_join_native" -> "ajn", "q_attribution" -> "att",

@@ -3703,6 +3703,141 @@ object SparkEntry {
         .orderBy(col("docs_per_block"))
     }),
 
+    // Deterministic dataloader EPOCH SHUFFLE over the global packing's
+    // training blocks: block k's read position in epoch e is its rank
+    // under the portable md5(e:k) hash — an unbiased per-epoch
+    // permutation the trainer can replay anywhere, with NOTHING but
+    // the (epoch, hash, block) manifest ever ordered (the corpus
+    // itself never moves; "read block pos p of epoch e" is a manifest
+    // lookup). The rank is PackOps.withGlobalOffset with a unit
+    // length — range exchange + per-partition windows + one carry row
+    // per partition — so there is no global window and no single-task
+    // sort at any scale. Block count comes from ONE total-token
+    // scalar through the driver (the bounded-exchange discipline).
+    "pipeline_epoch_shuffle" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bpe = BpeOps.cachedTrain(s, s"$d/documents.parquet", docs,
+        col("text"), numMerges = 64)
+      val manifest = docs.select(col("doc_id"),
+        (size(BpeOps.encode(col("text"), bpe)) + 1).cast("long")
+          .as("n_tok"))
+      val total = manifest.agg(sum(col("n_tok"))).collect()(0).getLong(0)
+      val nBlocks = (total + 127L) / 128L
+      ops.PackOps.epochOrder(
+        s.range(0L, nBlocks).toDF("block_id"), "block_id",
+        epochs = 3, n = nBlocks)
+        .select(col("epoch"), col("block_id"), col("pos"))
+        .orderBy(col("epoch"), col("block_id"))
+    }),
+
+    // Document-boundary-respecting packing (sample packing / no
+    // cross-document attention): next-fit the trained-BPE token
+    // counts into 128-token blocks where documents stay whole —
+    // a doc that doesn't fit the current block's remainder closes it
+    // (remainder becomes measured padding; see
+    // pipeline_pack_padding), a doc longer than a block spans its own
+    // consecutive blocks. The sequential walk distributes over
+    // FIXED-SIZE 64-doc id buckets (deterministic arithmetic
+    // boundaries, never a sampled range cut) and bucket block ranges
+    // concatenate via a withGlobalOffset exclusive scan — scalable
+    // past millions of buckets because the driver only ever sees one
+    // row per PARTITION of the bucket-totals frame.
+    "pipeline_pack_greedy" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bpe = BpeOps.cachedTrain(s, s"$d/documents.parquet", docs,
+        col("text"), numMerges = 64)
+      val manifest = docs.select(col("doc_id"),
+        (size(BpeOps.encode(col("text"), bpe)) + 1).cast("long")
+          .as("n_tok"))
+      ops.PackOps.nextFitPack(manifest, "doc_id", "n_tok",
+        blockLen = 128L, bucketSize = 64L)
+        .select(col("bucket"), col("id").as("doc_id"),
+          col("len").as("n_tok"), col("first_block"), col("last_block"),
+          col("start_off"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The padding bill for the document-boundary packing, per bucket:
+    // blocks used, tokens carried, and pad_tokens = capacity - tokens
+    // (counts both the next-fit remainders and each bucket's final
+    // partial block — exactly the cost the layout trades for whole
+    // documents; compare q_profile-style against pipeline_pack_blocks'
+    // zero-padding concat-and-chunk). Tiny aggregate over the greedy
+    // manifest; certifies the walk's block accounting independently
+    // of the per-doc rows.
+    "pipeline_pack_padding" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bpe = BpeOps.cachedTrain(s, s"$d/documents.parquet", docs,
+        col("text"), numMerges = 64)
+      val manifest = docs.select(col("doc_id"),
+        (size(BpeOps.encode(col("text"), bpe)) + 1).cast("long")
+          .as("n_tok"))
+      ops.PackOps.nextFitPack(manifest, "doc_id", "n_tok",
+        blockLen = 128L, bucketSize = 64L)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("len")).as("n_tokens"),
+          (max(col("last_block")) - min(col("first_block")) + 1L)
+            .as("n_blocks"),
+          ((max(col("last_block")) - min(col("first_block")) + 1L)
+            * 128L - sum(col("len"))).as("pad_tokens"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Quality CURRICULUM over the global packing's training blocks:
+    // each block's quality is the token-weighted mean of the trained
+    // quality classifier's doc scores over the block's fragments, and
+    // the curriculum is the descending-quality read order (highest
+    // quality first; the schedule a quality-ordered training run
+    // consumes). The probability is micro-quantized to an exact
+    // integer right after the classifier's own round-to-6dp, so every
+    // downstream step — token-weighted sums, the per-full-block
+    // normalization (wsum*128 div fill, exact for every interior
+    // block), the rank — is integer arithmetic with no float
+    // accumulation anywhere. The rank is withGlobalOffset with unit
+    // lengths over a fixed-width key (no global window); the corpus
+    // moves once (fragment join on doc_id), the schedule manifest is
+    // all that's ordered.
+    "pipeline_curriculum" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bpe = BpeOps.cachedTrain(s, s"$d/documents.parquet", docs,
+        col("text"), numMerges = 64)
+      val manifest = docs.select(col("doc_id"),
+        (size(BpeOps.encode(col("text"), bpe)) + 1).cast("long")
+          .as("n_tok"))
+      val contrib = ops.PackOps.blockContributions(
+        ops.PackOps.blockSpans(
+          ops.PackOps.withGlobalOffset(manifest, "doc_id", "n_tok",
+            "tok_start"),
+          "tok_start", "n_tok", 128L),
+        "tok_start", "n_tok", 128L)
+        .select(col("doc_id"), col("block_id"), col("block_tokens"))
+      val feats = graft.ops.QualityClassifierOps
+        .featurize(docs, col("text")).localCheckpoint()
+      val beta = graft.ops.QualityClassifierOps.train(feats)
+      val scores = feats.select(col("doc_id"),
+        round(round(graft.ops.QualityClassifierOps.score(beta), 6)
+          * 1e6).cast("long").as("p_micro"))
+      val blocks = contrib.join(scores, Seq("doc_id"))
+        .groupBy(col("block_id"))
+        .agg(sum(col("block_tokens")).as("fill"),
+          sum(col("block_tokens") * col("p_micro")).as("wsum"))
+        .withColumn("score_micro",
+          ops.DedupOps.idiv(col("wsum") * 128L, col("fill")))
+      // fixed-width ascending key == (score DESC, block_id ASC):
+      // score_micro <= 1.28e8 < 2e8, so the complement stays 9 digits
+      val key = concat(
+        lpad((lit(200000000L) - col("score_micro")).cast("string"),
+          9, "0"),
+        lpad(col("block_id").cast("string"), 20, "0"))
+      ops.PackOps.withGlobalOffset(
+        blocks.withColumn("__ord", key).withColumn("__one", lit(1L)),
+        "__ord", "__one", "cur_rank")
+        .select(col("block_id"), col("fill"), col("score_micro"),
+          col("cur_rank"))
+        .orderBy(col("block_id"))
+    }),
+
     // Cross-document repeated-span detection: word 8-grams appearing
     // in >= 2 distinct documents — the repeated-substring signal that
     // surfaces boilerplate and near-duplicate passages (the planted
@@ -4601,6 +4736,10 @@ object SparkEntry {
       // replay, then window-cumsum'd into the block manifest
       ("pipeline_pack_global" -> packGlobalOracleSql) +
       ("pipeline_pack_blocks" -> packBlocksOracleSql) +
+      ("pipeline_epoch_shuffle" -> epochShuffleOracleSql) +
+      ("pipeline_pack_greedy" -> packGreedyOracleSql) +
+      ("pipeline_pack_padding" -> packPaddingOracleSql) +
+      ("pipeline_curriculum" -> curriculumOracleSql) +
       ("text_unigram_encode" -> unigramEncodeOracleSql) +
       ("text_tokenizer_eval" -> tokenizerEvalOracleSql) +
       ("text_tokenizer_drift" -> tokenizerDriftOracleSql) +
@@ -5973,6 +6112,142 @@ object SparkEntry {
        |  cast(sum(fill) AS BIGINT) AS n_tokens
        |FROM blocks GROUP BY n_docs ORDER BY docs_per_block""".stripMargin
 
+  /** DuckDB replay of the deterministic epoch shuffle: total tokens
+    * from the [[packCtes]] corpus replay give the block count; each
+    * (epoch, block)'s position is its md5 rank within the epoch —
+    * row_number over (md5, block) matches the Spark side's global
+    * rank minus the epoch base because the zero-padded epoch prefixes
+    * the Spark order key. DuckDB's md5 spells the same lowercase hex
+    * over the same ASCII bytes. */
+  private lazy val epochShuffleOracleSql: String =
+    s"""WITH RECURSIVE $packCtes,
+       |nb AS (SELECT cast((sum(n_tok) + 127) // 128 AS BIGINT) AS n
+       |  FROM alld),
+       |eb AS (
+       |  SELECT e.e AS epoch, g.b AS block_id,
+       |    md5(cast(e.e AS VARCHAR) || ':' || cast(g.b AS VARCHAR))
+       |      AS h
+       |  FROM nb,
+       |    LATERAL unnest(generate_series(0, nb.n - 1)) g(b),
+       |    LATERAL unnest(generate_series(0, 2)) e(e))
+       |SELECT cast(epoch AS BIGINT) AS epoch,
+       |  cast(block_id AS BIGINT) AS block_id,
+       |  cast(row_number() OVER (PARTITION BY epoch
+       |    ORDER BY h, block_id) - 1 AS BIGINT) AS pos
+       |FROM eb ORDER BY epoch, block_id""".stripMargin
+
+  /** Shared CTE suffix for the document-boundary (next-fit) packing
+    * oracles, appended after [[packCtes]] (uses its `alld` per-doc
+    * token counts): the per-64-doc-bucket sequential walk replayed as
+    * a lockstep recursion (all buckets advance one doc per step —
+    * the placement scalars mirror [[graft.ops.PackOps.nextFitPack]]'s
+    * accumulator exactly), then bucket block ranges concatenate via a
+    * window exclusive scan. */
+  private lazy val greedyCtes: String =
+    """bdocs AS (
+      |  SELECT doc_id // 64 AS bucket, doc_id, n_tok,
+      |    row_number() OVER (PARTITION BY doc_id // 64
+      |      ORDER BY doc_id) AS rn
+      |  FROM alld),
+      |walk(bucket, rn, doc_id, n_tok, first_rel, last_rel, fill_a,
+      |     start_off) AS (
+      |  SELECT bucket, rn, doc_id, n_tok,
+      |    cast(0 AS BIGINT),
+      |    (n_tok - 1) // 128,
+      |    n_tok - ((n_tok - 1) // 128) * 128,
+      |    cast(0 AS BIGINT)
+      |  FROM bdocs WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.bucket, d.rn, d.doc_id, d.n_tok,
+      |    CASE WHEN d.n_tok <= 128 - w.fill_a THEN w.last_rel
+      |         WHEN w.fill_a = 0 THEN w.last_rel
+      |         ELSE w.last_rel + 1 END,
+      |    CASE WHEN d.n_tok <= 128 - w.fill_a THEN w.last_rel
+      |         WHEN w.fill_a = 0 THEN w.last_rel
+      |         ELSE w.last_rel + 1 END
+      |      + CASE WHEN d.n_tok <= 128 - w.fill_a THEN 0
+      |             ELSE (d.n_tok - 1) // 128 END,
+      |    CASE WHEN d.n_tok <= 128 - w.fill_a THEN w.fill_a + d.n_tok
+      |         ELSE d.n_tok - ((d.n_tok - 1) // 128) * 128 END,
+      |    CASE WHEN d.n_tok <= 128 - w.fill_a THEN w.fill_a
+      |         ELSE 0 END
+      |  FROM walk w JOIN bdocs d
+      |    ON d.bucket = w.bucket AND d.rn = w.rn + 1),
+      |bu AS (
+      |  SELECT bucket, max(last_rel) + 1 AS nb
+      |  FROM walk GROUP BY bucket),
+      |gbase AS (
+      |  SELECT bucket, coalesce(sum(nb) OVER (ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS base
+      |  FROM bu),
+      |greedy AS (
+      |  SELECT w.bucket, w.doc_id, w.n_tok,
+      |    w.first_rel + g.base AS first_block,
+      |    w.last_rel + g.base AS last_block,
+      |    w.start_off
+      |  FROM walk w JOIN gbase g USING (bucket))""".stripMargin
+
+  /** DuckDB replay of the per-doc next-fit packing manifest. */
+  private lazy val packGreedyOracleSql: String =
+    s"""WITH RECURSIVE $packCtes,
+       |$greedyCtes
+       |SELECT cast(bucket AS BIGINT) AS bucket, doc_id,
+       |  cast(n_tok AS BIGINT) AS n_tok,
+       |  cast(first_block AS BIGINT) AS first_block,
+       |  cast(last_block AS BIGINT) AS last_block,
+       |  cast(start_off AS BIGINT) AS start_off
+       |FROM greedy ORDER BY doc_id""".stripMargin
+
+  /** DuckDB replay of the per-bucket padding bill. */
+  private lazy val packPaddingOracleSql: String =
+    s"""WITH RECURSIVE $packCtes,
+       |$greedyCtes
+       |SELECT cast(bucket AS BIGINT) AS bucket,
+       |  cast(count(*) AS BIGINT) AS n_docs,
+       |  cast(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  cast(max(last_block) - min(first_block) + 1 AS BIGINT)
+       |    AS n_blocks,
+       |  cast((max(last_block) - min(first_block) + 1) * 128
+       |    - sum(n_tok) AS BIGINT) AS pad_tokens
+       |FROM greedy GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** DuckDB replay of the quality curriculum: [[packCtes]] block
+    * fragments × the [[qcFeatureCtes]] classifier score (embedded
+    * IRLS coefficients, micro-quantized to an exact integer after the
+    * shared round-to-6dp), token-weighted integer block scores, and
+    * the descending-quality rank. All block arithmetic is integer —
+    * the only doubles are the classifier sigmoid and its two rounds,
+    * both already hash-certified by the quality-classifier oracle. */
+  private lazy val curriculumOracleSql: String =
+    s"""WITH RECURSIVE $packCtes,
+       |contrib AS (
+       |  SELECT doc_id, g.b AS block_id,
+       |    least((g.b + 1) * 128, tok_start + n_tok)
+       |      - greatest(g.b * 128, tok_start) AS bt
+       |  FROM spans,
+       |    LATERAL unnest(generate_series(first_block, last_block)) g(b)),
+       |$qcFeatureCtes,
+       |sc AS (
+       |  SELECT doc_id,
+       |    cast(round(round(1.0 / (1.0 + exp(-(
+       |      f0*({{QC_B0}}) + f1*({{QC_B1}}) + f2*({{QC_B2}})
+       |      + f3*({{QC_B3}}) + f4*({{QC_B4}}) + f5*({{QC_B5}})))), 6)
+       |      * 1000000.0) AS BIGINT) AS p_micro
+       |  FROM f),
+       |bk AS (
+       |  SELECT block_id, cast(sum(bt) AS BIGINT) AS fill,
+       |    cast(sum(bt * p_micro) AS BIGINT) AS wsum
+       |  FROM contrib JOIN sc USING (doc_id) GROUP BY block_id),
+       |r AS (
+       |  SELECT block_id, fill, (wsum * 128) // fill AS score_micro
+       |  FROM bk)
+       |SELECT cast(block_id AS BIGINT) AS block_id, fill,
+       |  cast(score_micro AS BIGINT) AS score_micro,
+       |  cast(row_number() OVER (ORDER BY score_micro DESC, block_id)
+       |    - 1 AS BIGINT) AS cur_rank
+       |FROM r ORDER BY block_id""".stripMargin
+
   /** DuckDB replay of the per-source tokenizer-drift audit: the BPE
     * merge recursion and the WordPiece longest-match recursion (each
     * identical to its standalone oracle) reduce to per-word-type
@@ -6807,8 +7082,11 @@ object SparkEntry {
     * multiply-add chain over the embedded beta, clf_pass via the same
     * round-to-6dp sigmoid threshold (p >= 0.5 <=> z >= 0 — the
     * rounding only matters within 5e-7 of the boundary). */
-  private lazy val qcOracleSql: String =
-    """WITH m AS (
+  /** The `m`/`f` feature CTEs shared by [[qcOracleSql]] and
+    * [[curriculumOracleSql]] — byte-identical featurization so both
+    * replay the same classifier inputs. */
+  private lazy val qcFeatureCtes: String =
+    """m AS (
       |  SELECT doc_id, lang,
       |    cast(len(string_split(text, ' ')) as bigint) AS n_words,
       |    round(cast(list_aggregate(list_transform(
@@ -6836,7 +7114,10 @@ object SparkEntry {
       |      AND (mean_word_len BETWEEN 2.0 AND 12.0)
       |      AND alpha_ratio >= 0.6 AND symbol_ratio <= 0.1
       |      AND stop_cnt >= 1 as bigint) AS label
-      |  FROM m),
+      |  FROM m)""".stripMargin
+
+  private lazy val qcOracleSql: String =
+    s"""WITH $qcFeatureCtes,
       |s AS (
       |  SELECT lang, label,
       |    CASE WHEN round(1.0 / (1.0 + exp(-(

@@ -75,6 +75,167 @@ class PackOpsSpec extends SparkSpec {
     assert(perDoc == 0, "doc fragments must sum to the doc's tokens")
   }
 
+  test("epochOrder: per-epoch uniform permutations matching the md5 rank") {
+    import spark.implicits._
+    val n = 97L
+    val ids = (0L until n).toDF("block_id")
+    val got = PackOps.epochOrder(ids, "block_id", epochs = 3, n = n, parts = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("block_id")) ->
+        r.getAs[Long]("pos")).toMap
+    // naive reference: JVM md5 over the same key bytes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(e: Long, b: Long): String = {
+      val d = md.digest(s"$e:$b".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    for (e <- 0L to 2L) {
+      val want = (0L until n).sortBy(b => (h(e, b), b)).zipWithIndex
+        .map { case (b, p) => (e, b) -> p.toLong }.toMap
+      want.foreach { case (k, p) =>
+        assert(got(k) == p, s"epoch $e block ${k._2}: ${got(k)} != $p") }
+    }
+    // epochs genuinely differ (md5 keyed by epoch)
+    val e0 = (0L until n).map(b => got((0L, b)))
+    val e1 = (0L until n).map(b => got((1L, b)))
+    assert(e0 != e1, "epoch permutations must differ")
+  }
+
+  test("nextFitPack == sequential next-fit reference, invariant in parts") {
+    import spark.implicits._
+    val L = 128L
+    // lengths crossing every branch: fits, closes block, exact fill,
+    // multi-block span, span ending exactly on a boundary
+    val docs = (0L until 150L).map { i =>
+      (i, Seq(5L, 128L, 123L, 1L, 700L, 256L, 64L, 127L, 129L, 2L)(
+        (i % 10).toInt))
+    }
+    val df = scala.util.Random.shuffle(docs).toDF("doc_id", "n_tok")
+      .repartition(7)
+    // naive reference: walk each 64-doc bucket sequentially, then
+    // concatenate bucket block ranges in bucket order
+    def walkBucket(ds: Seq[(Long, Long)]): (Seq[(Long, Long, Long, Long)], Long) = {
+      var blk = 0L; var fill = 0L
+      val out = ds.map { case (id, len) =>
+        val fits = len <= L - fill
+        val start = if (fits) blk else if (fill == 0) blk else blk + 1
+        val last = start + (if (fits) 0L else (len - 1) / L)
+        val off = if (fits) fill else 0L
+        fill = if (fits) fill + len else len - (last - start) * L
+        blk = last
+        (id, start, last, off)
+      }
+      (out, blk + 1)
+    }
+    val byBucket = docs.groupBy(_._1 / 64).toSeq.sortBy(_._1)
+    var base = 0L
+    val want = byBucket.flatMap { case (_, ds) =>
+      val (placed, used) = walkBucket(ds.sortBy(_._1))
+      val rows = placed.map { case (id, f, l, off) =>
+        id -> ((f + base, l + base, off)) }
+      base += used
+      rows
+    }.toMap
+    for (parts <- Seq(1, 4)) {
+      val got = PackOps.nextFitPack(df, "doc_id", "n_tok", L, 64L, parts)
+        .collect().map { r =>
+          r.getAs[Long]("id") -> ((r.getAs[Long]("first_block"),
+            r.getAs[Long]("last_block"), r.getAs[Long]("start_off")))
+        }.toMap
+      assert(got == want, s"parts=$parts diverged")
+    }
+    // structural invariants: short docs never straddle a block;
+    // block capacity is never exceeded
+    val got = PackOps.nextFitPack(df, "doc_id", "n_tok", L, 64L)
+      .collect()
+    got.foreach { r =>
+      if (r.getAs[Long]("len") <= L)
+        assert(r.getAs[Long]("first_block") == r.getAs[Long]("last_block"),
+          s"short doc ${r.getAs[Long]("id")} straddles a block boundary")
+    }
+    val fillByBlock = got.flatMap { r =>
+      val (f, l, off, len) = (r.getAs[Long]("first_block"),
+        r.getAs[Long]("last_block"), r.getAs[Long]("start_off"),
+        r.getAs[Long]("len"))
+      (f to l).map { b =>
+        val s = if (b == f) off else 0L
+        val e = if (b == l) off + len - (l - f) * L else L
+        b -> (e - s)
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    fillByBlock.foreach { case (b, fill) =>
+      assert(fill <= L, s"block $b overfilled: $fill > $L") }
+  }
+
+  test("greedy packing vs concat-and-chunk at sf0.001: same tokens, " +
+      "padding only on the greedy side") {
+    val greedy = graft.SparkEntry.queries("pipeline_pack_greedy")(
+      spark, Sf0001).collect()
+    val padding = graft.SparkEntry.queries("pipeline_pack_padding")(
+      spark, Sf0001).collect()
+    val global = graft.SparkEntry.queries("pipeline_pack_global")(
+      spark, Sf0001).collect()
+    // both layouts carry the identical token totals
+    val tokG = greedy.map(_.getAs[Long]("n_tok")).sum
+    assert(tokG == global.map(_.getAs[Long]("n_tok")).sum)
+    assert(padding.map(_.getAs[Long]("n_tokens")).sum == tokG)
+    // padding is non-negative and the greedy layout never uses fewer
+    // blocks than the zero-padding concat layout
+    padding.foreach { r =>
+      assert(r.getAs[Long]("pad_tokens") >= 0L)
+      assert(r.getAs[Long]("pad_tokens") ==
+        r.getAs[Long]("n_blocks") * 128L - r.getAs[Long]("n_tokens"))
+    }
+    val blocksGreedy = padding.map(_.getAs[Long]("n_blocks")).sum
+    val blocksConcat = (tokG + 127L) / 128L
+    assert(blocksGreedy >= blocksConcat)
+    // epoch shuffle covers exactly the concat layout's block range,
+    // each epoch a bijection onto positions 0..n-1
+    val sh = graft.SparkEntry.queries("pipeline_epoch_shuffle")(
+      spark, Sf0001).collect()
+    val byEpoch = sh.groupBy(_.getAs[Long]("epoch"))
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    byEpoch.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("block_id")).sorted.toSeq ==
+        (0L until blocksConcat))
+      assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq ==
+        (0L until blocksConcat))
+    }
+  }
+
+  test("pipeline_curriculum: rank is a bijection in descending score " +
+      "order, fills conserved, at sf0.001") {
+    val cur = graft.SparkEntry.queries("pipeline_curriculum")(
+      spark, Sf0001).collect()
+    val global = graft.SparkEntry.queries("pipeline_pack_global")(
+      spark, Sf0001).collect()
+    val total = global.map(_.getAs[Long]("n_tok")).sum
+    val nBlocks = (total + 127L) / 128L
+    assert(cur.length == nBlocks, "one curriculum row per block")
+    assert(cur.map(_.getAs[Long]("fill")).sum == total)
+    val ranks = cur.map(_.getAs[Long]("cur_rank")).sorted.toSeq
+    assert(ranks == (0L until nBlocks), "rank must be a bijection")
+    // walking the curriculum order, scores never increase and ties
+    // break by ascending block id
+    val inOrder = cur.sortBy(_.getAs[Long]("cur_rank"))
+    inOrder.sliding(2).foreach {
+      case Array(a, b) =>
+        val (sa, sb) = (a.getAs[Long]("score_micro"),
+          b.getAs[Long]("score_micro"))
+        assert(sa > sb || (sa == sb &&
+          a.getAs[Long]("block_id") < b.getAs[Long]("block_id")),
+          s"curriculum order violated at rank ${b.getAs[Long]("cur_rank")}")
+      case _ =>
+    }
+    // scores normalize to FULL-BLOCK tokens (mean micro-probability
+    // x 128), so the range is [0, 128e6] and the per-token mean of an
+    // interior block is exactly score/128
+    cur.foreach { r =>
+      val s = r.getAs[Long]("score_micro")
+      assert(s >= 0L && s <= 128000000L, s"score out of range: $s")
+    }
+  }
+
   test("pipeline_pack_global manifest is contiguous at sf0.001") {
     val m = graft.SparkEntry.queries("pipeline_pack_global")(spark, Sf0001)
       .collect()
