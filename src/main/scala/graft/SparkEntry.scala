@@ -3814,7 +3814,12 @@ object SparkEntry {
         .select(col("doc_id"), col("block_id"), col("block_tokens"))
       val feats = graft.ops.QualityClassifierOps
         .featurize(docs, col("text")).localCheckpoint()
-      val beta = graft.ops.QualityClassifierOps.train(feats)
+      // consumer of the classifier, not its trainer: the persisted
+      // beta artifact (bit-identical to a fresh IRLS run — see
+      // cachedTrain scaladoc) skips the 8 training scans here while
+      // pipeline_quality_classifier keeps exercising the full path
+      val beta = graft.ops.QualityClassifierOps.cachedTrain(s,
+        s"$d/documents.parquet", feats)
       val scores = feats.select(col("doc_id"),
         round(round(graft.ops.QualityClassifierOps.score(beta), 6)
           * 1e6).cast("long").as("p_micro"))
@@ -4275,6 +4280,58 @@ object SparkEntry {
       loop.driftReport.orderBy(col("batch"))
     }),
 
+    // ★ r10: INCREMENTAL PACK MANIFEST from the ingest loop — each
+    // accepted batch extends the global token stream at the stored
+    // total (the restart-safe driver long recovered from the artifact
+    // itself), so arriving data gets training-block offsets with
+    // batch-sized work: no corpus re-read, no re-offsetting of the
+    // existing manifest, ever. Same two-batch loop as
+    // pipeline_ingest_drift (b1 re-delivers half of b0, so the merge
+    // between batches shapes WHICH docs get offsets); the oracle
+    // composes the full ingest replay (accepted clean text per batch
+    // against the merged inventory states) with the BPE merge-table
+    // replay for per-doc piece counts and the (batch, doc_id)-ordered
+    // cumsum — certifying gate -> merge -> gate -> tokenize -> offset
+    // as ONE composition.
+    "pipeline_pack_incr" -> ((s, d) => {
+      val segLen = 16
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      def grams(c: Column): Column = {
+        val w = split(lower(c), " ")
+        when(size(w) >= 3, transform(sequence(lit(0), size(w) - 3),
+          i => concat_ws(" ", element_at(w, i + 1),
+            element_at(w, i + 2), element_at(w, i + 3))))
+          .otherwise(array(array_join(w, " ")))
+      }
+      val evalGrams = corpus.filter(pmod(col("doc_id"), lit(50)) === 1)
+        .select(explode(array_distinct(grams(col("text")))).as("g"))
+        .distinct()
+      val run = java.util.UUID.randomUUID().toString.take(12)
+      val key = s"packincr_$run"
+      val baseKey = ops.IngestOps.cachedInventory(s,
+        s"$d/documents.parquet", "ingsbase", corpus, "text", segLen)
+      ops.IngestOps.cloneInventory(baseKey, key)
+      val bpe = BpeOps.cachedTrain(s, s"$d/documents.parquet", docs,
+        col("text"), numMerges = 64)
+      val packDir = ops.StorageOps.scratchPath(s"packincr_$run")
+      val loop = new graft.streaming.IngestLoop(s, key, "doc_id",
+        "text", Some(evalGrams), segLen, wp = None, bpe = Some(bpe),
+        packManifestDir = Some(packDir))
+      loop.processBatch(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0), "b0")
+      loop.processBatch(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 5 ||
+          pmod(col("doc_id"), lit(20)) === 0), "b1")
+      // pin the manifest before the per-run artifacts are dropped
+      val res = loop.packManifest
+        .orderBy(col("batch"), col("doc_id")).localCheckpoint(true)
+      ops.IngestOps.dropInventory(key)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(packDir))
+      res
+    }),
+
     "pipeline_full" -> ((s, d) => {
       val evalSet = t(s, d, "documents")
         .filter(pmod(col("doc_id"), lit(50)) === 0)
@@ -4707,6 +4764,7 @@ object SparkEntry {
       // emission replayed over the accepted text per batch
       ("pipeline_ingest_stream" -> ingestStreamOracleSql) +
       ("pipeline_ingest_drift" -> ingestDriftOracleSql) +
+      ("pipeline_pack_incr" -> packIncrOracleSql) +
       // trained-model SCORING oracles: the models are bit-deterministic
       // functions of the corpus, so Verify embeds their exact
       // coefficients ({{...}} placeholders -> [[oracleParams]] values,
@@ -4775,9 +4833,10 @@ object SparkEntry {
     * fixed Jacobi sweep), and `Double.toString` round-trips — so the
     * dumped SQL holds literally the doubles the Spark query used. */
   def oracleParams(s: SparkSession, d: String): Map[String, String] = {
-    val feats = ops.QualityClassifierOps
-      .featurize(t(s, d, "documents"), col("text")).localCheckpoint()
-    val beta = ops.QualityClassifierOps.train(feats)
+    val beta = ops.QualityClassifierOps.cachedTrain(s,
+      s"$d/documents.parquet",
+      ops.QualityClassifierOps.featurize(t(s, d, "documents"),
+        col("text")).localCheckpoint())
     val qc = beta.zipWithIndex.map { case (b, i) =>
       s"QC_B$i" -> b.toString }.toMap
     // one k=32 fit serves both PCA oracles: the Jacobi sweep and
@@ -6355,6 +6414,63 @@ object SparkEntry {
       "  SELECT 'b0' AS grp, clean AS text FROM s4_a\n" +
       "  UNION ALL SELECT 'b1', clean FROM s4_b),\n" +
       driftMachineryTail("batch")
+
+  /** The ingest loop's INCREMENTAL PACK MANIFEST replayed end-to-end:
+    * the [[ingestStreamCtes]] prefix re-derives each batch's accepted
+    * clean text, the BPE merge recursion (same shape as the standalone
+    * encode oracle) reduces each accepted word type to its piece
+    * count, per-doc token counts re-assemble by multiplicity (+1
+    * end-of-doc separator; a doc with no pre-tokenizer matches keeps
+    * the bare separator via the LEFT JOIN), and the stream offsets are
+    * the exclusive cumsum in arrival order (batch, doc_id) — the
+    * order the loop's per-batch [[graft.ops.PackOps.withGlobalOffset]]
+    * + stored-total base produces by construction. */
+  private lazy val packIncrOracleSql: String =
+    "WITH RECURSIVE " + ingestStreamCtes + ",\n" +
+      """acc AS (
+        |  SELECT 'b0' AS batch, doc_id, clean FROM s4_a
+        |  UNION ALL SELECT 'b1', doc_id, clean FROM s4_b),
+        |pw AS (
+        |  SELECT batch, doc_id, regexp_extract_all(clean,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+') AS ws
+        |  FROM acc),
+        |pwords AS (SELECT DISTINCT w FROM (
+        |  SELECT unnest(ws) AS w FROM pw)),
+        |prec(w, syms) AS (
+        |  SELECT w, list_transform(range(1, length(w)+1), i -> w[i])
+        |  FROM pwords
+        |  UNION ALL
+        |  SELECT w, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:]
+        |  FROM (
+        |    SELECT w, syms, list_position(pr, list_min(pr)) AS bi,
+        |      list_min(pr) AS br
+        |    FROM (SELECT w, syms,
+        |        list_transform(range(1, len(syms)), i ->
+        |          coalesce(({{BPE_RANK_MAP}}[syms[i] || ' ' ||
+        |            syms[i+1]])[1], 1000000)) AS pr
+        |      FROM prec WHERE len(syms) >= 2) t) u
+        |  WHERE br < 1000000),
+        |pfin AS (
+        |  SELECT w, len(syms) AS np FROM (
+        |    SELECT w, syms,
+        |      row_number() OVER (PARTITION BY w ORDER BY len(syms))
+        |        AS rn
+        |    FROM prec) WHERE rn = 1),
+        |pseq AS (SELECT batch, doc_id, unnest(ws) AS w FROM pw),
+        |ptok AS (
+        |  SELECT p.batch, p.doc_id, cast(sum(f.np) AS BIGINT) AS nt
+        |  FROM pseq p JOIN pfin f USING (w)
+        |  GROUP BY p.batch, p.doc_id),
+        |pman AS (
+        |  SELECT a.batch, a.doc_id,
+        |    cast(coalesce(t.nt, 0) + 1 AS BIGINT) AS n_tok
+        |  FROM acc a LEFT JOIN ptok t
+        |    ON a.batch = t.batch AND a.doc_id = t.doc_id)
+        |SELECT batch, doc_id, n_tok,
+        |  cast(coalesce(sum(n_tok) OVER (ORDER BY batch, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS tok_start
+        |FROM pman ORDER BY batch, doc_id""".stripMargin
 
   /** DuckDB replay of BPE TRAINING itself — no embedded model: the
     * oracle re-learns the merge table from the raw corpus and must

@@ -264,7 +264,8 @@ final class IngestLoop(spark: SparkSession, key: String, idCol: String,
     textCol: String, evalGrams: Option[DataFrame] = None,
     segLen: Int = 16,
     wp: Option[graft.functions.WordPieceModel] = None,
-    bpe: Option[graft.functions.BpeModel] = None) {
+    bpe: Option[graft.functions.BpeModel] = None,
+    packManifestDir: Option[String] = None) {
 
   private val stageBuf =
     scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
@@ -328,6 +329,31 @@ final class IngestLoop(spark: SparkSession, key: String, idCol: String,
       driftBuf += ((tag, r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
     }
+    // incremental PACK MANIFEST maintenance: the accepted batch
+    // extends the global token stream at the STORED total — a batch
+    // of any size appends batch-sized manifest rows without ever
+    // re-reading or re-offsetting the corpus's existing manifest.
+    // Offsets within the batch come from the scalable exclusive scan
+    // (PackOps.withGlobalOffset, arrival order = (batch, doc_id));
+    // the cross-batch carry is ONE driver long, recovered from the
+    // artifact itself on restart (so a new loop over the same
+    // manifest continues where the last one stopped — the same
+    // artifact-is-the-state story as the inventories).
+    for (b <- bpe; dir <- packManifestDir) {
+      val base = packTotalStored(dir)
+      val m = accepted.select(col(idCol).cast("long").as("doc_id"),
+        (size(graft.ops.BpeOps.encode(col("clean"), b)) + 1)
+          .cast("long").as("n_tok"))
+      val out = graft.ops.PackOps
+        .withGlobalOffset(m, "doc_id", "n_tok", "__off")
+        .select(lit(tag).as("batch"), col("doc_id"), col("n_tok"),
+          (col("__off") + lit(base)).as("tok_start"))
+      out.coalesce(1).write.mode("append").parquet(dir)
+      // new total = last end offset (base if the batch was empty)
+      packTotal = Some(out
+        .agg(coalesce(max(col("tok_start") + col("n_tok")), lit(base)))
+        .collect()(0).getLong(0))
+    }
     graft.ops.IngestOps.mergeAccepted(spark, key, accepted, "clean",
       segLen)
     // self-maintenance: after enough merges the inventory's
@@ -335,6 +361,33 @@ final class IngestLoop(spark: SparkSession, key: String, idCol: String,
     // metadata-only check until the threshold trips), so a
     // long-running loop never degrades its own gating joins
     graft.ops.IngestOps.compactInventoryIfNeeded(spark, key)
+  }
+
+  /** The stream's running token total: one driver long, lazily
+    * recovered from the persisted manifest (max end offset) so a
+    * restarted loop appends at the right base. */
+  private var packTotal: Option[Long] = None
+  private def packTotalStored(dir: String): Long = packTotal.getOrElse {
+    val t =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+        spark.read.parquet(dir)
+          .agg(coalesce(max(col("tok_start") + col("n_tok")), lit(0L)))
+          .collect()(0).getLong(0)
+      else 0L
+    packTotal = Some(t)
+    t
+  }
+
+  /** The persisted incremental pack manifest (empty frame if the loop
+    * ran without a `packManifestDir` or accepted nothing). */
+  def packManifest: DataFrame = packManifestDir match {
+    case Some(dir)
+        if java.nio.file.Files.exists(java.nio.file.Paths.get(dir)) =>
+      spark.read.parquet(dir)
+    case _ =>
+      import spark.implicits._
+      Seq.empty[(String, Long, Long, Long)]
+        .toDF("batch", "doc_id", "n_tok", "tok_start")
   }
 
   /** Run the loop as ONE continuous streaming query over `stream`

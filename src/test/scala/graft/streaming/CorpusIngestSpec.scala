@@ -410,4 +410,62 @@ class CorpusIngestSpec extends SparkSpec {
     graft.ops.IngestOps.dropInventory(key2)
     graft.ops.IngestOps.dropInventory(dryKey)
   }
+
+  test("ingest loop pack manifest: contiguous incremental offsets, " +
+      "restart continues at the stored total") {
+    val docs = graft.Tables.documents(spark, Sf0001)
+    val corpusDf = docs.filter(pmod(col("doc_id"), lit(5)).isin(1, 2, 3))
+    val b0 = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("text"))
+    val b1 = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      .select(col("doc_id"), col("text"))
+    val wcounts = (corpusText + " " + corpusText).split(" ")
+      .groupBy(identity).map { case (w, xs) => (w, xs.length.toLong) }
+      .toArray.sortBy { case (w, n) => (-n, w) }
+    val bpe = graft.ops.BpeOps.trainMerges(wcounts, numMerges = 16)
+    // one loop instance processes both batches...
+    val k1 = s"pkone_${java.util.UUID.randomUUID().toString.take(6)}"
+    graft.ops.IngestOps.buildInventory(spark, k1, corpusDf, "text")
+    val d1 = Files.createTempDirectory("graft-packman-one").toString
+    val pdir1 = s"$d1/manifest"
+    val one = new IngestLoop(spark, k1, "doc_id", "text", None, 16,
+      wp = None, bpe = Some(bpe), packManifestDir = Some(pdir1))
+    one.processBatch(b0, "b0")
+    one.processBatch(b1, "b1")
+    val mOne = spark.read.parquet(pdir1)
+      .orderBy(col("batch"), col("doc_id")).collect()
+    // ...and a RESTART drives batch b1 through a brand-new loop
+    // instance over the same artifacts: the stored total (recovered
+    // from the manifest parquet — no in-memory state survives) must
+    // make the manifests identical
+    val keyR = s"pkr_${java.util.UUID.randomUUID().toString.take(6)}"
+    graft.ops.IngestOps.buildInventory(spark, keyR, corpusDf, "text")
+    val dirR = Files.createTempDirectory("graft-packman-r").toString
+    val pdirR = s"$dirR/manifest"
+    new IngestLoop(spark, keyR, "doc_id", "text", None, 16,
+      wp = None, bpe = Some(bpe), packManifestDir = Some(pdirR))
+      .processBatch(b0, "b0")
+    new IngestLoop(spark, keyR, "doc_id", "text", None, 16,
+      wp = None, bpe = Some(bpe), packManifestDir = Some(pdirR))
+      .processBatch(b1, "b1")
+    val mR = spark.read.parquet(pdirR)
+      .orderBy(col("batch"), col("doc_id")).collect()
+    def asTuples(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[String]("batch"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("tok_start"))).toSeq
+    assert(asTuples(mR) == asTuples(mOne),
+      "restarted loop must continue at the stored total")
+    // contiguity: offsets are the exclusive cumsum in arrival order
+    var off = 0L
+    asTuples(mOne).foreach { case (b, id, n, start) =>
+      assert(start == off, s"gap at ($b, $id): $start != $off")
+      assert(n >= 1L, "n_tok includes the end-of-doc separator")
+      off += n
+    }
+    assert(mOne.nonEmpty, "accepted docs must land in the manifest")
+    Seq(k1, keyR).foreach(graft.ops.IngestOps.dropInventory)
+    Seq(d1, dirR).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(d)))
+  }
 }
