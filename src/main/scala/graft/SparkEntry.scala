@@ -3730,6 +3730,62 @@ object SparkEntry {
         .orderBy(col("epoch"), col("block_id"))
     }),
 
+    // MIXTURE-REBALANCED packed training stream — the end-to-end
+    // dataloader build composing pipeline_budget's sampling plan with
+    // the global packing manifest. The plan is executed EXACTLY:
+    // rate_l = weight_l·budget / avail_l stays an integer rational
+    // (num_l = w_num·budget, den_l = 100·avail_l — never a float
+    // rate), each language runs epochs_l = ceil(num/den) full passes,
+    // and copy (doc, e) survives iff knuthHash(16·doc_id + e)/2^32 <
+    // num/(den·epochs) — decided by DECIMAL(38,0) cross-multiplication
+    // so no division ever happens and DuckDB replays it in HUGEINT.
+    // Survivors pack into 128-token blocks via the same
+    // withGlobalOffset exclusive scan as pipeline_pack_global, keyed
+    // by the fixed-width (lang, doc_id, copy) string so the stream
+    // order is total. At 100 TB: the plan is a languages-sized
+    // broadcast, the explode factor is epochs (bounded by the max
+    // upweight), the budget is one scalar aggregate, and the only
+    // corpus-shaped exchange is the narrow manifest's range partition.
+    "pipeline_mix_pack" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val wNum = when(col("lang") === "en", lit(40L))
+        .when(col("lang") === "zh", lit(20L))
+        .when(col("lang") === "fr", lit(15L))
+        .when(col("lang") === "es", lit(15L))
+        .otherwise(lit(10L))
+      val manifest = docs.select(col("lang"), col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tok"))
+      val budget = manifest.agg(sum(col("n_tok")))
+        .collect()(0).getLong(0)
+      val dec = org.apache.spark.sql.types.DataTypes
+        .createDecimalType(38, 0)
+      val plan = manifest.groupBy(col("lang"))
+        .agg(sum(col("n_tok")).as("avail"))
+        .withColumn("num", wNum * lit(budget))
+        .withColumn("den", lit(100L) * col("avail"))
+        .withColumn("epochs",
+          ops.DedupOps.idiv(col("num") + col("den") - 1, col("den")))
+      val sampled = manifest.join(broadcast(plan), Seq("lang"))
+        .withColumn("copy_id",
+          explode(sequence(lit(0L), col("epochs") - 1)))
+        .filter(knuthHash(col("doc_id") * 16 + col("copy_id")).cast(dec)
+          * col("den").cast(dec) * col("epochs").cast(dec)
+          < col("num").cast(dec) * lit(4294967296L).cast(dec))
+        .withColumn("okey", concat(rpad(col("lang"), 8, "_"),
+          lpad(col("doc_id").cast("string"), 12, "0"),
+          lpad(col("copy_id").cast("string"), 2, "0")))
+        .select(col("okey"), col("lang"), col("doc_id"),
+          col("copy_id"), col("n_tok"))
+      ops.PackOps.blockSpans(
+        ops.PackOps.withGlobalOffset(sampled, "okey", "n_tok",
+          "tok_start"),
+        "tok_start", "n_tok", 128L)
+        .select(col("lang"), col("doc_id"), col("copy_id"),
+          col("n_tok"), col("tok_start"), col("first_block"),
+          col("last_block"))
+        .orderBy(col("lang"), col("doc_id"), col("copy_id"))
+    }),
+
     // Document-boundary-respecting packing (sample packing / no
     // cross-document attention): next-fit the trained-BPE token
     // counts into 128-token blocks where documents stay whole —
@@ -9400,6 +9456,58 @@ object SparkEntry {
          |  round(rate / cast(ceil(rate) as bigint), 6)
          |    AS keep_rate_per_epoch
          |FROM r ORDER BY lang""".stripMargin,
+
+    // the mixture plan EXECUTED exactly: HUGEINT rationals mirror the
+    // Spark side's DECIMAL(38,0) cross-multiplication bit-for-bit,
+    // the per-(doc, copy) keep rule re-runs the Knuth hash, and the
+    // packing offsets are the window cumsum over the same fixed-width
+    // (lang, doc_id, copy) key
+    "pipeline_mix_pack" ->
+      s"""WITH dm AS (
+         |  SELECT lang, doc_id, ${TextOps.sql.tokenCount} AS n_tok
+         |  FROM documents),
+         |b AS (SELECT cast(sum(n_tok) AS BIGINT) AS budget FROM dm),
+         |pl AS (
+         |  SELECT lang, cast(sum(n_tok) AS BIGINT) AS avail
+         |  FROM dm GROUP BY lang),
+         |plan2 AS (
+         |  SELECT lang,
+         |    cast((CASE WHEN lang = 'en' THEN 40
+         |               WHEN lang = 'zh' THEN 20
+         |               WHEN lang = 'fr' THEN 15
+         |               WHEN lang = 'es' THEN 15
+         |               ELSE 10 END) AS HUGEINT) * budget AS num,
+         |    cast(100 AS HUGEINT) * avail AS den
+         |  FROM pl, b),
+         |plan3 AS (
+         |  SELECT lang, num, den,
+         |    cast((num + den - 1) // den AS BIGINT) AS epochs
+         |  FROM plan2),
+         |cop AS (
+         |  SELECT dm.lang, dm.doc_id, dm.n_tok, g.c AS copy_id,
+         |    p.num, p.den, p.epochs
+         |  FROM dm JOIN plan3 p USING (lang),
+         |    LATERAL unnest(generate_series(0, p.epochs - 1)) g(c)),
+         |kept AS (
+         |  SELECT lang, doc_id, n_tok, copy_id FROM cop
+         |  WHERE cast(${knuthHashSql("(doc_id * 16 + copy_id)")}
+         |      AS HUGEINT) * den * cast(epochs AS HUGEINT)
+         |    < num * cast(4294967296 AS HUGEINT)),
+         |okey AS (
+         |  SELECT lang, doc_id, copy_id, n_tok,
+         |    rpad(lang, 8, '_') || lpad(cast(doc_id AS VARCHAR), 12, '0')
+         |      || lpad(cast(copy_id AS VARCHAR), 2, '0') AS k
+         |  FROM kept),
+         |offs AS (
+         |  SELECT lang, doc_id, copy_id, n_tok,
+         |    cast(coalesce(sum(n_tok) OVER (ORDER BY k
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS tok_start
+         |  FROM okey)
+         |SELECT lang, doc_id, copy_id, n_tok, tok_start,
+         |  cast(tok_start // 128 AS BIGINT) AS first_block,
+         |  cast((tok_start + n_tok - 1) // 128 AS BIGINT) AS last_block
+         |FROM offs ORDER BY lang, doc_id, copy_id""".stripMargin,
 
     "pipeline_mix_temperature" ->
       """WITH pl AS (

@@ -257,4 +257,57 @@ class PackOpsSpec extends SparkSpec {
     assert(hist.map(_.getAs[Long]("n_blocks")).sum == (total + 127) / 128,
       "block count must be ceil(total/128)")
   }
+
+  test("pipeline_mix_pack == driver exact-rational reference at sf0.001") {
+    // independent reference: BigInt rationals end-to-end — the same
+    // plan arithmetic the query claims to run in DECIMAL(38,0)
+    def knuth(v: Long): Long = {
+      val x = ((v % 4294967296L) + 4294967296L) % 4294967296L
+      ((x & 65535L) * 2654435761L +
+        ((x >> 16) * 2654435761L % 65536L) * 65536L) % 4294967296L
+    }
+    val docs = graft.Tables.documents(spark, Sf0001)
+      .select(col("lang"), col("doc_id"),
+        graft.ops.TextOps.tokenCount(col("text")).as("n_tok"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val budget = BigInt(docs.map(_._3).sum)
+    val wNum = Map("en" -> 40, "zh" -> 20, "fr" -> 15, "es" -> 15)
+    val plan = docs.groupBy(_._1).map { case (lang, xs) =>
+      val avail = BigInt(xs.map(_._3).sum)
+      val num = BigInt(wNum.getOrElse(lang, 10)) * budget
+      val den = BigInt(100) * avail
+      val epochs = (num + den - 1) / den
+      lang -> ((num, den, epochs))
+    }
+    val expected = docs.toSeq.flatMap { case (lang, id, n) =>
+      val (num, den, epochs) = plan(lang)
+      (0L until epochs.toLong).flatMap { e =>
+        val keep = BigInt(knuth(id * 16 + e)) * den * epochs <
+          num * BigInt(4294967296L)
+        if (keep) Some((lang, id, e, n)) else None
+      }
+    }.sortBy { case (lang, id, e, _) =>
+      (f"$lang%-8s".replace(' ', '_'), id, e) }
+    val withOff = expected.scanLeft(("", 0L, 0L, 0L, 0L)) {
+      case ((_, _, _, pn, pOff), (lang, id, e, n)) =>
+        (lang, id, e, n, pOff + pn)
+    }.drop(1).map { case (lang, id, e, n, off) =>
+      (lang, id, e, n, off, off / 128, (off + n - 1) / 128) }
+    val got = graft.SparkEntry.queries("pipeline_mix_pack")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getAs[Long]("tok_start"),
+        r.getAs[Long]("first_block"), r.getAs[Long]("last_block")))
+      .toSeq
+    assert(got == withOff, "query must equal the BigInt reference")
+    // the mixture must actually upsample somewhere: at least one
+    // language runs a second epoch and keeps a copy there
+    assert(got.exists(_._3 >= 1L),
+      "no copy_id >= 1 row survived — upsampling path unexercised")
+    // and downsample somewhere: some (doc, copy 0) must be dropped
+    val kept0 = got.count(_._3 == 0L)
+    assert(kept0 < docs.length,
+      "no copy-0 doc was dropped — downsampling path unexercised")
+  }
 }
