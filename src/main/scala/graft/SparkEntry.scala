@@ -1234,6 +1234,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Repetition-aware SOFT dedup (the SemDeDup/D4 retention policy):
+    // hard dedup drops every non-representative near-dup, which
+    // over-prunes clusters whose members differ meaningfully; soft
+    // dedup keeps the representative ALWAYS and every other member
+    // with probability 1/cluster_size, so a cluster's expected
+    // surviving mass is ~constant regardless of how many times its
+    // content was crawled. The keep decision is the portable Knuth
+    // hash cross-multiplied in DECIMAL(38,0) (h·size < 2^32 — no
+    // float division, DuckDB replays in HUGEINT). Cluster sizes are
+    // one bounded aggregate over the assignment manifest; at 100 TB
+    // nothing here is wider than (doc_id, cluster_id, long).
+    "pipeline_soft_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val edges = ops.DedupOps.portableMinhashPairs(docs, "doc_id",
+          "text", threshold = 0.8)
+        .select(col("a"), col("b"))
+      val asg = ops.ClusterOps.clusterAssignments(docs, "doc_id", edges)
+      val sizes = asg.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("c_size"))
+      val dec = org.apache.spark.sql.types.DataTypes
+        .createDecimalType(38, 0)
+      asg.join(sizes, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("c_size"),
+          (col("keep") ||
+            knuthHash(col("doc_id")).cast(dec) * col("c_size").cast(dec)
+              < lit(4294967296L).cast(dec)).as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Segment-level global dedup + reassembly (the CCNet/C4 line-dedup
     // curation stage): first occurrence of each 16-token segment wins,
     // every other occurrence is dropped, docs reassemble from their
@@ -4867,6 +4896,7 @@ object SparkEntry {
       // (portable probability-space E-step, see unigramTrainOracleSql)
       ("text_unigram_train" -> unigramTrainOracleSql) +
       ("dedup_clusters_portable" -> portableClustersOracleSql) +
+      ("pipeline_soft_dedup" -> softDedupOracleSql) +
       ("multimodal_phash" -> phashOracleSql) +
       ("multimodal_features" -> featuresOracleSql) +
       ("dedup_simhash" -> simhashOracleSql) +
@@ -5931,7 +5961,12 @@ object SparkEntry {
     * rounds (the lpaOracleSql discipline) — enough for any near-dup
     * component of diameter <= 8; the distributed CC reaches the same
     * unique fixpoint (and throws rather than under-converging). */
-  private lazy val portableClustersOracleSql: String = {
+  /** Shared CTE chain for the portable-minhash cluster oracles: LSH
+    * banding over md5-lane signatures, exact Jaccard verification,
+    * and the 8-round min-label fixpoint — ends at `l8` holding
+    * (node, lbl). Shared verbatim by [[portableClustersOracleSql]]
+    * and [[softDedupOracleSql]]. */
+  private lazy val portableClusterCtes: String = {
     val rounds = (1 to 8).map { i =>
       s"""l$i AS MATERIALIZED (
          |  SELECT l.node, least(l.lbl, coalesce(min(n.lbl), l.lbl))
@@ -5941,7 +5976,7 @@ object SparkEntry {
          |  LEFT JOIN l${i - 1} n ON n.node = ad.dst
          |  GROUP BY l.node, l.lbl)""".stripMargin
     }.mkString(",\n")
-    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+    s"""t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
        |           FROM documents),
        |sh AS (SELECT doc_id,
        |  CASE WHEN len(w) >= 3
@@ -5978,10 +6013,30 @@ object SparkEntry {
        |        UNION SELECT b AS src, a AS dst FROM edges),
        |l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lbl
        |        FROM documents),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private lazy val portableClustersOracleSql: String =
+    s"""WITH $portableClusterCtes
        |SELECT node AS doc_id, lbl AS cluster_id, node = lbl AS keep
        |FROM l8 ORDER BY doc_id""".stripMargin
-  }
+
+  /** Repetition-aware soft dedup replayed on top of the shared
+    * cluster fixpoint: cluster sizes from the `l8` assignment, the
+    * representative always kept, other members kept iff
+    * knuthHash(doc_id)/2^32 < 1/size — decided by HUGEINT
+    * cross-multiplication, mirroring the Spark side's DECIMAL(38,0). */
+  private lazy val softDedupOracleSql: String =
+    s"""WITH $portableClusterCtes,
+       |asg AS (SELECT node AS doc_id, lbl AS cluster_id FROM l8),
+       |cs AS (SELECT cluster_id, cast(count(*) AS BIGINT) AS c_size
+       |       FROM asg GROUP BY cluster_id)
+       |SELECT a.doc_id, a.cluster_id, cs.c_size,
+       |  (a.doc_id = a.cluster_id OR
+       |   cast(${knuthHashSql("a.doc_id")} AS HUGEINT) * cs.c_size
+       |     < cast(4294967296 AS HUGEINT)) AS kept
+       |FROM asg a JOIN cs USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of the WordPiece greedy encode: the trained
     * vocabulary embeds as VALUES rows ({{WP_VOCAB_ROWS}}, quotes

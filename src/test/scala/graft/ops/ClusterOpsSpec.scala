@@ -149,4 +149,36 @@ class ClusterOpsSpec extends SparkSpec {
     assert(kept.join(textMin, Seq("text"))
       .filter(col("doc_id") =!= col("min_id")).count() == 0L)
   }
+
+  test("pipeline_soft_dedup: reps always kept, members by the exact " +
+      "hash rule, sizes consistent, at sf0.001") {
+    def knuth(v: Long): Long = {
+      val x = ((v % 4294967296L) + 4294967296L) % 4294967296L
+      ((x & 65535L) * 2654435761L +
+        ((x >> 16) * 2654435761L % 65536L) * 65536L) % 4294967296L
+    }
+    val rows = graft.SparkEntry
+      .queries("pipeline_soft_dedup")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // size column == observed cluster multiplicity
+    val bySize = rows.groupBy(_._2).view.mapValues(_.length.toLong)
+    rows.foreach { case (id, cl, size, _) =>
+      assert(size == bySize(cl), s"doc $id size $size != ${bySize(cl)}")
+    }
+    // the keep decision is exactly rep-or-hash-rule
+    rows.foreach { case (id, cl, size, kept) =>
+      val expect = id == cl ||
+        BigInt(knuth(id)) * BigInt(size) < BigInt(4294967296L)
+      assert(kept == expect, s"doc $id in cluster $cl (size $size)")
+    }
+    // singleton clusters are always kept; some non-rep must be dropped
+    rows.filter(_._3 == 1L).foreach { case (id, _, _, kept) =>
+      assert(kept, s"singleton $id dropped") }
+    val nonRepDropped = rows.exists { case (id, cl, _, kept) =>
+      id != cl && !kept }
+    assert(nonRepDropped, "no near-dup member was thinned — the " +
+      "soft-dedup path is unexercised at this sf")
+  }
 }
