@@ -137,17 +137,25 @@ object IngestOps {
     * move; the inventory's content signature changes, which correctly
     * invalidates the cached segment bloom. Metadata-only check when
     * under threshold. Returns whether a compaction ran. */
-  def compactInventoryIfNeeded(spark: SparkSession, key: String,
+  private def parquetCount(dir: String): Int = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) 0
+    else d.listFiles().count(_.getName.endsWith(".parquet"))
+  }
+
+  /** Content-preserving compact-and-swap of ONE append-accumulating
+    * parquet dir when its file count passes `maxFiles`: rewrite to
+    * byte-derived right-sized files in a temp dir, then swap in
+    * atomically (a crashed compaction leaves the original intact).
+    * Returns whether a compaction ran. The shared primitive behind
+    * [[compactInventoryIfNeeded]] and the ingest loop's pack-manifest
+    * maintenance. */
+  def compactDirIfNeeded(spark: SparkSession, dir: String,
       maxFiles: Int = 16,
       targetFileBytes: Long = 128L * 1024 * 1024): Boolean = {
-    def parquetCount(dir: String): Int = {
-      val d = new java.io.File(dir)
-      if (!d.exists()) 0
-      else d.listFiles().count(_.getName.endsWith(".parquet"))
-    }
-    val needs = parquetCount(md5Dir(key)) > maxFiles ||
-      parquetCount(segDir(key)) > maxFiles
-    if (needs) Seq(md5Dir(key), segDir(key)).foreach { dir =>
+    val n = parquetCount(dir)
+    val needs = n > 0 && n > maxFiles
+    if (needs) {
       val run = java.util.UUID.randomUUID().toString
       val tmp = s"$dir.compact-$run"
       StorageOps.compact(spark, dir, tmp, targetFileBytes)
@@ -166,6 +174,18 @@ object IngestOps {
       }
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(old))
+    }
+    needs
+  }
+
+  def compactInventoryIfNeeded(spark: SparkSession, key: String,
+      maxFiles: Int = 16,
+      targetFileBytes: Long = 128L * 1024 * 1024): Boolean = {
+    val needs = parquetCount(md5Dir(key)) > maxFiles ||
+      parquetCount(segDir(key)) > maxFiles
+    if (needs) Seq(md5Dir(key), segDir(key)).foreach { dir =>
+      compactDirIfNeeded(spark, dir, maxFiles = -1,
+        targetFileBytes = targetFileBytes)
     }
     needs
   }

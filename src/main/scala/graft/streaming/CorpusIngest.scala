@@ -353,6 +353,11 @@ final class IngestLoop(spark: SparkSession, key: String, idCol: String,
       packTotal = Some(out
         .agg(coalesce(max(col("tok_start") + col("n_tok")), lit(base)))
         .collect()(0).getLong(0))
+      // the manifest accumulates one file per batch — the same
+      // self-maintenance as the inventories: threshold-triggered
+      // rewrite to right-sized files with an atomic swap (rows and
+      // offsets untouched, so the stored total cannot move)
+      graft.ops.IngestOps.compactDirIfNeeded(spark, dir)
     }
     graft.ops.IngestOps.mergeAccepted(spark, key, accepted, "clean",
       segLen)

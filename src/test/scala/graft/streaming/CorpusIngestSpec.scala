@@ -445,6 +445,12 @@ class CorpusIngestSpec extends SparkSpec {
     new IngestLoop(spark, keyR, "doc_id", "text", None, 16,
       wp = None, bpe = Some(bpe), packManifestDir = Some(pdirR))
       .processBatch(b0, "b0")
+    // manifest self-maintenance between restarts: the compaction must
+    // preserve every row and the stored total the next loop recovers
+    assert(graft.ops.IngestOps.compactDirIfNeeded(spark, pdirR,
+      maxFiles = 0), "compaction should trigger above the threshold")
+    assert(!graft.ops.IngestOps.compactDirIfNeeded(spark, pdirR,
+      maxFiles = 16), "under the threshold it must be a no-op")
     new IngestLoop(spark, keyR, "doc_id", "text", None, 16,
       wp = None, bpe = Some(bpe), packManifestDir = Some(pdirR))
       .processBatch(b1, "b1")
