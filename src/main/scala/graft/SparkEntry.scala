@@ -3815,6 +3815,40 @@ object SparkEntry {
         .orderBy(col("lang"), col("doc_id"), col("copy_id"))
     }),
 
+    // Fill-in-the-middle span manifest (Bavarian et al. 2022): for
+    // each document, a deterministic coin decides whether it trains
+    // as FIM (rate 1/2), and two hash lanes pick the split points
+    // u, v uniform over 0..n (sorted), giving prefix|middle|suffix
+    // token lengths under the TRAINED BPE tokenizer — the per-doc
+    // transform manifest a PSM/SPM dataloader consumes. Everything is
+    // integer/hash arithmetic on the (doc_id, n_tok) manifest: the
+    // coin is knuthHash(4·doc+1) < 2^31, the splits are
+    // knuthHash(4·doc+2/3) mod (n+1) — three independent lanes from
+    // one portable hash, replayed verbatim by the oracle on top of
+    // the BPE merge-table token recount. Map-side only at any scale.
+    "pipeline_fim_spans" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bpe = BpeOps.cachedTrain(s, s"$d/documents.parquet", docs,
+        col("text"), numMerges = 64)
+      val lenOf = docs.select(col("doc_id"),
+        size(BpeOps.encode(col("text"), bpe)).cast("long").as("n_tok"))
+      val fim = knuthHash(col("doc_id") * 4 + 1) < lit(2147483648L)
+      val u = pmod(knuthHash(col("doc_id") * 4 + 2), col("n_tok") + 1)
+      val v = pmod(knuthHash(col("doc_id") * 4 + 3), col("n_tok") + 1)
+      lenOf
+        .withColumn("fim", fim)
+        .withColumn("lo", least(u, v))
+        .withColumn("hi", greatest(u, v))
+        .select(col("doc_id"), col("n_tok"), col("fim"),
+          when(col("fim"), col("lo")).otherwise(col("n_tok"))
+            .as("prefix_len"),
+          when(col("fim"), col("hi") - col("lo")).otherwise(lit(0L))
+            .as("middle_len"),
+          when(col("fim"), col("n_tok") - col("hi")).otherwise(lit(0L))
+            .as("suffix_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Document-boundary-respecting packing (sample packing / no
     // cross-document attention): next-fit the trained-BPE token
     // counts into 128-token blocks where documents stay whole —
@@ -4879,6 +4913,7 @@ object SparkEntry {
       // replay, then window-cumsum'd into the block manifest
       ("pipeline_pack_global" -> packGlobalOracleSql) +
       ("pipeline_pack_blocks" -> packBlocksOracleSql) +
+      ("pipeline_fim_spans" -> fimSpansOracleSql) +
       ("pipeline_epoch_shuffle" -> epochShuffleOracleSql) +
       ("pipeline_pack_greedy" -> packGreedyOracleSql) +
       ("pipeline_pack_padding" -> packPaddingOracleSql) +
@@ -6248,6 +6283,38 @@ object SparkEntry {
       |    (tok_start + n_tok - 1) // 128 AS last_block,
       |    tok_start % 128 AS start_off
       |  FROM offs)""".stripMargin
+
+  /** FIM span-manifest replay: [[packCtes]]'s `alld` carries the
+    * trained-BPE token count (+1 separator, subtracted back here —
+    * the FIM transform splits CONTENT tokens only), and the three
+    * Knuth lanes (coin, u, v) are the verbatim hash arithmetic over
+    * 4·doc_id + k. Unused trailing CTEs of the shared chain are never
+    * evaluated by DuckDB. */
+  private lazy val fimSpansOracleSql: String = {
+    val coin = knuthHashSql("(doc_id * 4 + 1)")
+    val hu = knuthHashSql("(doc_id * 4 + 2)")
+    val hv = knuthHashSql("(doc_id * 4 + 3)")
+    s"""WITH RECURSIVE $packCtes,
+       |m AS (SELECT doc_id, n_tok - 1 AS n_tok FROM alld),
+       |lanes AS (
+       |  SELECT doc_id, n_tok,
+       |    $coin < 2147483648 AS fim,
+       |    $hu % (n_tok + 1) AS u,
+       |    $hv % (n_tok + 1) AS v
+       |  FROM m),
+       |sp AS (
+       |  SELECT doc_id, n_tok, fim,
+       |    least(u, v) AS lo, greatest(u, v) AS hi
+       |  FROM lanes)
+       |SELECT doc_id, cast(n_tok AS BIGINT) AS n_tok, fim,
+       |  cast(CASE WHEN fim THEN lo ELSE n_tok END AS BIGINT)
+       |    AS prefix_len,
+       |  cast(CASE WHEN fim THEN hi - lo ELSE 0 END AS BIGINT)
+       |    AS middle_len,
+       |  cast(CASE WHEN fim THEN n_tok - hi ELSE 0 END AS BIGINT)
+       |    AS suffix_len
+       |FROM sp ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB replay of the global packing manifest: trained-BPE token
     * counts from the raw corpus ([[packCtes]]) + window cumsum +

@@ -310,4 +310,33 @@ class PackOpsSpec extends SparkSpec {
     assert(kept0 < docs.length,
       "no copy-0 doc was dropped — downsampling path unexercised")
   }
+
+  test("pipeline_fim_spans: lengths conserve, lanes replicate the " +
+      "driver hash, coin is fair-ish at sf0.001") {
+    def knuth(v: Long): Long = {
+      val x = ((v % 4294967296L) + 4294967296L) % 4294967296L
+      ((x & 65535L) * 2654435761L +
+        ((x >> 16) * 2654435761L % 65536L) * 65536L) % 4294967296L
+    }
+    val rows = graft.SparkEntry
+      .queries("pipeline_fim_spans")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, fim, p, m, sfx) =>
+      assert(p + m + sfx == n, s"doc $id lengths don't conserve")
+      assert(fim == (knuth(id * 4 + 1) < 2147483648L), s"doc $id coin")
+      if (fim) {
+        val u = knuth(id * 4 + 2) % (n + 1)
+        val v = knuth(id * 4 + 3) % (n + 1)
+        assert(p == math.min(u, v) && m == math.abs(u - v),
+          s"doc $id split lanes diverge")
+      } else assert(m == 0L && sfx == 0L, s"non-FIM doc $id transformed")
+    }
+    val nf = rows.count(_._3)
+    assert(nf > rows.length / 3 && nf < rows.length * 2 / 3,
+      s"coin badly unfair: $nf of ${rows.length}")
+    assert(rows.exists { case (_, _, fim, _, m, _) => fim && m > 0L },
+      "no FIM doc has a non-empty middle")
+  }
 }
