@@ -4320,9 +4320,12 @@ object SparkEntry {
             element_at(w, i + 2), element_at(w, i + 3))))
           .otherwise(array(array_join(w, " ")))
       }
+      // materialized ONCE: the loop's per-batch gate joins this set
+      // every batch — without the checkpoint each batch re-derives it
+      // from the corpus (and the per-batch plan would read corpus text)
       val evalGrams = corpus.filter(pmod(col("doc_id"), lit(50)) === 1)
         .select(explode(array_distinct(grams(col("text")))).as("g"))
-        .distinct()
+        .distinct().localCheckpoint(true)
       // the loop MERGES into its inventory, so each run gets a private
       // clone of the once-per-corpus cached base (a hash-file dir copy,
       // not a corpus re-derivation)
@@ -4375,9 +4378,12 @@ object SparkEntry {
             element_at(w, i + 2), element_at(w, i + 3))))
           .otherwise(array(array_join(w, " ")))
       }
+      // materialized ONCE: the loop's per-batch gate joins this set
+      // every batch — without the checkpoint each batch re-derives it
+      // from the corpus (and the per-batch plan would read corpus text)
       val evalGrams = corpus.filter(pmod(col("doc_id"), lit(50)) === 1)
         .select(explode(array_distinct(grams(col("text")))).as("g"))
-        .distinct()
+        .distinct().localCheckpoint(true)
       val run = java.util.UUID.randomUUID().toString.take(12)
       val key = s"ingdrift_$run"
       val baseKey = ops.IngestOps.cachedInventory(s,
@@ -4423,9 +4429,12 @@ object SparkEntry {
             element_at(w, i + 2), element_at(w, i + 3))))
           .otherwise(array(array_join(w, " ")))
       }
+      // materialized ONCE: the loop's per-batch gate joins this set
+      // every batch — without the checkpoint each batch re-derives it
+      // from the corpus (and the per-batch plan would read corpus text)
       val evalGrams = corpus.filter(pmod(col("doc_id"), lit(50)) === 1)
         .select(explode(array_distinct(grams(col("text")))).as("g"))
-        .distinct()
+        .distinct().localCheckpoint(true)
       val run = java.util.UUID.randomUUID().toString.take(12)
       val key = s"packincr_$run"
       val baseKey = ops.IngestOps.cachedInventory(s,

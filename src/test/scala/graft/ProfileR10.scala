@@ -23,8 +23,8 @@ object ProfileR10 {
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     Seq("pipeline_ingest_stream", "pipeline_ingest_drift",
-      "pipeline_ingest_incr", "pipeline_pack_global",
-      "pipeline_pack_blocks").foreach { q =>
+      "pipeline_pack_incr", "pipeline_mix_pack",
+      "pipeline_soft_dedup", "pipeline_fim_spans").foreach { q =>
       time(s"$q warmup")(SparkEntry.queries(q)(spark, d).collect())
       time(s"$q run1")(SparkEntry.queries(q)(spark, d).collect())
       time(s"$q run2")(SparkEntry.queries(q)(spark, d).collect())
