@@ -157,6 +157,59 @@ object SparkEntry {
       .withColumn("pred_lang", TextOps.langId(col("text")))
       .filter(col("quality_score") >= 0.3)
 
+  /** The quality-curriculum block schedule shared by
+    * `pipeline_curriculum` (which emits it directly) and
+    * `pipeline_curriculum_anneal` (which uses its rank as epoch 0):
+    * packed 128-token blocks scored by the token-weighted trained
+    * classifier probability (micro-quantized so everything after the
+    * classifier's round-to-6dp is integer arithmetic) and ranked
+    * (score DESC, block ASC) via a fixed-width-key withGlobalOffset —
+    * no global window. Columns: block_id, fill, score_micro,
+    * cur_rank (unordered). */
+  private def curriculumBlocks(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val bpe = BpeOps.cachedTrain(s, s"$d/documents.parquet", docs,
+      col("text"), numMerges = 64)
+    val manifest = docs.select(col("doc_id"),
+      (size(BpeOps.encode(col("text"), bpe)) + 1).cast("long")
+        .as("n_tok"))
+    val contrib = ops.PackOps.blockContributions(
+      ops.PackOps.blockSpans(
+        ops.PackOps.withGlobalOffset(manifest, "doc_id", "n_tok",
+          "tok_start"),
+        "tok_start", "n_tok", 128L),
+      "tok_start", "n_tok", 128L)
+      .select(col("doc_id"), col("block_id"), col("block_tokens"))
+    val feats = graft.ops.QualityClassifierOps
+      .featurize(docs, col("text")).localCheckpoint()
+    // consumer of the classifier, not its trainer: the persisted
+    // beta artifact (bit-identical to a fresh IRLS run — see
+    // cachedTrain scaladoc) skips the 8 training scans here while
+    // pipeline_quality_classifier keeps exercising the full path
+    val beta = graft.ops.QualityClassifierOps.cachedTrain(s,
+      s"$d/documents.parquet", feats)
+    val scores = feats.select(col("doc_id"),
+      round(round(graft.ops.QualityClassifierOps.score(beta), 6)
+        * 1e6).cast("long").as("p_micro"))
+    val blocks = contrib.join(scores, Seq("doc_id"))
+      .groupBy(col("block_id"))
+      .agg(sum(col("block_tokens")).as("fill"),
+        sum(col("block_tokens") * col("p_micro")).as("wsum"))
+      .withColumn("score_micro",
+        ops.DedupOps.idiv(col("wsum") * 128L, col("fill")))
+    // fixed-width ascending key == (score DESC, block_id ASC):
+    // score_micro <= 1.28e8 < 2e8, so the complement stays 9 digits
+    val key = concat(
+      lpad((lit(200000000L) - col("score_micro")).cast("string"),
+        9, "0"),
+      lpad(col("block_id").cast("string"), 20, "0"))
+    ops.PackOps.withGlobalOffset(
+      blocks.withColumn("__ord", key).withColumn("__one", lit(1L)),
+      "__ord", "__one", "cur_rank")
+      .select(col("block_id"), col("fill"), col("score_micro"),
+        col("cur_rank"))
+  }
+
   // ------------------------------------------------------------------
   // Queries. Signature: (session, sfDir) => DataFrame.
   // ------------------------------------------------------------------
@@ -3917,49 +3970,31 @@ object SparkEntry {
     // lengths over a fixed-width key (no global window); the corpus
     // moves once (fragment join on doc_id), the schedule manifest is
     // all that's ordered.
-    "pipeline_curriculum" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val bpe = BpeOps.cachedTrain(s, s"$d/documents.parquet", docs,
-        col("text"), numMerges = 64)
-      val manifest = docs.select(col("doc_id"),
-        (size(BpeOps.encode(col("text"), bpe)) + 1).cast("long")
-          .as("n_tok"))
-      val contrib = ops.PackOps.blockContributions(
-        ops.PackOps.blockSpans(
-          ops.PackOps.withGlobalOffset(manifest, "doc_id", "n_tok",
-            "tok_start"),
-          "tok_start", "n_tok", 128L),
-        "tok_start", "n_tok", 128L)
-        .select(col("doc_id"), col("block_id"), col("block_tokens"))
-      val feats = graft.ops.QualityClassifierOps
-        .featurize(docs, col("text")).localCheckpoint()
-      // consumer of the classifier, not its trainer: the persisted
-      // beta artifact (bit-identical to a fresh IRLS run — see
-      // cachedTrain scaladoc) skips the 8 training scans here while
-      // pipeline_quality_classifier keeps exercising the full path
-      val beta = graft.ops.QualityClassifierOps.cachedTrain(s,
-        s"$d/documents.parquet", feats)
-      val scores = feats.select(col("doc_id"),
-        round(round(graft.ops.QualityClassifierOps.score(beta), 6)
-          * 1e6).cast("long").as("p_micro"))
-      val blocks = contrib.join(scores, Seq("doc_id"))
-        .groupBy(col("block_id"))
-        .agg(sum(col("block_tokens")).as("fill"),
-          sum(col("block_tokens") * col("p_micro")).as("wsum"))
-        .withColumn("score_micro",
-          ops.DedupOps.idiv(col("wsum") * 128L, col("fill")))
-      // fixed-width ascending key == (score DESC, block_id ASC):
-      // score_micro <= 1.28e8 < 2e8, so the complement stays 9 digits
-      val key = concat(
-        lpad((lit(200000000L) - col("score_micro")).cast("string"),
-          9, "0"),
-        lpad(col("block_id").cast("string"), 20, "0"))
-      ops.PackOps.withGlobalOffset(
-        blocks.withColumn("__ord", key).withColumn("__one", lit(1L)),
-        "__ord", "__one", "cur_rank")
-        .select(col("block_id"), col("fill"), col("score_micro"),
-          col("cur_rank"))
-        .orderBy(col("block_id"))
+    "pipeline_curriculum" -> ((s, d) =>
+      curriculumBlocks(s, d).orderBy(col("block_id"))),
+
+    // Curriculum ANNEALING — the schedule curriculum learning
+    // actually ships: epoch 0 reads the packed blocks in
+    // descending-quality curriculum order (the warmup), every later
+    // epoch reads them in its own deterministic md5 shuffle (IID
+    // training once the model is past the warmup). Composes the two
+    // certified rank machineries verbatim: epoch 0's positions ARE
+    // pipeline_curriculum's cur_rank; epochs 1..2 are
+    // pipeline_epoch_shuffle's md5 ranks (one withGlobalOffset pass
+    // ranks all epochs; epoch 0's unused shuffle lane is filtered
+    // out without disturbing the others' positions). Ordering is
+    // manifest-only at any scale — the corpus never moves.
+    "pipeline_curriculum_anneal" -> ((s, d) => {
+      val cur = curriculumBlocks(s, d).localCheckpoint(true)
+      val nBlocks = cur.count()
+      val ep0 = cur.select(lit(0L).as("epoch"), col("block_id"),
+        col("cur_rank").as("pos"))
+      val shuf = ops.PackOps.epochOrder(
+        cur.select(col("block_id")), "block_id", epochs = 3,
+        n = nBlocks)
+        .filter(col("epoch") >= 1)
+        .select(col("epoch"), col("block_id"), col("pos"))
+      ep0.unionByName(shuf).orderBy(col("epoch"), col("block_id"))
     }),
 
     // Cross-document repeated-span detection: word 8-grams appearing
@@ -4927,6 +4962,7 @@ object SparkEntry {
       ("pipeline_pack_greedy" -> packGreedyOracleSql) +
       ("pipeline_pack_padding" -> packPaddingOracleSql) +
       ("pipeline_curriculum" -> curriculumOracleSql) +
+      ("pipeline_curriculum_anneal" -> curriculumAnnealOracleSql) +
       ("text_unigram_encode" -> unigramEncodeOracleSql) +
       ("text_tokenizer_eval" -> tokenizerEvalOracleSql) +
       ("text_tokenizer_drift" -> tokenizerDriftOracleSql) +
@@ -6465,8 +6501,11 @@ object SparkEntry {
     * the descending-quality rank. All block arithmetic is integer —
     * the only doubles are the classifier sigmoid and its two rounds,
     * both already hash-certified by the quality-classifier oracle. */
-  private lazy val curriculumOracleSql: String =
-    s"""WITH RECURSIVE $packCtes,
+  /** Shared CTE chain of the curriculum oracles — ends at `r`
+    * holding (block_id, fill, score_micro). Shared verbatim by
+    * [[curriculumOracleSql]] and [[curriculumAnnealOracleSql]]. */
+  private lazy val curriculumCtes: String =
+    s"""$packCtes,
        |contrib AS (
        |  SELECT doc_id, g.b AS block_id,
        |    least((g.b + 1) * 128, tok_start + n_tok)
@@ -6487,12 +6526,42 @@ object SparkEntry {
        |  FROM contrib JOIN sc USING (doc_id) GROUP BY block_id),
        |r AS (
        |  SELECT block_id, fill, (wsum * 128) // fill AS score_micro
-       |  FROM bk)
+       |  FROM bk)""".stripMargin
+
+  private lazy val curriculumOracleSql: String =
+    s"""WITH RECURSIVE $curriculumCtes
        |SELECT cast(block_id AS BIGINT) AS block_id, fill,
        |  cast(score_micro AS BIGINT) AS score_micro,
        |  cast(row_number() OVER (ORDER BY score_micro DESC, block_id)
        |    - 1 AS BIGINT) AS cur_rank
        |FROM r ORDER BY block_id""".stripMargin
+
+  /** Anneal replay: epoch 0 = the curriculum rank, epochs 1..2 =
+    * the md5(epoch:block) shuffle rank (the
+    * [[epochShuffleOracleSql]] lane, restricted to epochs >= 1). */
+  private lazy val curriculumAnnealOracleSql: String =
+    s"""WITH RECURSIVE $curriculumCtes,
+       |rk AS (
+       |  SELECT block_id,
+       |    row_number() OVER (ORDER BY score_micro DESC, block_id) - 1
+       |      AS pos
+       |  FROM r),
+       |eb AS (
+       |  SELECT e.e AS epoch, rk.block_id,
+       |    md5(cast(e.e AS VARCHAR) || ':' ||
+       |      cast(rk.block_id AS VARCHAR)) AS h
+       |  FROM rk, LATERAL unnest(generate_series(1, 2)) e(e)),
+       |sh AS (
+       |  SELECT epoch, block_id,
+       |    row_number() OVER (PARTITION BY epoch ORDER BY h, block_id)
+       |      - 1 AS pos
+       |  FROM eb)
+       |SELECT cast(epoch AS BIGINT) AS epoch,
+       |  cast(block_id AS BIGINT) AS block_id,
+       |  cast(pos AS BIGINT) AS pos
+       |FROM (SELECT 0 AS epoch, block_id, pos FROM rk
+       |      UNION ALL SELECT epoch, block_id, pos FROM sh)
+       |ORDER BY epoch, block_id""".stripMargin
 
   /** DuckDB replay of the per-source tokenizer-drift audit: the BPE
     * merge recursion and the WordPiece longest-match recursion (each

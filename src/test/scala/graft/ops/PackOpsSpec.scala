@@ -339,4 +339,37 @@ class PackOpsSpec extends SparkSpec {
     assert(rows.exists { case (_, _, fim, _, m, _) => fim && m > 0L },
       "no FIM doc has a non-empty middle")
   }
+
+  test("pipeline_curriculum_anneal: epoch 0 == curriculum rank, " +
+      "later epochs == md5 rank, every epoch a bijection, at sf0.001") {
+    def md5hex(v: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(v.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val cur = graft.SparkEntry.queries("pipeline_curriculum")(spark,
+      Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("cur_rank")).toMap
+    val ann = graft.SparkEntry
+      .queries("pipeline_curriculum_anneal")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byEpoch = ann.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    byEpoch.foreach { case (e, rows) =>
+      assert(rows.map(_._3).sorted.toSeq ==
+        (0L until rows.length.toLong),
+        s"epoch $e positions are not a bijection")
+    }
+    byEpoch(0L).foreach { case (_, b, pos) =>
+      assert(pos == cur(b), s"epoch 0 block $b: $pos != ${cur(b)}") }
+    for (e <- Seq(1L, 2L)) {
+      val exp = byEpoch(e).map(_._2).sortBy(b =>
+        (md5hex(s"$e:$b"), b)).zipWithIndex
+        .map { case (b, i) => b -> i.toLong }.toMap
+      byEpoch(e).foreach { case (_, b, pos) =>
+        assert(pos == exp(b), s"epoch $e block $b md5 rank diverges") }
+    }
+    // the warmup order must actually differ from the shuffled epochs
+    assert(byEpoch(0L).map(r => (r._2, r._3)).toMap !=
+      byEpoch(1L).map(r => (r._2, r._3)).toMap,
+      "epoch 1 shuffle equals the curriculum order")
+  }
 }
