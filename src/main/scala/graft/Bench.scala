@@ -94,7 +94,7 @@ object Bench {
     "pipeline_epoch_shuffle" -> "pes", "pipeline_curriculum" -> "pcl",
     "pipeline_pack_incr" -> "ppi", "pipeline_mix_pack" -> "pmp",
     "pipeline_soft_dedup" -> "psd", "pipeline_fim_spans" -> "pfs",
-    "pipeline_curriculum_anneal" -> "pan",
+    "pipeline_curriculum_anneal" -> "pan", "pipeline_pack_export" -> "ppe",
     "pipeline_shard" -> "psh", "q1_agg" -> "q1", "q_anomaly" -> "ano",
     "q_anti_join" -> "ajo", "q_approx_agg" -> "axg", "q_array_agg" -> "arr",
     "q_asof_join" -> "aj", "q_asof_join_native" -> "ajn", "q_attribution" -> "att",

@@ -3868,6 +3868,44 @@ object SparkEntry {
         .orderBy(col("lang"), col("doc_id"), col("copy_id"))
     }),
 
+    // The pipeline's FINAL PRODUCT, content-certified: materialize
+    // the packed 128-token training blocks THEMSELVES (not just their
+    // offsets) — every doc's trained-BPE pieces plus a '</d>'
+    // end-of-doc sentinel land at their global stream positions
+    // (same +1 discipline as pipeline_pack_global, so the block
+    // boundaries are identical), and each block emits the md5 of its
+    // space-joined pieces: the write-the-training-data job, certified
+    // cross-engine without the driver ever seeing text (the
+    // dedup_segments discipline). At 100 TB this is inherently
+    // corpus-sized — ONE shuffle keyed by block_id with per-block
+    // in-memory sorts of <= 128 pieces (vs a global sort of the token
+    // stream); everything upstream is the certified offset machinery.
+    "pipeline_pack_export" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bpe = BpeOps.cachedTrain(s, s"$d/documents.parquet", docs,
+        col("text"), numMerges = 64)
+      val toks = docs.select(col("doc_id"),
+        concat(BpeOps.encode(col("text"), bpe),
+          array(lit("</d>"))).as("pieces"))
+      val manifest = toks.withColumn("n_tok",
+        size(col("pieces")).cast("long"))
+      ops.PackOps.withGlobalOffset(manifest, "doc_id", "n_tok",
+          "tok_start")
+        .select(col("tok_start"), posexplode(col("pieces")))
+        .withColumnRenamed("col", "piece")
+        .withColumn("gpos", col("tok_start") + col("pos"))
+        .withColumn("block_id",
+          ops.DedupOps.idiv(col("gpos"), lit(128L)))
+        .groupBy(col("block_id"))
+        .agg(count(lit(1)).as("n_pieces"),
+          md5(concat_ws(" ",
+            transform(
+              array_sort(collect_list(struct(col("gpos"),
+                col("piece")))),
+              x => x.getField("piece")))).as("block_md5"))
+        .orderBy(col("block_id"))
+    }),
+
     // Fill-in-the-middle span manifest (Bavarian et al. 2022): for
     // each document, a deterministic coin decides whether it trains
     // as FIM (rate 1/2), and two hash lanes pick the split points
@@ -4958,6 +4996,7 @@ object SparkEntry {
       ("pipeline_pack_global" -> packGlobalOracleSql) +
       ("pipeline_pack_blocks" -> packBlocksOracleSql) +
       ("pipeline_fim_spans" -> fimSpansOracleSql) +
+      ("pipeline_pack_export" -> packExportOracleSql) +
       ("pipeline_epoch_shuffle" -> epochShuffleOracleSql) +
       ("pipeline_pack_greedy" -> packGreedyOracleSql) +
       ("pipeline_pack_padding" -> packPaddingOracleSql) +
@@ -6328,6 +6367,68 @@ object SparkEntry {
       |    (tok_start + n_tok - 1) // 128 AS last_block,
       |    tok_start % 128 AS start_off
       |  FROM offs)""".stripMargin
+
+  /** Pack-export replay: the [[chunkBpeOracleSql]] per-doc ordered
+    * piece streams (merge recursion + in-doc flatten), the '</d>'
+    * sentinel appended per doc, the doc_id-order window cumsum for
+    * stream offsets, and each 128-token block's md5 over its
+    * space-joined pieces in stream order. Must reproduce every
+    * block hash or the content reconstruction diverged. */
+  private lazy val packExportOracleSql: String =
+    """WITH RECURSIVE words AS (
+      |  SELECT DISTINCT w FROM (
+      |    SELECT unnest(regexp_extract_all(text,
+      |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+')) AS w
+      |    FROM documents)),
+      |rec(w, syms) AS (
+      |  SELECT w, list_transform(range(1, length(w)+1), i -> w[i])
+      |  FROM words
+      |  UNION ALL
+      |  SELECT w, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:]
+      |  FROM (
+      |    SELECT w, syms, list_position(pr, list_min(pr)) AS bi,
+      |      list_min(pr) AS br
+      |    FROM (
+      |      SELECT w, syms,
+      |        list_transform(range(1, len(syms)), i ->
+      |          coalesce(({{BPE_RANK_MAP}}[syms[i] || ' ' ||
+      |            syms[i+1]])[1], 1000000)) AS pr
+      |      FROM rec WHERE len(syms) >= 2) t) u
+      |  WHERE br < 1000000),
+      |fin AS (
+      |  SELECT w, syms FROM (
+      |    SELECT w, syms,
+      |      row_number() OVER (PARTITION BY w ORDER BY len(syms)) AS rn
+      |    FROM rec) WHERE rn = 1),
+      |dw AS (
+      |  SELECT doc_id, regexp_extract_all(text,
+      |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+') AS ws
+      |  FROM documents),
+      |seq AS (
+      |  SELECT doc_id, unnest(range(1, len(ws)+1)) AS ord,
+      |    unnest(ws) AS w FROM dw),
+      |docseq AS (
+      |  SELECT s.doc_id, flatten(list(f.syms ORDER BY s.ord)) AS toks
+      |  FROM seq s JOIN fin f USING (w) GROUP BY s.doc_id),
+      |dtoks AS (
+      |  SELECT d.doc_id, coalesce(ds.toks, []) || ['</d>'] AS toks
+      |  FROM dw d LEFT JOIN docseq ds USING (doc_id)),
+      |offs AS (
+      |  SELECT doc_id, toks,
+      |    cast(coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS tok_start
+      |  FROM dtoks),
+      |pieces AS (
+      |  SELECT tok_start + g.i - 1 AS gpos, toks[g.i] AS piece
+      |  FROM offs, LATERAL unnest(generate_series(1, len(toks))) g(i)),
+      |blocks AS (
+      |  SELECT gpos // 128 AS block_id, count(*) AS n_pieces,
+      |    md5(string_agg(piece, ' ' ORDER BY gpos)) AS block_md5
+      |  FROM pieces GROUP BY gpos // 128)
+      |SELECT cast(block_id AS BIGINT) AS block_id,
+      |  cast(n_pieces AS BIGINT) AS n_pieces, block_md5
+      |FROM blocks ORDER BY block_id""".stripMargin
 
   /** FIM span-manifest replay: [[packCtes]]'s `alld` carries the
     * trained-BPE token count (+1 separator, subtracted back here —

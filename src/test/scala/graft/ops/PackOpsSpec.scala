@@ -372,4 +372,40 @@ class PackOpsSpec extends SparkSpec {
       byEpoch(1L).map(r => (r._2, r._3)).toMap,
       "epoch 1 shuffle equals the curriculum order")
   }
+
+  test("pipeline_pack_export == JVM block reconstruction from per-doc " +
+      "pieces, boundaries match pipeline_pack_global, at sf0.001") {
+    def md5hex(v: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(v.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val docs = graft.Tables.documents(spark, Sf0001)
+    val bpe = graft.ops.BpeOps.cachedTrain(spark,
+      s"$Sf0001/documents.parquet", docs, col("text"), numMerges = 64)
+    // independent reconstruction: per-doc pieces via the (separately
+    // gated) encode expression, packed sequentially in the JVM
+    val perDoc = docs
+      .select(col("doc_id"), graft.ops.BpeOps.encode(col("text"), bpe)
+        .as("pieces"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+      .sortBy(_._1)
+    val stream = perDoc.flatMap { case (_, ps) => ps :+ "</d>" }
+    val expected = stream.grouped(128).zipWithIndex.map {
+      case (blk, i) =>
+        (i.toLong, blk.length.toLong, md5hex(blk.mkString(" ")))
+    }.toSeq
+    val got = graft.SparkEntry
+      .queries("pipeline_pack_export")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == expected,
+      "exported blocks must reconstruct the sequential token stream")
+    // boundaries line up with the offsets-only manifest: same block
+    // count, interior blocks exactly full
+    val manifest = graft.SparkEntry
+      .queries("pipeline_pack_global")(spark, Sf0001).collect()
+    val total = manifest.map(_.getAs[Long]("n_tok")).sum
+    assert(got.length.toLong == (total + 127) / 128)
+    got.dropRight(1).foreach { case (b, n, _) =>
+      assert(n == 128L, s"interior block $b not full: $n") }
+  }
 }
