@@ -3940,6 +3940,125 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // T5/UL2 span-corruption manifest (Raffel et al. 2020): per
+    // document, corrupt 15% of the trained-BPE content tokens as
+    // n_spans = ceil(n_noise/3) non-overlapping noise spans (mean
+    // length ~3). Span LENGTHS are the deterministic balanced split
+    // (base = n_noise div n_spans, the remainder spread over the
+    // first spans in sorted order); span PLACEMENT is stars-and-bars
+    // via sorted uniform hash draws — n_spans draws over 0..n_keep
+    // from a nested-Knuth per-doc lane stream, sorted, become the
+    // keep-token gaps, so span k starts at draw_sorted(k) + the noise
+    // already placed (closed form: k·base + min(k, rem), no cumsum).
+    // Everything after the encode is integer/hash arithmetic plus ONE
+    // window partitioned by doc_id whose partitions are bounded by
+    // spans-per-doc (≤ n/20 + 1) — map-shaped at 100 TB. Docs whose
+    // 15% rounds to zero noise tokens emit no spans, by construction
+    // on both engines.
+    "pipeline_t5_spans" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bpe = BpeOps.cachedTrain(s, s"$d/documents.parquet", docs,
+        col("text"), numMerges = 64)
+      val lens = docs.select(col("doc_id"),
+        size(BpeOps.encode(col("text"), bpe)).cast("long").as("n_tok"))
+      val base = lens
+        .withColumn("n_noise",
+          ops.DedupOps.idiv(col("n_tok") * 15, lit(100L)))
+        .filter(col("n_noise") >= 1)
+        .withColumn("n_spans",
+          ops.DedupOps.idiv(col("n_noise") + 2, lit(3L)))
+        .withColumn("n_keep", col("n_tok") - col("n_noise"))
+      val lane = knuthHash(
+        knuthHash(col("doc_id") * 2 + 1) + col("draw_id"))
+      val drawn = base
+        .select(col("doc_id"), col("n_tok"), col("n_noise"),
+          col("n_spans"), col("n_keep"),
+          explode(sequence(lit(0L), col("n_spans") - 1)).as("draw_id"))
+        .withColumn("draw", pmod(lane, col("n_keep") + 1))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("draw"), col("draw_id"))
+      drawn
+        .withColumn("k", row_number().over(w).cast("long") - 1)
+        .withColumn("b", ops.DedupOps.idiv(col("n_noise"), col("n_spans")))
+        .withColumn("rem", pmod(col("n_noise"), col("n_spans")))
+        .select(col("doc_id"), col("n_tok"), col("n_noise"),
+          col("n_spans"), col("k").as("span_id"),
+          (col("draw") + col("k") * col("b") +
+            least(col("k"), col("rem"))).as("span_start"),
+          (col("b") + when(col("k") < col("rem"), lit(1L))
+            .otherwise(lit(0L))).as("span_len"))
+        .orderBy(col("doc_id"), col("span_id"))
+    }),
+
+    // Cluster-balanced diversity subsample (SemDedup/DSIR-style
+    // domain capping): assign every embedding to its trained IVF cell
+    // (map-side argmax over broadcast centroid literals), then keep at
+    // most 16 per cell by deterministic hash rank — the cap that stops
+    // one over-represented domain from flooding a training mix. The
+    // per-cell top-k runs through the bounded TopK Aggregator, so each
+    // partition ships at most k candidates per cell to the merge (an
+    // O(partitions × k) shuffle; a window would move every row of the
+    // hottest cluster to one task — the exact skew this query exists
+    // to manage).
+    "pipeline_cluster_balance" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val model = ops.AnnOps.cachedIvf(s, s"$d/embeddings.parquet", emb,
+        "vec_id", "embedding", nlist = 8)
+      val asg = ops.AnnOps.assignCells(emb, "vec_id", "embedding", model)
+      import s.implicits._
+      val sizes = asg.groupBy(col("cid"))
+        .agg(count(lit(1)).as("cl_size"))
+      // score = -hash: TopK keeps highest-score-first == lowest hash,
+      // ties (hash collisions) broken by lowest vec_id — the same
+      // (hash, id) lexicographic rank the oracle's window replays.
+      // Hashes are < 2^32, exact as Doubles.
+      val scored = asg.select(col("cid"),
+          (lit(0L) - knuthHash(col("vec_id"))).cast("double").as("score"),
+          col("vec_id")).as[(Int, Double, Long)]
+      val topk = new graft.functions.Aggregators.TopK(16)
+      scored.groupByKey(_._1).mapValues(r => (r._2, r._3))
+        .agg(topk.toColumn.name("topk")).toDF("cid", "topk")
+        .select(col("cid"), posexplode(col("topk")))
+        .select(col("cid"), (col("pos") + 1).cast("bigint").as("rank"),
+          col("col._2").as("vec_id"))
+        .join(sizes, Seq("cid"))
+        .select(col("cid").cast("bigint").as("cid"), col("vec_id"),
+          col("rank"), col("cl_size"))
+        .orderBy(col("cid"), col("rank"))
+    }),
+
+    // Vocabulary-pruning decision table: for each trained-BPE merge
+    // rule, its piece's FINAL-PIECE frequency in the encoded corpus
+    // and whether the rule survives the prune (kept iff the piece
+    // carries ≥ 0.1% of all encoded tokens — merges whose outputs are
+    // consumed by later merges or back rare words waste vocab slots a
+    // production tokenizer reclaims). One corpus scan: encode +
+    // explode + map-side-combine count collapses to the piece
+    // vocabulary (bounded by merges + alphabet, KB-sized), everything
+    // after is broadcast-joined. The oracle re-derives every
+    // frequency from the raw corpus via the merge-table replay and
+    // re-applies the threshold.
+    "text_vocab_prune" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bpe = BpeOps.cachedTrain(s, s"$d/documents.parquet", docs,
+        col("text"), numMerges = 64)
+      import s.implicits._
+      val freqs = docs
+        .select(explode(BpeOps.encode(col("text"), bpe)).as("piece"))
+        .groupBy(col("piece")).agg(count(lit(1)).as("freq"))
+      val total = freqs.agg(sum(col("freq")).as("total"))
+      val merges = bpe.lefts.zip(bpe.rights).zipWithIndex
+        .map { case ((l, r), i) => (i.toLong, l + r) }.toSeq
+        .toDF("rank", "piece")
+      merges.join(broadcast(freqs), Seq("piece"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("rank"), col("piece"),
+          coalesce(col("freq"), lit(0L)).as("freq"),
+          (coalesce(col("freq"), lit(0L)) * 1000 >= col("total"))
+            .as("kept"))
+        .orderBy(col("rank"))
+    }),
+
     // Document-boundary-respecting packing (sample packing / no
     // cross-document attention): next-fit the trained-BPE token
     // counts into 128-token blocks where documents stay whole —
@@ -4996,6 +5115,9 @@ object SparkEntry {
       ("pipeline_pack_global" -> packGlobalOracleSql) +
       ("pipeline_pack_blocks" -> packBlocksOracleSql) +
       ("pipeline_fim_spans" -> fimSpansOracleSql) +
+      ("pipeline_t5_spans" -> t5SpansOracleSql) +
+      ("pipeline_cluster_balance" -> clusterBalanceOracleSql) +
+      ("text_vocab_prune" -> vocabPruneOracleSql) +
       ("pipeline_pack_export" -> packExportOracleSql) +
       ("pipeline_epoch_shuffle" -> epochShuffleOracleSql) +
       ("pipeline_pack_greedy" -> packGreedyOracleSql) +
@@ -6461,6 +6583,130 @@ object SparkEntry {
        |    AS suffix_len
        |FROM sp ORDER BY doc_id""".stripMargin
   }
+
+  /** T5 span-corruption replay: [[packCtes]]'s trained-BPE token
+    * counts (−1 sentinel), the integer noise/span-count arithmetic,
+    * the nested-Knuth draw lanes, and the stars-and-bars placement —
+    * the sort of the per-doc draws is a window row_number, the noise
+    * prefix is the closed form k·base + min(k, rem). Verbatim mirror
+    * of the Spark arithmetic; `//` and `%` operate on non-negative
+    * operands throughout, so they agree with `idiv`/`pmod` exactly. */
+  private lazy val t5SpansOracleSql: String = {
+    val inner = knuthHashSql("(doc_id * 2 + 1)")
+    val lane = knuthHashSql(s"($inner + draw_id)")
+    s"""WITH RECURSIVE $packCtes,
+       |m AS (SELECT doc_id, n_tok - 1 AS n FROM alld),
+       |b0 AS (SELECT doc_id, n, (n * 15) // 100 AS n_noise FROM m),
+       |b1 AS (
+       |  SELECT doc_id, n, n_noise, (n_noise + 2) // 3 AS n_spans,
+       |    n - n_noise AS n_keep
+       |  FROM b0 WHERE n_noise >= 1),
+       |dr AS (
+       |  SELECT doc_id, n, n_noise, n_spans, n_keep,
+       |    unnest(range(0, n_spans)) AS draw_id
+       |  FROM b1),
+       |d2 AS (SELECT *, $lane % (n_keep + 1) AS draw FROM dr),
+       |d3 AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY draw, draw_id) - 1 AS k
+       |  FROM d2)
+       |SELECT doc_id, cast(n AS BIGINT) AS n_tok,
+       |  cast(n_noise AS BIGINT) AS n_noise,
+       |  cast(n_spans AS BIGINT) AS n_spans,
+       |  cast(k AS BIGINT) AS span_id,
+       |  cast(draw + k * (n_noise // n_spans)
+       |    + least(k, n_noise % n_spans) AS BIGINT) AS span_start,
+       |  cast(n_noise // n_spans
+       |    + CASE WHEN k < n_noise % n_spans THEN 1 ELSE 0 END
+       |    AS BIGINT) AS span_len
+       |FROM d3 ORDER BY doc_id, span_id""".stripMargin
+  }
+
+  /** Cluster-balance replay: the embedded IVF centroids
+    * ({{IVF_Cn}}, same literals as [[ivfOracleSql]]) re-derive every
+    * cell assignment (first-max argmax as (sim DESC, cid)
+    * row_number), then the per-cell keep set is the (knuthHash,
+    * vec_id) lexicographic top-16 — the window form of the bounded
+    * TopK aggregate the Spark side uses. */
+  private lazy val clusterBalanceOracleSql: String = {
+    val centroidRows = (0 until 8)
+      .map(i => s"($i, {{IVF_C${i + 1}}})").mkString(",\n    ")
+    s"""WITH c AS (SELECT * FROM (VALUES
+       |    $centroidRows) AS t(cid, cvec)),
+       |e AS (SELECT vec_id, cast(embedding as DOUBLE[]) AS v
+       |      FROM embeddings),
+       |asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v,
+       |          cast(c.cvec as DOUBLE[])) DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN c) WHERE rn = 1),
+       |sz AS (SELECT cid, count(*) AS cl_size FROM asg GROUP BY cid),
+       |rk AS (
+       |  SELECT cid, vec_id,
+       |    row_number() OVER (PARTITION BY cid
+       |      ORDER BY ${knuthHashSql("vec_id")}, vec_id) AS rank
+       |  FROM asg)
+       |SELECT cast(rk.cid AS BIGINT) AS cid, rk.vec_id,
+       |  cast(rank AS BIGINT) AS rank, cast(cl_size AS BIGINT) AS cl_size
+       |FROM rk JOIN sz USING (cid) WHERE rank <= 16
+       |ORDER BY cid, rank""".stripMargin
+  }
+
+  /** Vocab-prune replay: the merge recursion re-encodes every word
+    * type ([[packExportOracleSql]]'s chain, syms kept), piece
+    * frequencies re-assemble by word multiplicity from the raw
+    * corpus, and the merge rows themselves come from the SAME
+    * embedded rank map the recursion merges with (piece = the key
+    * with its single separator space removed — pre-tokenizer classes
+    * exclude whitespace, so left/right can never contain one). The
+    * 0.1% keep threshold replays as pure integer arithmetic. */
+  private lazy val vocabPruneOracleSql: String =
+    """WITH RECURSIVE words AS (
+      |  SELECT DISTINCT w FROM (
+      |    SELECT unnest(regexp_extract_all(text,
+      |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+')) AS w
+      |    FROM documents)),
+      |rec(w, syms) AS (
+      |  SELECT w, list_transform(range(1, length(w)+1), i -> w[i])
+      |  FROM words
+      |  UNION ALL
+      |  SELECT w, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:]
+      |  FROM (
+      |    SELECT w, syms, list_position(pr, list_min(pr)) AS bi,
+      |      list_min(pr) AS br
+      |    FROM (
+      |      SELECT w, syms,
+      |        list_transform(range(1, len(syms)), i ->
+      |          coalesce(({{BPE_RANK_MAP}}[syms[i] || ' ' ||
+      |            syms[i+1]])[1], 1000000)) AS pr
+      |      FROM rec WHERE len(syms) >= 2) t) u
+      |  WHERE br < 1000000),
+      |fin AS (
+      |  SELECT w, syms FROM (
+      |    SELECT w, syms,
+      |      row_number() OVER (PARTITION BY w ORDER BY len(syms)) AS rn
+      |    FROM rec) WHERE rn = 1),
+      |seqw AS (
+      |  SELECT unnest(regexp_extract_all(text,
+      |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+')) AS w
+      |  FROM documents),
+      |wc AS (SELECT w, count(*) AS n FROM seqw GROUP BY w),
+      |pf AS (
+      |  SELECT u.p AS piece, sum(wc.n) AS freq
+      |  FROM fin f JOIN wc USING (w), LATERAL unnest(f.syms) u(p)
+      |  GROUP BY u.p),
+      |tot AS (SELECT sum(freq) AS total FROM pf),
+      |mg AS (
+      |  SELECT cast(e.value AS BIGINT) AS rank,
+      |    replace(e.key, ' ', '') AS piece
+      |  FROM (SELECT unnest(map_entries({{BPE_RANK_MAP}})) AS e))
+      |SELECT mg.rank, mg.piece,
+      |  cast(coalesce(pf.freq, 0) AS BIGINT) AS freq,
+      |  (coalesce(pf.freq, 0) * 1000 >= tot.total) AS kept
+      |FROM mg LEFT JOIN pf USING (piece) CROSS JOIN tot
+      |ORDER BY mg.rank""".stripMargin
 
   /** DuckDB replay of the global packing manifest: trained-BPE token
     * counts from the raw corpus ([[packCtes]]) + window cumsum +

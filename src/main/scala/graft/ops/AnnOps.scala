@@ -399,6 +399,16 @@ object AnnOps {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** (id, cid) cell assignment under a trained IVF model — the same
+    * first-max argmax every probe path uses, exposed for corpus-level
+    * cluster operations (balanced sampling, per-domain statistics).
+    * Map-side at any scale: the nlist × d centroids ride as literals
+    * inside one codegen'd projection, nothing shuffles. */
+  def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+      model: IvfModel): DataFrame =
+    corpus.select(col(idCol),
+      nearestCentroid(col(vecCol), model).as("cid"))
+
   /** IVF-probed approximate top-k: each query scans only the vectors
     * assigned to its `nprobe` nearest centroids — candidate volume is
     * corpus/nlist × nprobe on average, which is what survives a 100-TB
