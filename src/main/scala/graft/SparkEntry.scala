@@ -3990,6 +3990,76 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("span_id"))
     }),
 
+    // UL2 mixture-of-denoisers manifest (Tay et al. 2022): each doc
+    // draws ONE denoiser class by hash lane — R (regular span
+    // corruption: rate 15%, mean span 3; probability 1/2), S
+    // (sequential / prefix-LM: one split point, the suffix is the
+    // target; 1/4), X (extreme: rate 50%, mean span 32; 1/4) — and
+    // emits its class's span rows. R and X share the pipeline_t5_spans
+    // stars-and-bars construction with the (rate, mean, lane-salt)
+    // parameters riding as columns, so ONE code path serves both; S is
+    // a single hash-lane split (a zero-length suffix is a legal empty
+    // target). Same physical shape as t5_spans: map-side integer/hash
+    // arithmetic + one doc-bounded window.
+    "pipeline_ul2_spans" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bpe = BpeOps.cachedTrain(s, s"$d/documents.parquet", docs,
+        col("text"), numMerges = 64)
+      val lens = docs.select(col("doc_id"),
+          size(BpeOps.encode(col("text"), bpe)).cast("long").as("n"))
+        .filter(col("n") >= 1)
+        // class draw from the hash's TOP two bits (div 2^30): the low
+        // bits of a multiplicative hash of a fixed-stride input are
+        // constant (8·doc+7 ≡ 3 mod 4, multiplier ≡ 1 mod 4 ⇒
+        // hash ≡ 3 mod 4 for every doc) — `% 4` would put the whole
+        // corpus in one class
+        .withColumn("dcode", ops.DedupOps.idiv(
+          knuthHash(col("doc_id") * 8 + 7), lit(1073741824L)))
+      val sBranch = lens.filter(col("dcode") === 2)
+        .withColumn("u", pmod(knuthHash(col("doc_id") * 8 + 6),
+          col("n") + 1))
+        .select(col("doc_id"), lit("S").as("denoiser"),
+          col("n").as("n_tok"), (col("n") - col("u")).as("n_noise"),
+          lit(1L).as("n_spans"), lit(0L).as("span_id"),
+          col("u").as("span_start"), (col("n") - col("u")).as("span_len"))
+      val rxLane = knuthHash(
+        knuthHash(col("doc_id") * 8 + col("salt")) + col("draw_id"))
+      val rxBase = lens.filter(col("dcode") =!= 2)
+        .withColumn("denoiser",
+          when(col("dcode") <= 1, lit("R")).otherwise(lit("X")))
+        .withColumn("rate",
+          when(col("dcode") <= 1, lit(15L)).otherwise(lit(50L)))
+        .withColumn("mean",
+          when(col("dcode") <= 1, lit(3L)).otherwise(lit(32L)))
+        .withColumn("salt",
+          when(col("dcode") <= 1, lit(3L)).otherwise(lit(5L)))
+        .withColumn("n_noise",
+          ops.DedupOps.idiv(col("n") * col("rate"), lit(100L)))
+        .filter(col("n_noise") >= 1)
+        .withColumn("n_spans",
+          ops.DedupOps.idiv(col("n_noise") + col("mean") - 1, col("mean")))
+        .withColumn("n_keep", col("n") - col("n_noise"))
+      val drawn = rxBase
+        .select(col("doc_id"), col("denoiser"), col("n"), col("salt"),
+          col("n_noise"), col("n_spans"), col("n_keep"),
+          explode(sequence(lit(0L), col("n_spans") - 1)).as("draw_id"))
+        .withColumn("draw", pmod(rxLane, col("n_keep") + 1))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("draw"), col("draw_id"))
+      val rxBranch = drawn
+        .withColumn("k", row_number().over(w).cast("long") - 1)
+        .withColumn("b", ops.DedupOps.idiv(col("n_noise"), col("n_spans")))
+        .withColumn("rem", pmod(col("n_noise"), col("n_spans")))
+        .select(col("doc_id"), col("denoiser"), col("n").as("n_tok"),
+          col("n_noise"), col("n_spans"), col("k").as("span_id"),
+          (col("draw") + col("k") * col("b") +
+            least(col("k"), col("rem"))).as("span_start"),
+          (col("b") + when(col("k") < col("rem"), lit(1L))
+            .otherwise(lit(0L))).as("span_len"))
+      rxBranch.unionByName(sBranch)
+        .orderBy(col("doc_id"), col("span_id"))
+    }),
+
     // Cluster-balanced diversity subsample (SemDedup/DSIR-style
     // domain capping): assign every embedding to its trained IVF cell
     // (map-side argmax over broadcast centroid literals), then keep at
@@ -5116,6 +5186,7 @@ object SparkEntry {
       ("pipeline_pack_blocks" -> packBlocksOracleSql) +
       ("pipeline_fim_spans" -> fimSpansOracleSql) +
       ("pipeline_t5_spans" -> t5SpansOracleSql) +
+      ("pipeline_ul2_spans" -> ul2SpansOracleSql) +
       ("pipeline_cluster_balance" -> clusterBalanceOracleSql) +
       ("text_vocab_prune" -> vocabPruneOracleSql) +
       ("pipeline_pack_export" -> packExportOracleSql) +
@@ -6620,6 +6691,64 @@ object SparkEntry {
        |    + CASE WHEN k < n_noise % n_spans THEN 1 ELSE 0 END
        |    AS BIGINT) AS span_len
        |FROM d3 ORDER BY doc_id, span_id""".stripMargin
+  }
+
+  /** UL2 manifest replay: denoiser assignment, the S split lane, and
+    * the R/X stars-and-bars construction with per-class parameters as
+    * CASE columns — verbatim [[t5SpansOracleSql]] arithmetic, the
+    * lane salted per class exactly as the Spark columns are. */
+  private lazy val ul2SpansOracleSql: String = {
+    val den = knuthHashSql("(doc_id * 8 + 7)")
+    val sLane = knuthHashSql("(doc_id * 8 + 6)")
+    val rxLane = knuthHashSql(
+      s"(${knuthHashSql("(doc_id * 8 + salt)")} + draw_id)")
+    s"""WITH RECURSIVE $packCtes,
+       |m AS (SELECT doc_id, n_tok - 1 AS n FROM alld
+       |      WHERE n_tok - 1 >= 1),
+       |dn AS (SELECT doc_id, n, $den // 1073741824 AS dcode FROM m),
+       |sb AS (
+       |  SELECT doc_id, 'S' AS denoiser, n AS n_tok,
+       |    n - u AS n_noise, cast(1 AS BIGINT) AS n_spans,
+       |    cast(0 AS BIGINT) AS span_id, u AS span_start,
+       |    n - u AS span_len
+       |  FROM (SELECT doc_id, n, $sLane % (n + 1) AS u
+       |        FROM dn WHERE dcode = 2)),
+       |rxb AS (
+       |  SELECT doc_id, n,
+       |    CASE WHEN dcode <= 1 THEN 'R' ELSE 'X' END AS denoiser,
+       |    CASE WHEN dcode <= 1 THEN (n * 15) // 100
+       |         ELSE (n * 50) // 100 END AS n_noise,
+       |    CASE WHEN dcode <= 1 THEN 3 ELSE 32 END AS mean,
+       |    CASE WHEN dcode <= 1 THEN 3 ELSE 5 END AS salt
+       |  FROM dn WHERE dcode != 2),
+       |rx1 AS (
+       |  SELECT *, (n_noise + mean - 1) // mean AS n_spans,
+       |    n - n_noise AS n_keep
+       |  FROM rxb WHERE n_noise >= 1),
+       |dr AS (
+       |  SELECT *, unnest(range(0, n_spans)) AS draw_id FROM rx1),
+       |d2 AS (SELECT *, $rxLane % (n_keep + 1) AS draw FROM dr),
+       |d3 AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY draw, draw_id) - 1 AS k
+       |  FROM d2),
+       |rxo AS (
+       |  SELECT doc_id, denoiser, n AS n_tok, n_noise, n_spans,
+       |    k AS span_id,
+       |    draw + k * (n_noise // n_spans)
+       |      + least(k, n_noise % n_spans) AS span_start,
+       |    n_noise // n_spans
+       |      + CASE WHEN k < n_noise % n_spans THEN 1 ELSE 0 END
+       |      AS span_len
+       |  FROM d3),
+       |uni AS (SELECT * FROM rxo UNION ALL SELECT * FROM sb)
+       |SELECT doc_id, denoiser, cast(n_tok AS BIGINT) AS n_tok,
+       |  cast(n_noise AS BIGINT) AS n_noise,
+       |  cast(n_spans AS BIGINT) AS n_spans,
+       |  cast(span_id AS BIGINT) AS span_id,
+       |  cast(span_start AS BIGINT) AS span_start,
+       |  cast(span_len AS BIGINT) AS span_len
+       |FROM uni ORDER BY doc_id, span_id""".stripMargin
   }
 
   /** Cluster-balance replay: the embedded IVF centroids

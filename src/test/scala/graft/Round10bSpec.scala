@@ -73,6 +73,52 @@ class Round10bSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("pipeline_ul2_spans: JVM replay of class assignment + all three " +
+      "denoiser constructions is exact") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val bpe = BpeOps.cachedTrain(spark, s"$Sf0001/documents.parquet",
+      docs, col("text"), numMerges = 64)
+    val nTok = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        BpeOps.encodeString(r.getString(1), bpe).size.toLong).toMap
+    val expected = nTok.toSeq.filter(_._2 >= 1).flatMap { case (doc, n) =>
+      val dcode = kh(doc * 8 + 7) / 1073741824L
+      if (dcode == 2) {
+        val u = kh(doc * 8 + 6) % (n + 1)
+        Seq((doc, "S", n, n - u, 1L, 0L, u, n - u))
+      } else {
+        val (rate, mean, salt) =
+          if (dcode <= 1) (15L, 3L, 3L) else (50L, 32L, 5L)
+        val den = if (dcode <= 1) "R" else "X"
+        val noise = n * rate / 100
+        if (noise < 1) Seq.empty
+        else {
+          val nSpans = (noise + mean - 1) / mean
+          val keep = n - noise
+          val inner = kh(doc * 8 + salt)
+          val draws = (0L until nSpans)
+            .map(k => (kh(inner + k) % (keep + 1), k)).sorted
+          val (base, rem) = (noise / nSpans, noise % nSpans)
+          draws.zipWithIndex.map { case ((draw, _), k) =>
+            (doc, den, n, noise, nSpans, k.toLong,
+              draw + k * base + math.min(k, rem),
+              base + (if (k < rem) 1L else 0L))
+          }
+        }
+      }
+    }.toSet
+    val got = SparkEntry.queries("pipeline_ul2_spans")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toSet
+    assert(got == expected)
+    // the mixture is actually mixed on this corpus
+    val classes = got.map(_._2)
+    assert(classes == Set("R", "S", "X"),
+      s"denoiser mixture degenerate: $classes")
+  }
+
   test("pipeline_cluster_balance: TopK path == window-rank recompute, " +
       "caps accounted") {
     val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
