@@ -2204,6 +2204,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Span-level decontamination: EXCISE the eval-overlapping 8-token
+    // spans from each corpus document and keep the rest — the
+    // surgical alternative to pipeline_decontaminate's whole-doc
+    // verdicts (drop a leaked benchmark string, not the document).
+    // Same split as the other decon queries (doc_id % 50 == 0 is the
+    // eval release); the eval side broadcasts as distinct 64-bit gram
+    // hashes, the corpus is read once, and the oracle recounts the
+    // gram STRINGS so a hash collision can never silently excise the
+    // wrong span. See DedupOps.evalSpanExcise.
+    "pipeline_decon_excise" -> ((s, d) => {
+      val all = t(s, d, "documents")
+      ops.DedupOps.evalSpanExcise(
+        all.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        all.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "doc_id", "text", minLen = 8)
+    }),
+
     // Decontamination behind a BLOOM-GATED first stage: the eval set's
     // shingle hashes compress to a broadcast bloom filter, the corpus
     // gram stream is pruned map-side inside codegen (no false
@@ -10363,6 +10380,45 @@ object SparkEntry {
         |cov AS (
         |  SELECT DISTINCT doc_id, pos + j AS idx
         |  FROM pos JOIN dup USING (gram),
+        |       LATERAL unnest(generate_series(0, 7)) AS u(j)),
+        |keep AS (
+        |  SELECT toks.doc_id, w[i] AS tok, i
+        |  FROM toks, LATERAL unnest(generate_series(1, len(w))) AS t(i)
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov
+        |                    WHERE cov.doc_id = toks.doc_id
+        |                      AND cov.idx = i - 1)),
+        |clean AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ctext
+        |  FROM keep GROUP BY doc_id),
+        |ncov AS (
+        |  SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+        |SELECT toks.doc_id, cast(len(w) as bigint) AS n_tokens,
+        |  cast(coalesce(ncov.n_removed, 0) as bigint) AS n_removed,
+        |  md5(coalesce(clean.ctext, '')) AS clean_md5
+        |FROM toks
+        |LEFT JOIN ncov ON toks.doc_id = ncov.doc_id
+        |LEFT JOIN clean ON toks.doc_id = clean.doc_id
+        |ORDER BY toks.doc_id""".stripMargin,
+
+    // the span-excision mirror with the covered set sourced from the
+    // EVAL release's gram strings instead of a corpus self-count
+    "pipeline_decon_excise" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE doc_id % 50 != 0),
+        |ev AS (
+        |  SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS gram
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents
+        |        WHERE doc_id % 50 = 0) e,
+        |       LATERAL unnest(generate_series(1, len(w) - 7)) AS t(i)
+        |  WHERE len(w) >= 8),
+        |pos AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS gram
+        |  FROM toks, LATERAL unnest(generate_series(1, len(w) - 7)) AS t(i)
+        |  WHERE len(w) >= 8),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + j AS idx
+        |  FROM pos JOIN ev USING (gram),
         |       LATERAL unnest(generate_series(0, 7)) AS u(j)),
         |keep AS (
         |  SELECT toks.doc_id, w[i] AS tok, i

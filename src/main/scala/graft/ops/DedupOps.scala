@@ -908,6 +908,55 @@ object DedupOps {
       .orderBy(col(idCol))
   }
 
+  /** Span-level DECONTAMINATION (the excise counterpart of
+    * [[evalOverlap]]'s doc-level verdicts): remove from each corpus
+    * document exactly the token positions covered by some
+    * minLen-token window that also occurs in the EVAL set, keeping
+    * the rest of the document — the surgical alternative to dropping
+    * a whole doc for one leaked benchmark string. Same interval
+    * algebra as [[spanExcise]] (a contaminated span of s ≥ L tokens
+    * is the union of its s−L+1 contaminated L-windows), but the
+    * covered set comes from a broadcast of the eval side's distinct
+    * window hashes instead of a corpus self-count.
+    *
+    * Returns (idCol, n_tokens, n_removed, clean_md5) per corpus doc.
+    *
+    * Scale shape (100 TB): the eval side is tiny and broadcasts as
+    * 64-bit hashes; the corpus is read once, its gram stream joins
+    * map-side, and only contaminated docs reach the covered-index
+    * aggregation. Callers' oracles count the gram STRINGS, so an
+    * xxhash64 collision surfaces as a hash mismatch, never a silent
+    * wrong excision. */
+  def evalSpanExcise(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, minLen: Int = 8): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= minLen)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("w")) - minLen),
+        i => xxhash64(array_join(
+          slice(col("w"), i + lit(1), lit(minLen)), " ")))))
+      .toDF(idCol, "pos", "gh")
+    val evalGrams = grams(evalSet).select(col("gh")).distinct()
+    val covered = grams(corpus).join(broadcast(evalGrams), "gh")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(minLen - 1)))
+          .as("idx"))
+      .distinct()
+      .groupBy(col(idCol))
+      .agg(collect_set(col("idx")).as("cov"))
+    corpus.select(col(idCol), split(col(textCol), " ").as("w"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("w")).cast("long").as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+        md5(array_join(filter(col("w"),
+          (_, i) => !array_contains(
+            coalesce(col("cov"), array().cast("array<int>")), i)),
+          " ")).as("clean_md5"))
+      .orderBy(col(idCol))
+  }
+
   /** Shared front of the span family: tokenized docs plus the DISTINCT
     * (id, idx) token positions covered by some duplicated minLen-token
     * window. The counting shuffle moves xxhash64 longs; only documents

@@ -146,6 +146,38 @@ class Round10bSpec extends SparkSpec {
     assert(got.map(_._2).size == got.size, "duplicate vec_id kept")
   }
 
+  test("pipeline_decon_excise: driver string-gram recompute matches " +
+      "every excision") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val all = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val (ev, corpus) = all.partition(_._1 % 50 == 0)
+    def grams(text: String): Seq[(Int, String)] = {
+      val w = text.split(" ", -1)
+      if (w.length < 8) Seq.empty
+      else (0 to w.length - 8).map(i => i -> w.slice(i, i + 8).mkString(" "))
+    }
+    val evalGrams = ev.flatMap(d => grams(d._2)).map(_._2).toSet
+    val expected = corpus.map { case (doc, text) =>
+      val w = text.split(" ", -1)
+      val cov = grams(text).filter(g => evalGrams(g._2))
+        .flatMap(g => g._1 until g._1 + 8).toSet
+      val clean = w.zipWithIndex.collect {
+        case (t, i) if !cov(i) => t }.mkString(" ")
+      (doc, w.length.toLong, cov.size.toLong, md5hex(clean))
+    }.toSet
+    val got = SparkEntry.queries("pipeline_decon_excise")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == expected)
+    assert(got.exists(_._3 > 0), "no contaminated doc — degenerate gate")
+    assert(got.exists(_._3 == 0), "every doc contaminated — degenerate")
+  }
+
   test("text_vocab_prune: driver re-encode recounts every frequency, " +
       "threshold replays") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
