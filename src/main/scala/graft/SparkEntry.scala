@@ -2204,6 +2204,63 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The per-source DATA CARD — the release report a corpus ships
+    // with, composing five already-certified machineries into one
+    // table: docs and trained-BPE token counts, language breadth,
+    // exact-duplicate membership (md5, counted corpus-wide),
+    // eval-contamination verdicts (the pipeline_decontaminate rule),
+    // and trained-quality-classifier pass counts. Every column is an
+    // integer count, so the composition stays hash-exact. Scale
+    // shape: one corpus scan per component — md5 dup counting
+    // shuffles 16-byte hashes, the gram join broadcasts the eval
+    // side, the classifier scores map-side with broadcast
+    // coefficients, and everything meets at a sources-sized join.
+    "pipeline_data_card" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bpe = BpeOps.cachedTrain(s, s"$d/documents.parquet", docs,
+        col("text"), numMerges = 64)
+      val base = docs.select(col("doc_id"), col("source"), col("lang"),
+        size(BpeOps.encode(col("text"), bpe)).cast("long").as("n_tok"),
+        md5(col("text")).as("h"))
+      val perSrc = base.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      val dups = base.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("h"))
+      val dupSrc = base.join(dups, Seq("h"), "leftsemi")
+        .groupBy(col("source")).agg(count(lit(1)).as("exact_dup_docs"))
+      val srcOf = docs.select(col("doc_id"), col("source"))
+      val cont = ops.DedupOps.evalOverlap(
+          docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+          "doc_id", "text")
+        .filter(col("contaminated"))
+        .join(srcOf, Seq("doc_id"))
+        .groupBy(col("source")).agg(count(lit(1)).as("contaminated_docs"))
+      val feats = ops.QualityClassifierOps.featurize(docs, col("text"))
+        .localCheckpoint()
+      val beta = ops.QualityClassifierOps.cachedTrain(s,
+        s"$d/documents.parquet", feats)
+      val clfSrc = feats
+        .withColumn("clf_pass",
+          (round(ops.QualityClassifierOps.score(beta), 6) >= 0.5)
+            .cast("long"))
+        .join(srcOf, Seq("doc_id"))
+        .groupBy(col("source")).agg(sum(col("clf_pass")).as("clf_pass_docs"))
+      perSrc
+        .join(dupSrc, Seq("source"), "left")
+        .join(cont, Seq("source"), "left")
+        .join(clfSrc, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_langs"),
+          coalesce(col("exact_dup_docs"), lit(0L)).as("exact_dup_docs"),
+          coalesce(col("contaminated_docs"), lit(0L))
+            .as("contaminated_docs"),
+          coalesce(col("clf_pass_docs"), lit(0L)).as("clf_pass_docs"))
+        .orderBy(col("source"))
+    }),
+
     // Span-level decontamination: EXCISE the eval-overlapping 8-token
     // spans from each corpus document and keep the rest — the
     // surgical alternative to pipeline_decontaminate's whole-doc
@@ -5204,6 +5261,7 @@ object SparkEntry {
       ("pipeline_fim_spans" -> fimSpansOracleSql) +
       ("pipeline_t5_spans" -> t5SpansOracleSql) +
       ("pipeline_ul2_spans" -> ul2SpansOracleSql) +
+      ("pipeline_data_card" -> dataCardOracleSql) +
       ("pipeline_cluster_balance" -> clusterBalanceOracleSql) +
       ("text_vocab_prune" -> vocabPruneOracleSql) +
       ("pipeline_pack_export" -> packExportOracleSql) +
@@ -6767,6 +6825,78 @@ object SparkEntry {
        |  cast(span_len AS BIGINT) AS span_len
        |FROM uni ORDER BY doc_id, span_id""".stripMargin
   }
+
+  /** Data-card replay: per-source integer counts re-derived end to
+    * end — trained-BPE token totals via [[packCtes]]'s merge replay
+    * (−1 sentinel per doc), exact-dup membership via DuckDB's own
+    * md5, contamination via [[deconOracleSql]]'s raw-gram rule, and
+    * classifier passes via [[qcFeatureCtes]] + the embedded IRLS
+    * coefficients. CTE namespaces are disjoint by construction
+    * (packCtes: words/rec/fin/dw/seq/dtok/alld/offs/spans;
+    * qcFeatureCtes: m/f). */
+  private lazy val dataCardOracleSql: String =
+    s"""WITH RECURSIVE $packCtes,
+       |$qcFeatureCtes,
+       |srcd AS (SELECT doc_id, source, lang FROM documents),
+       |tokc AS (
+       |  SELECT s.source, sum(a.n_tok - 1) AS n_tokens
+       |  FROM alld a JOIN srcd s USING (doc_id) GROUP BY s.source),
+       |basec AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    count(DISTINCT lang) AS n_langs
+       |  FROM srcd GROUP BY source),
+       |dh AS (SELECT doc_id, md5(text) AS h FROM documents),
+       |dupset AS (SELECT h FROM dh GROUP BY h HAVING count(*) >= 2),
+       |dupc AS (
+       |  SELECT s.source, count(*) AS exact_dup_docs
+       |  FROM dh JOIN dupset USING (h) JOIN srcd s USING (doc_id)
+       |  GROUP BY s.source),
+       |ldocs AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w
+       |  FROM documents),
+       |cg AS (
+       |  SELECT DISTINCT doc_id,
+       |    CASE WHEN len(w) <= 3 THEN array_to_string(w, ' ')
+       |         ELSE array_to_string(w[i:i+2], ' ') END AS gram
+       |  FROM (SELECT * FROM ldocs WHERE doc_id % 50 <> 0) d,
+       |       LATERAL unnest(generate_series(1, greatest(len(w) - 2, 1)))
+       |         AS t(i)),
+       |eg AS (
+       |  SELECT DISTINCT
+       |    CASE WHEN len(w) <= 3 THEN array_to_string(w, ' ')
+       |         ELSE array_to_string(w[i:i+2], ' ') END AS gram
+       |  FROM (SELECT * FROM ldocs WHERE doc_id % 50 = 0) d,
+       |       LATERAL unnest(generate_series(1, greatest(len(w) - 2, 1)))
+       |         AS t(i)),
+       |ov AS (SELECT doc_id, count(*) AS n_overlap
+       |       FROM cg JOIN eg USING (gram) GROUP BY doc_id),
+       |contc AS (
+       |  SELECT s.source, count(*) AS contaminated_docs
+       |  FROM ov JOIN srcd s USING (doc_id)
+       |  WHERE ov.n_overlap >= 2 GROUP BY s.source),
+       |clf AS (
+       |  SELECT doc_id,
+       |    CASE WHEN round(1.0 / (1.0 + exp(-(
+       |      f0*({{QC_B0}}) + f1*({{QC_B1}}) + f2*({{QC_B2}})
+       |      + f3*({{QC_B3}}) + f4*({{QC_B4}}) + f5*({{QC_B5}})))), 6)
+       |      >= 0.5 THEN 1 ELSE 0 END AS p
+       |  FROM f),
+       |clfc AS (
+       |  SELECT s.source, sum(p) AS clf_pass_docs
+       |  FROM clf JOIN srcd s USING (doc_id) GROUP BY s.source)
+       |SELECT b.source, cast(b.n_docs AS BIGINT) AS n_docs,
+       |  cast(t.n_tokens AS BIGINT) AS n_tokens,
+       |  cast(b.n_langs AS BIGINT) AS n_langs,
+       |  cast(coalesce(d.exact_dup_docs, 0) AS BIGINT) AS exact_dup_docs,
+       |  cast(coalesce(c.contaminated_docs, 0) AS BIGINT)
+       |    AS contaminated_docs,
+       |  cast(coalesce(q.clf_pass_docs, 0) AS BIGINT) AS clf_pass_docs
+       |FROM basec b
+       |JOIN tokc t USING (source)
+       |LEFT JOIN dupc d USING (source)
+       |LEFT JOIN contc c USING (source)
+       |LEFT JOIN clfc q USING (source)
+       |ORDER BY b.source""".stripMargin
 
   /** Cluster-balance replay: the embedded IVF centroids
     * ({{IVF_Cn}}, same literals as [[ivfOracleSql]]) re-derive every

@@ -178,6 +178,52 @@ class Round10bSpec extends SparkSpec {
     assert(got.exists(_._3 == 0), "every doc contaminated — degenerate")
   }
 
+  test("pipeline_data_card: every column agrees with its certified " +
+      "component query or a driver recompute") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val card = SparkEntry.queries("pipeline_data_card")(spark, Sf0001)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    val bpe = BpeOps.cachedTrain(spark, s"$Sf0001/documents.parquet",
+      spark.read.parquet(s"$Sf0001/documents.parquet"),
+      col("text"), numMerges = 64)
+    // driver recompute: docs, tokens, langs, exact dups per source
+    val md5Counts = docs.groupBy(d => md5hex(d._4)).view
+      .mapValues(_.length).toMap
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val (nDocs, nToks, nLangs, nDup, _, _) = card(src)
+      assert(nDocs == ds.length, s"$src n_docs")
+      assert(nToks == ds.map(d =>
+        BpeOps.encodeString(d._4, bpe).size.toLong).sum, s"$src n_tokens")
+      assert(nLangs == ds.map(_._3).distinct.length, s"$src n_langs")
+      assert(nDup == ds.count(d => md5Counts(md5hex(d._4)) >= 2),
+        s"$src exact_dup_docs")
+    }
+    // contamination column == the certified pipeline_decontaminate
+    // verdicts, re-aggregated per source
+    val srcOf = docs.map(d => d._1 -> d._2).toMap
+    val contBySrc = SparkEntry.queries("pipeline_decontaminate")(
+        spark, Sf0001).collect()
+      .filter(_.getBoolean(2)).map(r => srcOf(r.getLong(0)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // classifier column == the certified pipeline_quality_classifier
+    // totals (lang-grouped there, source-grouped here — totals match)
+    val clfTotal = SparkEntry.queries("pipeline_quality_classifier")(
+        spark, Sf0001).collect().map(_.getLong(3)).sum
+    card.foreach { case (src, (_, _, _, _, cont, _)) =>
+      assert(cont == contBySrc.getOrElse(src, 0L), s"$src contaminated")
+    }
+    assert(card.values.map(_._6).sum == clfTotal, "clf_pass total")
+  }
+
   test("text_vocab_prune: driver re-encode recounts every frequency, " +
       "threshold replays") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
