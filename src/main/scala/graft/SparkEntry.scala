@@ -965,6 +965,46 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // Collocation mining: top-30 bigrams by pointwise mutual
+    // information with a min-count floor (the classic corpus-analysis
+    // op behind phrase vocabularies and tokenizer seeding). PMI's ln
+    // appears ONLY in the rounded output column; the RANKING key is
+    // the lift — an all-integer rational evaluated as a fixed-order
+    // double product/quotient (n_ab·T²/(B·n_a·n_b), computed in
+    // double to stay overflow-free at 100 TB corpus counts), so the
+    // cross-engine order never hinges on a libm ulp (the
+    // text_tfidf_top discipline). Shape: two token-stream aggregates
+    // (word counts are vocabulary-sized → broadcast onto the bigram
+    // table), totals as broadcast scalars, TakeOrdered tail.
+    "text_collocations" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+      val wc = toks.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+      val tw = toks.agg(count(lit(1)).as("tw"))
+      val bg = t(s, d, "documents")
+        .select(explode(graft.functions.HashFunctions
+          .wordBigrams(lower(col("text")))).as("gram"))
+      val tb = bg.agg(count(lit(1)).as("tb"))
+      val bc = bg.groupBy(col("gram")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      val parts = split(col("gram"), " ")
+      bc
+        .withColumn("a", element_at(parts, 1))
+        .withColumn("b", element_at(parts, 2))
+        .join(broadcast(wc.select(col("w").as("a"),
+          col("n_w").as("n_a"))), Seq("a"))
+        .join(broadcast(wc.select(col("w").as("b"),
+          col("n_w").as("n_b"))), Seq("b"))
+        .crossJoin(broadcast(tw)).crossJoin(broadcast(tb))
+        .withColumn("lift",
+          col("n_ab").cast("double") * col("tw") * col("tw")
+            / (col("tb").cast("double") * col("n_a") * col("n_b")))
+        .orderBy(col("lift").desc, col("gram"))
+        .limit(30)
+        .select(col("gram"), col("n_ab"), col("n_a"), col("n_b"),
+          round(log(col("lift")), 6).as("pmi"))
+    }),
+
     // Tokenizer-family evaluation table — the comparison a tokenizer
     // choice is actually made on: FERTILITY (pieces per word; lower is
     // better for sequence-length budgets) and source chars per piece
@@ -2204,6 +2244,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Cross-source n-gram overlap matrix — the pairwise
+    // redundancy/contamination report between corpus sources
+    // (ops.DedupOps.sourceOverlap): distinct-shingle intersection,
+    // both containment directions, Jaccard; zero-overlap pairs kept.
+    // Shingles travel as codegen'd 64-bit kernel hashes; the oracle
+    // recounts the raw gram strings.
+    "pipeline_source_overlap" -> ((s, d) =>
+      ops.DedupOps.sourceOverlap(t(s, d, "documents"), "source", "text")
+        .orderBy(col("src_a"), col("src_b"))),
+
     // The per-source DATA CARD — the release report a corpus ships
     // with, composing five already-certified machineries into one
     // table: docs and trained-BPE token counts, language breadth,
@@ -2899,6 +2949,48 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Diversified retrieval: greedy MMR re-rank over a 20-candidate
+    // shortlist (ops.AnnOps.mmrTopK) — λ=0.7 relevance vs μ=0.3
+    // redundancy, the loop run entirely on round(sim·10⁴) LONGS
+    // (integer-scale rounding is the one rounding both engines share)
+    // so the DuckDB oracle replays the greedy loop as a lockstep
+    // recursion (one selection per recursion step, per-candidate
+    // running max carried in the frontier).
+    "ann_mmr" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      ops.AnnOps.mmrTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // MMR behind the IVF front — the production retrieval
+    // composition: candidates from the probed cells only (the
+    // index-scale path), then the same certified greedy
+    // diversification tail. Oracle composes the IVF assignment/probe
+    // CTEs (embedded centroid literals) with the MMR lockstep
+    // recursion.
+    "ann_ivf_mmr" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val model = ops.AnnOps.cachedIvf(s, s"$d/embeddings.parquet", emb,
+        "vec_id", "embedding", nlist = 8)
+      ops.AnnOps.ivfMmrTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", model, k = 10, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Scalar-quantized (SQ8) ANN — per-dimension 8-bit codes between
+    // the corpus min/max, asymmetric scoring (full-precision queries
+    // against reconstructed corpus vectors). The oracle RECOMPUTES the
+    // min/max model from the raw table and replays code assignment +
+    // reconstruction + cosine end-to-end — nothing embedded. See
+    // ops.AnnOps.sq8TopK for the determinism + 100 TB story.
+    "ann_sq8" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      ops.AnnOps.sq8TopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Hard-negative mining — the contrastive-training data op: per
     // query, top-k corpus docs in the similarity BAND [0.05, 0.35)
     // (informative negatives below the near-dup cut; a near-dup
@@ -3135,6 +3227,36 @@ object SparkEntry {
         .groupBy(timestamp_micros(hourUs).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
         .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // Cohort retention — the day-offset activity triangle every
+    // product-analytics stack ships: users cohort by FIRST-event day;
+    // each (cohort day, day offset) cell counts the distinct users
+    // still active that many days later, plus the retention
+    // percentage against the cohort size. Three aggregations + one
+    // join, ALL keyed on user_id or the cohort day (at 100 TB the
+    // events⋈first-day join co-keys on user_id — the funnel family's
+    // partitioning — and the cells/sizes tables are days-sized).
+    "q_cohort_retention" -> ((s, d) => {
+      // ts is epoch nanos (the Tables.events contract); days are
+      // integer epoch-day numbers so the arithmetic is exact
+      val ev = t(s, d, "events")
+        .select(col("user_id"),
+          expr("ts div 86400000000000").as("day"))
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      val sizes = first.groupBy(col("cohort_day"))
+        .agg(count(lit(1)).as("cohort_n"))
+      ev.join(first, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(sizes, Seq("cohort_day"))
+        .select(col("cohort_day"), col("day_offset"), col("n_active"),
+          col("cohort_n"),
+          round(col("n_active").cast("double") * 100 / col("cohort_n"), 4)
+            .as("retention_pct"))
+        .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
     // Ordered-funnel analysis (view → click-within-24h →
@@ -4935,6 +5057,69 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic frame-offset sampling over binary media payloads
+    // (ops.Multimodal.frameOffsets — every 64th byte offset, capped
+    // at 8 frames/asset): the planning-level manifest a video
+    // pipeline hands its decode stage, needing NO codec — pure
+    // integer column math over (length, stride, cap), zero shuffle
+    // beyond the presentation sort. The oracle replays the stride
+    // arithmetic over the same stand-in payloads (text bytes).
+    "multimodal_framesample" -> ((s, d) => {
+      val media = ops.Multimodal.mediaTable(t(s, d, "documents"))
+      media.select(col("doc_id"),
+          length(col("content")).cast("bigint").as("n_bytes"),
+          posexplode(ops.Multimodal.frameOffsets(col("content"),
+            stride = 64, maxFrames = 8)))
+        .select(col("doc_id"), col("n_bytes"),
+          col("pos").cast("bigint").as("frame_idx"),
+          col("col").cast("bigint").as("byte_off"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // Link prediction by common-neighbor counting over the temporal
+    // co-occurrence graph (the graph_triangles adjacency): for every
+    // NON-adjacent pair sharing a neighbor, the common-neighbor count
+    // and neighborhood Jaccard; top-50 predicted links. Wedge centers
+    // are capped at degree 64 — a super-hub's wedge contribution is
+    // noise for link prediction (it neighbors everyone), and the cap
+    // is what bounds per-center wedge work at 64² under ANY skew (the
+    // contract a 100 TB graph needs; full degrees still feed the
+    // Jaccard denominator). The whole pipeline is joins + one
+    // aggregate on (a,b) + TakeOrdered.
+    "graph_link_predict" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"), col("hr"))
+        .orderBy(col("ts"), col("event_id"))
+      val e0 = t(s, d, "events")
+        .select(col("event_type"), expr("ts div 3600000000000").as("hr"),
+          col("user_id"), col("ts"), col("event_id"))
+        .withColumn("nxt", lead(col("user_id"), 1).over(w))
+        .filter(col("nxt").isNotNull && col("nxt") =!= col("user_id"))
+        .select(least(col("user_id"), col("nxt")).as("u"),
+          greatest(col("user_id"), col("nxt")).as("v"))
+        .distinct()
+        .localCheckpoint()
+      val und = e0.select(col("u").as("c"), col("v").as("n"))
+        .unionByName(e0.select(col("v").as("c"), col("u").as("n")))
+      val deg = und.groupBy(col("c")).agg(count(lit(1)).as("d"))
+      val centers = und
+        .join(broadcast(deg.filter(col("d") <= 64).select(col("c"))),
+          Seq("c"))
+      val cn = centers.select(col("c"), col("n").as("a"))
+        .join(centers.select(col("c"), col("n").as("b")), Seq("c"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+      val nonEdge = cn.join(e0,
+        cn("a") === e0("u") && cn("b") === e0("v"), "left_anti")
+      nonEdge
+        .join(deg.select(col("c").as("a"), col("d").as("deg_a")), Seq("a"))
+        .join(deg.select(col("c").as("b"), col("d").as("deg_b")), Seq("b"))
+        .select(col("a"), col("b"), col("cn"), col("deg_a"), col("deg_b"),
+          round(col("cn").cast("double")
+            / (col("deg_a") + col("deg_b") - col("cn")), 4).as("jaccard"))
+        .orderBy(col("cn").desc, col("a"), col("b"))
+        .limit(50)
+    }),
+
     // Z-order clustered storage under the oracle: rewrite a lineitem
     // projection z-ordered on (l_partkey, l_suppkey), read the copy
     // back through a two-dimension predicate, and hash-match the SAME
@@ -5021,7 +5206,32 @@ object SparkEntry {
         .parquet(s"$path/v1", s"$path/v2")
         .select(col("doc_id"), col("text"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Gopher repetition filters (Rae et al. 2021, Table A1) — the
+    // repetition half of the quality rulebook q_gopher_quality's
+    // length/symbol rules don't cover. Per document: the fraction of
+    // characters inside the single most frequent word n-gram
+    // (n = 2,3,4; occurrences × gram chars / doc chars) and the
+    // fraction of WORD characters covered by any duplicated n-gram
+    // occurrence (n = 5..10; the UNION of covered positions — a
+    // character under three overlapping duplicated 7-grams counts
+    // once). Physical shape is the point at 100 TB: ONE hash
+    // Exchange. posexplode yields the (doc_id, pos, word) stream; the
+    // first window establishes HashPartitioning(doc_id), and every
+    // per-(doc_id, gram_n) count window's
+    // ClusteredDistribution(doc_id, gram_n) is SATISFIED by that same
+    // partitioning (partitioning keys ⊆ clustering keys), so Spark
+    // inserts only per-partition sorts for the other nine window
+    // specs — auditing nine n's costs nine sorts, zero extra
+    // shuffles (plan-gated in Round10cSpec). Coverage flags are
+    // sliding ROWS-frame maxima over dup-start flags on the same
+    // (doc_id, pos) sort. The top-gram argmax rides the fixed-width
+    // key (zero-padded (1e8 − cnt)) ‖ gram, so the (cnt DESC,
+    // gram ASC) tiebreak is byte-identical under DuckDB's min().
+    "pipeline_gopher_repetition" -> ((s, d) =>
+      ops.TextOps.gopherRepetition(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")))
   )
 
   // ------------------------------------------------------------------
@@ -5243,6 +5453,7 @@ object SparkEntry {
       // probe at the same model (AnnOpsSpec) — one oracle serves both
       ("ann_ivf" -> ivfOracleSql) +
       ("ann_ivf_index" -> ivfOracleSql) +
+      ("ann_ivf_mmr" -> ivfMmrOracleSql) +
       ("ann_ivfpq" -> ivfPqOracleSql) +
       ("ann_ivfpq_index" -> ivfPqOracleSql) +
       ("ann_pq" -> pqOracleSql) +
@@ -5424,6 +5635,67 @@ object SparkEntry {
        |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
        |FROM ranked WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The IVF front composed with the MMR tail: the certified IVF
+    * assignment/probe CTEs (embedded {{IVF_Cn}} centroid literals,
+    * same as [[ivfOracleSql]]) feed a shortlist ranked on
+    * round(sim·10⁴) longs, then the ann_mmr lockstep greedy recursion
+    * runs unchanged over it. */
+  private lazy val ivfMmrOracleSql: String = {
+    val centroidRows = (0 until 8)
+      .map(i => s"($i, {{IVF_C${i + 1}}})").mkString(",\n    ")
+    s"""WITH RECURSIVE
+       |c AS (SELECT * FROM (VALUES
+       |    $centroidRows) AS t(cid, cvec)),
+       |e AS (SELECT vec_id, cast(embedding as DOUBLE[]) AS v
+       |      FROM embeddings),
+       |asg AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v,
+       |          cast(c.cvec as DOUBLE[])) DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |      WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT query_id, qv, cid FROM (
+       |    SELECT q.query_id, q.qv, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_cosine_similarity(q.qv,
+       |          cast(c.cvec as DOUBLE[])) DESC, c.cid) AS rn
+       |    FROM q CROSS JOIN c) WHERE rn <= 3),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS id, a.v AS vec,
+       |    cast(round(list_cosine_similarity(p.qv, a.v) * 10000)
+       |      AS bigint) AS simq_e4
+       |  FROM probes p JOIN asg a USING (cid)
+       |  WHERE a.vec_id <> p.query_id),
+       |short AS (
+       |  SELECT query_id, id, vec, simq_e4 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY simq_e4 DESC, id) AS rk FROM cand)
+       |  WHERE rk <= 20),
+       |sel(query_id, step, id, simq_e4, vec, m, won, wscore) AS (
+       |  SELECT query_id, 0, id, simq_e4, vec, cast(0 AS bigint),
+       |    false, cast(NULL AS bigint)
+       |  FROM short
+       |  UNION ALL
+       |  SELECT query_id, step + 1, id, simq_e4, vec,
+       |    greatest(m, cast(round(list_cosine_similarity(vec, wvec)
+       |      * 10000) AS bigint)),
+       |    id = wid, CASE WHEN id = wid THEN sc END
+       |  FROM (
+       |    SELECT *, 7 * simq_e4 - 3 * m AS sc,
+       |      first_value(id) OVER (PARTITION BY query_id
+       |        ORDER BY 7 * simq_e4 - 3 * m DESC, id) AS wid,
+       |      first_value(vec) OVER (PARTITION BY query_id
+       |        ORDER BY 7 * simq_e4 - 3 * m DESC, id) AS wvec
+       |    FROM sel WHERE NOT won AND step < 10))
+       |SELECT query_id, step AS rank, id AS neighbor_id,
+       |  cast(wscore AS double) / 100000 AS mmr_score
+       |FROM sel WHERE won ORDER BY query_id, rank""".stripMargin
   }
 
   /** DuckDB mirror of the full IVF-PQ search (ADC + exact re-rank):
@@ -9054,6 +9326,91 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // MMR: the greedy loop as a lockstep recursion in INTEGER e4/e5
+    // space (round(sim·10⁴) longs — integer-scale rounding is the one
+    // rounding Spark's decimal-string round and DuckDB's binary round
+    // agree on; a 4-dp double round is NOT portable: 0.7·0.3985 =
+    // 0.27895 sits on the decimal boundary with its binary value
+    // below it). Step 0 is the shortlist with running-max m = 0;
+    // each step picks the frontier argmax of the long
+    // 7·simq_e4 − 3·m_e4 via first_value windows (no GROUP BY in
+    // recursive terms), emits the winner flagged, and re-enters the
+    // rest with m raised by the winner similarity. Winner rows stop
+    // recursing, so step number == selection rank.
+    "ann_mmr" ->
+      """WITH RECURSIVE
+        |q AS (SELECT vec_id AS query_id,
+        |        cast(embedding AS DOUBLE[]) AS qvec
+        |      FROM embeddings WHERE vec_id < 5),
+        |c AS (
+        |  SELECT q.query_id, e.vec_id AS id,
+        |    cast(e.embedding AS DOUBLE[]) AS vec,
+        |    cast(round(list_cosine_similarity(q.qvec,
+        |      cast(e.embedding AS DOUBLE[])) * 10000) AS bigint)
+        |      AS simq_e4
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |short AS (
+        |  SELECT query_id, id, vec, simq_e4 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY simq_e4 DESC, id) AS rk FROM c) WHERE rk <= 20),
+        |sel(query_id, step, id, simq_e4, vec, m, won, wscore) AS (
+        |  SELECT query_id, 0, id, simq_e4, vec, cast(0 AS bigint),
+        |    false, cast(NULL AS bigint)
+        |  FROM short
+        |  UNION ALL
+        |  SELECT query_id, step + 1, id, simq_e4, vec,
+        |    greatest(m, cast(round(list_cosine_similarity(vec, wvec)
+        |      * 10000) AS bigint)),
+        |    id = wid, CASE WHEN id = wid THEN sc END
+        |  FROM (
+        |    SELECT *, 7 * simq_e4 - 3 * m AS sc,
+        |      first_value(id) OVER (PARTITION BY query_id
+        |        ORDER BY 7 * simq_e4 - 3 * m DESC, id) AS wid,
+        |      first_value(vec) OVER (PARTITION BY query_id
+        |        ORDER BY 7 * simq_e4 - 3 * m DESC, id) AS wvec
+        |    FROM sel WHERE NOT won AND step < 10))
+        |SELECT query_id, step AS rank, id AS neighbor_id,
+        |  cast(wscore AS double) / 100000 AS mmr_score
+        |FROM sel WHERE won ORDER BY query_id, rank""".stripMargin,
+
+    // SQ8: the per-dim min/max model is RECOMPUTED from the raw table
+    // (non-circular); codes and reconstruction replay Spark's exact
+    // double-op order, the float32 rounding of the reconstructed
+    // vector included.
+    "ann_sq8" ->
+      """WITH mm AS (
+        |  SELECT i, min(e.embedding[i]) AS mn, max(e.embedding[i]) AS mx
+        |  FROM embeddings e,
+        |       LATERAL unnest(generate_series(1, 64)) t(i)
+        |  GROUP BY i),
+        |ml AS (SELECT list(cast(mn AS double) ORDER BY i) AS mns,
+        |              list(cast(mx AS double) ORDER BY i) AS mxs
+        |       FROM mm),
+        |rv AS (
+        |  SELECT vec_id,
+        |    list_transform(cast(embedding AS DOUBLE[]), (x, i) ->
+        |      cast(cast(
+        |        CASE WHEN mxs[i] = mns[i] THEN mns[i]
+        |             ELSE mns[i] + least(255.0, greatest(0.0,
+        |               round((x - mns[i]) * 255.0 / (mxs[i] - mns[i]))))
+        |               * (mxs[i] - mns[i]) / 255.0
+        |        END AS FLOAT) AS DOUBLE)) AS rvec
+        |  FROM embeddings, ml),
+        |q AS (SELECT vec_id AS query_id,
+        |        cast(embedding AS DOUBLE[]) AS qvec
+        |      FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, rv.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.qvec, rv.rvec) AS sim
+        |  FROM rv CROSS JOIN q WHERE rv.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     // Mirrors hardNegatives: the band cut and the ranking both use
     // the ROUNDED similarity.
     "ann_hard_negatives" ->
@@ -9188,6 +9545,49 @@ object SparkEntry {
         |         (SELECT count(*) FROM tri) AS n_triangles
         |  UNION ALL SELECT node, n_triangles FROM pn)
         |ORDER BY node""".stripMargin,
+
+    // Frame sampling: text is the stand-in payload (the mediaTable
+    // contract), so byte length = strlen; offsets are the stride grid
+    // capped at 8.
+    "multimodal_framesample" ->
+      """WITH m AS (SELECT doc_id, strlen(text) AS n_bytes
+        |           FROM documents),
+        |f AS (SELECT doc_id, n_bytes,
+        |        (generate_series(0, n_bytes - 1, 64))[1:8] AS offs
+        |      FROM m)
+        |SELECT doc_id, n_bytes, i - 1 AS frame_idx, offs[i] AS byte_off
+        |FROM f, LATERAL unnest(generate_series(1, len(offs))) t(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Link prediction: same e0/deg chain as graph_triangles; centers
+    // capped at degree 64, non-edges by anti-join, (cn DESC, a, b)
+    // total order under the limit.
+    "graph_link_predict" ->
+      """WITH seq AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr, user_id,
+        |         lead(user_id) OVER (
+        |           PARTITION BY event_type, date_trunc('hour', ts)
+        |           ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |e0 AS (SELECT DISTINCT least(user_id, nxt) AS u,
+        |              greatest(user_id, nxt) AS v
+        |       FROM seq WHERE nxt IS NOT NULL AND nxt <> user_id),
+        |und AS (SELECT u AS c, v AS n FROM e0
+        |        UNION ALL SELECT v, u FROM e0),
+        |deg AS (SELECT c, count(*) AS d FROM und GROUP BY c),
+        |ctr AS (SELECT und.c, und.n FROM und
+        |        JOIN deg ON deg.c = und.c WHERE deg.d <= 64),
+        |cn AS (SELECT x.n AS a, y.n AS b, count(*) AS cn
+        |       FROM ctr x JOIN ctr y ON x.c = y.c AND x.n < y.n
+        |       GROUP BY 1, 2),
+        |ne AS (SELECT cn.* FROM cn
+        |       LEFT JOIN e0 ON cn.a = e0.u AND cn.b = e0.v
+        |       WHERE e0.u IS NULL)
+        |SELECT ne.a, ne.b, ne.cn, da.d AS deg_a, db.d AS deg_b,
+        |  round(cast(ne.cn AS double) / (da.d + db.d - ne.cn), 4)
+        |    AS jaccard
+        |FROM ne JOIN deg da ON da.c = ne.a JOIN deg db ON db.c = ne.b
+        |ORDER BY ne.cn DESC, ne.a, ne.b LIMIT 50""".stripMargin,
 
     "pipeline_decontaminate" -> deconOracleSql,
 
@@ -9665,6 +10065,26 @@ object SparkEntry {
         |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o)
         |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
 
+    // Cohort retention: integer epoch-day numbers on both sides
+    // (micros // 86400e6 == nanos div 86400e9).
+    "q_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day
+        |      FROM ev GROUP BY user_id),
+        |s AS (SELECT cohort_day, count(*) AS cohort_n
+        |      FROM f GROUP BY cohort_day),
+        |a AS (SELECT f.cohort_day, ev.day - f.cohort_day AS day_offset,
+        |             count(DISTINCT ev.user_id) AS n_active
+        |      FROM ev JOIN f ON ev.user_id = f.user_id
+        |      GROUP BY 1, 2)
+        |SELECT a.cohort_day, a.day_offset, a.n_active, s.cohort_n,
+        |  round(cast(a.n_active AS double) * 100 / s.cohort_n, 4)
+        |    AS retention_pct
+        |FROM a JOIN s ON a.cohort_day = s.cohort_day
+        |ORDER BY a.cohort_day, day_offset""".stripMargin,
+
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |            WHERE event_type = 'view' GROUP BY user_id),
@@ -10053,6 +10473,30 @@ object SparkEntry {
         |)
         |SELECT gram, count(*) AS n FROM g
         |GROUP BY gram ORDER BY n DESC, gram LIMIT 50""".stripMargin,
+
+    // Collocations: the ranking key is the fixed-order double lift
+    // (exact cross-engine); ln only in the rounded output.
+    "text_collocations" ->
+      """WITH d AS (SELECT string_split(lower(text), ' ') AS w
+        |           FROM documents),
+        |tok AS (SELECT w[i] AS t
+        |        FROM d, LATERAL unnest(generate_series(1, len(w))) s(i)),
+        |wc AS (SELECT t, count(*) AS n_w FROM tok GROUP BY t),
+        |tw AS (SELECT count(*) AS tw FROM tok),
+        |bg AS (SELECT w[i] AS a, w[i+1] AS b
+        |       FROM d, LATERAL unnest(
+        |         generate_series(1, len(w) - 1)) s(i)),
+        |tb AS (SELECT count(*) AS tb FROM bg),
+        |bc AS (SELECT a, b, count(*) AS n_ab FROM bg
+        |       GROUP BY a, b HAVING count(*) >= 5),
+        |j AS (SELECT bc.a, bc.b, bc.n_ab, wa.n_w AS n_a, wb.n_w AS n_b,
+        |        cast(bc.n_ab AS double) * tw.tw * tw.tw
+        |          / (cast(tb.tb AS double) * wa.n_w * wb.n_w) AS lift
+        |      FROM bc JOIN wc wa ON wa.t = bc.a
+        |                JOIN wc wb ON wb.t = bc.b, tw, tb)
+        |SELECT a || ' ' || b AS gram, n_ab, n_a, n_b,
+        |  round(ln(lift), 6) AS pmi
+        |FROM j ORDER BY lift DESC, gram LIMIT 30""".stripMargin,
 
     // Same counts, same single integer-rational assembly, same one
     // double division.
@@ -10695,6 +11139,118 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, CAST(NULL AS VARCHAR), lang, source
         |FROM documents WHERE doc_id % 2 <> 0
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Cross-source overlap: recounts the gram STRINGS (the decon
+    // family's discipline — an FNV collision in the Spark kernel
+    // surfaces as a mismatch). Short-doc semantics mirror the kernel:
+    // a document under shingleN tokens contributes the single
+    // whole-join gram.
+    "pipeline_source_overlap" ->
+      """WITH d AS (
+        |  SELECT source, string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT source AS src,
+        |    CASE WHEN len(w) <= 3 THEN array_to_string(w, ' ')
+        |         ELSE w[i] || ' ' || w[i+1] || ' ' || w[i+2] END AS gram
+        |  FROM d, LATERAL unnest(
+        |    generate_series(1, greatest(1, len(w) - 2))) t(i)),
+        |s AS (SELECT src, count(*) AS n FROM g GROUP BY src),
+        |p AS (SELECT a.src AS src_a, b.src AS src_b,
+        |             a.n AS n_a, b.n AS n_b
+        |      FROM s a, s b WHERE a.src < b.src),
+        |i AS (SELECT ga.src AS src_a, gb.src AS src_b,
+        |             count(*) AS n_common
+        |      FROM g ga JOIN g gb
+        |        ON ga.gram = gb.gram AND ga.src < gb.src
+        |      GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b,
+        |  coalesce(i.n_common, 0) AS n_common, p.n_a, p.n_b,
+        |  round(cast(coalesce(i.n_common, 0) AS double) / p.n_a, 4)
+        |    AS contain_a,
+        |  round(cast(coalesce(i.n_common, 0) AS double) / p.n_b, 4)
+        |    AS contain_b,
+        |  round(cast(coalesce(i.n_common, 0) AS double)
+        |    / (p.n_a + p.n_b - coalesce(i.n_common, 0)), 4) AS jaccard
+        |FROM p LEFT JOIN i ON p.src_a = i.src_a AND p.src_b = i.src_b
+        |ORDER BY p.src_a, p.src_b""".stripMargin,
+
+    // Gopher repetition filters: replays the lead-built grams, the
+    // per-(doc, gram) count windows, the sliding coverage maxima, and
+    // the fixed-width (1e8−cnt)‖gram argmax key byte for byte.
+    "pipeline_gopher_repetition" -> {
+      val leads = (1 to 9).map(k =>
+        s"lead(word, $k) OVER dw AS l$k").mkString(",\n    ")
+      val grams = (2 to 10).map { n =>
+        val parts = ("word" +: (1 until n).map(k => s"l$k"))
+          .mkString(" || ' ' || ")
+        s"CASE WHEN pos <= n_words - $n THEN $parts END AS g$n"
+      }.mkString(",\n    ")
+      val cnts = (2 to 10).map(n =>
+        s"CASE WHEN g$n IS NOT NULL THEN count(*) OVER " +
+          s"(PARTITION BY doc_id, g$n) END AS c$n").mkString(",\n    ")
+      val covs = (5 to 10).map(n =>
+        s"max(CASE WHEN g$n IS NOT NULL AND c$n >= 2 THEN 1 ELSE 0 END) " +
+          s"OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN " +
+          s"${n - 1} PRECEDING AND CURRENT ROW) AS cov$n")
+        .mkString(",\n    ")
+      val keys = (2 to 4).map(n =>
+        s"min(CASE WHEN g$n IS NOT NULL THEN lpad(cast(100000000 - c$n " +
+          s"AS varchar), 9, '0') || g$n END) AS k$n").mkString(",\n    ")
+      val covchs = (5 to 10).map(n =>
+        s"sum(CASE WHEN cov$n = 1 THEN length(word) ELSE 0 END) " +
+          s"AS covch$n").mkString(",\n    ")
+      val tops = (2 to 4).map(n =>
+        s"coalesce(round((100000000 - cast(substr(k$n, 1, 9) AS bigint))" +
+          s" * (length(k$n) - 9) / len_text, 4), 0.0) AS top$n")
+        .mkString(",\n    ")
+      val dups = (5 to 10).map(n =>
+        s"round(cast(covch$n AS double) / wchars, 4) AS dup$n")
+        .mkString(",\n    ")
+      s"""WITH base AS (
+         |  SELECT doc_id, length(text) AS len_text,
+         |    string_split(text, ' ') AS w
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, len_text, len(w) AS n_words, w[i] AS word,
+         |    i - 1 AS pos
+         |  FROM base, LATERAL unnest(generate_series(1, len(w))) t(i)),
+         |led AS (
+         |  SELECT *,
+         |    $leads
+         |  FROM tok
+         |  WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+         |g AS (
+         |  SELECT *,
+         |    $grams
+         |  FROM led),
+         |c AS (
+         |  SELECT *,
+         |    $cnts
+         |  FROM g),
+         |cov AS (
+         |  SELECT *,
+         |    $covs
+         |  FROM c),
+         |agg AS (
+         |  SELECT doc_id,
+         |    $keys,
+         |    $covchs,
+         |    sum(length(word)) AS wchars,
+         |    any_value(len_text) AS len_text
+         |  FROM cov GROUP BY doc_id),
+         |fr AS (
+         |  SELECT doc_id,
+         |    $tops,
+         |    $dups
+         |  FROM agg)
+         |SELECT *,
+         |  cast((top2 <= 0.20 AND top3 <= 0.18 AND top4 <= 0.16 AND
+         |        dup5 <= 0.15 AND dup6 <= 0.14 AND dup7 <= 0.13 AND
+         |        dup8 <= 0.12 AND dup9 <= 0.11 AND dup10 <= 0.10)
+         |    AS bigint) AS pass
+         |FROM fr ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -315,6 +315,102 @@ object SketchKernels {
     new GenericArrayData(out)
   }
 
+  /** All nine Gopher repetition metrics of one document in ONE pass
+    * (Rae et al. 2021 Table A1) as exact integers — the float
+    * fractions and their rounding stay in the SQL layer, where the
+    * DuckDB oracle replays them. Word n-grams are BYTE SLICES of the
+    * input (the [[wordBigrams]] discipline: the separator is a single
+    * space, so gram (i, n) is the byte range from token i's start to
+    * token i+n-1's end — no per-gram concatenation); counts come from
+    * one hash map per n; tie-breaks compare gram bytes (=
+    * UTF8String / DuckDB binary varchar order).
+    *
+    * Output layout (array<long>, 1-based from SQL):
+    * [1..6]  = topCnt2, topLen2, topCnt3, topLen3, topCnt4, topLen4
+    *           (occurrence count and CHAR length of the most frequent
+    *           n-gram, ties (count DESC, gram ASC); count 0 when the
+    *           doc has < n tokens)
+    * [7..12] = covch5..covch10 (characters of words covered by ANY
+    *           duplicated n-gram occurrence — the UNION of covered
+    *           positions, overlaps counted once)
+    * [13]    = total word characters. */
+  def gopherRepetition(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var nTok = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') nTok += 1; i += 1 }
+    val starts = new Array[Int](nTok + 1)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTok) = len + 1 // sentinel: token j ends at starts(j+1) - 2
+    val wlen = new Array[Int](nTok)
+    var wchars = 0L
+    var j = 0
+    while (j < nTok) {
+      wlen(j) = UTF8String
+        .fromBytes(bytes, starts(j), starts(j + 1) - 1 - starts(j))
+        .numChars()
+      wchars += wlen(j)
+      j += 1
+    }
+    val out = new Array[Long](13)
+    out(12) = wchars
+    var n = 2
+    while (n <= 10) {
+      if (nTok >= n) {
+        val m = nTok - n + 1
+        val counts = new java.util.HashMap[UTF8String, Array[Int]](m * 2)
+        val grams = new Array[UTF8String](m)
+        var p = 0
+        while (p < m) {
+          val s = starts(p)
+          val e = starts(p + n) - 1
+          val g = UTF8String.fromBytes(bytes, s, e - s)
+          grams(p) = g
+          val c = counts.get(g)
+          if (c == null) counts.put(g, Array(1)) else c(0) += 1
+          p += 1
+        }
+        if (n <= 4) {
+          var bestCnt = 0
+          var bestGram: UTF8String = null
+          val it = counts.entrySet().iterator()
+          while (it.hasNext) {
+            val en = it.next()
+            val c = en.getValue()(0)
+            if (c > bestCnt ||
+              (c == bestCnt && en.getKey.compareTo(bestGram) < 0)) {
+              bestCnt = c; bestGram = en.getKey
+            }
+          }
+          out((n - 2) * 2) = bestCnt.toLong
+          out((n - 2) * 2 + 1) = bestGram.numChars().toLong
+        } else {
+          val covered = new Array[Boolean](nTok)
+          p = 0
+          while (p < m) {
+            if (counts.get(grams(p))(0) >= 2) {
+              var q = p
+              while (q < p + n) { covered(q) = true; q += 1 }
+            }
+            p += 1
+          }
+          var covch = 0L
+          j = 0
+          while (j < nTok) { if (covered(j)) covch += wlen(j); j += 1 }
+          out(6 + (n - 5)) = covch
+        }
+      }
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** (center, context) skip-gram struct pairs with context offsets
     * 1..window — the word2vec co-occurrence generator, one pass over
     * the UTF-8 bytes with byte-slice tokens (the [[wordBigrams]]
@@ -765,6 +861,28 @@ case class WordSkipgrams(child: Expression, window: Int)
     copy(child = c)
 }
 
+/** All nine Gopher repetition metrics in one compiled pass — see
+  * [[SketchKernels.gopherRepetition]] for the layout. Replaces a
+  * nine-window formulation that measured 7.8 s at sf0.1 (nine
+  * full-row in-partition sorts); the kernel is a per-row map with
+  * integer outputs, so the query is shuffle-free and the rounding
+  * stays in the SQL layer where the oracle replays it. */
+case class GopherRepetition(child: Expression)
+    extends KernelCallExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gopher_repetition"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.gopherRepetition(input.asInstanceOf[UTF8String])
+
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.SketchKernels.gopherRepetition($c)"
+
+  override protected def withNewChildInternal(c: Expression)
+      : GopherRepetition = copy(child = c)
+}
+
 /** 32-bit Morton (z-order) code of two 16-bit-normalized long columns
   * (see [[SketchKernels.interleave16]]) — the clustering key behind
   * [[graft.ops.StorageOps.zorderWrite]]. Declares long inputs so a
@@ -842,6 +960,9 @@ object HashFunctions {
 
   def wordSkipgrams(text: Column, window: Int = 2): Column =
     column(WordSkipgrams(expression(text), window))
+
+  def gopherRepetition(text: Column): Column =
+    column(GopherRepetition(expression(text)))
 
   def zorderValue(a: Column, b: Column): Column =
     column(ZOrderValue(expression(a), expression(b)))

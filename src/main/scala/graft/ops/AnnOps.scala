@@ -220,6 +220,164 @@ object AnnOps {
         col("col._2").as("neighbor_id"), round(col("col._1"), 4).as("sim"))
   }
 
+  /** Diversified retrieval: greedy Maximal Marginal Relevance over a
+    * bounded shortlist (Carbonell & Goldstein 1998) — the re-rank a
+    * RAG/context-building stack applies so the top-k doesn't return k
+    * near-copies of the same passage. Stage 1 is [[bruteForceTopK]]'s
+    * shape truncated to `shortlist` (ranked on round(sim·10⁴) longs
+    * so the shortlist membership is engine-stable); stage 2 collects
+    * each query's
+    * shortlist (bounded: `shortlist` vectors, KB per group) into the
+    * [[graft.functions.Aggregators.MmrSelect]] typed aggregator and
+    * runs the greedy λ·sim(q,d) − μ·maxSel sim(d,s) loop in one
+    * per-group pass. At index scale stage 1 is whatever ANN front you
+    * run (IVF/PQ/LSH); the MMR tail is always shortlist-bounded.
+    *
+    * The greedy loop runs in INTEGER space end to end: similarities
+    * enter as round(sim·10⁴) longs (integer-scale rounding is the
+    * one rounding both engines agree on — see
+    * [[graft.functions.Aggregators.MmrSelect]]) and the score is the
+    * long 7·simq_e4 − 3·m_e4 (unit 10⁻⁵), so selection and ties are
+    * exact and the DuckDB oracle replays the loop as a lockstep
+    * recursion over the same longs. The emitted mmr_score is
+    * score_e5 / 10⁵ — one double division, no rounding. */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, shortlist: Int = 20,
+      lamE1: Long = 7, muE1: Long = 3): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("query_vec")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("vec"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("simq_e4",
+        round(VectorFunctions.cosineSim(col("query_vec"), col("vec"))
+          * 10000).cast("long"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("simq_e4").desc, col("neighbor_id"))
+    val short = scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"), col("simq_e4"),
+        col("vec"))
+    mmrTail(short, k, lamE1, muE1)
+  }
+
+  /** Shared MMR tail: shortlist rows (query_id, neighbor_id, simq_e4,
+    * vec) → greedy selection via the bounded
+    * [[graft.functions.Aggregators.MmrSelect]] typed aggregator. */
+  private def mmrTail(short: DataFrame, k: Int, lamE1: Long,
+      muE1: Long): DataFrame = {
+    val spark = short.sparkSession
+    import spark.implicits._
+    val sel = new graft.functions.Aggregators.MmrSelect(k, lamE1, muE1)
+    short.as[(Long, Long, Long, Seq[Float])]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3, r._4))
+      .agg(sel.toColumn.name("sel"))
+      .toDF("query_id", "sel")
+      .select(col("query_id"), posexplode(col("sel")))
+      .select(col("query_id"),
+        (col("pos") + 1).cast("bigint").as("rank"),
+        col("col._2").as("neighbor_id"),
+        (col("col._1") / lit(100000.0)).as("mmr_score"))
+  }
+
+  /** [[mmrTopK]] behind the IVF front — the composition a production
+    * retrieval stack runs: candidates come from the query's `nprobe`
+    * probed cells (corpus/nlist × nprobe of the data, the index-scale
+    * path), the per-query shortlist ranks on the same round(sim·10⁴)
+    * longs, and the greedy diversification tail is [[mmrTail]]
+    * verbatim. The oracle composes the certified IVF
+    * assignment/probe CTEs with the certified MMR lockstep recursion
+    * over embedded centroid literals. */
+  def ivfMmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, model: IvfModel, k: Int, nprobe: Int = 3,
+      shortlist: Int = 20, lamE1: Long = 7, muE1: Long = 3): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val assigned = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("vec"), nearestCentroid(col(vecCol), model).as("cid"))
+    val probes = probeRows(queries, idCol, vecCol, model, nprobe)
+    val cand = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("simq_e4",
+        round(VectorFunctions.cosineSim(col("query_vec"), col("vec"))
+          * 10000).cast("long"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("simq_e4").desc, col("neighbor_id"))
+    val short = cand
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"), col("simq_e4"),
+        col("vec"))
+    mmrTail(short, k, lamE1, muE1)
+  }
+
+  /** Scalar-quantized (SQ8) brute-force top-k — the 4×-memory-cut
+    * complement of [[pqTopK]]'s 32×: each dimension quantizes
+    * independently to one of 256 grid points between the corpus-wide
+    * per-dimension min and max, and queries score ASYMMETRICALLY
+    * (full-precision query against reconstructed corpus vectors — the
+    * standard ADC trade: no query-side quantization error).
+    *
+    * Determinism discipline: the model is 2·dim exact float32
+    * min/max scalars (partition-order invariant by definition, KB on
+    * the driver — the PCA/tokenizer "model = task reference"
+    * pattern); code assignment is
+    * round(((x − mn) · 255) / (mx − mn)) clamped to [0, 255] — each
+    * step an IEEE correctly-rounded double op in a fixed order, so
+    * DuckDB replays it bit-exactly from the raw table (the oracle
+    * RECOMPUTES min/max itself: nothing is embedded) — and the
+    * reconstruction mn + (c · (mx − mn)) / 255 rounds to float32, so
+    * scoring runs the same codegen'd [[graft.functions
+    * .CosineSimilarity]] float kernel as ann_brute. A constant
+    * dimension (mx = mn) reconstructs as mn rather than dividing by
+    * zero.
+    *
+    * Scale: at 100 TB the reconstruct-transform is one map-side pass
+    * fused into the scan (at rest the corpus stores the int8 codes —
+    * 64 B/vector instead of 256 B), the query side broadcasts, and
+    * the top-k merge is [[bruteForceTopK]]'s bounded window shape. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int = 64): DataFrame = {
+    val mmCols = (0 until dim).flatMap(i => Seq(
+      min(element_at(col(vecCol), i + 1)).as(s"mn$i"),
+      max(element_at(col(vecCol), i + 1)).as(s"mx$i")))
+    val mm = corpus.agg(mmCols.head, mmCols.tail: _*).head()
+    val mins = (0 until dim).map(i => mm.getFloat(2 * i).toDouble).toArray
+    val maxs = (0 until dim).map(i => mm.getFloat(2 * i + 1).toDouble)
+      .toArray
+    val mnLit = lit(mins); val mxLit = lit(maxs)
+    def reconstruct(v: Column): Column =
+      transform(v, (x, i) => {
+        val mn = element_at(mnLit, i + 1)
+        val mx = element_at(mxLit, i + 1)
+        val code = when(mx === mn, lit(0.0)).otherwise(
+          least(lit(255.0), greatest(lit(0.0),
+            round((x.cast("double") - mn) * lit(255.0) / (mx - mn)))))
+        mn + code * (mx - mn) / lit(255.0)
+      }).cast("array<float>")
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("query_vec")))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"),
+        reconstruct(col(vecCol)).as("rvec"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", VectorFunctions.cosineSim(col("query_vec"),
+        col("rvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** Deterministic random-hyperplane sign bits for a vector — one fused
     * native pass (see [[graft.functions.HyperplaneBits]]). */
   def hyperplaneBits(vec: Column, nbits: Int): Column =

@@ -475,6 +475,48 @@ object DedupOps {
           .as("text_md5"))
   }
 
+  /** Cross-source n-gram overlap matrix — the release-level
+    * contamination/redundancy report between corpus SOURCES (crawl
+    * snapshots, registries, curated sets): for every unordered source
+    * pair, the distinct-shingle intersection size, both containment
+    * directions (how much of a's gram set b already covers — the
+    * signal for dropping a redundant source), and Jaccard.
+    *
+    * Scale shape: shingles move as 64-bit kernel hashes
+    * ([[graft.functions.HashExpressions.ShingleHashes]], codegen'd,
+    * per-doc distinct), the (source, gram) distinct is one 8-byte-hash
+    * shuffle, the self-join co-keys on the gram hash, and everything
+    * after is sources²-sized. Zero-overlap pairs stay present (the
+    * pair frame is built from the sources list, not from surviving
+    * joins). The DuckDB oracle recounts the gram STRINGS — an FNV
+    * collision surfaces as a count mismatch, never silently. */
+  def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val grams = docs
+      .select(col(srcCol).as("src"),
+        explode(HashFunctions.shingleHashes(tokens(col(textCol)),
+          shingleN)).as("g"))
+      .distinct()
+      .localCheckpoint(true) // referenced three times below
+    val sizes = grams.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val pairs = sizes.select(col("src").as("src_a"), col("n").as("n_a"))
+      .crossJoin(sizes.select(col("src").as("src_b"), col("n").as("n_b")))
+      .filter(col("src_a") < col("src_b"))
+    val inter = grams.select(col("src").as("src_a"), col("g"))
+      .join(grams.select(col("src").as("src_b"), col("g")), Seq("g"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val nc = coalesce(col("n_common"), lit(0L))
+    pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), nc.as("n_common"),
+        col("n_a"), col("n_b"),
+        round(nc.cast("double") / col("n_a"), 4).as("contain_a"),
+        round(nc.cast("double") / col("n_b"), 4).as("contain_b"),
+        round(nc.cast("double") / (col("n_a") + col("n_b") - nc), 4)
+          .as("jaccard"))
+  }
+
   /** Distinct xxhash64 segment hashes of a corpus — the one-column
     * frame a segment-level ingest gate compresses into its bloom
     * artifact ([[buildEvalBloom]] / [[cachedEvalBloom]] with this as

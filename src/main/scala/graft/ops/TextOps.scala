@@ -121,6 +121,59 @@ object TextOps {
           4))
   }
 
+  /** Gopher repetition filters (Rae et al. 2021, Table A1) — the
+    * n-gram half of the repetition rulebook ([[repetitionStats]] is
+    * the distinct-token half). Per document:
+    *
+    *   - `top2..top4`: fraction of characters inside the single most
+    *     frequent word n-gram (occurrences × gram chars / doc chars;
+    *     ties break (count DESC, gram ASC));
+    *   - `dup5..dup10`: fraction of WORD characters covered by any
+    *     duplicated n-gram occurrence — the UNION of covered
+    *     positions, so a character under three overlapping duplicated
+    *     7-grams counts once;
+    *   - `pass`: all nine thresholds hold (0.20/0.18/0.16 for top,
+    *     0.15 down to 0.10 for dup — the paper's Table A1 values).
+    *
+    * Physical shape is the point at 100 TB: SHUFFLE-FREE. All nine
+    * metrics come from ONE compiled pass per row
+    * ([[graft.functions.SketchKernels.gopherRepetition]] — byte-slice
+    * grams, one count map per n, byte-order tiebreaks) emitting exact
+    * INTEGERS; the fractions and their round(4) stay in the SQL layer
+    * so the DuckDB oracle replays them literally. The first cut of
+    * this operator was a 9-window formulation (one Exchange + nine
+    * in-partition sorts — Spark satisfies every (doc_id, gram_n)
+    * clustering from HashPartitioning(doc_id)); it was plan-elegant
+    * but measured 7.8 s at sf0.1: the nine sorts each reorder
+    * full-width rows carrying every gram string. The kernel form is a
+    * pure map (plan-gated in Round10cSpec). */
+  def gopherRepetition(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val id = col(idCol)
+    val base = docs.select(id, length(col(textCol)).as("len_text"),
+      graft.functions.HashFunctions.gopherRepetition(col(textCol))
+        .as("m"))
+    def topFrac(n: Int): Column = {
+      val cnt = element_at(col("m"), (n - 2) * 2 + 1)
+      val ln = element_at(col("m"), (n - 2) * 2 + 2)
+      when(cnt === 0L, lit(0.0))
+        .otherwise(round(cnt * ln / col("len_text"), 4))
+    }
+    def dupFrac(n: Int): Column =
+      round(element_at(col("m"), 7 + (n - 5)).cast("double")
+        / element_at(col("m"), 13), 4)
+    base
+      .select(Seq(id) ++
+        (2 to 4).map(n => topFrac(n).as(s"top$n")) ++
+        (5 to 10).map(n => dupFrac(n).as(s"dup$n")): _*)
+      .withColumn("pass",
+        (col("top2") <= 0.20 && col("top3") <= 0.18 &&
+          col("top4") <= 0.16 && col("dup5") <= 0.15 &&
+          col("dup6") <= 0.14 && col("dup7") <= 0.13 &&
+          col("dup8") <= 0.12 && col("dup9") <= 0.11 &&
+          col("dup10") <= 0.10).cast("bigint"))
+  }
+
   /** Per-(doc, term) TF-IDF over whitespace tokens: tf = in-doc term
     * count, idf = ln((N+1)/(df+1)) with N = corpus size and df = docs
     * containing the term. Shape: one explode + two aggregations + one

@@ -1,0 +1,433 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps
+
+/** Ground-truth gates for the round-10c additions, starting with the
+  * Gopher n-gram repetition filters: a full driver-side recompute of
+  * all nine metrics over the real corpus, a DESIGNED corpus that
+  * actually exercises the dup-coverage lanes (the synthetic testdata
+  * contains no intra-doc repeated 5-grams, so those columns are
+  * always 0 there — the union-of-covered-positions machinery needs
+  * planted repetition to be tested at all), hand-computed anchor
+  * values so the recompute itself is anchored, and the one-Exchange
+  * plan gate. */
+class Round10cSpec extends SparkSpec {
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Independent reference implementation: plain Scala collections,
+    * no windows, no fixed-width key tricks. */
+  private def reference(docId: Long, text: String)
+      : (Long, Seq[Double], Seq[Double], Long) = {
+    val words = text.split(" ", -1)
+    val lenText = text.length
+    val wchars = words.map(_.length).sum
+    val tops = (2 to 4).map { n =>
+      if (words.length < n) 0.0
+      else {
+        val grams = words.sliding(n).map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).view.mapValues(_.size).toMap
+        // tiebreak (count DESC, gram ASC) — replicate independently
+        val (topGram, topCnt) = counts.toSeq
+          .sortBy { case (g, c) => (-c, g) }.head
+        round4(topCnt.toLong * topGram.length.toDouble / lenText)
+      }
+    }
+    val dups = (5 to 10).map { n =>
+      if (words.length < n) 0.0
+      else {
+        val grams = words.sliding(n).map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).view.mapValues(_.size).toMap
+        val covered = grams.zipWithIndex.collect {
+          case (g, i) if counts(g) >= 2 => i until (i + n)
+        }.flatten.toSet
+        val covch = covered.toSeq.map(j => words(j).length).sum
+        round4(covch.toDouble / wchars)
+      }
+    }
+    val pass =
+      if (tops(0) <= 0.20 && tops(1) <= 0.18 && tops(2) <= 0.16 &&
+        dups(0) <= 0.15 && dups(1) <= 0.14 && dups(2) <= 0.13 &&
+        dups(3) <= 0.12 && dups(4) <= 0.11 && dups(5) <= 0.10) 1L
+      else 0L
+    (docId, tops, dups, pass)
+  }
+
+  private def collectMetrics(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, (Seq[Double], Seq[Double], Long)] =
+    df.collect().map { r =>
+      r.getLong(0) -> ((2 to 4).map(n => r.getAs[Double](s"top$n")),
+        (5 to 10).map(n => r.getAs[Double](s"dup$n")),
+        r.getAs[Long]("pass"))
+    }.toMap
+
+  test("pipeline_gopher_repetition: driver-side recompute is exact " +
+      "over the real corpus") {
+    val got = collectMetrics(
+      SparkEntry.queries("pipeline_gopher_repetition")(spark, Sf0001))
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.length == got.size)
+    docs.foreach { case (id, text) =>
+      val (_, tops, dups, pass) = reference(id, text)
+      val (gt, gd, gp) = got(id)
+      assert(gt == tops, s"doc $id top fractions: got $gt want $tops")
+      assert(gd == dups, s"doc $id dup fractions: got $gd want $dups")
+      assert(gp == pass, s"doc $id pass flag")
+    }
+    // the rule set discriminates on the real corpus
+    val passes = got.values.map(_._3).toSeq
+    assert(passes.contains(1L) && passes.contains(0L),
+      "pass flag must discriminate on the corpus")
+  }
+
+  test("pipeline_gopher_repetition: designed corpus exercises the " +
+      "dup-coverage union, with hand-computed anchors") {
+    import spark.implicits._
+    val docs = Seq(
+      // "x y z w v" repeats at pos 0 and 5: dup5 covers positions
+      // 0..9 (10 one-char words of 12) = 0.8333; 6-grams all unique.
+      // Bigrams at count 2: "x y","y z","z w","w v" -> top asc "w v",
+      // chars = 2*3 of len 23 = 0.2609.
+      (100L, "x y z w v x y z w v a b"),
+      // OVERLAPPING duplicated 5-grams ("a a a a a" x6 starts in 10
+      // tokens): union covers all 10 positions exactly once = 1.0 —
+      // a sum over occurrences would overcount to 3.0. The single
+      // 10-gram occurs once, so dup10 stays 0.
+      (101L, "a a a a a a a a a a"),
+      // no repetition at all: every dup lane 0
+      (102L, "q w e r t y u i o p")
+    ).toDF("doc_id", "text")
+    val got = collectMetrics(
+      TextOps.gopherRepetition(docs, "doc_id", "text"))
+    // hand-computed anchors (independent of the reference function)
+    val (t100, d100, _) = got(100L)
+    assert(t100(0) == round4(6.0 / 23))
+    assert(d100 == Seq(round4(10.0 / 12), 0.0, 0.0, 0.0, 0.0, 0.0))
+    val (t101, d101, p101) = got(101L)
+    assert(d101 == Seq(1.0, 1.0, 1.0, 1.0, 1.0, 0.0))
+    assert(t101(0) == round4(9.0 * 3 / 19)) // "a a" x9 of 19 chars
+    assert(p101 == 0L)
+    // no repetition: all dup lanes 0 — but a SHORT doc fails the top
+    // rules anyway (one 4-gram is 7 of 19 chars > 0.16): the top lanes
+    // measure concentration, and everything concentrates in 10 words.
+    val (t102, d102, p102) = got(102L)
+    assert(d102.forall(_ == 0.0))
+    assert(t102(2) == round4(7.0 / 19) && p102 == 0L)
+    // and the reference function agrees on every designed doc
+    Seq((100L, "x y z w v x y z w v a b"),
+      (101L, "a a a a a a a a a a"),
+      (102L, "q w e r t y u i o p")).foreach { case (id, text) =>
+      val (_, tops, dups, pass) = reference(id, text)
+      assert(got(id) == ((tops, dups, pass)), s"doc $id")
+    }
+  }
+
+  test("pipeline_source_overlap: driver recompute from raw gram " +
+      "strings is exact; every pair present") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val gramSets = docs.groupBy(_._1).view.mapValues(_.flatMap {
+      case (_, text) =>
+        val w = text.toLowerCase.split(" ", -1)
+        if (w.length <= 3) Seq(w.mkString(" "))
+        else w.sliding(3).map(_.mkString(" ")).toSeq
+    }.toSet).toMap
+    val sources = gramSets.keys.toSeq.sorted
+    val got = SparkEntry.queries("pipeline_source_overlap")(spark, Sf0001)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val expectedPairs = for {
+      i <- sources.indices; j <- (i + 1) until sources.length
+    } yield (sources(i), sources(j))
+    assert(got.keySet == expectedPairs.toSet,
+      "every unordered source pair must be present")
+    expectedPairs.foreach { case (a, b) =>
+      val (nc, na, nb) = got((a, b))
+      assert(na == gramSets(a).size && nb == gramSets(b).size,
+        s"per-source distinct-gram sizes for ($a,$b)")
+      assert(nc == (gramSets(a) intersect gramSets(b)).size,
+        s"intersection for ($a,$b)")
+    }
+  }
+
+  test("q_cohort_retention: driver recompute is exact; offset-0 rows " +
+      "are complete cohorts") {
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 86400000000000L))
+    val first = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cells = ev.map { case (u, d) => (first(u), d - first(u), u) }
+      .distinct.groupBy(t => (t._1, t._2)).view.mapValues(_.length).toMap
+    val sizes = first.values.groupBy(identity).view.mapValues(_.size).toMap
+    val got = SparkEntry.queries("q_cohort_retention")(spark, Sf0001)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet == cells.keySet)
+    got.foreach { case ((cd, off), (nActive, cohortN, pct)) =>
+      assert(nActive == cells((cd, off)), s"cell ($cd,$off)")
+      assert(cohortN == sizes(cd), s"cohort size $cd")
+      assert(pct == round4(nActive.toDouble * 100 / cohortN))
+      if (off == 0L)
+        assert(nActive == cohortN, "day 0 must contain the full cohort")
+    }
+  }
+
+  test("ann_sq8: recall@10 vs exact brute force, and reconstruction " +
+      "error bounded by half a quantization step per dimension") {
+    val brute = SparkEntry.queries("ann_brute")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val sq8 = SparkEntry.queries("ann_sq8")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(sq8.keySet == brute.keySet)
+    val recall = sq8.keys.toSeq.map(q =>
+      (sq8(q) intersect brute(q)).size.toDouble / brute(q).size).sum /
+      sq8.size
+    // 8-bit-per-dim quantization error is tiny even on near-uniform
+    // data; anything below this means the code assignment is wrong
+    assert(recall >= 0.9, s"recall@10 = $recall")
+
+    // driver-side replay of the quantization arithmetic: max |x - r|
+    // over every vector and dimension must be <= delta/2 (+ float
+    // rounding slack)
+    val rows = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val dim = rows.head._2.size
+    val mins = (0 until dim).map(i => rows.map(_._2(i)).min.toDouble)
+    val maxs = (0 until dim).map(i => rows.map(_._2(i)).max.toDouble)
+    rows.foreach { case (_, vec) =>
+      (0 until dim).foreach { i =>
+        val (mn, mx) = (mins(i), maxs(i))
+        val x = vec(i).toDouble
+        val code = if (mx == mn) 0.0
+        else math.min(255.0, math.max(0.0,
+          BigDecimal((x - mn) * 255.0 / (mx - mn))
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        val rec = (mn + code * (mx - mn) / 255.0).toFloat.toDouble
+        val halfStep = (mx - mn) / 255.0 / 2.0
+        assert(math.abs(x - rec) <= halfStep * 1.001,
+          s"dim $i: |$x - $rec| > $halfStep")
+      }
+    }
+  }
+
+  test("ann_mmr: driver-side greedy replay is exact; scores are " +
+      "non-increasing; the selection actually diversifies") {
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def toE4(v: Double): Long =
+      BigDecimal(v * 10000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def cosE4(a: Seq[Float], b: Seq[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      toE4(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val expected = (0L until 5L).flatMap { q =>
+      val qv = emb(q)
+      val short = emb.toSeq.filter(_._1 != q)
+        .map { case (i, v) => (i, cosE4(qv, v), v) }
+        .sortBy(r => (-r._2, r._1)).take(20)
+      val cands = scala.collection.mutable.ArrayBuffer(
+        short.map(r => (r._1, r._2, r._3, 0L)): _*)
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      while (sel.size < 10 && cands.nonEmpty) {
+        val scoredC = cands.map(c => (7 * c._2 - 3 * c._4, c._1))
+        val (bs, bid) = scoredC.minBy { case (s, i) => (-s, i) }
+        val bi = cands.indexWhere(_._1 == bid)
+        val win = cands.remove(bi)
+        sel += ((bs, win._1))
+        cands.indices.foreach { j =>
+          val c = cands(j)
+          val s = cosE4(c._3, win._3)
+          if (s > c._4) cands(j) = (c._1, c._2, c._3, s)
+        }
+      }
+      sel.zipWithIndex.map { case ((s, i), r) =>
+        (q, (r + 1).toLong, i, s.toDouble / 100000.0) }
+    }.toSet
+    val got = SparkEntry.queries("ann_mmr")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == expected)
+    // scores non-increasing per query (the greedy max is over a
+    // superset with smaller-or-equal penalties each step)
+    got.groupBy(_._1).values.foreach { rows =>
+      val byRank = rows.toSeq.sortBy(_._2).map(_._4)
+      byRank.sliding(2).foreach {
+        case Seq(a, b) => assert(a >= b, s"scores increased: $a -> $b")
+        case _ =>
+      }
+    }
+    // diversification witness: for at least one query, MMR's picks
+    // differ from the plain similarity top-10
+    val brute = SparkEntry.queries("ann_brute")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val mmrSets = got.groupBy(_._1).view
+      .mapValues(_.map(_._3).toSet).toMap
+    assert(mmrSets.exists { case (q, s) => s != brute(q) },
+      "MMR never diverged from plain top-k — no diversification")
+  }
+
+  test("multimodal_framesample: stride arithmetic replayed per doc") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, text) =>
+      val nBytes = text.getBytes("UTF-8").length
+      (0 until nBytes by 64).take(8).zipWithIndex.map {
+        case (off, idx) => (id, nBytes.toLong, idx.toLong, off.toLong)
+      }
+    }.toSet
+    val got = SparkEntry.queries("multimodal_framesample")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+  }
+
+  test("graph_link_predict: driver recompute of edges, capped-center " +
+      "common neighbors, and Jaccard is exact for the top-50") {
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val edges = ev.groupBy(e => (e._1, e._2 / 3600000000000L)).values
+      .flatMap { g =>
+        val seq = g.toSeq.sortBy(e => (e._2, e._3)).map(_._4)
+        seq.sliding(2).collect {
+          case Seq(a, b) if a != b => (math.min(a, b), math.max(a, b))
+        }
+      }.toSet
+    val nbrs = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = nbrs.view.mapValues(_.size).toMap
+    val cn = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    nbrs.foreach { case (c, ns) =>
+      if (deg(c) <= 64)
+        for (a <- ns; b <- ns if a < b) cn((a, b)) = cn.getOrElse((a, b), 0) + 1
+    }
+    val nonEdges = cn.toSeq.filterNot { case (p, _) => edges.contains(p) }
+    val expectTop = nonEdges
+      .map { case ((a, b), c) => (a, b, c.toLong, deg(a).toLong,
+        deg(b).toLong) }
+      .sortBy { case (a, b, c, _, _) => (-c, a, b) }.take(50)
+      .map { case (a, b, c, da, db) =>
+        (a, b, c, da, db,
+          BigDecimal(c.toDouble / (da + db - c))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSet
+    val got = SparkEntry.queries("graph_link_predict")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    assert(got == expectTop)
+  }
+
+  test("ann_ivf_mmr: probing every cell equals plain MMR exactly; " +
+      "picks come from probed cells only") {
+    import graft.ops.AnnOps
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val model = AnnOps.cachedIvf(spark, s"$Sf0001/embeddings.parquet",
+      emb, "vec_id", "embedding", nlist = 8)
+    // nprobe = nlist ⇒ the candidate set is the whole corpus ⇒ the
+    // composition must reproduce mmrTopK byte for byte
+    val full = AnnOps.ivfMmrTopK(emb, queries, "vec_id", "embedding",
+      model, k = 10, nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val plain = AnnOps.mmrTopK(emb, queries, "vec_id", "embedding",
+      k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(full == plain)
+    // at nprobe = 3, every pick must live in one of the query's
+    // probed cells
+    val cells = AnnOps.assignCells(emb, "vec_id", "embedding", model)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = SparkEntry.queries("ann_ivf_mmr")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.nonEmpty)
+    // probe cells per query: 3 most cosine-similar centroids
+    def cosD(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qvecs = queries.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val probed = qvecs.view.mapValues { qv =>
+      model.centroids.indices
+        .sortBy(i => (-cosD(qv, model.centroids(i).toSeq), i))
+        .take(3).toSet
+    }.toMap
+    got.foreach { case (q, n) =>
+      assert(probed(q).contains(cells(n)),
+        s"pick $n for query $q is outside the probed cells")
+    }
+  }
+
+  test("text_collocations: driver PMI recompute is exact; min-count " +
+      "floor holds; ranking follows the lift") {
+    val texts = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0).toLowerCase)
+    val toks = texts.flatMap(_.split(" ", -1))
+    val wc = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tw = toks.length.toLong
+    val bgs = texts.flatMap { t =>
+      val w = t.split(" ", -1)
+      if (w.length < 2) Seq.empty[(String, String)]
+      else w.sliding(2).map(p => (p(0), p(1))).toSeq
+    }
+    val tb = bgs.length.toLong
+    val bc = bgs.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 >= 5L).toMap
+    val expected = bc.toSeq.map { case ((a, b), nab) =>
+      val lift = nab.toDouble * tw * tw / (tb.toDouble * wc(a) * wc(b))
+      (s"$a $b", nab, wc(a), wc(b), lift)
+    }.sortBy { case (g, _, _, _, l) => (-l, g) }.take(30)
+      .map { case (g, nab, na, nb, l) =>
+        (g, nab, na, nb, BigDecimal(math.log(l))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    val got = SparkEntry.queries("text_collocations")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected)
+    assert(got.forall(_._2 >= 5L))
+  }
+
+  test("pipeline_gopher_repetition: the kernel form is shuffle-free " +
+      "(one compiled map pass, no Exchange of any kind)") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    // EnsureRequirements only runs in the executed plan; under AQE the
+    // tree hides behind AdaptiveSparkPlanExec, so check the plan
+    // string (which prints the full initial plan)
+    val plan = TextOps.gopherRepetition(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(plan.contains("gopher_repetition"), plan.take(2000))
+  }
+}
