@@ -965,6 +965,39 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // Feature hashing (the hashing-trick vectorizer, Weinberger et
+    // al. 2009): every token hashes into one of 64 signed buckets
+    // (portable md5 lane — the dedup_clusters_portable arithmetic, so
+    // DuckDB replays every hash), per-doc bucket sums form the sparse
+    // feature vector, and the emitted per-doc md5 of the ordered
+    // "bucket:weight" serialization certifies every vector entry
+    // cross-engine without 64 columns. All-integer; one (doc, bucket)
+    // aggregate + one per-doc rollup, both co-keyed on doc_id at
+    // scale.
+    "text_hash_features" -> ((s, d) => {
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("w"))
+        .withColumn("h",
+          conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10)
+            .cast("long"))
+        .select(col("doc_id"), pmod(col("h"), lit(64)).as("bucket"),
+          when(pmod(expr("h div 64"), lit(2)) === 0, 1L)
+            .otherwise(-1L).as("sgn"))
+      tok.groupBy(col("doc_id"), col("bucket"))
+        .agg(sum(col("sgn")).as("f"))
+        .filter(col("f") =!= 0)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nnz"),
+          sum(abs(col("f"))).as("l1"),
+          md5(concat_ws("|", transform(
+            array_sort(collect_list(struct(col("bucket"), col("f")))),
+            x => concat(x.getField("bucket").cast("string"), lit(":"),
+              x.getField("f").cast("string")))).cast("binary"))
+            .as("vec_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Collocation mining: top-30 bigrams by pointwise mutual
     // information with a min-count floor (the classic corpus-analysis
     // op behind phrase vocabularies and tokenizer seeding). PMI's ln
@@ -1681,6 +1714,57 @@ object SparkEntry {
         .limit(20)
         .select(col("node"), col("kind"),
           round(col("rank_f") / 1e15, 6).as("rank"))
+    }),
+
+    // Personalized PageRank from a 3-user seed set over the same
+    // bipartite user-item graph — the walker teleports to the seeds,
+    // so ranks measure proximity TO THOSE USERS (the
+    // recommend-from-here score). Fixed-point integer ranks, 12
+    // unrollable rounds, teleport/dangling mass concentrated on the
+    // seeds; the oracle replays every round as a CTE (the pagerank
+    // discipline with a seed-indicator base).
+    "graph_ppr" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id").cast("long").as("user"),
+          (get_json_object(col("props"), "$.k").cast("long") + 1000000L)
+            .as("item"))
+        .filter(col("item").isNotNull)
+      val edges = ev.select(col("user").as("src"), col("item").as("dst"))
+        .union(ev.select(col("item").as("src"), col("user").as("dst")))
+      ops.GraphOps.personalizedPagerank(edges, "src", "dst",
+          seeds = Seq(0L, 1L, 2L))
+        .withColumn("kind",
+          when(col("node") >= 1000000L, "item").otherwise("user"))
+        .orderBy(col("rank_f").desc, col("node"))
+        .limit(20)
+        .select(col("node"), col("kind"),
+          round(col("rank_f") / 1e15, 6).as("rank"))
+    }),
+
+    // Time-weighted average of the event value per user (TWAP) — the
+    // irregular-sampling mean a metrics/finance stack needs: each
+    // interval weights its LEFT endpoint's value by the interval
+    // length. ALL-INTEGER arithmetic: values become exact cents
+    // (round(value·100) — integer-scale rounding, cross-engine safe),
+    // intervals become milliseconds by integer div, and the per-user
+    // sums are long products — the only float op is the final output
+    // division. One window on (user, ts) + one aggregate, co-keyed.
+    "q_twap" -> ((s, d) => {
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("dt_ms",
+          expr("(lead(ts, 1) OVER (PARTITION BY user_id " +
+            "ORDER BY ts, event_id) - ts) div 1000000"))
+        .filter(col("dt_ms").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dt_ms")).as("total_ms"),
+          sum(col("cents") * col("dt_ms")).as("num"))
+        .select(col("user_id"), col("n_intervals"), col("total_ms"),
+          round(col("num").cast("double")
+            / (col("total_ms") * 100), 6).as("twap"))
+        .orderBy(col("user_id"))
     }),
 
     // Exact triangle counting over the temporal co-occurrence graph:
@@ -2960,6 +3044,37 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       ops.AnnOps.mmrTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // FILTERED vector search — the metadata-constrained top-k every
+    // production vector store serves (category-scoped retrieval):
+    // each query's neighbors must carry the query's label, and the
+    // filter is the broadcast-hash-JOIN KEY (pre-filtering: the label
+    // partitions the candidate space before any distance math — at
+    // index scale this is the label-partitioned-index layout), not a
+    // post-filter that starves the top-k. Otherwise ann_brute's exact
+    // conventions (unrounded ranking, id tiebreak, round-4 output).
+    "ann_filtered" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = broadcast(emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"), col("label").as("qlabel")))
+      val scored = emb
+        .select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("vec"), col("label"))
+        .join(q, col("label") === col("qlabel"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", graft.functions.VectorFunctions
+          .cosineSim(col("query_vec"), col("vec")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      scored
+        .withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("label"), round(col("sim"), 4).as("sim"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -5159,6 +5274,40 @@ object SparkEntry {
         .filter(col("l_partkey") <= 200 && col("l_suppkey") <= 20)
         .orderBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"), col("l_extendedprice"))
+    }),
+
+    // Dataset RELEASE DIFF — the audit table two corpus releases ship
+    // between them: v2 deterministically derives from v1 (every 10th
+    // doc deleted, every 7th surviving doc edited, one new doc per
+    // 13th), then a full-outer md5 join classifies every id as
+    // added / removed / changed / unchanged and each class emits its
+    // count plus an md5 digest of the ordered id list — the whole
+    // membership of every class is hash-certified, not just counted.
+    // Shape: one co-keyed full-outer join on doc_id; 16-byte hashes
+    // move, never text.
+    "q_release_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val v1 = docs.select(col("doc_id"), md5(col("text")).as("h1"))
+      val v2 = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        .select(col("doc_id"),
+          md5(when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+            .as("h2"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            md5(col("text")).as("h2")))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") === col("h2"), "unchanged")
+            .otherwise("changed"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          md5(concat_ws(",", transform(
+            array_sort(collect_list(col("doc_id"))),
+            x => x.cast("string"))).cast("binary")).as("ids_md5"))
+        .orderBy(col("status"))
     }),
 
     // Hive-partitioned layout round-trip: write the corpus partitioned
@@ -8500,6 +8649,54 @@ object SparkEntry {
        |ORDER BY rank_f DESC, node LIMIT 20""".stripMargin
   }
 
+  /** Personalized-PageRank oracle: [[pagerankOracleSql]] with the
+    * teleport vector concentrated on the seed set — r0 and the
+    * per-round base are CASE-gated on seed membership, everything
+    * else (integer shares, `//` division, unrolled rounds) is the
+    * certified pagerank replay verbatim. The bipartite graph is
+    * symmetrized, so there is no dangling mass on either side. */
+  private def pprOracleSql(iters: Int, seeds: Seq[Long]): String = {
+    val seedList = seeds.mkString(", ")
+    val s = seeds.length
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    (CASE WHEN n.node IN ($seedList)
+         |          THEN (SELECT base FROM params) ELSE 0 END) +
+         |      (85 * coalesce(c.contrib, 0)) // 100 AS rank_f
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(s.share) AS BIGINT) AS contrib
+         |    FROM e JOIN (
+         |      SELECT r.node, r.rank_f // d.deg AS share
+         |      FROM r${i - 1} r JOIN deg d USING (node)) s
+         |      ON e.src = s.node
+         |    GROUP BY e.dst) c USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT CAST(user_id AS BIGINT) AS usr,
+       |    TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+       |      + 1000000 AS item
+       |  FROM events
+       |  WHERE TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+       |          AS BIGINT) IS NOT NULL),
+       |e AS (SELECT usr AS src, item AS dst FROM ev
+       |      UNION ALL SELECT item, usr FROM ev),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+       |params AS (SELECT 1000000000000000 // $s AS r_init,
+       |    (15 * (1000000000000000 // $s)) // 100 AS base),
+       |r0 AS (SELECT node,
+       |    CASE WHEN node IN ($seedList)
+       |         THEN (SELECT r_init FROM params) ELSE 0 END AS rank_f
+       |  FROM nodes),
+       |$rounds
+       |SELECT node,
+       |  CASE WHEN node >= 1000000 THEN 'item' ELSE 'user' END AS kind,
+       |  round(rank_f / 1000000000000000.0, 6) AS rank
+       |FROM r$iters
+       |ORDER BY rank_f DESC, node LIMIT 20""".stripMargin
+  }
+
   /** pipeline_decontaminate oracle: the hashed-shingle overlap count
     * recomputed over raw 3-token gram STRINGS — equal iff the xxhash
     * kernel is collision-free on this corpus, so the hash match
@@ -9373,6 +9570,48 @@ object SparkEntry {
         |  cast(wscore AS double) / 100000 AS mmr_score
         |FROM sel WHERE won ORDER BY query_id, rank""".stripMargin,
 
+    // Filtered search: the label join mirrors the Spark pre-filter.
+    "ann_filtered" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |        cast(embedding as DOUBLE[]) AS qvec, label AS qlabel
+        |      FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+        |    list_cosine_similarity(q.qvec, cast(e.embedding as DOUBLE[]))
+        |      AS sim
+        |  FROM embeddings e JOIN q ON e.label = q.qlabel
+        |  WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, label, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, label, round(sim, 4) AS sim
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // Release diff: v2 derived by the same deterministic rules; the
+    // ids_md5 digests certify every class's full membership.
+    "q_release_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+        |             ELSE text END) AS h2
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, md5(text) AS h2
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |j AS (
+        |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |    CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |         WHEN v2.doc_id IS NULL THEN 'removed'
+        |         WHEN v1.h1 = v2.h2 THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT status, count(*) AS n,
+        |  md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS ids_md5
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
+
     // SQ8: the per-dim min/max model is RECOMPUTED from the raw table
     // (non-circular); codes and reconstruction replay Spark's exact
     // double-op order, the float32 rounding of the reconstructed
@@ -9511,6 +9750,24 @@ object SparkEntry {
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "graph_pagerank" -> pagerankOracleSql(12),
+
+    "graph_ppr" -> pprOracleSql(12, Seq(0L, 1L, 2L)),
+
+    // TWAP: exact cents × millisecond intervals, all-long sums; the
+    // only float op is the final output division.
+    "q_twap" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    cast(round(value * 100) AS bigint) AS cents,
+        |    (epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |       ORDER BY ts, event_id)) - epoch_us(ts)) // 1000 AS dt_ms
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  cast(sum(dt_ms) AS bigint) AS total_ms,
+        |  round(cast(sum(cents * dt_ms) AS double)
+        |    / (sum(dt_ms) * 100), 6) AS twap
+        |FROM ev WHERE dt_ms IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "graph_communities" -> lpaOracleSql(4),
 
@@ -10473,6 +10730,26 @@ object SparkEntry {
         |)
         |SELECT gram, count(*) AS n FROM g
         |GROUP BY gram ORDER BY n DESC, gram LIMIT 50""".stripMargin,
+
+    // Feature hashing: the portable md5 lane replayed per token
+    // occurrence; the vector md5 certifies every (bucket, weight).
+    "text_hash_features" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |        (('0x' || substr(md5(w), 1, 15))::BIGINT) AS h
+        |      FROM tok),
+        |b AS (SELECT doc_id, h % 64 AS bucket,
+        |        CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |      FROM h),
+        |f AS (SELECT doc_id, bucket, cast(sum(sgn) AS bigint) AS f
+        |      FROM b GROUP BY 1, 2 HAVING sum(sgn) <> 0)
+        |SELECT doc_id, count(*) AS nnz,
+        |  cast(sum(abs(f)) AS bigint) AS l1,
+        |  md5(string_agg(bucket || ':' || f, '|' ORDER BY bucket))
+        |    AS vec_md5
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Collocations: the ranking key is the fixed-order double lift
     // (exact cross-engine); ln only in the rounded output.

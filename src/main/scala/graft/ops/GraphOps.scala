@@ -105,6 +105,68 @@ object GraphOps {
     ranks
   }
 
+  /** Personalized PageRank (Page et al. 1999 §6; the random walker
+    * teleports to the SEED SET instead of uniformly) — the
+    * graph-proximity score behind recommend-from-here and
+    * seed-expansion retrieval. Same fixed-point integer discipline as
+    * [[pagerank]] (ranks are longs summing to ~1e15, `div` not `/`,
+    * one co-keyed shuffle pair per round, one eager checkpoint per
+    * round), differing only in the teleport vector: rank₀ and the
+    * per-round base concentrate on the seeds (Unit15 / |S| each), and
+    * any dangling mass returns to the seeds rather than the whole
+    * node set. Deterministic end-to-end, so the oracle unrolls the
+    * rounds as CTEs exactly like PageRank's. */
+  def personalizedPagerank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: Seq[Long], iters: Int = 12,
+      dampingPct: Int = 85): DataFrame = {
+    require(seeds.nonEmpty, "personalized pagerank needs seeds")
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "personalized pagerank over an empty edge list")
+    val outDeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val hasDangling = outDeg.count() < n
+    val sCount = seeds.length
+    val rInit = Unit15 / sCount
+    val basePerSeed = (100 - dampingPct) * rInit / 100
+    val seedList = seeds.mkString(",")
+    var ranks = nodes.selectExpr("node",
+      s"CASE WHEN node IN ($seedList) THEN ${rInit}L ELSE 0L END" +
+        " AS rank_f")
+    var iter = 0
+    while (iter < iters) {
+      val shares = ranks
+        .join(outDeg, Seq("node"), "inner")
+        .selectExpr("node AS src", "rank_f div deg AS share")
+      val contribs = e.join(shares, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("share")).as("contrib_f"))
+      val danglingF = if (!hasDangling) 0L
+        else ranks.join(outDeg, Seq("node"), "left_anti")
+          .agg(coalesce(sum(col("rank_f")), lit(0L))).collect()(0).getLong(0)
+      val seedMass = basePerSeed + dampingPct * (danglingF / sCount) / 100
+      val next = nodes
+        .join(contribs, Seq("node"), "left")
+        .selectExpr("node",
+          s"CASE WHEN node IN ($seedList) THEN ${seedMass}L ELSE 0L END" +
+            s" + ($dampingPct * coalesce(contrib_f, 0)) div 100" +
+            " AS rank_f")
+        .localCheckpoint(eager = !hasDangling)
+      ranks = next
+      iter += 1
+    }
+    ranks.count()
+    ranks
+  }
+
   /** Community detection by SYNCHRONOUS LABEL PROPAGATION (Raghavan,
     * Albert & Kumara 2007, public literature; independent
     * implementation), made fully deterministic: a fixed iteration

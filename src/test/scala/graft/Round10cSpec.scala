@@ -388,6 +388,189 @@ class Round10cSpec extends SparkSpec {
     }
   }
 
+  test("graph_ppr: driver fixed-point replay is exact; teleport mass " +
+      "stays on the seed side") {
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("user_id"), get_json_object(col("props"), "$.k")
+        .cast("long")).collect()
+      .collect { case r if !r.isNullAt(1) =>
+        (r.getLong(0), r.getLong(1) + 1000000L) }
+    val edges = ev.flatMap { case (u, i) => Seq((u, i), (i, u)) }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val outDeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val seeds = Set(0L, 1L, 2L)
+    val unit = 1000000000000000L
+    val rInit = unit / seeds.size
+    val base = (100 - 85) * rInit / 100
+    var rank = nodes.map(n =>
+      n -> (if (seeds(n)) rInit else 0L)).toMap
+    (1 to 12).foreach { _ =>
+      val contrib = scala.collection.mutable.Map.empty[Long, Long]
+      edges.foreach { case (s, d) =>
+        val share = rank(s) / outDeg(s)
+        contrib(d) = contrib.getOrElse(d, 0L) + share
+      }
+      rank = nodes.map(n => n ->
+        ((if (seeds(n)) base else 0L) +
+          85L * contrib.getOrElse(n, 0L) / 100L)).toMap
+    }
+    val expected = rank.toSeq
+      .sortBy { case (n, r) => (-r, n) }.take(20)
+      .map { case (n, r) =>
+        (n, if (n >= 1000000L) "item" else "user",
+          BigDecimal(r / 1e15)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSet
+    val got = SparkEntry.queries("graph_ppr")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == expected)
+    // proximity property: every seed user outranks every non-seed
+    // user in the top-20 (they hold the teleport mass)
+    val users = got.filter(_._2 == "user")
+    val seedRanks = users.filter(u => seeds(u._1)).map(_._3)
+    val otherRanks = users.filterNot(u => seeds(u._1)).map(_._3)
+    assert(seedRanks.nonEmpty)
+    if (otherRanks.nonEmpty)
+      assert(seedRanks.min >= otherRanks.max)
+  }
+
+  test("q_twap: driver recompute is exact; twap bounded by the " +
+      "per-user value range") {
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = ev.groupBy(_._1).collect {
+      case (u, rows) if rows.length >= 2 =>
+        val ordered = rows.sortBy(r => (r._2, r._3))
+        val iv = ordered.sliding(2).map { case Array(a, b) =>
+          val cents = BigDecimal(a._4 * 100)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          val dtMs = (b._2 - a._2) / 1000000L
+          (cents, dtMs)
+        }.toSeq
+        val num = iv.map(x => x._1 * x._2).sum
+        val den = iv.map(_._2).sum
+        (u, (iv.size.toLong, den,
+          BigDecimal(num.toDouble / (den * 100))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    val got = SparkEntry.queries("q_twap")(spark, Sf0001).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expected)
+    // boundedness: the time-weighted mean sits inside the value range
+    ev.groupBy(_._1).foreach { case (u, rows) =>
+      if (got.contains(u)) {
+        val vs = rows.map(_._4)
+        assert(got(u)._3 >= vs.min - 0.01 && got(u)._3 <= vs.max + 0.01)
+      }
+    }
+  }
+
+  test("ann_filtered: label constraint holds, driver recompute is " +
+      "exact, and the filter actually binds vs unfiltered search") {
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = emb.map(e => e._1 -> e).toMap
+    val expected = (0L until 5L).flatMap { qid =>
+      val (_, qv, ql) = byId(qid)
+      emb.filter(e => e._1 != qid && e._3 == ql)
+        .map(e => (e._1, e._3, cos(qv, e._2)))
+        .sortBy(e => (-e._3, e._1)).take(10).zipWithIndex
+        .map { case ((nid, lb, s), i) =>
+          (qid, (i + 1).toLong, nid, lb,
+            BigDecimal(s).setScale(4,
+              BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+    }.toSet
+    val got = SparkEntry.queries("ann_filtered")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4))).toSet
+    assert(got == expected)
+    got.foreach { case (q, _, _, lb, _) =>
+      assert(lb == byId(q)._3, s"query $q neighbor label mismatch") }
+    // the constraint must actually change results vs plain top-k
+    val brute = SparkEntry.queries("ann_brute")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val filt = got.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(filt.exists { case (q, s) => s != brute(q) })
+  }
+
+  test("q_release_diff: driver recompute of the derived release and " +
+      "the four-way classification is exact") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val v1 = docs.map { case (id, t) => id -> md5hex(t) }.toMap
+    val v2 = docs.filter(_._1 % 10 != 0).map { case (id, t) =>
+      id -> md5hex(if (id % 7 == 0) t + " v2" else t) }.toMap ++
+      docs.filter(_._1 % 13 == 0).map { case (id, t) =>
+        (id + 1000000L) -> md5hex(t) }.toMap
+    val statuses = (v1.keySet ++ v2.keySet).toSeq.map { id =>
+      val st =
+        if (!v1.contains(id)) "added"
+        else if (!v2.contains(id)) "removed"
+        else if (v1(id) == v2(id)) "unchanged"
+        else "changed"
+      (id, st)
+    }
+    val expected = statuses.groupBy(_._2).map { case (st, rows) =>
+      val ids = rows.map(_._1).sorted
+      st -> ((ids.size.toLong, md5hex(ids.mkString(","))))
+    }
+    val got = SparkEntry.queries("q_release_diff")(spark, Sf0001)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got == expected)
+    assert(got.keySet ==
+      Set("added", "removed", "changed", "unchanged"))
+  }
+
+  test("text_hash_features: driver replay of the signed hashing " +
+      "vectorizer is exact; both signs occur") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var sawNeg = false
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, text) =>
+      val fs = scala.collection.mutable.Map.empty[Long, Long]
+      text.toLowerCase.split(" ", -1).foreach { w =>
+        val h = java.lang.Long.parseLong(md5hex(w).take(15), 16)
+        val sgn = if ((h / 64) % 2 == 0) 1L else -1L
+        val b = h % 64
+        fs(b) = fs.getOrElse(b, 0L) + sgn
+      }
+      val nz = fs.toSeq.filter(_._2 != 0L).sortBy(_._1)
+      if (nz.exists(_._2 < 0)) sawNeg = true
+      val ser = nz.map { case (b, f) => s"$b:$f" }.mkString("|")
+      (id, (nz.size.toLong, nz.map(x => math.abs(x._2)).sum,
+        md5hex(ser)))
+    }.toMap
+    val got = SparkEntry.queries("text_hash_features")(spark, Sf0001)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == expected)
+    assert(sawNeg, "no negative weight — signed hashing unexercised")
+  }
+
   test("text_collocations: driver PMI recompute is exact; min-count " +
       "floor holds; ranking follows the lift") {
     val texts = spark.read.parquet(s"$Sf0001/documents.parquet")
