@@ -5276,6 +5276,24 @@ object SparkEntry {
           col("l_quantity"), col("l_extendedprice"))
     }),
 
+    // Skyline / Pareto frontier (Börzsönyi et al. 2001) — the
+    // preference query: lineitems no other lineitem beats on BOTH
+    // price (lower) and quantity (higher). ops.SkylineOps.skyline2D:
+    // same-price groups collapse to their max quantity in one
+    // aggregate, then the strictly-dominating prefix max over the
+    // price order runs two-phase (range partition + per-partition
+    // window + one bounded carry row per partition through the
+    // driver — the withGlobalOffset discipline, never a global
+    // window). Frontier rows are strictly increasing in BOTH columns
+    // by construction.
+    "q_skyline" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_extendedprice").as("price"),
+          col("l_quantity").cast("long").as("qty"))
+      ops.SkylineOps.skyline2D(li, "price", "qty")
+        .orderBy(col("price"))
+    }),
+
     // Dataset RELEASE DIFF — the audit table two corpus releases ship
     // between them: v2 deterministically derives from v1 (every 10th
     // doc deleted, every 7th surviving doc edited, one new doc per
@@ -9588,6 +9606,21 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, label, round(sim, 4) AS sim
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // Skyline: the definition replayed with a plain window (single
+    // node — the oracle need not mirror the two-phase carry).
+    "q_skyline" ->
+      """WITH g AS (
+        |  SELECT l_extendedprice AS price,
+        |         max(cast(l_quantity AS bigint)) AS qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT price, qty FROM (
+        |  SELECT price, qty,
+        |    max(qty) OVER (ORDER BY price
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM g)
+        |WHERE pm IS NULL OR qty > pm
+        |ORDER BY price""".stripMargin,
 
     // Release diff: v2 derived by the same deterministic rules; the
     // ids_md5 digests certify every class's full membership.

@@ -43,7 +43,10 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_span_maximal", "graph_communities", "dedup_span_stats",
     "dedup_clusters_portable", "dedup_substrings_hashed",
     "dedup_span_excise", "pipeline_curate_neardup", "pipeline_ingest_incr",
-    "q_math_funcs", "graph_triangles")
+    "q_math_funcs", "graph_triangles",
+    // round-10c: the seed-teleport pagerank joins the loop family at
+    // ~3.5s, and the gopher kernel must STAY a codegen'd map
+    "graph_ppr", "pipeline_gopher_repetition")
 
   /** Interpreted (CodegenFallback) expressions ALLOWED per hot query
     * — (query, expression-class) pairs, each justified; ANY new

@@ -540,6 +540,39 @@ class Round10cSpec extends SparkSpec {
       Set("added", "removed", "changed", "unchanged"))
   }
 
+  test("q_skyline: driver Pareto recompute is exact; frontier is " +
+      "strictly increasing in both columns; no single-partition plan") {
+    val pts = spark.read.parquet(s"$Sf0001/lineitem.parquet")
+      .select(col("l_extendedprice"), col("l_quantity").cast("long"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    // reference: per-price max qty, then keep points strictly above
+    // every cheaper point's qty
+    val g = pts.groupBy(_._1).view.mapValues(_.map(_._2).max)
+      .toSeq.sortBy(_._1)
+    var best = Long.MinValue
+    val expected = g.flatMap { case (p, q) =>
+      if (q > best) { best = q; Some((p, q)) } else None
+    }.toSet
+    // independent O(n·frontier) dominance check of the same set
+    expected.foreach { case (p, q) =>
+      assert(!pts.exists { case (p2, q2) =>
+        (p2 <= p && q2 >= q) && (p2 < p || q2 > q) },
+        s"($p,$q) is dominated")
+    }
+    val got = SparkEntry.queries("q_skyline")(spark, Sf0001).collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(got.toSet == expected)
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._1 < b._1 && a._2 < b._2,
+          "frontier must strictly increase in both columns")
+      case _ =>
+    }
+    val plan = SparkEntry.queries("q_skyline")(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(1500))
+  }
+
   test("text_hash_features: driver replay of the signed hashing " +
       "vectorizer is exact; both signs occur") {
     def md5hex(s: String): String =
