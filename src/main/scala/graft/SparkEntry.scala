@@ -5383,19 +5383,18 @@ object SparkEntry {
     // fraction of WORD characters covered by any duplicated n-gram
     // occurrence (n = 5..10; the UNION of covered positions — a
     // character under three overlapping duplicated 7-grams counts
-    // once). Physical shape is the point at 100 TB: ONE hash
-    // Exchange. posexplode yields the (doc_id, pos, word) stream; the
-    // first window establishes HashPartitioning(doc_id), and every
-    // per-(doc_id, gram_n) count window's
-    // ClusteredDistribution(doc_id, gram_n) is SATISFIED by that same
-    // partitioning (partitioning keys ⊆ clustering keys), so Spark
-    // inserts only per-partition sorts for the other nine window
-    // specs — auditing nine n's costs nine sorts, zero extra
-    // shuffles (plan-gated in Round10cSpec). Coverage flags are
-    // sliding ROWS-frame maxima over dup-start flags on the same
-    // (doc_id, pos) sort. The top-gram argmax rides the fixed-width
-    // key (zero-padded (1e8 − cnt)) ‖ gram, so the (cnt DESC,
-    // gram ASC) tiebreak is byte-identical under DuckDB's min().
+    // once). Physical shape is the point at 100 TB: SHUFFLE-FREE —
+    // all nine metrics come from ONE compiled kernel pass per row
+    // (SketchKernels.gopherRepetition: byte-slice grams, one count
+    // map per n, byte-order (cnt DESC, gram ASC) tiebreaks) emitting
+    // exact integers; only the fractions and round(4) stay in the SQL
+    // layer. Plan-gated in Round10cSpec at ZERO Exchanges of any
+    // kind. (A 9-window formulation — one Exchange + nine
+    // in-partition sorts — was the first cut and measured 7.8 s at
+    // sf0.1; that window description survives ONLY in the DuckDB
+    // oracle replay below, which audits the same semantics with
+    // lead/count/max windows and the fixed-width (1e8−cnt)‖gram
+    // argmax key.)
     "pipeline_gopher_repetition" -> ((s, d) =>
       ops.TextOps.gopherRepetition(t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id")))
@@ -11516,7 +11515,8 @@ object SparkEntry {
           s" * (length(k$n) - 9) / len_text, 4), 0.0) AS top$n")
         .mkString(",\n    ")
       val dups = (5 to 10).map(n =>
-        s"round(cast(covch$n AS double) / wchars, 4) AS dup$n")
+        s"CASE WHEN wchars = 0 THEN 0.0 ELSE " +
+          s"round(cast(covch$n AS double) / wchars, 4) END AS dup$n")
         .mkString(",\n    ")
       s"""WITH base AS (
          |  SELECT doc_id, length(text) AS len_text,

@@ -347,6 +347,12 @@ object AnnOps {
       min(element_at(col(vecCol), i + 1)).as(s"mn$i"),
       max(element_at(col(vecCol), i + 1)).as(s"mx$i")))
     val mm = corpus.agg(mmCols.head, mmCols.tail: _*).head()
+    // an empty corpus, or a `dim` past the actual vector length
+    // (element_at beyond the end is NULL, so min/max are NULL), would
+    // otherwise surface as an opaque NPE from the Row access below
+    require((0 until 2 * dim).forall(!mm.isNullAt(_)),
+      s"sq8TopK: empty corpus or dim=$dim exceeds the stored vector " +
+        "length (min/max stats are NULL)")
     val mins = (0 until dim).map(i => mm.getFloat(2 * i).toDouble).toArray
     val maxs = (0 until dim).map(i => mm.getFloat(2 * i + 1).toDouble)
       .toArray

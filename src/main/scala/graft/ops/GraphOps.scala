@@ -130,6 +130,16 @@ object GraphOps {
       .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "personalized pagerank over an empty edge list")
+    // a seed absent from the node set would silently drop its
+    // Unit15/|S| share of teleport mass (its rank row never exists),
+    // quietly diverging from the PPR definition — fail loud instead.
+    // One bounded filter-count against the checkpointed node table.
+    val seedsPresent = nodes
+      .filter(col("node").isin(seeds: _*)).count()
+    require(seedsPresent == seeds.distinct.length,
+      s"personalized pagerank: ${seeds.distinct.length - seedsPresent} " +
+        s"seed(s) not present in the graph's node set — teleport mass " +
+        "would silently vanish")
     val outDeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
       .localCheckpoint()

@@ -190,6 +190,109 @@ object IngestOps {
     needs
   }
 
+  // ---- exactly-once batch commit protocol --------------------------
+  //
+  // foreachBatch is at-least-once: a crash between the loop's two
+  // artifact writes (pack-manifest delta, inventory merge) re-delivers
+  // the batch. Three pieces make the replay exactly-once:
+  //  1. the manifest delta is written via [[overwriteTagged]] — the
+  //     tag's previous files are REPLACED, never appended to, so a
+  //     crashed-after-manifest replay rewrites identical rows instead
+  //     of duplicating them;
+  //  2. the inventory merge is idempotent by construction (anti-joined
+  //     novel-hash deltas — a re-merge of already-merged text appends
+  //     nothing);
+  //  3. a per-tag COMMIT MARKER ([[markCommitted]]) is created only
+  //     after both writes succeed; a re-delivery of a marked tag is a
+  //     structural no-op ([[batchCommitted]] checked at entry).
+  // Compaction of the manifest dir must run only AFTER the marker
+  // (the loop orders it so): folding an uncommitted tag's delta into
+  // anonymous files would make the tagged overwrite blind to it.
+
+  /** Filesystem-safe deterministic token for a batch tag (tags come
+    * from DATA via the loop's `tagCol` and may contain anything). */
+  private[graft] def tagToken(tag: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(tag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map("%02x".format(_)).mkString
+
+  private def commitsDir(key: String): String = s"${invRoot(key)}/commits"
+
+  /** Whether `tag`'s batch fully committed (manifest delta AND
+    * inventory merge landed) — the exactly-once replay guard. */
+  def batchCommitted(key: String, tag: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"${commitsDir(key)}/${tagToken(tag)}"))
+
+  /** Atomically record `tag` as committed. Called ONLY after both
+    * artifact writes have succeeded; file creation is the atomic
+    * commit point. */
+  def markCommitted(key: String, tag: String): Unit = {
+    val dir = java.nio.file.Paths.get(commitsDir(key))
+    java.nio.file.Files.createDirectories(dir)
+    try java.nio.file.Files.createFile(dir.resolve(tagToken(tag)))
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  }
+
+  /** Test hook: remove a commit marker — simulates a crash that
+    * landed both artifact writes but died before [[markCommitted]]
+    * (the narrowest replay window; CorpusIngestSpec exercises it). */
+  private[graft] def unmarkCommitted(key: String, tag: String): Unit = {
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      s"${commitsDir(key)}/${tagToken(tag)}"))
+    ()
+  }
+
+  /** File count for a delta write: 1 file per `rowsPerFile` rows.
+    * Replaces the old hard `coalesce(1)` — one file is still the
+    * answer for ordinary batches (shuffle-parallel writes would grow
+    * the artifact's file count 32× faster for no read-side benefit),
+    * but a 10⁸-row batch must not funnel ~2.4 GB through one task. */
+  def deltaFileCount(rows: Long, rowsPerFile: Long = 4000000L): Int = {
+    require(rowsPerFile >= 1, s"rowsPerFile must be >= 1 ($rowsPerFile)")
+    math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
+  }
+
+  /** Whether a previous (possibly crashed) write for `tag` left delta
+    * files in `dir` — the replay-detection probe for recovery reads. */
+  def taggedDeltaExists(dir: String, tag: String): Boolean = {
+    val d = new java.io.File(dir)
+    val p = s"tag-${tagToken(tag)}-"
+    d.exists() && d.listFiles().exists(_.getName.startsWith(p))
+  }
+
+  /** Idempotent tagged delta write into a FLAT parquet dir: `df` lands
+    * as files named `tag-<token>-*`, REPLACING any files this tag
+    * wrote before (a foreachBatch redelivery after a crash overwrites
+    * its own half-landed delta instead of appending a duplicate). The
+    * dir stays flat, so plain `spark.read.parquet(dir)` reads and
+    * [[compactDirIfNeeded]] keep working unchanged. The write goes to
+    * a temp sibling first; a crash at any point leaves either the old
+    * delta, no delta, or the new delta — never both. */
+  def overwriteTagged(spark: SparkSession, df: DataFrame, dir: String,
+      tag: String, nFiles: Int): Unit = {
+    val tok = tagToken(tag)
+    val d = new java.io.File(dir)
+    val parent = d.getParentFile
+    // clear crashed temp dirs from earlier attempts at this tag
+    Option(parent.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith(s"${d.getName}.delta-$tok-"))
+      .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+    val tmp =
+      s"$dir.delta-$tok-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.coalesce(nFiles).write.mode("overwrite").parquet(tmp)
+    java.nio.file.Files.createDirectories(d.toPath)
+    Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith(s"tag-$tok-")).foreach(_.delete())
+    new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$dir/tag-$tok-${f.getName}"))
+      }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   def inventoryMd5s(spark: SparkSession, key: String): DataFrame =
     spark.read.parquet(md5Dir(key))
 
@@ -286,19 +389,28 @@ object IngestOps {
     * is novel by construction (stage 1 anti-joined it) but is
     * anti-joined too so a caller merging anything else stays safe. */
   def mergeAccepted(spark: SparkSession, key: String, accepted: DataFrame,
-      textCol: String, segLen: Int = 16): Unit = {
-    // one file per append: the novel-hash delta is batch-sized, and
-    // writing it at shuffle parallelism would grow the inventory's
-    // file count 32x faster for no read-side benefit (see
-    // compactInventoryIfNeeded for the long-run file-count story)
+      textCol: String, segLen: Int = 16,
+      rowsPerFile: Long = 4000000L): Unit = {
+    // delta parallelism scales with the delta's ROW COUNT
+    // ([[deltaFileCount]]): one file for ordinary batches (writing at
+    // shuffle parallelism would grow the inventory's file count 32x
+    // faster for no read-side benefit — see compactInventoryIfNeeded
+    // for the long-run story), more when a huge batch would otherwise
+    // funnel through a single write task. The segment delta is
+    // checkpointed so the count and the write share one computation
+    // of the anti-join (hash-compact rows, ~24 B each).
+    val nDocs = accepted.count()
+    if (nDocs == 0) return
     docMd5s(accepted, textCol)
       .join(inventoryMd5s(spark, key), Seq("h"), "left_anti")
-      .coalesce(1)
+      .coalesce(deltaFileCount(nDocs, rowsPerFile))
       .write.mode("append").parquet(md5Dir(key))
-    docSegments(accepted, textCol, segLen)
+    val segDelta = docSegments(accepted, textCol, segLen)
       .join(inventorySegments(spark, key).select(col("sh")),
         Seq("sh"), "left_anti")
-      .coalesce(1)
+      .localCheckpoint(true)
+    segDelta
+      .coalesce(deltaFileCount(segDelta.count(), rowsPerFile))
       .write.mode("append").parquet(segDir(key))
   }
 

@@ -159,9 +159,13 @@ object TextOps {
       when(cnt === 0L, lit(0.0))
         .otherwise(round(cnt * ln / col("len_text"), 4))
     }
+    // zero word characters (empty / whitespace-only doc) would make
+    // the ratio NULL in both engines and leave `pass` undefined —
+    // emit 0.0 like topFrac's cnt === 0 arm (mirrored in the oracle)
     def dupFrac(n: Int): Column =
-      round(element_at(col("m"), 7 + (n - 5)).cast("double")
-        / element_at(col("m"), 13), 4)
+      when(element_at(col("m"), 13) === 0L, lit(0.0))
+        .otherwise(round(element_at(col("m"), 7 + (n - 5)).cast("double")
+          / element_at(col("m"), 13), 4))
     base
       .select(Seq(id) ++
         (2 to 4).map(n => topFrac(n).as(s"top$n")) ++

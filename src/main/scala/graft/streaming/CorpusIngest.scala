@@ -276,13 +276,40 @@ final class IngestLoop(spark: SparkSession, key: String, idCol: String,
   private[graft] val acceptedInputFiles =
     scala.collection.mutable.ArrayBuffer.empty[(String, Array[String])]
 
+  /** Test-only fault injection: throw between the manifest delta
+    * write and the inventory merge — the at-least-once redelivery
+    * window the commit protocol exists for (CorpusIngestSpec kills
+    * the loop here and replays the batch). */
+  private[graft] var crashAfterManifestWrite = false
+
   /** Gate + account + merge ONE batch. The accepted frame is
     * `localCheckpoint`ed BEFORE [[graft.ops.IngestOps.mergeAccepted]]
     * runs: the stage plans read the inventory listings lazily, so an
     * un-materialized `s4` re-evaluated after the merge would gate the
     * batch against its OWN just-merged hashes and reject everything.
-    * Stage accounting rows collect pre-merge for the same reason. */
+    * Stage accounting rows collect pre-merge for the same reason.
+    *
+    * EXACTLY-ONCE under foreachBatch redelivery (the at-least-once
+    * crash window closed in round 11): the manifest delta writes via
+    * [[graft.ops.IngestOps.overwriteTagged]] (a replay REPLACES the
+    * tag's files), the inventory merge is idempotent (anti-joined
+    * deltas), and a per-tag commit marker
+    * ([[graft.ops.IngestOps.markCommitted]]) lands only after both —
+    * so a redelivered committed batch is a structural no-op, a crash
+    * after the manifest but before the merge replays to identical
+    * manifest rows (the recovery base EXCLUDES the tag's own
+    * half-landed rows), and a crash after the merge but before the
+    * marker replays to an empty gate that leaves the stored delta
+    * untouched. The only replay residue is the per-RUN accounting
+    * report: a post-merge replay accounts the batch as 0 accepted —
+    * truthful for that run (it did accept nothing; the artifacts
+    * already had it), and in-run redelivery REPLACES the tag's
+    * accounting rows rather than duplicating them. */
   def processBatch(batch: DataFrame, tag: String): Unit = synchronized {
+    if (graft.ops.IngestOps.batchCommitted(key, tag)) return
+    stageBuf.filterInPlace(_._1 != tag)
+    driftBuf.filterInPlace(_._1 != tag)
+    acceptedInputFiles.filterInPlace(_._1 != tag)
     // the lazy twin of this plan carries the no-corpus-read audit
     // surface; record it BEFORE the materialized run below
     acceptedInputFiles += ((tag, graft.ops.IngestOps.ingestBatch(spark,
@@ -340,33 +367,66 @@ final class IngestLoop(spark: SparkSession, key: String, idCol: String,
     // manifest continues where the last one stopped — the same
     // artifact-is-the-state story as the inventories).
     for (b <- bpe; dir <- packManifestDir) {
-      val base = packTotalStored(dir)
-      val m = accepted.select(col(idCol).cast("long").as("doc_id"),
-        (size(graft.ops.BpeOps.encode(col("clean"), b)) + 1)
-          .cast("long").as("n_tok"))
-      val out = graft.ops.PackOps
-        .withGlobalOffset(m, "doc_id", "n_tok", "__off")
-        .select(lit(tag).as("batch"), col("doc_id"), col("n_tok"),
-          (col("__off") + lit(base)).as("tok_start"))
-      out.coalesce(1).write.mode("append").parquet(dir)
-      // new total = last end offset (base if the batch was empty)
-      packTotal = Some(out
-        .agg(coalesce(max(col("tok_start") + col("n_tok")), lit(base)))
-        .collect()(0).getLong(0))
-      // the manifest accumulates one file per batch — the same
-      // self-maintenance as the inventories: threshold-triggered
-      // rewrite to right-sized files with an atomic swap (rows and
-      // offsets untouched, so the stored total cannot move)
-      graft.ops.IngestOps.compactDirIfNeeded(spark, dir)
+      // nAccepted comes from the already-collected stage accounting
+      // (the "4_decon" row) — no extra job
+      val nAccepted = stageBuf
+        .collectFirst { case (`tag`, "4_decon", n, _) => n }.getOrElse(0L)
+      // replay of a tag whose previous write crashed mid-window: the
+      // recovery base must EXCLUDE the tag's own half-landed rows
+      val replay = graft.ops.IngestOps.taggedDeltaExists(dir, tag)
+      val base =
+        if (replay) packTotalExcluding(dir, tag)
+        else packTotalStored(dir)
+      if (nAccepted > 0) {
+        val m = accepted.select(col(idCol).cast("long").as("doc_id"),
+          (size(graft.ops.BpeOps.encode(col("clean"), b)) + 1)
+            .cast("long").as("n_tok"))
+        val out = graft.ops.PackOps
+          .withGlobalOffset(m, "doc_id", "n_tok", "__off")
+          .select(lit(tag).as("batch"), col("doc_id"), col("n_tok"),
+            (col("__off") + lit(base)).as("tok_start"))
+        // idempotent overwrite-by-tag (see the processBatch scaladoc);
+        // delta parallelism scales with the batch row count
+        graft.ops.IngestOps.overwriteTagged(spark, out, dir, tag,
+          graft.ops.IngestOps.deltaFileCount(nAccepted))
+        packTotal = Some(out
+          .agg(coalesce(max(col("tok_start") + col("n_tok")), lit(base)))
+          .collect()(0).getLong(0))
+      } else if (replay) {
+        // post-merge replay gated to empty: the stored delta rows ARE
+        // the truth — keep them; invalidate the cached total so the
+        // next batch recovers it from the artifact
+        packTotal = None
+      } else packTotal = Some(base)
     }
+    if (crashAfterManifestWrite)
+      throw new IllegalStateException("injected crash (test hook): " +
+        "manifest delta written, inventory merge not committed")
     graft.ops.IngestOps.mergeAccepted(spark, key, accepted, "clean",
       segLen)
-    // self-maintenance: after enough merges the inventory's
-    // accumulated append files rewrite to right-sized ones (a
-    // metadata-only check until the threshold trips), so a
-    // long-running loop never degrades its own gating joins
+    // the atomic commit point: both artifacts are now consistent
+    graft.ops.IngestOps.markCommitted(key, tag)
+    // self-maintenance runs strictly AFTER the commit marker so a
+    // compaction can never fold an uncommitted tag's delta into
+    // anonymous files (which would blind the tagged overwrite):
+    // threshold-triggered rewrite to right-sized files with an atomic
+    // swap — rows and offsets untouched, so the stored total cannot
+    // move, and a long-running loop never degrades its own gating
+    // joins (a metadata-only check until the threshold trips)
+    for (dir <- packManifestDir)
+      graft.ops.IngestOps.compactDirIfNeeded(spark, dir)
     graft.ops.IngestOps.compactInventoryIfNeeded(spark, key)
   }
+
+  /** Recovery read for a replayed tag: the stored total over every
+    * OTHER batch's manifest rows (the tag's own half-landed delta must
+    * not double-bump the base it is about to be rewritten against). */
+  private def packTotalExcluding(dir: String, tag: String): Long =
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) 0L
+    else spark.read.parquet(dir)
+      .filter(col("batch") =!= lit(tag))
+      .agg(coalesce(max(col("tok_start") + col("n_tok")), lit(0L)))
+      .collect()(0).getLong(0)
 
   /** The stream's running token total: one driver long, lazily
     * recovered from the persisted manifest (max end offset) so a

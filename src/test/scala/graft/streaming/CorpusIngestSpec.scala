@@ -474,4 +474,103 @@ class CorpusIngestSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(d)))
   }
+
+  test("exactly-once commit: crash in either redelivery window " +
+      "replays to the clean-run manifest row-for-row") {
+    val docs = graft.Tables.documents(spark, Sf0001)
+    val corpusDf = docs.filter(pmod(col("doc_id"), lit(5)).isin(1, 2, 3))
+    val b0 = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("text"))
+    val b1 = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      .select(col("doc_id"), col("text"))
+    val wcounts = (corpusText + " " + corpusText).split(" ")
+      .groupBy(identity).map { case (w, xs) => (w, xs.length.toLong) }
+      .toArray.sortBy { case (w, n) => (-n, w) }
+    val bpe = graft.ops.BpeOps.trainMerges(wcounts, numMerges = 16)
+    def mkLoop(key: String, pdir: String) =
+      new IngestLoop(spark, key, "doc_id", "text", None, 16,
+        wp = None, bpe = Some(bpe), packManifestDir = Some(pdir))
+    def tuples(dir: String) = spark.read.parquet(dir)
+      .orderBy(col("batch"), col("doc_id")).collect()
+      .map(r => (r.getAs[String]("batch"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("tok_start"))).toSeq
+    def accepted(l: IngestLoop, tag: String): Long = l.stageReport
+      .filter(col("batch") === tag && col("stage") === "4_decon")
+      .head.getLong(2)
+    val run = java.util.UUID.randomUUID().toString.take(6)
+
+    // --- clean run: the reference manifest ---
+    val kA = s"xo_a_$run"
+    graft.ops.IngestOps.buildInventory(spark, kA, corpusDf, "text")
+    val dA = Files.createTempDirectory("graft-xo-a").toString + "/m"
+    val a = mkLoop(kA, dA)
+    a.processBatch(b0, "b0"); a.processBatch(b1, "b1")
+    val mClean = tuples(dA)
+    assert(mClean.nonEmpty)
+
+    // --- window 1: crash AFTER the manifest delta write, BEFORE the
+    // inventory merge — the r10 at-least-once defect. The replay must
+    // re-accept (merge never happened), REPLACE the half-landed delta,
+    // and land on the clean manifest. ---
+    val kB = s"xo_b_$run"
+    graft.ops.IngestOps.buildInventory(spark, kB, corpusDf, "text")
+    val dB = Files.createTempDirectory("graft-xo-b").toString + "/m"
+    val bLoop = mkLoop(kB, dB)
+    bLoop.processBatch(b0, "b0")
+    bLoop.crashAfterManifestWrite = true
+    intercept[IllegalStateException] { bLoop.processBatch(b1, "b1") }
+    assert(graft.ops.IngestOps.taggedDeltaExists(dB, "b1"),
+      "the crash window must leave b1's half-landed delta behind")
+    assert(!graft.ops.IngestOps.batchCommitted(kB, "b1"),
+      "no commit marker inside the window")
+    // restart = a brand-new loop instance (no in-memory state survives)
+    val bReplay = mkLoop(kB, dB)
+    bReplay.processBatch(b1, "b1")
+    assert(accepted(bReplay, "b1") > 0,
+      "window-1 replay must re-accept (the merge never ran)")
+    assert(tuples(dB) == mClean,
+      "window-1 replay must overwrite the tag's delta, not append: " +
+        s"\n${tuples(dB)}\nvs\n$mClean")
+    assert(graft.ops.IngestOps.batchCommitted(kB, "b1"))
+
+    // --- window 2: crash AFTER the merge, BEFORE the marker. The
+    // replay gates to empty and must leave the stored delta alone. ---
+    val kC = s"xo_c_$run"
+    graft.ops.IngestOps.buildInventory(spark, kC, corpusDf, "text")
+    val dC = Files.createTempDirectory("graft-xo-c").toString + "/m"
+    val cLoop = mkLoop(kC, dC)
+    cLoop.processBatch(b0, "b0"); cLoop.processBatch(b1, "b1")
+    graft.ops.IngestOps.unmarkCommitted(kC, "b1") // die before marker
+    val cReplay = mkLoop(kC, dC)
+    cReplay.processBatch(b1, "b1")
+    assert(accepted(cReplay, "b1") == 0,
+      "window-2 replay gates to empty against the merged inventory")
+    assert(tuples(dC) == mClean,
+      "window-2 replay must keep the stored delta rows untouched")
+    assert(graft.ops.IngestOps.batchCommitted(kC, "b1"),
+      "the replay must re-establish the commit marker")
+    // and the recovered total stays right: a THIRD batch (re-offering
+    // b0's docs, which all die) then a genuinely new doc continues at
+    // the stored end offset with no gap and no overlap
+    val extra = Seq((777777L, "an entirely novel soak document with " +
+      "enough fresh words to clear the quality band " +
+      (1 to 20).map(i => s"novelword$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    cReplay.processBatch(extra, "b2")
+    val all = tuples(dC)
+    var off = 0L
+    all.foreach { case (b, id, n, start) =>
+      assert(start == off, s"offset gap/overlap at ($b,$id)")
+      off += n
+    }
+    assert(all.map(_._2).contains(777777L))
+
+    // --- committed-tag redelivery on a live loop is a no-op ---
+    val before = cReplay.stageReport.collect().toSeq
+    cReplay.processBatch(b1, "b1")
+    assert(cReplay.stageReport.collect().toSeq == before,
+      "redelivery of a committed tag must not re-run or re-account")
+
+    Seq(kA, kB, kC).foreach(graft.ops.IngestOps.dropInventory)
+  }
 }
