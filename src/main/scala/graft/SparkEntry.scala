@@ -5095,8 +5095,12 @@ object SparkEntry {
     // ---- multimodal plumbing ---------------------------------------
 
     // Batch decode over a binary media column (Dataset mapPartitions —
-    // the Scala analogue of mapInPandas; decode itself is a
-    // deterministic stub, see graft.ops.Multimodal.MediaDecoder).
+    // the Scala analogue of mapInPandas). As of round 11 the decode is
+    // a REAL pure-JVM codec (graft.ops.ImageCodec: binary PPM + 24-bit
+    // BMP) over imageTable's real encoded payloads; the oracle replays
+    // the deterministic image generator and certifies the parsed
+    // headers, container framing (n_bytes) and full pixel plane
+    // (px_sum) cross-engine.
     // Frame-offset sampling over a "video" payload: pure column math on
     // the binary length (no decode needed for planning-level ops).
     "multimodal_frames" -> ((s, d) => {
@@ -5109,25 +5113,28 @@ object SparkEntry {
 
     "multimodal_decode" -> ((s, d) => {
       ops.Multimodal.decodeAll(s,
-        ops.Multimodal.mediaTable(t(s, d, "documents")))
+        ops.Multimodal.imageTable(s, t(s, d, "documents")))
         .toDF()
         .select(col("doc_id"), col("width").cast("int").as("width"),
           col("height").cast("int").as("height"), col("format"),
-          col("n_bytes"))
+          col("n_bytes"), col("px_sum"))
         .orderBy(col("doc_id"))
     }),
 
-    // Aspect-preserving thumbnail-resize metadata (decode stub → fit
-    // into a 48px box; never upscale). Same partition-wise batch shape
-    // as a real pixel resize; the arithmetic is oracle-checked.
+    // REAL thumbnail pass: ImageCodec decode + nearest-neighbor
+    // resample of the actual pixels (fit into a 48px box, never
+    // upscale), one partition-wise batch. px_sum witnesses every
+    // RESAMPLED byte — the oracle re-derives the sampling grid and the
+    // generator's pixel values and must land on the same sum.
     "multimodal_resize" -> ((s, d) => {
       ops.Multimodal.resizeAll(s,
-        ops.Multimodal.mediaTable(t(s, d, "documents")), maxSide = 48)
+        ops.Multimodal.imageTable(s, t(s, d, "documents")), maxSide = 48)
         .toDF()
         .select(col("doc_id"), col("width").cast("int").as("width"),
           col("height").cast("int").as("height"),
           col("out_width").cast("int").as("out_width"),
-          col("out_height").cast("int").as("out_height"))
+          col("out_height").cast("int").as("out_height"),
+          col("px_sum"))
         .orderBy(col("doc_id"))
     }),
 
@@ -9481,39 +9488,84 @@ object SparkEntry {
       """SELECT doc_id, strlen(text) AS n_bytes, sha256(text) AS content_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // Mirrors MediaDecoder.decode's deterministic stub arithmetic on the
-    // first two payload bytes (ASCII text ⇒ byte == codepoint).
+    // Replays the imageTable generator (dims from the first two text
+    // codepoints, pixel byte i = (cp0*7+cp1*13+31i) mod 256, PPM for
+    // even cp0 / BMP for odd) and certifies what the REAL codec parsed
+    // back: header dims, sniffed format, container byte length (PPM
+    // ASCII header + plane; BMP 54-byte headers + padded bottom-up
+    // rows), and the full decoded pixel plane as px_sum.
     "multimodal_decode" ->
-      """SELECT doc_id,
-        |  cast(ascii(substr(text, 1, 1)) % 64 + 16 as integer) AS width,
-        |  cast(ascii(substr(text, 2, 1)) % 64 + 16 as integer) AS height,
-        |  CASE ascii(substr(text, 1, 1)) % 3 WHEN 0 THEN 'png'
-        |       WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
-        |  strlen(text) AS n_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH sz AS (
+        |  SELECT doc_id,
+        |    ascii(substr(text, 1, 1)) AS cp0,
+        |    ascii(substr(text, 2, 1)) AS cp1,
+        |    ascii(substr(text, 1, 1)) % 64 + 16 AS w,
+        |    ascii(substr(text, 2, 1)) % 64 + 16 AS h,
+        |    (ascii(substr(text, 1, 1)) * 7 +
+        |     ascii(substr(text, 2, 1)) * 13) % 256 AS s0
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |    cast(sum((s0 + 31 * i) % 256) as bigint) AS px_sum
+        |  FROM sz, LATERAL unnest(generate_series(0, w * h * 3 - 1)) t(i)
+        |  GROUP BY doc_id)
+        |SELECT sz.doc_id,
+        |  cast(w as integer) AS width,
+        |  cast(h as integer) AS height,
+        |  CASE WHEN cp0 % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+        |  cast(CASE WHEN cp0 % 2 = 0
+        |       THEN 9 + strlen(cast(w as varchar))
+        |            + strlen(cast(h as varchar)) + w * h * 3
+        |       ELSE 54 + h * (w * 3 + (4 - (w * 3) % 4) % 4) END
+        |    as bigint) AS n_bytes,
+        |  px.px_sum
+        |FROM sz JOIN px USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
-    // Mirrors MediaDecoder + resizeAll arithmetic. The scale factor is
-    // computed division-first (48.0 / longest, then multiply) in BOTH
-    // engines so the IEEE operation order — and any half-way rounding —
-    // is identical.
+    // Mirrors ImageCodec.resizeNearest over the imageTable generator.
+    // The scale factor is computed division-first (48.0 / longest,
+    // then multiply) in BOTH engines so the IEEE operation order — and
+    // any half-way rounding — is identical; the nearest-neighbor
+    // sampling grid is integer division (oy*h // oh, ox*w // ow), so
+    // px_sum re-derives every RESAMPLED pixel byte from the generator
+    // formula and must equal what the real codec produced.
     "multimodal_resize" ->
       """WITH dec AS (
         |  SELECT doc_id,
         |    ascii(substr(text, 1, 1)) % 64 + 16 AS width,
-        |    ascii(substr(text, 2, 1)) % 64 + 16 AS height
-        |  FROM documents)
-        |SELECT doc_id,
+        |    ascii(substr(text, 2, 1)) % 64 + 16 AS height,
+        |    (ascii(substr(text, 1, 1)) * 7 +
+        |     ascii(substr(text, 2, 1)) * 13) % 256 AS s0
+        |  FROM documents),
+        |sz AS (
+        |  SELECT doc_id, width, height, s0,
+        |    cast(CASE WHEN greatest(width, height) <= 48 THEN width
+        |         ELSE greatest(1, cast(round(width *
+        |           (48.0 / greatest(width, height))) as integer)) END
+        |      as bigint) AS ow,
+        |    cast(CASE WHEN greatest(width, height) <= 48 THEN height
+        |         ELSE greatest(1, cast(round(height *
+        |           (48.0 / greatest(width, height))) as integer)) END
+        |      as bigint) AS oh
+        |  FROM dec),
+        |px AS (
+        |  SELECT doc_id,
+        |    cast(sum((s0 + 31 * (((oy * height // oh) * width
+        |      + (ox * width // ow)) * 3 + c)) % 256) as bigint)
+        |      AS px_sum
+        |  FROM sz,
+        |    LATERAL unnest(generate_series(0, oh - 1)) ty(oy),
+        |    LATERAL unnest(generate_series(0, ow - 1)) tx(ox),
+        |    LATERAL unnest(generate_series(0, 2)) tc(c)
+        |  GROUP BY doc_id)
+        |SELECT sz.doc_id,
         |  cast(width as integer) AS width,
         |  cast(height as integer) AS height,
-        |  cast(CASE WHEN greatest(width, height) <= 48 THEN width
-        |       ELSE greatest(1, cast(round(width *
-        |         (48.0 / greatest(width, height))) as integer)) END
-        |    as integer) AS out_width,
-        |  cast(CASE WHEN greatest(width, height) <= 48 THEN height
-        |       ELSE greatest(1, cast(round(height *
-        |         (48.0 / greatest(width, height))) as integer)) END
-        |    as integer) AS out_height
-        |FROM dec ORDER BY doc_id""".stripMargin,
+        |  cast(ow as integer) AS out_width,
+        |  cast(oh as integer) AS out_height,
+        |  px.px_sum
+        |FROM sz JOIN px USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // n_frames = |slice(sequence(0, len-1, 10), 1, 5)| =
     // least(5, floor((len-1)/10) + 1) for len >= 1.

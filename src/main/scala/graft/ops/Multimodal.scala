@@ -16,63 +16,82 @@ import org.apache.spark.sql.functions._
   *     setup cost amortizes and memory stays bounded by partition size);
   *   - metadata is a proper struct column so Catalyst can prune it.
   *
-  * The actual codec call is STUBBED (no image/audio libraries in this
-  * environment): [[MediaDecoder.decode]] derives deterministic fake
-  * dimensions from the payload bytes. The plumbing — schemas, encoders,
-  * partition batching, column pruning — is real and tested.
+  * As of round 11 the image decode/resize path is a REAL pure-JVM
+  * codec ([[ImageCodec]]: binary PPM + 24-bit BMP — header parse, row
+  * padding, bottom-up order, actual pixel extraction and
+  * nearest-neighbor resampling), fed by [[imageTable]]'s real encoded
+  * payloads. The payload-agnostic operators (perceptual hash, feature
+  * extraction, frame sampling) still accept ANY binary payload — an
+  * embedding model or A/V codec would swap into the same
+  * partition-wise slots.
   */
 object Multimodal {
 
   /** One media row: id + opaque payload. */
   case class MediaRow(doc_id: Long, content: Array[Byte])
 
-  /** Decoded metadata (what a real codec would return). */
+  /** Decoded metadata + the pixel-content witness (`px_sum` = sum of
+    * all decoded RGB bytes, unsigned) the oracle recomputes. */
   case class DecodedMeta(doc_id: Long, width: Int, height: Int,
-      format: String, n_bytes: Long)
-
-  /** STUB decoder — stands in for an image/audio codec.
-    * Deterministic function of the payload so results are reproducible
-    * and oracle-checkable: dimensions derive from the first two UNICODE
-    * CODEPOINTS of the UTF-8 payload (matching the oracle's `ascii()`
-    * semantics for any input, not just ASCII — a raw-byte read would
-    * diverge on multi-byte leading characters). A real deployment
-    * replaces the body with e.g. javax.imageio / ffmpeg bindings; the
-    * signature and batching contract stay the same. */
-  object MediaDecoder {
-    def decode(row: MediaRow): DecodedMeta = {
-      val s = new String(row.content, java.nio.charset.StandardCharsets.UTF_8)
-      val cp0 = if (s.nonEmpty) s.codePointAt(0) else 0
-      val cp1 =
-        if (s.length > Character.charCount(cp0))
-          s.codePointAt(Character.charCount(cp0))
-        else 0
-      DecodedMeta(
-        doc_id = row.doc_id,
-        width = cp0 % 64 + 16,
-        height = cp1 % 64 + 16,
-        format = (cp0 % 3) match {
-          case 0 => "png"
-          case 1 => "jpeg"
-          case _ => "webp"
-        },
-        n_bytes = row.content.length.toLong)
-    }
-  }
+      format: String, n_bytes: Long, px_sum: Long)
 
   /** Build a media table from documents: the UTF-8 text bytes stand in
-    * for an image payload. Binary column + pruned metadata. */
+    * for an OPAQUE payload (perceptual hash / feature extraction /
+    * frame sampling are payload-agnostic). For the real image codec
+    * path use [[imageTable]]. */
   def mediaTable(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       col("text").cast("binary").as("content"))
 
+  /** Build a media table of REAL ENCODED IMAGES from documents: each
+    * doc becomes a deterministic synthetic picture — dimensions from
+    * the first two text codepoints (cp0 % 64 + 16 × cp1 % 64 + 16, the
+    * same arithmetic the round-2..10 stub used, so the oracle replays
+    * it), pixel byte i = (cp0·7 + cp1·13 + 31·i) mod 256 — encoded as
+    * binary PPM (even cp0) or 24-bit BMP (odd cp0) by [[ImageCodec]].
+    * The payloads are REAL format bytes: [[decodeAll]] gets its
+    * dimensions back by parsing headers, not by trusting the
+    * generator, and the planted-image specs cross-check the codec on
+    * hand-built goldens. Runs in the same partition-wise batch slot
+    * as decode (encode cost is row-local, map-shaped at any scale). */
+  def imageTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val cp0 = if (text.nonEmpty) text.codePointAt(0) else 0
+          val cp1 =
+            if (text.length > Character.charCount(cp0))
+              text.codePointAt(Character.charCount(cp0))
+            else 0
+          val w = cp0 % 64 + 16
+          val h = cp1 % 64 + 16
+          val s0 = (cp0 * 7 + cp1 * 13) % 256
+          val rgb = Array.tabulate(w * h * 3)(i =>
+            ((s0 + 31L * i) % 256).toByte)
+          val bytes =
+            if (cp0 % 2 == 0) ImageCodec.encodePpm(w, h, rgb)
+            else ImageCodec.encodeBmp(w, h, rgb)
+          (id, bytes)
+        }
+      }
+      .toDF("doc_id", "content")
+  }
+
   /** Batch decode: partition-wise iteration over binary payloads →
-    * typed metadata rows. This is the `mapInPandas`-shaped step: the
-    * codec is instantiated once per partition, rows stream through. */
+    * typed metadata rows via the REAL [[ImageCodec]] (PPM/BMP magic
+    * sniffing, header parse, full pixel extraction — `px_sum`
+    * witnesses every decoded byte). This is the `mapInPandas`-shaped
+    * step: per-partition setup happens once, rows stream through. */
   def decodeAll(spark: SparkSession, media: DataFrame): Dataset[DecodedMeta] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // per-partition setup for a real codec would go here
-      rows.map(MediaDecoder.decode)
+      rows.map { r =>
+        val img = ImageCodec.decode(r.content)
+        DecodedMeta(r.doc_id, img.width, img.height, img.format,
+          r.content.length.toLong, ImageCodec.pixelSum(img.rgb))
+      }
     }
   }
 
@@ -89,26 +108,28 @@ object Multimodal {
         lit(stride)), 1, maxFrames))
 
   /** Resized metadata: the aspect-preserving fit of decoded dimensions
-    * into a `maxSide` bounding box. */
+    * into a `maxSide` bounding box, plus the resized pixel witness
+    * (`px_sum` = unsigned byte sum of the RESAMPLED RGB plane). */
   case class ResizedMeta(doc_id: Long, width: Int, height: Int,
-      out_width: Int, out_height: Int)
+      out_width: Int, out_height: Int, px_sum: Long)
 
-  /** STUB resize — the metadata arithmetic of an aspect-preserving
-    * thumbnail pass (a real deployment decodes + scales pixels in the
-    * same partition-wise batch; the plumbing and the output schema are
-    * what Spark sees either way). Deterministic and oracle-checkable:
-    * out = round(dim * maxSide / longest), never upscaled. */
+  /** REAL thumbnail pass: decode ([[ImageCodec.decode]]) + aspect-
+    * preserving nearest-neighbor resample
+    * ([[ImageCodec.resizeNearest]]) of the actual pixels, in one
+    * partition-wise batch (decode and resize share the row, so the
+    * full-size pixel buffer never leaves the task). Deterministic and
+    * oracle-checked down to the resampled bytes: out dims =
+    * max(1, round(dim · maxSide/longest)) never upscaled, sampling
+    * grid by integer division, `px_sum` over the output plane. */
   def resizeAll(spark: SparkSession, media: DataFrame,
       maxSide: Int): Dataset[ResizedMeta] = {
     import spark.implicits._
-    decodeAll(spark, media).mapPartitions { rows =>
-      rows.map { m =>
-        val longest = math.max(m.width, m.height)
-        val scale =
-          if (longest <= maxSide) 1.0 else maxSide.toDouble / longest
-        ResizedMeta(m.doc_id, m.width, m.height,
-          math.max(1, math.round(m.width * scale).toInt),
-          math.max(1, math.round(m.height * scale).toInt))
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val img = ImageCodec.decode(r.content)
+        val out = ImageCodec.resizeNearest(img, maxSide)
+        ResizedMeta(r.doc_id, img.width, img.height,
+          out.width, out.height, ImageCodec.pixelSum(out.rgb))
       }
     }
   }

@@ -46,4 +46,24 @@ class BenchContractSpec extends AnyFunSuite {
     assert(kept + othN == names.size,
       s"rollup count $othN + kept $kept != ${names.size}")
   }
+
+  test("remeasured keys ride the stdout line, capped, inside the " +
+      "line budget") {
+    assert(Bench.composeRemeasured(Nil) == "[]")
+    assert(Bench.composeRemeasured(Seq("ab", "cub")) == """["ab","cub"]""")
+    // cap: pathological ambient load (everything remeasured) cannot
+    // blow the line — at most 24 entries surface
+    val many = (1 to 100).map(i => s"k$i")
+    val capped = Bench.composeRemeasured(many)
+    assert(capped.count(_ == ',') == 23, capped)
+    // worst-case line math: the per-query map shrinks by what the
+    // remeasured field costs, so map + field stay under QueriesBudget
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val worstRem = Bench.composeRemeasured(
+      names.map(Bench.shortKey).sorted)
+    val qs = Bench.composeQueries(names.map(_ -> 99.99),
+      Bench.QueriesBudget - worstRem.length - 16)
+    assert(qs.length + worstRem.length + 16 <= Bench.QueriesBudget,
+      s"${qs.length} + ${worstRem.length} must fit the budget")
+  }
 }

@@ -170,24 +170,32 @@ class FacadeSpec extends SparkSpec {
   // Binary-file source: the raw multimodal ingestion path.
   test("binaryFiles source reads payload bytes with glob filtering") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bin")
-    java.nio.file.Files.write(dir.resolve("a.img"),
-      Array[Byte](1, 2, 3, 4))
-    java.nio.file.Files.write(dir.resolve("b.img"), Array[Byte](5, 6))
+    // real encoded images on disk: the decode composition below runs
+    // the actual PPM/BMP codec on what the source read back
+    val imgA = graft.ops.ImageCodec.encodePpm(2, 1,
+      Array[Byte](1, 2, 3, 4, 5, 6))
+    val imgB = graft.ops.ImageCodec.encodeBmp(1, 2,
+      Array[Byte](7, 8, 9, 10, 11, 12))
+    java.nio.file.Files.write(dir.resolve("a.img"), imgA)
+    java.nio.file.Files.write(dir.resolve("b.img"), imgB)
     java.nio.file.Files.writeString(dir.resolve("skip.txt"), "not media")
     val frame = ctx.binaryFiles(dir.toString, glob = "*.img")
     val rows = frame.collect()
       .map(r => (new java.io.File(r.getAs[String]("path")).getName,
         r.getAs[Array[Byte]]("content").toSeq))
       .sortBy(_._1)
-    assert(rows.toSeq == Seq(("a.img", Seq[Byte](1, 2, 3, 4)),
-      ("b.img", Seq[Byte](5, 6))), rows.toSeq.toString)
-    // composes with the multimodal decode stub: binary content column
+    assert(rows.toSeq == Seq(("a.img", imgA.toSeq),
+      ("b.img", imgB.toSeq)), rows.toSeq.toString)
+    // composes with the multimodal decode path: binary content column
+    // through the REAL codec
     val meta = graft.ops.Multimodal.decodeAll(ctx.spark,
       frame.df.select(
         org.apache.spark.sql.functions.xxhash64(e.col("path"))
           .as("doc_id"),
         e.col("content")))
-    assert(meta.count() == 2)
+    val byFmt = meta.collect().map(m => m.format -> (m.width, m.height))
+      .toMap
+    assert(byFmt == Map("ppm" -> (2, 1), "bmp" -> (1, 2)), byFmt.toString)
   }
 
   // Extension wrappers: rollup/cube/dedup/asof through the frame API.

@@ -6,8 +6,10 @@ import graft.{SparkSpec, Tables}
 
 class MultimodalSpec extends SparkSpec {
 
-  test("decode is deterministic and schema-complete") {
-    val media = Multimodal.mediaTable(Tables.documents(spark, Sf0001))
+  test("decode is deterministic, schema-complete, and parses REAL " +
+      "encoded payloads back to the generator's dimensions") {
+    val docs = Tables.documents(spark, Sf0001)
+    val media = Multimodal.imageTable(spark, docs)
     assert(media.schema("content").dataType.typeName == "binary")
     val d1 = Multimodal.decodeAll(spark, media).collect()
       .map(m => m.doc_id -> m).toMap
@@ -17,8 +19,25 @@ class MultimodalSpec extends SparkSpec {
     d1.values.foreach { m =>
       assert(m.width >= 16 && m.width < 80)
       assert(m.height >= 16 && m.height < 80)
-      assert(Set("png", "jpeg", "webp").contains(m.format))
-      assert(m.n_bytes > 0)
+      assert(Set("ppm", "bmp").contains(m.format))
+      assert(m.n_bytes > m.width.toLong * m.height * 3,
+        "container framing must add header bytes over the raw plane")
+      assert(m.px_sum > 0)
+    }
+    // the decoded dims come from PARSED HEADERS; cross-check against
+    // an independent recompute of the generator arithmetic
+    val expected = docs.collect().map { r =>
+      val text = r.getAs[String]("text")
+      val cp0 = if (text.nonEmpty) text.codePointAt(0) else 0
+      val cp1 = if (text.length > Character.charCount(cp0))
+        text.codePointAt(Character.charCount(cp0)) else 0
+      r.getAs[Long]("doc_id") ->
+        (cp0 % 64 + 16, cp1 % 64 + 16,
+          if (cp0 % 2 == 0) "ppm" else "bmp")
+    }.toMap
+    d1.foreach { case (id, m) =>
+      assert((m.width, m.height, m.format) == expected(id),
+        s"decode mismatch for doc $id")
     }
   }
 
@@ -36,8 +55,9 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("resize: aspect-preserving fit inside the box, never upscaled") {
-    val media = Multimodal.mediaTable(Tables.documents(spark, Sf0001))
+  test("resize: aspect-preserving fit inside the box, never upscaled, " +
+      "over real decoded pixels") {
+    val media = Multimodal.imageTable(spark, Tables.documents(spark, Sf0001))
     val rows = Multimodal.resizeAll(spark, media, maxSide = 48).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -51,6 +71,10 @@ class MultimodalSpec extends SparkSpec {
         val out = r.out_width.toDouble / r.out_height
         assert(math.abs(in - out) / in < 0.1, s"$r aspect drift")
       }
+      // the resampled plane is real pixel bytes: its sum is bounded by
+      // the plane size and positive (generator bytes are not all 0)
+      assert(r.px_sum > 0 &&
+        r.px_sum <= 255L * r.out_width * r.out_height * 3)
     }
   }
 
