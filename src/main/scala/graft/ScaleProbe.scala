@@ -68,16 +68,21 @@ object ScaleProbe {
       val base = Tables.load(spark, baseDir, name)
       name match {
         case "documents" =>
-          // near-dup families of size `factor`: same text + one
-          // copy-tagged token, ids interleaved
+          // near-dup families of size `factor`: same text with one
+          // copy-tagged token PREPENDED (shifts every 16-token segment
+          // tile, so copies are segment-NOVEL — the ingest pipeline
+          // gates a representative 10x workload instead of excising
+          // everything — while minhash shingles still see the family
+          // as near-dups, the hard case for the dedup queries)
           base.crossJoin(copies).select(
             (col("doc_id") * factor + col("copy")).as("doc_id"),
             when(col("copy") === 0, col("text"))
-              .otherwise(concat(col("text"), lit(" jw"), col("copy"),
-                lit("x"), pmod(col("doc_id"), lit(97)))).as("text"),
+              .otherwise(concat(lit("jw"), col("copy"), lit("x"),
+                pmod(col("doc_id"), lit(97)), lit(" "), col("text")))
+              .as("text"),
             col("lang"), col("source"),
             (col("n_chars") + when(col("copy") === 0, 0)
-              .otherwise(6)).as("n_chars"))
+              .otherwise(7)).as("n_chars"))
         case "embeddings" =>
           base.crossJoin(copies).select(
             (col("vec_id") * factor + col("copy")).as("vec_id"),

@@ -223,10 +223,14 @@ object CorpusIngest {
         col("window.end").as("win_end"), col("n_docs"),
         col("n_words"), col("n_bpe_pieces"), col("n_wp_pieces"),
         col("n_unk"),
-        round(col("n_unk") / col("n_wp_pieces").cast("double"), 6)
-          .as("unk_rate"),
-        round(col("n_bpe_pieces") / col("n_words").cast("double"), 4)
-          .as("bpe_fertility"))
+        // guard the zero-denominator window (ANSI: 0/0 errors) — a
+        // window of only-empty docs has no pieces and rates 0.0
+        when(col("n_wp_pieces") === 0L, lit(0.0))
+          .otherwise(round(col("n_unk") / col("n_wp_pieces")
+            .cast("double"), 6)).as("unk_rate"),
+        when(col("n_words") === 0L, lit(0.0))
+          .otherwise(round(col("n_bpe_pieces") / col("n_words")
+            .cast("double"), 4)).as("bpe_fertility"))
   }
 }
 
@@ -346,12 +350,17 @@ final class IngestLoop(spark: SparkSession, key: String, idCol: String,
           coalesce(sum(col("__wp")), lit(0L)).as("wpn"),
           coalesce(sum(col("__unk")), lit(0L)).as("unk"))
         // rates via Spark's own round(), the exact arithmetic
-        // tokenizerDriftStream emits — no driver float re-derivation
+        // tokenizerDriftStream emits — no driver float re-derivation.
+        // Zero denominators (a batch whose every doc was gated out)
+        // emit 0.0: under ANSI mode a bare 0/0 ERRORS rather than
+        // returning null, so the guard must run before the division
         .select(col("n"), col("w"), col("bp"), col("wpn"), col("unk"),
-          coalesce(round(col("unk") / col("wpn").cast("double"), 6),
-            lit(0.0)).as("ur"),
-          coalesce(round(col("bp") / col("w").cast("double"), 4),
-            lit(0.0)).as("bf"))
+          when(col("wpn") === 0L, lit(0.0))
+            .otherwise(round(col("unk") / col("wpn").cast("double"), 6))
+            .as("ur"),
+          when(col("w") === 0L, lit(0.0))
+            .otherwise(round(col("bp") / col("w").cast("double"), 4))
+            .as("bf"))
         .head
       driftBuf += ((tag, r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
