@@ -5121,6 +5121,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ★ r11: TRUE average-hash over REAL decoded pixels — grayscale →
+    // 8×8 nearest-neighbor grid → strict-integer mean threshold → 64
+    // bits as hex (ImageCodec.averageHash). The oracle re-derives all
+    // 64 grid grays from the generator arithmetic, replays the
+    // gray·64 > Σgrays comparison, and packs the same two 32-bit
+    // halves — certifying the whole perceptual-hash pipeline
+    // (decode → sample → threshold → pack) bit-for-bit cross-engine.
+    "multimodal_ahash" -> ((s, d) => {
+      ops.Multimodal.averageHashAll(s,
+        ops.Multimodal.imageTable(s, t(s, d, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("ahash"), col("n_bright"))
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL thumbnail pass: ImageCodec decode + nearest-neighbor
     // resample of the actual pixels (fit into a 48px box, never
     // upscale), one partition-wise batch. px_sum witnesses every
@@ -9521,6 +9536,45 @@ object SparkEntry {
         |  px.px_sum
         |FROM sz JOIN px USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Replays the full perceptual-hash pipeline from the generator:
+    // 8×8 nearest-neighbor grid grays ((r+g+b) div 3 from the
+    // (s0+31i) mod 256 pixel formula), the strict-integer
+    // gray·64 > Σgrays threshold, and the two zero-padded 32-bit hex
+    // halves — the Spark side computed all of it from REAL decoded
+    // bytes, so equality certifies decode + sample + threshold + pack.
+    "multimodal_ahash" ->
+      """WITH sz AS (
+        |  SELECT doc_id,
+        |    ascii(substr(text, 1, 1)) % 64 + 16 AS w,
+        |    ascii(substr(text, 2, 1)) % 64 + 16 AS h,
+        |    (ascii(substr(text, 1, 1)) * 7 +
+        |     ascii(substr(text, 2, 1)) * 13) % 256 AS s0
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, y * 8 + x AS i,
+        |    ((s0 + 31 * (((y * h // 8) * w + (x * w // 8)) * 3)) % 256
+        |     + (s0 + 31 * (((y * h // 8) * w + (x * w // 8)) * 3 + 1))
+        |       % 256
+        |     + (s0 + 31 * (((y * h // 8) * w + (x * w // 8)) * 3 + 2))
+        |       % 256) // 3 AS gray
+        |  FROM sz,
+        |    LATERAL unnest(generate_series(0, 7)) ty(y),
+        |    LATERAL unnest(generate_series(0, 7)) tx(x)),
+        |t AS (SELECT doc_id, sum(gray) AS total FROM g GROUP BY doc_id),
+        |b AS (
+        |  SELECT g.doc_id,
+        |    cast(sum(CASE WHEN g.gray * 64 > t.total AND g.i >= 32
+        |      THEN (CAST(1 AS BIGINT) << (g.i - 32)) ELSE 0 END)
+        |      as bigint) AS hi,
+        |    cast(sum(CASE WHEN g.gray * 64 > t.total AND g.i < 32
+        |      THEN (CAST(1 AS BIGINT) << g.i) ELSE 0 END)
+        |      as bigint) AS lo,
+        |    cast(sum(CASE WHEN g.gray * 64 > t.total THEN 1 ELSE 0 END)
+        |      as bigint) AS n_bright
+        |  FROM g JOIN t USING (doc_id) GROUP BY g.doc_id)
+        |SELECT doc_id, printf('%08x%08x', hi, lo) AS ahash, n_bright
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // Mirrors ImageCodec.resizeNearest over the imageTable generator.
     // The scale factor is computed division-first (48.0 / longest,

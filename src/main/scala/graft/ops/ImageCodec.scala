@@ -195,6 +195,44 @@ object ImageCodec {
     Image(img.format, ow, oh, out)
   }
 
+  /** 8×8 AVERAGE-HASH (aHash) over REAL decoded pixels — the standard
+    * perceptual-hash shape (grayscale → 8×8 downsample →
+    * mean-threshold → 64 bits), implemented integer-exact so the
+    * DuckDB oracle replays it bit-for-bit: the 8×8 grid samples
+    * nearest-neighbor (`x·w div 8`, `y·h div 8` — the resize grid at
+    * 8×8), gray = (r+g+b) div 3, and bit (y·8+x) is set iff
+    * gray·64 > Σgrays (a strict INTEGER comparison — no float mean to
+    * drift across engines). Wire format is a 16-hex-char string (two
+    * zero-padded 32-bit halves: a signed-long packing would overflow
+    * the oracle's BIGINT bit arithmetic at bit 63). */
+  def averageHash(img: Image): String = {
+    val grays = new Array[Long](64)
+    var y = 0
+    while (y < 8) {
+      val iy = y * img.height / 8
+      var x = 0
+      while (x < 8) {
+        val ix = x * img.width / 8
+        val s = (iy * img.width + ix) * 3
+        grays(y * 8 + x) = ((img.rgb(s) & 0xff) + (img.rgb(s + 1) & 0xff)
+          + (img.rgb(s + 2) & 0xff)) / 3
+        x += 1
+      }
+      y += 1
+    }
+    val sum = grays.sum
+    var hi = 0L
+    var lo = 0L
+    var i = 0
+    while (i < 64) {
+      if (grays(i) * 64 > sum) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    f"$hi%08x$lo%08x"
+  }
+
   /** Sum of a pixel buffer's UNSIGNED byte values — the compact
     * cross-engine pixel-content witness the oracle recomputes. */
   def pixelSum(rgb: Array[Byte]): Long = {

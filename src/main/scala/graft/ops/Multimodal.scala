@@ -107,6 +107,32 @@ object Multimodal {
       .otherwise(slice(sequence(lit(0), length(content) - 1,
         lit(stride)), 1, maxFrames))
 
+  /** True perceptual-hash row over REAL decoded pixels ([[ImageCodec
+    * .averageHash]]): `ahash` = 16-hex-char 8×8 average-hash,
+    * `n_bright` = its set-bit count (the above-mean grid cells). */
+  case class MediaAhash(doc_id: Long, ahash: String, n_bright: Long)
+
+  /** Batch average-hash: decode + 8×8 grid sample + integer
+    * mean-threshold per payload, one partition-wise pass (the decoded
+    * pixel buffer never leaves the task — only 16 hex chars travel).
+    * This is the REAL-pixel upgrade of [[phashBytes]] (which hashes
+    * raw payload bytes and stays the payload-AGNOSTIC tool for
+    * arbitrary media): identical images collide exactly, and small
+    * pixel edits flip few grid cells, so [[graft.ops.DedupOps
+    * .hammingNearDupSummary]] composes on the hex-decoded bits. */
+  def averageHashAll(spark: SparkSession,
+      media: DataFrame): Dataset[MediaAhash] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val h = ImageCodec.averageHash(ImageCodec.decode(r.content))
+        val bits = java.lang.Long.bitCount(
+          java.lang.Long.parseUnsignedLong(h, 16))
+        MediaAhash(r.doc_id, h, bits.toLong)
+      }
+    }
+  }
+
   /** Resized metadata: the aspect-preserving fit of decoded dimensions
     * into a `maxSide` bounding box, plus the resized pixel witness
     * (`px_sum` = unsigned byte sum of the RESAMPLED RGB plane). */

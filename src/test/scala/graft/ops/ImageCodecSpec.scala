@@ -94,6 +94,27 @@ class ImageCodecSpec extends SparkSpec {
       same.rgb.toSeq == rgb.toSeq, "never upscale")
   }
 
+  test("averageHash planted gates: uniform image hashes to zero, " +
+      "half-dark/half-bright to the f0-row pattern") {
+    // uniform gray: every cell equals the mean, strict > never fires
+    val flat = ImageCodec.Image("ppm", 16, 16,
+      Array.fill(16 * 16 * 3)(77.toByte))
+    assert(ImageCodec.averageHash(flat) == "0" * 16)
+    // left half black, right half bright: grid x 0..3 dark, 4..7
+    // bright -> per-row bits 11110000 = 0xF0 in each of 8 rows
+    val split = Array.tabulate(16 * 16 * 3) { i =>
+      val x = (i / 3) % 16
+      (if (x < 8) 0 else 200).toByte
+    }
+    val img = ImageCodec.Image("ppm", 16, 16, split)
+    assert(ImageCodec.averageHash(img) == "f0f0f0f0f0f0f0f0")
+    // identical payloads collide exactly; a decoded round-trip hashes
+    // the same as the in-memory image
+    val enc = ImageCodec.encodeBmp(16, 16, split)
+    assert(ImageCodec.averageHash(ImageCodec.decode(enc)) ==
+      "f0f0f0f0f0f0f0f0")
+  }
+
   test("unsupported magic fails loud") {
     intercept[IllegalArgumentException] {
       ImageCodec.decode(Array[Byte](1, 2, 3, 4))
