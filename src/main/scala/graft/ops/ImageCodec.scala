@@ -75,6 +75,14 @@ object ImageCodec {
     b.array()
   }
 
+  /** Headers are UNTRUSTED input: dimensions must be positive and the
+    * pixel buffer must fit an Int — an overflowing `w·h·3` would wrap
+    * negative and surface as an opaque array error (or a huge
+    * allocation) instead of a parse failure. */
+  private def checkDims(w: Int, h: Int, fmt: String): Unit =
+    require(w > 0 && h > 0 && w.toLong * h * 3 <= Int.MaxValue,
+      s"$fmt: unreasonable dimensions $w x $h")
+
   /** Decode by magic sniffing: `P6` → PPM, `BM` → BMP. Fails loud on
     * anything else — callers with opaque non-image payloads belong on
     * the payload-agnostic operators ([[Multimodal.phashBytes]],
@@ -114,6 +122,7 @@ object ImageCodec {
     }
     val w = nextInt(); val h = nextInt(); val maxval = nextInt()
     require(maxval == 255, s"PPM: only maxval 255 supported ($maxval)")
+    checkDims(w, h, "PPM")
     require(pos < bytes.length && isWs(bytes(pos)),
       "PPM: single whitespace must separate header from pixel plane")
     pos += 1
@@ -140,6 +149,7 @@ object ImageCodec {
     val compression = b.getInt(30)
     require(bitCount == 24, s"BMP: only 24bpp supported ($bitCount)")
     require(compression == 0, s"BMP: only BI_RGB supported ($compression)")
+    checkDims(w, h, "BMP")
     val rowBytes = w * 3
     val stride = rowBytes + (4 - rowBytes % 4) % 4
     require(bytes.length.toLong >= dataOffset.toLong + stride.toLong * h,

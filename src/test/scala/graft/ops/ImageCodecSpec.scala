@@ -124,6 +124,17 @@ class ImageCodecSpec extends SparkSpec {
     }
   }
 
+  test("untrusted header dimensions fail as parse errors, not " +
+      "overflow/allocation surprises") {
+    // w*h*3 wraps negative in Int arithmetic
+    intercept[IllegalArgumentException] {
+      ImageCodec.decode("P6\n50000 50000\n255\n ".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      ImageCodec.decode("P6\n0 4\n255\n ".getBytes("US-ASCII"))
+    }
+  }
+
   test("pixelSum treats bytes as unsigned") {
     assert(ImageCodec.pixelSum(Array[Byte](-1, 0, 1)) == 255L + 0 + 1)
   }
