@@ -74,15 +74,18 @@ object ScaleProbe {
           // gates a representative 10x workload instead of excising
           // everything — while minhash shingles still see the family
           // as near-dups, the hard case for the dedup queries)
-          base.crossJoin(copies).select(
-            (col("doc_id") * factor + col("copy")).as("doc_id"),
-            when(col("copy") === 0, col("text"))
-              .otherwise(concat(lit("jw"), col("copy"), lit("x"),
-                pmod(col("doc_id"), lit(97)), lit(" "), col("text")))
-              .as("text"),
-            col("lang"), col("source"),
-            (col("n_chars") + when(col("copy") === 0, 0)
-              .otherwise(7)).as("n_chars"))
+          base.crossJoin(copies)
+            .withColumn("__t",
+              when(col("copy") === 0, col("text"))
+                .otherwise(concat(lit("jw"), col("copy"), lit("x"),
+                  pmod(col("doc_id"), lit(97)), lit(" "), col("text"))))
+            .select(
+              (col("doc_id") * factor + col("copy")).as("doc_id"),
+              col("__t").as("text"),
+              col("lang"), col("source"),
+              // the base data holds n_chars == strlen(text); keep the
+              // invariant exact for the derived rows too
+              length(col("__t")).cast("long").as("n_chars"))
         case "embeddings" =>
           base.crossJoin(copies).select(
             (col("vec_id") * factor + col("copy")).as("vec_id"),

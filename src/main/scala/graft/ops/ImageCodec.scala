@@ -111,14 +111,20 @@ object ImageCodec {
           while (pos < bytes.length && bytes(pos) != '\n'.toByte) pos += 1
         } else done = true
       }
-      var v = 0
+      // accumulate in Long and bound each token: Int accumulation
+      // would silently wrap a declared 4294967297 to 1 instead of
+      // rejecting the header as a parse error
+      var v = 0L
       val start = pos
       while (pos < bytes.length && bytes(pos) >= '0'.toByte &&
           bytes(pos) <= '9'.toByte) {
-        v = v * 10 + (bytes(pos) - '0'.toByte); pos += 1
+        v = v * 10 + (bytes(pos) - '0'.toByte)
+        require(v <= Int.MaxValue,
+          s"PPM: header integer overflows at byte $pos")
+        pos += 1
       }
       require(pos > start, s"PPM: expected integer at byte $pos")
-      v
+      v.toInt
     }
     val w = nextInt(); val h = nextInt(); val maxval = nextInt()
     require(maxval == 255, s"PPM: only maxval 255 supported ($maxval)")
@@ -150,6 +156,11 @@ object ImageCodec {
     require(bitCount == 24, s"BMP: only 24bpp supported ($bitCount)")
     require(compression == 0, s"BMP: only BI_RGB supported ($compression)")
     checkDims(w, h, "BMP")
+    // dataOffset is untrusted too: a negative or in-header offset
+    // would pass the truncation check (negative RHS) and surface as
+    // an opaque out-of-bounds read in the row loop
+    require(dataOffset >= 54 && dataOffset <= bytes.length,
+      s"BMP: pixel-data offset $dataOffset outside the file")
     val rowBytes = w * 3
     val stride = rowBytes + (4 - rowBytes % 4) % 4
     require(bytes.length.toLong >= dataOffset.toLong + stride.toLong * h,
@@ -190,10 +201,12 @@ object ImageCodec {
     val out = new Array[Byte](ow * oh * 3)
     var oy = 0
     while (oy < oh) {
-      val iy = oy * img.height / oh
+      // long products: oy·height can pass Int.MaxValue on a legal
+      // very-tall image (w=1, h~46M decodes fine under checkDims)
+      val iy = (oy.toLong * img.height / oh).toInt
       var ox = 0
       while (ox < ow) {
-        val ix = ox * img.width / ow
+        val ix = (ox.toLong * img.width / ow).toInt
         val s = (iy * img.width + ix) * 3
         val d = (oy * ow + ox) * 3
         out(d) = img.rgb(s); out(d + 1) = img.rgb(s + 1)
@@ -219,10 +232,10 @@ object ImageCodec {
     val grays = new Array[Long](64)
     var y = 0
     while (y < 8) {
-      val iy = y * img.height / 8
+      val iy = (y.toLong * img.height / 8).toInt
       var x = 0
       while (x < 8) {
-        val ix = x * img.width / 8
+        val ix = (x.toLong * img.width / 8).toInt
         val s = (iy * img.width + ix) * 3
         grays(y * 8 + x) = ((img.rgb(s) & 0xff) + (img.rgb(s + 1) & 0xff)
           + (img.rgb(s + 2) & 0xff)) / 3

@@ -224,14 +224,34 @@ object IngestOps {
     java.nio.file.Files.exists(java.nio.file.Paths.get(
       s"${commitsDir(key)}/${tagToken(tag)}"))
 
-  /** Atomically record `tag` as committed. Called ONLY after both
-    * artifact writes have succeeded; file creation is the atomic
-    * commit point. */
-  def markCommitted(key: String, tag: String): Unit = {
+  /** The committed batch's content fingerprint (what [[markCommitted]]
+    * stored), or None if the tag never committed. Lets the replay
+    * guard distinguish a true REDELIVERY (same rows — skip) from a
+    * NEW batch that illegally reuses a committed tag (fail loud:
+    * silently skipping it would drop data, silently processing it
+    * would overwrite the tag's manifest delta). */
+  def committedFingerprint(key: String, tag: String): Option[String] = {
+    val p = java.nio.file.Paths.get(
+      s"${commitsDir(key)}/${tagToken(tag)}")
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Atomically record `tag` as committed, storing the batch's
+    * content `fingerprint` (row count + id sum — the accounting
+    * idiom) so a later tag REUSE is detectable. File creation is the
+    * atomic commit point; a concurrent loser keeps the winner's
+    * bytes. */
+  def markCommitted(key: String, tag: String,
+      fingerprint: String = ""): Unit = {
     val dir = java.nio.file.Paths.get(commitsDir(key))
     java.nio.file.Files.createDirectories(dir)
-    try java.nio.file.Files.createFile(dir.resolve(tagToken(tag)))
+    try java.nio.file.Files.write(dir.resolve(tagToken(tag)),
+      fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
     catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    ()
   }
 
   /** Test hook: remove a commit marker — simulates a crash that
@@ -267,8 +287,15 @@ object IngestOps {
     * its own half-landed delta instead of appending a duplicate). The
     * dir stays flat, so plain `spark.read.parquet(dir)` reads and
     * [[compactDirIfNeeded]] keep working unchanged. The write goes to
-    * a temp sibling first; a crash at any point leaves either the old
-    * delta, no delta, or the new delta — never both. */
+    * a temp sibling first; a crash leaves the old delta, no delta,
+    * the new delta, or (multi-file deltas only: a crash mid-move) a
+    * PARTIAL new delta — never old and new together. A partial delta
+    * heals on the tag's redelivery (the next write replaces it), so
+    * the in-flight tag must be re-offered before any NEW batch runs:
+    * the streaming checkpoint guarantees exactly that, and direct
+    * batch-twin callers must re-run a crashed batch before
+    * continuing (the loop's recovery base already excludes the
+    * in-flight tag's rows either way). */
   def overwriteTagged(spark: SparkSession, df: DataFrame, dir: String,
       tag: String, nFiles: Int): Unit = {
     val tok = tagToken(tag)
@@ -401,10 +428,18 @@ object IngestOps {
     // of the anti-join (hash-compact rows, ~24 B each).
     val nDocs = accepted.count()
     if (nDocs == 0) return
-    docMd5s(accepted, textCol)
-      .join(inventoryMd5s(spark, key), Seq("h"), "left_anti")
-      .coalesce(deltaFileCount(nDocs, rowsPerFile))
-      .write.mode("append").parquet(md5Dir(key))
+    // WRITE ORDER MATTERS for the crash story: segments FIRST, md5s
+    // second. A crash between the two writes redelivers the batch
+    // (the loop's marker never landed); under seg-first, the replay's
+    // stage-1 gate still passes (md5s absent) but stage 2 excises the
+    // accepted text against the just-merged segments, so the docs
+    // drop harmlessly — and any future doc sharing their content is
+    // still excised (segments present) or exact-rejected-by-excision
+    // (identical text ⇒ identical segments ⇒ fully excised). The
+    // opposite order would lose the batch's SEGMENT rows forever:
+    // the replay dies at stage 1 (md5s present), never re-offers the
+    // text, and future near-dups sharing those segments would pass
+    // excision — stored duplicate content.
     val segDelta = docSegments(accepted, textCol, segLen)
       .join(inventorySegments(spark, key).select(col("sh")),
         Seq("sh"), "left_anti")
@@ -412,7 +447,19 @@ object IngestOps {
     segDelta
       .coalesce(deltaFileCount(segDelta.count(), rowsPerFile))
       .write.mode("append").parquet(segDir(key))
+    if (crashBetweenMergeWrites)
+      throw new IllegalStateException("injected crash (test hook): " +
+        "segment delta merged, md5 delta not yet written")
+    docMd5s(accepted, textCol)
+      .join(inventoryMd5s(spark, key), Seq("h"), "left_anti")
+      .coalesce(deltaFileCount(nDocs, rowsPerFile))
+      .write.mode("append").parquet(md5Dir(key))
   }
+
+  /** Test hook: throw between [[mergeAccepted]]'s two inventory
+    * writes — the intra-merge crash window whose benign degradation
+    * (seg-first order) CorpusIngestSpec proves. */
+  private[graft] var crashBetweenMergeWrites = false
 
   /** Bloom over the maintained segment inventory's xxhash64 column —
     * the artifact [[graft.streaming.CorpusIngest.segmentGateStream]]

@@ -310,7 +310,21 @@ final class IngestLoop(spark: SparkSession, key: String, idCol: String,
     * already had it), and in-run redelivery REPLACES the tag's
     * accounting rows rather than duplicating them. */
   def processBatch(batch: DataFrame, tag: String): Unit = synchronized {
-    if (graft.ops.IngestOps.batchCommitted(key, tag)) return
+    // Exactly-once replay guard WITH tag-reuse detection: a committed
+    // tag's marker stores the batch's content fingerprint, so a true
+    // redelivery (same rows) is a no-op while a NEW batch illegally
+    // reusing a committed tag FAILS LOUD — silently skipping it would
+    // drop data, silently processing it would overwrite the tag's
+    // manifest delta. The fingerprint agg runs only when a marker
+    // exists (replays are rare); normal batches pay nothing.
+    for (fp <- graft.ops.IngestOps.committedFingerprint(key, tag)) {
+      val cur = fingerprint(batch)
+      if (cur == fp) return
+      throw new IllegalStateException(s"batch tag '$tag' already " +
+        s"committed with different content (stored $fp, arriving " +
+        s"$cur) — tags must uniquely identify a batch for the " +
+        "loop's lifetime")
+    }
     stageBuf.filterInPlace(_._1 != tag)
     driftBuf.filterInPlace(_._1 != tag)
     acceptedInputFiles.filterInPlace(_._1 != tag)
@@ -390,10 +404,13 @@ final class IngestLoop(spark: SparkSession, key: String, idCol: String,
         val m = accepted.select(col(idCol).cast("long").as("doc_id"),
           (size(graft.ops.BpeOps.encode(col("clean"), b)) + 1)
             .cast("long").as("n_tok"))
+        // checkpointed so the write and the new-total agg share ONE
+        // execution of the BPE-encode + offset-window plan
         val out = graft.ops.PackOps
           .withGlobalOffset(m, "doc_id", "n_tok", "__off")
           .select(lit(tag).as("batch"), col("doc_id"), col("n_tok"),
             (col("__off") + lit(base)).as("tok_start"))
+          .localCheckpoint(true)
         // idempotent overwrite-by-tag (see the processBatch scaladoc);
         // delta parallelism scales with the batch row count
         graft.ops.IngestOps.overwriteTagged(spark, out, dir, tag,
@@ -413,8 +430,13 @@ final class IngestLoop(spark: SparkSession, key: String, idCol: String,
         "manifest delta written, inventory merge not committed")
     graft.ops.IngestOps.mergeAccepted(spark, key, accepted, "clean",
       segLen)
-    // the atomic commit point: both artifacts are now consistent
-    graft.ops.IngestOps.markCommitted(key, tag)
+    // the atomic commit point: both artifacts are now consistent.
+    // The marker stores the INCOMING batch's fingerprint (already in
+    // the stage accounting — no extra job) for tag-reuse detection.
+    val inFp = stageBuf
+      .collectFirst { case (`tag`, "0_incoming", n, s) => s"$n:$s" }
+      .getOrElse(fingerprint(batch))
+    graft.ops.IngestOps.markCommitted(key, tag, inFp)
     // self-maintenance runs strictly AFTER the commit marker so a
     // compaction can never fold an uncommitted tag's delta into
     // anonymous files (which would blind the tagged overwrite):
@@ -425,6 +447,15 @@ final class IngestLoop(spark: SparkSession, key: String, idCol: String,
     for (dir <- packManifestDir)
       graft.ops.IngestOps.compactDirIfNeeded(spark, dir)
     graft.ops.IngestOps.compactInventoryIfNeeded(spark, key)
+  }
+
+  /** Content fingerprint of a batch — row count + id sum, the stage-
+    * accounting idiom (one bounded agg; computed only on the rare
+    * replay/commit paths). */
+  private def fingerprint(batch: DataFrame): String = {
+    val r = batch.agg(count(lit(1)).as("n"),
+      coalesce(sum(col(idCol)), lit(0L)).as("s")).head
+    s"${r.getLong(0)}:${r.getLong(1)}"
   }
 
   /** Recovery read for a replayed tag: the stored total over every

@@ -573,4 +573,80 @@ class CorpusIngestSpec extends SparkSpec {
 
     Seq(kA, kB, kC).foreach(graft.ops.IngestOps.dropInventory)
   }
+
+  test("intra-merge crash window degrades benignly (seg-first order), " +
+      "and committed-tag REUSE with different content fails loud") {
+    val docs = graft.Tables.documents(spark, Sf0001)
+    val corpusDf = docs.filter(pmod(col("doc_id"), lit(5)).isin(1, 2, 3))
+    val b0 = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("text"))
+    val b1 = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      .select(col("doc_id"), col("text"))
+    val wcounts = (corpusText + " " + corpusText).split(" ")
+      .groupBy(identity).map { case (w, xs) => (w, xs.length.toLong) }
+      .toArray.sortBy { case (w, n) => (-n, w) }
+    val bpe = graft.ops.BpeOps.trainMerges(wcounts, numMerges = 16)
+    val run = java.util.UUID.randomUUID().toString.take(6)
+    val key = s"xm_$run"
+    graft.ops.IngestOps.buildInventory(spark, key, corpusDf, "text")
+    val mdir = Files.createTempDirectory("graft-xm").toString + "/m"
+    def mkLoop() = new IngestLoop(spark, key, "doc_id", "text", None, 16,
+      wp = None, bpe = Some(bpe), packManifestDir = Some(mdir))
+    val loop = mkLoop()
+    loop.processBatch(b0, "b0")
+
+    // what b1 WOULD accept against the post-b0 inventory (dry gate)
+    val b1Clean = graft.ops.IngestOps
+      .ingestBatch(spark, key, b1, "doc_id", "text")
+      .s4.orderBy(col("doc_id")).select(col("clean"))
+      .collect().map(_.getString(0))
+    assert(b1Clean.nonEmpty)
+
+    // crash INSIDE mergeAccepted: segment delta landed, md5 delta not
+    graft.ops.IngestOps.crashBetweenMergeWrites = true
+    try intercept[IllegalStateException] { loop.processBatch(b1, "b1") }
+    finally graft.ops.IngestOps.crashBetweenMergeWrites = false
+    assert(!graft.ops.IngestOps.batchCommitted(key, "b1"))
+
+    // replay on a fresh instance: the gate passes stage 1 (md5s never
+    // landed) but stage 2 excises everything against the just-merged
+    // segments — the batch drops HARMLESSLY instead of leaving its
+    // segments unrecorded (what the md5-first order would do)
+    val manifestBefore = spark.read.parquet(mdir)
+      .orderBy(col("batch"), col("doc_id")).collect().toSeq
+    val replay = mkLoop()
+    replay.processBatch(b1, "b1")
+    val acc = replay.stageReport
+      .filter(col("batch") === "b1" && col("stage") === "4_decon")
+      .head.getLong(2)
+    assert(acc == 0, s"replay must gate to zero accepted: $acc")
+    assert(graft.ops.IngestOps.batchCommitted(key, "b1"))
+    assert(spark.read.parquet(mdir)
+      .orderBy(col("batch"), col("doc_id")).collect().toSeq
+      == manifestBefore, "the stored manifest delta must survive")
+
+    // the correctness property the write order buys: content that
+    // shares the crashed batch's segments is STILL excised — an exact
+    // re-offer of an accepted clean text dies entirely
+    val reoffer = Seq((888888L, b1Clean.head)).toDF("doc_id", "text")
+    replay.processBatch(reoffer, "b2")
+    assert(replay.stageReport
+      .filter(col("batch") === "b2" && col("stage") === "4_decon")
+      .head.getLong(2) == 0,
+      "re-offered crashed-batch content must still be excised")
+
+    // tag REUSE with different content under a committed tag: loud
+    val ex = intercept[IllegalStateException] {
+      replay.processBatch(
+        Seq((777777L, "completely different payload")).toDF(
+          "doc_id", "text"), "b1")
+    }
+    assert(ex.getMessage.contains("different content"), ex.getMessage)
+    // true redelivery (same rows) stays a silent no-op
+    val before = replay.stageReport.collect().toSeq
+    replay.processBatch(b1, "b1")
+    assert(replay.stageReport.collect().toSeq == before)
+
+    graft.ops.IngestOps.dropInventory(key)
+  }
 }
