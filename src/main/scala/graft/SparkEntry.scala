@@ -5136,6 +5136,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ★ r11: near-dup detection over REAL decoded pixels — the aHash
+    // kernel feeding the shared 4×16-bit banded blocking + exact
+    // Hamming verify (any pair within Hamming 3 shares a band by
+    // pigeonhole). The oracle re-derives every image's 64-bit aHash
+    // from the generator arithmetic, replays banding, candidate
+    // generation (DISTINCT a<b pairs), two-half Hamming verification
+    // and the per-image partner count — the full image-dedup pipeline
+    // certified end-to-end over real pixel bytes.
+    "multimodal_ahash_dups" -> ((s, d) => {
+      ops.Multimodal.ahashDupSummary(s,
+        ops.Multimodal.imageTable(s, t(s, d, "documents")))
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL thumbnail pass: ImageCodec decode + nearest-neighbor
     // resample of the actual pixels (fit into a 48px box, never
     // upscale), one partition-wise batch. px_sum witnesses every
@@ -9575,6 +9589,67 @@ object SparkEntry {
         |  FROM g JOIN t USING (doc_id) GROUP BY g.doc_id)
         |SELECT doc_id, printf('%08x%08x', hi, lo) AS ahash, n_bright
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Replays the full image near-dup pipeline from the generator:
+    // per-doc aHash (as two 32-bit halves — a packed signed long would
+    // overflow BIGINT arithmetic at bit 63), 4×16-bit banding over the
+    // halves, DISTINCT a<b candidate pairs, two-half Hamming verify,
+    // symmetric partner counts. Mirrors DedupOps.hammingNearDupSummary
+    // + ImageCodec.averageHash exactly (bucket caps are structural at
+    // oracle scale: 500 docs < maxBucket).
+    "multimodal_ahash_dups" ->
+      """WITH sz AS (
+        |  SELECT doc_id,
+        |    ascii(substr(text, 1, 1)) % 64 + 16 AS w,
+        |    ascii(substr(text, 2, 1)) % 64 + 16 AS h,
+        |    (ascii(substr(text, 1, 1)) * 7 +
+        |     ascii(substr(text, 2, 1)) * 13) % 256 AS s0
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, y * 8 + x AS i,
+        |    ((s0 + 31 * (((y * h // 8) * w + (x * w // 8)) * 3)) % 256
+        |     + (s0 + 31 * (((y * h // 8) * w + (x * w // 8)) * 3 + 1))
+        |       % 256
+        |     + (s0 + 31 * (((y * h // 8) * w + (x * w // 8)) * 3 + 2))
+        |       % 256) // 3 AS gray
+        |  FROM sz,
+        |    LATERAL unnest(generate_series(0, 7)) ty(y),
+        |    LATERAL unnest(generate_series(0, 7)) tx(x)),
+        |t AS (SELECT doc_id, sum(gray) AS total FROM g GROUP BY doc_id),
+        |hh AS (
+        |  SELECT g.doc_id,
+        |    cast(sum(CASE WHEN g.gray * 64 > t.total AND g.i >= 32
+        |      THEN (CAST(1 AS BIGINT) << (g.i - 32)) ELSE 0 END)
+        |      as bigint) AS hi,
+        |    cast(sum(CASE WHEN g.gray * 64 > t.total AND g.i < 32
+        |      THEN (CAST(1 AS BIGINT) << g.i) ELSE 0 END)
+        |      as bigint) AS lo
+        |  FROM g JOIN t USING (doc_id) GROUP BY g.doc_id),
+        |band AS (
+        |  SELECT doc_id, bb AS band_id,
+        |    CASE bb WHEN 0 THEN lo & 65535
+        |            WHEN 1 THEN (lo >> 16) & 65535
+        |            WHEN 2 THEN hi & 65535
+        |            ELSE (hi >> 16) & 65535 END AS band_val
+        |  FROM hh, LATERAL unnest(generate_series(0, 3)) t(bb)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM band x JOIN band y
+        |    ON x.band_id = y.band_id AND x.band_val = y.band_val
+        |   AND x.doc_id < y.doc_id),
+        |near AS (
+        |  SELECT c.a, c.b FROM cand c
+        |  JOIN hh pa ON pa.doc_id = c.a
+        |  JOIN hh pb ON pb.doc_id = c.b
+        |  WHERE bit_count(xor(pa.hi, pb.hi))
+        |      + bit_count(xor(pa.lo, pb.lo)) <= 3),
+        |sym AS (SELECT a AS id FROM near
+        |        UNION ALL SELECT b AS id FROM near),
+        |cnt AS (SELECT id, count(*) AS n FROM sym GROUP BY id)
+        |SELECT hh.doc_id, printf('%08x%08x', hi, lo) AS ahash,
+        |  cast(coalesce(c.n, 0) as bigint) AS n_near
+        |FROM hh LEFT JOIN cnt c ON c.id = hh.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // Mirrors ImageCodec.resizeNearest over the imageTable generator.
     // The scale factor is computed division-first (48.0 / longest,

@@ -133,6 +133,32 @@ object Multimodal {
     }
   }
 
+  /** Near-dup summary over REAL decoded pixels: one decode+aHash pass
+    * ([[averageHashAll]]'s kernel), then the shared 4×16-bit banded
+    * blocking + exact-Hamming verification
+    * ([[graft.ops.DedupOps.hammingNearDupSummary]] — the one band
+    * discipline the simhash/phash paths already use; any pair within
+    * Hamming 3 shares ≥1 band by pigeonhole). Output is one row per
+    * image: (id, ahash hex, n_near partners). The 16-byte (id, hash)
+    * table is checkpointed once and reused across banding, both
+    * verification joins, and the final summary join — payload bytes
+    * never reach an Exchange. */
+  def ahashDupSummary(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val withH = media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val hx = ImageCodec.averageHash(ImageCodec.decode(r.content))
+        (r.doc_id, hx, java.lang.Long.parseUnsignedLong(hx, 16))
+      }
+    }.toDF("doc_id", "ahash", "h64").localCheckpoint(true)
+    DedupOps.hammingNearDupSummary(
+        withH.select(col("doc_id"), col("h64")),
+        "doc_id", "h64", maxHamming, maxBucket)
+      .join(withH.select(col("doc_id"), col("ahash")), Seq("doc_id"))
+      .select(col("doc_id"), col("ahash"), col("n_near"))
+  }
+
   /** Resized metadata: the aspect-preserving fit of decoded dimensions
     * into a `maxSide` bounding box, plus the resized pixel witness
     * (`px_sum` = unsigned byte sum of the RESAMPLED RGB plane). */

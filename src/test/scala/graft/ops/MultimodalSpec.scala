@@ -101,6 +101,33 @@ class MultimodalSpec extends SparkSpec {
       s"planted duplicate not detected: ${sum(0L)}, ${sum(100000L)}")
   }
 
+  test("ahash near-dup summary over real pixels: planted duplicate " +
+      "flags, distant image does not") {
+    import spark.implicits._
+    // base: half-dark/half-bright; dup: one pixel nudged (tiny hamming);
+    // far: inverted split (distant hash)
+    def img(lhs: Int, rhs: Int, nudge: Boolean) = {
+      val rgb = Array.tabulate(16 * 16 * 3) { i =>
+        val x = (i / 3) % 16
+        (if (x < 8) lhs else rhs).toByte
+      }
+      if (nudge) rgb(0) = (lhs + 3).toByte
+      ImageCodec.encodePpm(16, 16, rgb)
+    }
+    val media = Seq(
+      (1L, img(0, 200, nudge = false)),
+      (2L, img(0, 200, nudge = true)),   // near-dup of 1
+      (3L, img(200, 0, nudge = false)))  // mirrored: far from both
+      .toDF("doc_id", "content")
+    val sum = Multimodal.ahashDupSummary(spark, media)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(sum(1L)._2 == 1 && sum(2L)._2 == 1,
+      s"planted near-dup pair must flag exactly each other: $sum")
+    assert(sum(3L)._2 == 0, s"mirrored image must not flag: $sum")
+    assert(sum(1L)._1 == "f0f0f0f0f0f0f0f0")
+  }
+
   test("feature extraction: unit-norm, deterministic, feeds cosine ANN") {
     val media = Multimodal.mediaTable(Tables.documents(spark, Sf0001)
       .limit(100))
