@@ -138,6 +138,23 @@ class RocksDbStateSpec extends SparkSpec {
       "rdb_sess", "append")("user_id", "session_start")
   }
 
+  test("mapGroupsWithState funnel with event-time timeout eviction: " +
+      "identical stage assignments under both backends") {
+    import spark.implicits._
+    import EventStreams.UserEvent
+    val dir = Files.createTempDirectory("graft-rdb-funnel").toString
+    batchEvents
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[UserEvent].write.mode("overwrite").parquet(dir)
+    matrix(() => EventStreams.funnelStages(spark,
+      spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[UserEvent]].schema)
+        .parquet(dir)
+        .withWatermark("ts", "1 minute")
+        .as[UserEvent]).toDF(),
+      "rdb_funnel", "update")("user_id", "stage")
+  }
+
   test("custom CMS Aggregator state: byte-identical sketches under " +
       "both backends") {
     import spark.implicits._
