@@ -5121,6 +5121,140 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ★ r11: REAL COMPRESSED-format decode — the same deterministic
+    // picture per doc as multimodal_decode, but encoded as true PNG
+    // (ops.PngCodec: chunk framing with verified CRC-32s, zlib
+    // DEFLATE via the JDK, scanline filters cycling y mod 5 so every
+    // payload exercises None/Sub/Up/Average/Paeth reconstruction).
+    // The oracle replays the pixel generator; matching px_sum
+    // certifies inflate + all five unfilter paths byte-for-byte,
+    // raw_len the decompressed scanline serialization. The container
+    // (deflate output) length is implementation-defined and stays out
+    // of the contract.
+    "multimodal_png" -> ((s, d) => {
+      ops.Multimodal.decodePngAll(s,
+        ops.Multimodal.pngImageTable(s, t(s, d, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"), col("format"),
+          col("raw_len"), col("px_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ★ r11: HETEROGENEOUS-corpus decode — format varies PER ROW
+    // (cp0 mod 3 → PPM / BMP / PNG), the shape of a real media
+    // crawl: the decode stage dispatches by MAGIC BYTES, not a
+    // table-level format flag. The oracle's px_sum would shift
+    // immediately if the sniffer routed a row to the wrong parser
+    // (BMP's padded bottom-up BGR vs PPM's raw plane vs PNG's
+    // filtered+deflated scanlines).
+    "multimodal_mixed" -> ((s, d) => {
+      ops.Multimodal.decodeAll(s,
+        ops.Multimodal.mixedImageTable(s, t(s, d, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"), col("format"),
+          col("px_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ★ r11: rate normalization — decode → deinterleave channel 0 →
+    // integer nearest-neighbor resample to 8 kHz (the pass a speech
+    // corpus runs so every clip feeds the model at one rate; the
+    // generator's four source rates hit the identity, 1/2, 2/3 and
+    // 2/5 ratios). All-integer index math, replayed exactly by the
+    // oracle down to the resampled energy.
+    "multimodal_audio_resample" -> ((s, d) => {
+      ops.Multimodal.resampleAudioAll(s,
+        ops.Multimodal.audioTable(s, t(s, d, "documents")),
+        targetRate = 8000)
+        .toDF()
+        .select(col("doc_id"), col("n_in"), col("n_out"),
+          col("r_sq_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ★ r11: REAL AUDIO decode — deterministic WAV/PCM16 clips
+    // (ops.AudioCodec: RIFF chunk walk with untrusted-size checks,
+    // odd-chunk padding, fmt/data extraction) + the integer-exact
+    // signal features a speech pipeline computes (energy as Σs²,
+    // strict-sign zero crossings, peak |s|, integer-division
+    // duration). The oracle replays the quadratic sample generator
+    // and every feature — a match certifies container parse + sample
+    // decode + all four feature kernels.
+    "multimodal_audio" -> ((s, d) => {
+      ops.Multimodal.decodeAudioAll(s,
+        ops.Multimodal.audioTable(s, t(s, d, "documents")))
+        .toDF()
+        .select(col("doc_id"),
+          col("sample_rate").cast("int").as("sample_rate"),
+          col("channels").cast("int").as("channels"),
+          col("n_samples"), col("dur_ms"), col("sq_sum"),
+          col("n_zc"), col("peak"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ★ r11: framed audio energy — consecutive 256-sample frames of
+    // the decoded stream, each with its integer energy (the windowed
+    // pass before VAD/segmentation). Decode + framing share the row
+    // (flatMap in the partition-wise slot); only (id, frame, n,
+    // energy) rows travel. Oracle groups the replayed samples by
+    // i div 256.
+    "multimodal_audio_frames" -> ((s, d) => {
+      ops.Multimodal.audioFramesAll(s,
+        ops.Multimodal.audioTable(s, t(s, d, "documents")),
+        frameLen = 256)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("f_n"),
+          col("f_sq_sum"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // ★ r11: REAL VIDEO decode — deterministic Y4M streams
+    // (ops.VideoCodec: ASCII header tokenization, FRAME markers,
+    // planar 4:2:0 extraction) exploded to one row per frame with
+    // integer luma/chroma plane witnesses. The oracle replays the
+    // per-frame byte generator and both plane sums — certifying
+    // header parse, frame framing, and plane-boundary arithmetic.
+    "multimodal_video_frames" -> ((s, d) => {
+      ops.Multimodal.videoFramesAll(s,
+        ops.Multimodal.videoTable(s, t(s, d, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"),
+          col("fps_num").cast("int").as("fps_num"),
+          col("n_frames"), col("frame_idx"), col("y_sum"),
+          col("c_sum"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // ★ r11: scene-cut detection over decoded video — per-clip count
+    // of frames whose luma-plane sum jumps by ≥ w·h against the
+    // previous frame (lag window PARTITIONED BY clip — bounded
+    // frames per partition key, never global), plus the first cut
+    // index. This is the cross-frame composition a curation pipeline
+    // runs to segment clips before sampling; the oracle replays the
+    // same lag/threshold over the re-derived luma sums.
+    "multimodal_video_scenes" -> ((s, d) => {
+      val wspec = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("frame_idx")
+      ops.Multimodal.videoFramesAll(s,
+        ops.Multimodal.videoTable(s, t(s, d, "documents")))
+        .toDF()
+        .withColumn("prev", lag(col("y_sum"), 1).over(wspec))
+        .withColumn("cut",
+          when(col("prev").isNotNull &&
+            abs(col("y_sum") - col("prev")) >=
+              col("width").cast("long") * col("height"), 1L)
+            .otherwise(0L))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n_frames")).as("n_frames"),
+          sum(col("cut")).as("n_cuts"),
+          coalesce(min(when(col("cut") === 1L, col("frame_idx"))),
+            lit(-1L)).as("first_cut"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ★ r11: TRUE average-hash over REAL decoded pixels — grayscale →
     // 8×8 nearest-neighbor grid → strict-integer mean threshold → 64
     // bits as hex (ImageCodec.averageHash). The oracle re-derives all
@@ -9549,6 +9683,226 @@ object SparkEntry {
         |    as bigint) AS n_bytes,
         |  px.px_sum
         |FROM sz JOIN px USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Replays the shared image generator for the PNG variant: same
+    // dims / pixel arithmetic, raw_len = h·(1+3w) witnesses the
+    // decompressed scanline serialization the Spark side must have
+    // inflated to, px_sum the fully unfiltered plane (filters cycle
+    // y mod 5, so a single wrong reconstruction arm would shift the
+    // sum).
+    "multimodal_png" ->
+      """WITH sz AS (
+        |  SELECT doc_id,
+        |    ascii(substr(text, 1, 1)) % 64 + 16 AS w,
+        |    ascii(substr(text, 2, 1)) % 64 + 16 AS h,
+        |    (ascii(substr(text, 1, 1)) * 7 +
+        |     ascii(substr(text, 2, 1)) * 13) % 256 AS s0
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |    cast(sum((s0 + 31 * i) % 256) as bigint) AS px_sum
+        |  FROM sz, LATERAL unnest(generate_series(0, w * h * 3 - 1)) t(i)
+        |  GROUP BY doc_id)
+        |SELECT sz.doc_id,
+        |  cast(w as integer) AS width,
+        |  cast(h as integer) AS height,
+        |  'png' AS format,
+        |  cast((1 + 3 * w) * h as bigint) AS raw_len,
+        |  px.px_sum
+        |FROM sz JOIN px USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Replays the shared image generator with the per-row format
+    // split (cp0 mod 3) — the witness is the same full-plane px_sum,
+    // so a sniffer mis-route shows up as a value mismatch.
+    "multimodal_mixed" ->
+      """WITH sz AS (
+        |  SELECT doc_id,
+        |    ascii(substr(text, 1, 1)) AS cp0,
+        |    ascii(substr(text, 1, 1)) % 64 + 16 AS w,
+        |    ascii(substr(text, 2, 1)) % 64 + 16 AS h,
+        |    (ascii(substr(text, 1, 1)) * 7 +
+        |     ascii(substr(text, 2, 1)) * 13) % 256 AS s0
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |    cast(sum((s0 + 31 * i) % 256) as bigint) AS px_sum
+        |  FROM sz, LATERAL unnest(generate_series(0, w * h * 3 - 1)) t(i)
+        |  GROUP BY doc_id)
+        |SELECT sz.doc_id,
+        |  cast(w as integer) AS width,
+        |  cast(h as integer) AS height,
+        |  CASE cp0 % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+        |    ELSE 'png' END AS format,
+        |  px.px_sum
+        |FROM sz JOIN px USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Replays the resample index math: frames = n div ch,
+    // n_out = frames·8000 div rate, output j reads channel-0 frame
+    // j·frames div n_out (interleaved index ×ch), then the quadratic
+    // sample formula and the energy sum.
+    "multimodal_audio_resample" ->
+      """WITH sz AS (
+        |  SELECT doc_id,
+        |    (ascii(substr(text, 1, 1)) % 768 + 256) * 2 AS n,
+        |    8000 + (ascii(substr(text, 2, 1)) % 4) * 4000 AS rate,
+        |    ascii(substr(text, 2, 1)) % 2 + 1 AS ch,
+        |    (ascii(substr(text, 1, 1)) * 7 +
+        |     ascii(substr(text, 2, 1)) * 13) % 256 AS s0
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n // ch AS frames,
+        |    (n // ch) * 8000 // rate AS n_out, ch, s0
+        |  FROM sz),
+        |idx AS (
+        |  SELECT doc_id, frames, n_out,
+        |    (j * frames // n_out) * ch AS i, s0
+        |  FROM o, LATERAL unnest(generate_series(0, n_out - 1)) t(j)),
+        |smp AS (
+        |  SELECT doc_id, frames, n_out,
+        |    ((s0 + 37 * i * i + 11 * i) % 4001) - 2000 AS s
+        |  FROM idx)
+        |SELECT doc_id,
+        |  cast(max(frames) as bigint) AS n_in,
+        |  cast(max(n_out) as bigint) AS n_out,
+        |  cast(sum(s * s) as bigint) AS r_sq_sum
+        |FROM smp GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // Replays the audio generator (even sample count, rate/channels
+    // from cp1, quadratic waveform) and all four integer feature
+    // kernels; zero crossings via a lag window over the replayed
+    // samples (the NULL first-lag row falls to the ELSE 0 arm, same
+    // as Spark's i=1 start).
+    "multimodal_audio" ->
+      """WITH sz AS (
+        |  SELECT doc_id,
+        |    (ascii(substr(text, 1, 1)) % 768 + 256) * 2 AS n,
+        |    8000 + (ascii(substr(text, 2, 1)) % 4) * 4000 AS rate,
+        |    ascii(substr(text, 2, 1)) % 2 + 1 AS ch,
+        |    (ascii(substr(text, 1, 1)) * 7 +
+        |     ascii(substr(text, 2, 1)) * 13) % 256 AS s0
+        |  FROM documents),
+        |smp AS (
+        |  SELECT doc_id, i,
+        |    ((s0 + 37 * i * i + 11 * i) % 4001) - 2000 AS s
+        |  FROM sz, LATERAL unnest(generate_series(0, n - 1)) t(i)),
+        |zc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (s < 0) !=
+        |      (lag(s) OVER (PARTITION BY doc_id ORDER BY i) < 0)
+        |      THEN 1 ELSE 0 END AS z
+        |  FROM smp),
+        |feat AS (
+        |  SELECT doc_id,
+        |    cast(sum(s * s) as bigint) AS sq_sum,
+        |    cast(max(abs(s)) as bigint) AS peak
+        |  FROM smp GROUP BY doc_id),
+        |zcs AS (
+        |  SELECT doc_id, cast(sum(z) as bigint) AS n_zc
+        |  FROM zc GROUP BY doc_id)
+        |SELECT sz.doc_id,
+        |  cast(rate as integer) AS sample_rate,
+        |  cast(ch as integer) AS channels,
+        |  cast(n as bigint) AS n_samples,
+        |  cast((n // ch) * 1000 // rate as bigint) AS dur_ms,
+        |  feat.sq_sum, zcs.n_zc, feat.peak
+        |FROM sz JOIN feat USING (doc_id) JOIN zcs USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Groups the replayed samples into 256-sample frames (i div 256)
+    // — the tail frame's short count is part of the contract.
+    "multimodal_audio_frames" ->
+      """WITH sz AS (
+        |  SELECT doc_id,
+        |    (ascii(substr(text, 1, 1)) % 768 + 256) * 2 AS n,
+        |    (ascii(substr(text, 1, 1)) * 7 +
+        |     ascii(substr(text, 2, 1)) * 13) % 256 AS s0
+        |  FROM documents),
+        |smp AS (
+        |  SELECT doc_id, i,
+        |    ((s0 + 37 * i * i + 11 * i) % 4001) - 2000 AS s
+        |  FROM sz, LATERAL unnest(generate_series(0, n - 1)) t(i))
+        |SELECT doc_id,
+        |  cast(i // 256 as bigint) AS frame_idx,
+        |  cast(count(*) as bigint) AS f_n,
+        |  cast(sum(s * s) as bigint) AS f_sq_sum
+        |FROM smp GROUP BY doc_id, i // 256
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Replays the Y4M generator per (doc, frame): plane byte i =
+    // (s0 + 11f + 31i) mod 256, split at the w·h luma/chroma
+    // boundary; total planar size w·h·3/2 (even dims).
+    "multimodal_video_frames" ->
+      """WITH sz AS (
+        |  SELECT doc_id,
+        |    ascii(substr(text, 1, 1)) AS cp0,
+        |    (ascii(substr(text, 1, 1)) % 12) * 2 + 8 AS w,
+        |    (ascii(substr(text, 2, 1)) % 12) * 2 + 8 AS h,
+        |    (ascii(substr(text, 1, 1)) +
+        |     ascii(substr(text, 2, 1))) % 5 + 2 AS nf,
+        |    (ascii(substr(text, 1, 1)) * 7 +
+        |     ascii(substr(text, 2, 1)) * 13) % 256 AS s0
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, w, h, nf, s0, f
+        |  FROM sz, LATERAL unnest(generate_series(0, nf - 1)) t(f)),
+        |px AS (
+        |  SELECT doc_id, f,
+        |    cast(sum(CASE WHEN i < w * h
+        |      THEN (s0 + 11 * f + 31 * i) % 256 END) as bigint) AS y_sum,
+        |    cast(sum(CASE WHEN i >= w * h
+        |      THEN (s0 + 11 * f + 31 * i) % 256 END) as bigint) AS c_sum
+        |  FROM fr,
+        |    LATERAL unnest(generate_series(0, w * h * 3 // 2 - 1)) t(i)
+        |  GROUP BY doc_id, f)
+        |SELECT sz.doc_id,
+        |  cast(w as integer) AS width,
+        |  cast(h as integer) AS height,
+        |  cast(CASE WHEN cp0 % 2 = 0 THEN 25 ELSE 30 END
+        |    as integer) AS fps_num,
+        |  cast(nf as bigint) AS n_frames,
+        |  cast(f as bigint) AS frame_idx,
+        |  px.y_sum, px.c_sum
+        |FROM px JOIN sz USING (doc_id)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Replays the luma sums, then the same lag/threshold scene-cut
+    // rule (|Δy_sum| ≥ w·h, first frame never a cut) and the
+    // first-cut index with the -1 no-cut sentinel.
+    "multimodal_video_scenes" ->
+      """WITH sz AS (
+        |  SELECT doc_id,
+        |    (ascii(substr(text, 1, 1)) % 12) * 2 + 8 AS w,
+        |    (ascii(substr(text, 2, 1)) % 12) * 2 + 8 AS h,
+        |    (ascii(substr(text, 1, 1)) +
+        |     ascii(substr(text, 2, 1))) % 5 + 2 AS nf,
+        |    (ascii(substr(text, 1, 1)) * 7 +
+        |     ascii(substr(text, 2, 1)) * 13) % 256 AS s0
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, w, h, nf, s0, f
+        |  FROM sz, LATERAL unnest(generate_series(0, nf - 1)) t(f)),
+        |ys AS (
+        |  SELECT doc_id, f, max(w) AS w, max(h) AS h, max(nf) AS nf,
+        |    sum((s0 + 11 * f + 31 * i) % 256) AS y_sum
+        |  FROM fr, LATERAL unnest(generate_series(0, w * h - 1)) t(i)
+        |  GROUP BY doc_id, f),
+        |cuts AS (
+        |  SELECT doc_id, f, nf,
+        |    CASE WHEN abs(y_sum -
+        |        lag(y_sum) OVER (PARTITION BY doc_id ORDER BY f))
+        |        >= w * h
+        |      THEN 1 ELSE 0 END AS cut
+        |  FROM ys)
+        |SELECT doc_id,
+        |  cast(max(nf) as bigint) AS n_frames,
+        |  cast(sum(cut) as bigint) AS n_cuts,
+        |  cast(coalesce(min(CASE WHEN cut = 1 THEN f END), -1)
+        |    as bigint) AS first_cut
+        |FROM cuts GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     // Replays the full perceptual-hash pipeline from the generator:

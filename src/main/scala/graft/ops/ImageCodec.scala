@@ -83,15 +83,18 @@ object ImageCodec {
     require(w > 0 && h > 0 && w.toLong * h * 3 <= Int.MaxValue,
       s"$fmt: unreasonable dimensions $w x $h")
 
-  /** Decode by magic sniffing: `P6` → PPM, `BM` → BMP. Fails loud on
-    * anything else — callers with opaque non-image payloads belong on
-    * the payload-agnostic operators ([[Multimodal.phashBytes]],
-    * feature extraction), not the codec. */
+  /** Decode by magic sniffing: `P6` → PPM, `BM` → BMP,
+    * `\x89PNG` → [[PngCodec]] (real zlib DEFLATE + all five scanline
+    * filters). Fails loud on anything else — callers with opaque
+    * non-image payloads belong on the payload-agnostic operators
+    * ([[Multimodal.phashBytes]], feature extraction), not the codec. */
   def decode(bytes: Array[Byte]): Image = {
     require(bytes.length >= 2, "payload too short to sniff")
     if (bytes(0) == 'P'.toByte && bytes(1) == '6'.toByte) decodePpm(bytes)
     else if (bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
       decodeBmp(bytes)
+    else if (bytes(0) == 0x89.toByte && bytes(1) == 'P'.toByte)
+      PngCodec.decode(bytes)
     else throw new IllegalArgumentException(
       s"unsupported image magic: 0x${"%02x%02x".format(bytes(0), bytes(1))}")
   }

@@ -79,6 +79,97 @@ object Multimodal {
       .toDF("doc_id", "content")
   }
 
+  /** [[imageTable]]'s sibling for the COMPRESSED format: the same
+    * deterministic picture per doc (identical dims / pixel-byte
+    * arithmetic, so the oracle replay is shared), encoded as real PNG
+    * by [[PngCodec]] — zlib-deflated scanlines whose filter type
+    * cycles `y mod 5`, so decoding every payload exercises every
+    * filter's reconstruction arithmetic. An oracle match on the
+    * decoded `px_sum` therefore certifies chunk framing + CRC +
+    * inflate + all five unfilter paths, not just header math. */
+  def pngImageTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val cp0 = if (text.nonEmpty) text.codePointAt(0) else 0
+          val cp1 =
+            if (text.length > Character.charCount(cp0))
+              text.codePointAt(Character.charCount(cp0))
+            else 0
+          val w = cp0 % 64 + 16
+          val h = cp1 % 64 + 16
+          val s0 = (cp0 * 7 + cp1 * 13) % 256
+          val rgb = Array.tabulate(w * h * 3)(i =>
+            ((s0 + 31L * i) % 256).toByte)
+          (id, PngCodec.encode(w, h, rgb))
+        }
+      }
+      .toDF("doc_id", "content")
+  }
+
+  /** The HETEROGENEOUS-corpus variant: format varies PER ROW
+    * (cp0 mod 3 → PPM / BMP / PNG), which is what a real 100-TB
+    * media crawl looks like — the decode stage must dispatch by
+    * magic, not by a per-table format column. Same dims / pixel
+    * arithmetic as [[imageTable]], so the oracle replay is shared;
+    * a match certifies the sniffer routes every row to the right
+    * parser (a PPM byte plane mis-read as BMP's padded bottom-up
+    * BGR rows would shift px_sum immediately). */
+  def mixedImageTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val cp0 = if (text.nonEmpty) text.codePointAt(0) else 0
+          val cp1 =
+            if (text.length > Character.charCount(cp0))
+              text.codePointAt(Character.charCount(cp0))
+            else 0
+          val w = cp0 % 64 + 16
+          val h = cp1 % 64 + 16
+          val s0 = (cp0 * 7 + cp1 * 13) % 256
+          val rgb = Array.tabulate(w * h * 3)(i =>
+            ((s0 + 31L * i) % 256).toByte)
+          val bytes = cp0 % 3 match {
+            case 0 => ImageCodec.encodePpm(w, h, rgb)
+            case 1 => ImageCodec.encodeBmp(w, h, rgb)
+            case _ => PngCodec.encode(w, h, rgb)
+          }
+          (id, bytes)
+        }
+      }
+      .toDF("doc_id", "content")
+  }
+
+  /** Decoded PNG metadata: `raw_len` is the INFLATED scanline-stream
+    * length `h·(1 + 3w)` — a witness of the decompressed
+    * serialization (the compressed container length is
+    * implementation-defined and deliberately NOT exposed to the
+    * oracle), `px_sum` the full unfiltered pixel plane. */
+  case class PngMeta(doc_id: Long, width: Int, height: Int,
+      format: String, raw_len: Long, px_sum: Long)
+
+  /** Batch PNG decode: the same partition-wise slot as [[decodeAll]],
+    * but over genuinely COMPRESSED payloads — sniffed and decoded by
+    * the shared [[ImageCodec.decode]] front door (so the magic
+    * dispatch is on the tested path), witnessed by the inflated
+    * stream length and the full decoded plane. */
+  def decodePngAll(spark: SparkSession,
+      media: DataFrame): Dataset[PngMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val img = ImageCodec.decode(r.content)
+        PngMeta(r.doc_id, img.width, img.height, img.format,
+          (1L + img.width * 3L) * img.height,
+          ImageCodec.pixelSum(img.rgb))
+      }
+    }
+  }
+
   /** Batch decode: partition-wise iteration over binary payloads →
     * typed metadata rows via the REAL [[ImageCodec]] (PPM/BMP magic
     * sniffing, header parse, full pixel extraction — `px_sum`
@@ -91,6 +182,192 @@ object Multimodal {
         val img = ImageCodec.decode(r.content)
         DecodedMeta(r.doc_id, img.width, img.height, img.format,
           r.content.length.toLong, ImageCodec.pixelSum(img.rgb))
+      }
+    }
+  }
+
+  // ---- audio: real WAV/PCM16 payloads --------------------------------
+
+  /** Build a media table of REAL ENCODED WAV CLIPS from documents:
+    * each doc becomes a deterministic synthetic clip — an even frame
+    * count and sample rate from the first two text codepoints
+    * (n = (cp0 mod 768 + 256)·2 interleaved samples,
+    * rate = 8000 + (cp1 mod 4)·4000, channels = cp1 mod 2 + 1),
+    * sample i = ((s0 + 37·i² + 11·i) mod 4001) − 2000 (the quadratic
+    * term keeps the waveform aperiodic so zero-crossings are
+    * non-trivial) — encoded as canonical RIFF/WAVE PCM16 by
+    * [[AudioCodec.encodeWav]]. [[decodeAudioAll]] gets everything
+    * back by PARSING the container, not by trusting the generator. */
+  def audioTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val cp0 = if (text.nonEmpty) text.codePointAt(0) else 0
+          val cp1 =
+            if (text.length > Character.charCount(cp0))
+              text.codePointAt(Character.charCount(cp0))
+            else 0
+          val n = (cp0 % 768 + 256) * 2
+          val rate = 8000 + (cp1 % 4) * 4000
+          val channels = cp1 % 2 + 1
+          val s0 = (cp0 * 7 + cp1 * 13) % 256
+          val samples = Array.tabulate(n)(i =>
+            (((s0 + 37L * i * i + 11L * i) % 4001) - 2000).toShort)
+          (id, AudioCodec.encodeWav(rate, channels, samples))
+        }
+      }
+      .toDF("doc_id", "content")
+  }
+
+  /** Decoded-clip metadata + the integer-exact signal features the
+    * oracle replays: `sq_sum` (energy), `n_zc` (strict sign
+    * transitions over the interleaved stream), `peak` (max |s|),
+    * `dur_ms` = frames·1000 div rate — all integer arithmetic. */
+  case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
+      n_samples: Long, dur_ms: Long, sq_sum: Long, n_zc: Long,
+      peak: Long)
+
+  /** Batch WAV decode + featurize: one partition-wise pass, the
+    * decoded sample buffer never leaves the task — only the witness
+    * columns travel. */
+  def decodeAudioAll(spark: SparkSession,
+      media: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val a = AudioCodec.decodeWav(r.content)
+        AudioMeta(r.doc_id, a.sampleRate, a.channels,
+          a.samples.length.toLong,
+          (a.samples.length / a.channels) * 1000L / a.sampleRate,
+          AudioCodec.squareSum(a.samples),
+          AudioCodec.zeroCrossings(a.samples),
+          AudioCodec.peak(a.samples).toLong)
+      }
+    }
+  }
+
+  /** One resampled clip: `n_in` input frames, `n_out` output samples
+    * at the target rate, `r_sq_sum` the integer energy of the
+    * resampled signal. */
+  case class AudioResampled(doc_id: Long, n_in: Long, n_out: Long,
+      r_sq_sum: Long)
+
+  /** Decode → deinterleave channel 0 → nearest-neighbor resample to
+    * `targetRate` — the normalization pass a speech corpus runs
+    * before feature extraction (models want one rate). All integer
+    * arithmetic, replayed exactly by the oracle:
+    * n_out = frames·targetRate div rate (floor, so downsampling
+    * never reads past the end), output j samples input frame
+    * j·frames div n_out, channel-0 value = interleaved[frame·ch].
+    * Same partition-wise slot; buffers never leave the task. */
+  def resampleAudioAll(spark: SparkSession, media: DataFrame,
+      targetRate: Int): Dataset[AudioResampled] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val a = AudioCodec.decodeWav(r.content)
+        val frames = a.samples.length / a.channels
+        val nOut = (frames.toLong * targetRate / a.sampleRate).toInt
+        var sq = 0L
+        var j = 0
+        while (j < nOut) {
+          val src = (j.toLong * frames / nOut).toInt
+          val v = a.samples(src * a.channels).toLong
+          sq += v * v
+          j += 1
+        }
+        AudioResampled(r.doc_id, frames.toLong, nOut.toLong, sq)
+      }
+    }
+  }
+
+  /** One fixed-length analysis frame: `f_n` samples (the tail frame
+    * may be short), `f_sq_sum` its energy. */
+  case class AudioFrame(doc_id: Long, frame_idx: Long, f_n: Long,
+      f_sq_sum: Long)
+
+  /** Framed energy over decoded audio — the windowed feature pass a
+    * speech pipeline runs before VAD/segmentation: consecutive
+    * `frameLen`-sample frames of the interleaved stream, each with
+    * its integer energy. Decode and framing share the row (flatMap in
+    * the same partition-wise slot), so per-clip sample buffers never
+    * shuffle; output is the small (id, frame, n, energy) table. */
+  def audioFramesAll(spark: SparkSession, media: DataFrame,
+      frameLen: Int = 256): Dataset[AudioFrame] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val a = AudioCodec.decodeWav(r.content)
+        a.samples.grouped(frameLen).zipWithIndex.map { case (fr, idx) =>
+          AudioFrame(r.doc_id, idx.toLong, fr.length.toLong,
+            AudioCodec.squareSum(fr))
+        }
+      }
+    }
+  }
+
+  // ---- video: real Y4M payloads --------------------------------------
+
+  /** Build a media table of REAL ENCODED Y4M STREAMS from documents:
+    * each doc becomes a deterministic clip — even dimensions
+    * w = (cp0 mod 12)·2 + 8, h = (cp1 mod 12)·2 + 8, frame count
+    * (cp0 + cp1) mod 5 + 2, 25:1 fps for even cp0 / 30:1 for odd —
+    * whose planar 4:2:0 frame f has byte i = (s0 + 11·f + 31·i)
+    * mod 256, encoded by [[VideoCodec.encodeY4m]].
+    * [[videoFramesAll]] gets everything back by PARSING the
+    * container (header tokens, FRAME markers, plane layout). */
+  def videoTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val cp0 = if (text.nonEmpty) text.codePointAt(0) else 0
+          val cp1 =
+            if (text.length > Character.charCount(cp0))
+              text.codePointAt(Character.charCount(cp0))
+            else 0
+          val w = (cp0 % 12) * 2 + 8
+          val h = (cp1 % 12) * 2 + 8
+          val nf = (cp0 + cp1) % 5 + 2
+          val (fn, fd) = if (cp0 % 2 == 0) (25, 1) else (30, 1)
+          val s0 = (cp0 * 7 + cp1 * 13) % 256
+          val sz = VideoCodec.frameSize(w, h)
+          val frames = (0 until nf).map(f =>
+            Array.tabulate(sz)(i =>
+              ((s0 + 11L * f + 31L * i) % 256).toByte))
+          (id, VideoCodec.encodeY4m(w, h, fn, fd, frames))
+        }
+      }
+      .toDF("doc_id", "content")
+  }
+
+  /** One decoded frame row: stream metadata + the integer plane
+    * witnesses (`y_sum` luma, `c_sum` both chroma planes). */
+  case class VideoFrame(doc_id: Long, width: Int, height: Int,
+      fps_num: Int, n_frames: Long, frame_idx: Long, y_sum: Long,
+      c_sum: Long)
+
+  /** Batch Y4M decode + per-frame featurize: one partition-wise
+    * flatMap — frame buffers never leave the task, only the
+    * (frame, witness) rows travel. This is the video analogue of
+    * [[decodeAll]]: real container parsing feeding per-frame
+    * signals a curation pipeline thresholds (brightness, scene
+    * change, sampling). */
+  def videoFramesAll(spark: SparkSession,
+      media: DataFrame): Dataset[VideoFrame] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val v = VideoCodec.decodeY4m(r.content)
+        v.frames.iterator.zipWithIndex.map { case (f, idx) =>
+          VideoFrame(r.doc_id, v.width, v.height, v.fpsNum,
+            v.frames.length.toLong, idx.toLong,
+            VideoCodec.lumaSum(v.width, v.height, f),
+            VideoCodec.chromaSum(v.width, v.height, f))
+        }
       }
     }
   }

@@ -128,6 +128,98 @@ class MultimodalSpec extends SparkSpec {
     assert(sum(1L)._1 == "f0f0f0f0f0f0f0f0")
   }
 
+  test("mixed-format corpus: the magic sniffer routes every row to " +
+      "the right parser — px_sum is container-invariant") {
+    val docs = Tables.documents(spark, Sf0001)
+    val mixed = Multimodal.decodeAll(spark,
+      Multimodal.mixedImageTable(spark, docs)).collect()
+      .map(m => m.doc_id -> m).toMap
+    val homog = Multimodal.decodeAll(spark,
+      Multimodal.imageTable(spark, docs)).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(mixed.keySet == homog.keySet)
+    mixed.foreach { case (id, m) =>
+      // pixels are the generator's regardless of container: the
+      // decoded plane must be identical across formats
+      assert(m.px_sum == homog(id).px_sum, s"doc $id")
+      assert((m.width, m.height) == (homog(id).width, homog(id).height))
+    }
+    assert(mixed.values.map(_.format).toSet == Set("ppm", "bmp", "png"),
+      "all three formats must appear in the corpus")
+  }
+
+  test("audio: decoded metadata comes from PARSED containers and the " +
+      "features match an independent JVM recompute; 8 kHz resample " +
+      "is the identity on 8 kHz clips") {
+    val docs = Tables.documents(spark, Sf0001)
+    val media = Multimodal.audioTable(spark, docs)
+    val metas = Multimodal.decodeAudioAll(spark, media).collect()
+      .map(m => m.doc_id -> m).toMap
+    val expected = docs.collect().map { r =>
+      val text = r.getAs[String]("text")
+      val cp0 = if (text.nonEmpty) text.codePointAt(0) else 0
+      val cp1 = if (text.length > Character.charCount(cp0))
+        text.codePointAt(Character.charCount(cp0)) else 0
+      val n = (cp0 % 768 + 256) * 2
+      val s0 = (cp0 * 7 + cp1 * 13) % 256
+      val samples = Array.tabulate(n)(i =>
+        (((s0 + 37L * i * i + 11L * i) % 4001) - 2000).toShort)
+      r.getAs[Long]("doc_id") ->
+        ((8000 + (cp1 % 4) * 4000, cp1 % 2 + 1, n.toLong,
+          AudioCodec.squareSum(samples),
+          AudioCodec.zeroCrossings(samples)))
+    }.toMap
+    metas.foreach { case (id, m) =>
+      val (rate, ch, n, sq, zc) = expected(id)
+      assert((m.sample_rate, m.channels, m.n_samples) == ((rate, ch, n)),
+        s"doc $id header parse")
+      assert(m.sq_sum == sq && m.n_zc == zc, s"doc $id features")
+    }
+    val res = Multimodal.resampleAudioAll(spark, media, 8000).collect()
+    res.foreach { r =>
+      val m = metas(r.doc_id)
+      assert(r.n_in == m.n_samples / m.channels)
+      if (m.sample_rate == 8000) {
+        assert(r.n_out == r.n_in, s"identity resample, doc ${r.doc_id}")
+        if (m.channels == 1)
+          assert(r.r_sq_sum == m.sq_sum,
+            s"mono identity energy, doc ${r.doc_id}")
+      } else assert(r.n_out < r.n_in, s"downsample, doc ${r.doc_id}")
+    }
+  }
+
+  test("video: frame rows come from PARSED Y4M streams — dims, fps, " +
+      "frame counts match the generator, plane sums cover every byte") {
+    val docs = Tables.documents(spark, Sf0001)
+    val frames = Multimodal.videoFramesAll(spark,
+      Multimodal.videoTable(spark, docs)).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    val expected = docs.collect().map { r =>
+      val text = r.getAs[String]("text")
+      val cp0 = if (text.nonEmpty) text.codePointAt(0) else 0
+      val cp1 = if (text.length > Character.charCount(cp0))
+        text.codePointAt(Character.charCount(cp0)) else 0
+      r.getAs[Long]("doc_id") ->
+        (((cp0 % 12) * 2 + 8, (cp1 % 12) * 2 + 8,
+          (cp0 + cp1) % 5 + 2, if (cp0 % 2 == 0) 25 else 30,
+          (cp0 * 7 + cp1 * 13) % 256))
+    }.toMap
+    assert(byDoc.keySet == expected.keySet)
+    byDoc.foreach { case (id, fs) =>
+      val (w, h, nf, fps, s0) = expected(id)
+      assert(fs.length == nf && fs.forall(_.n_frames == nf), s"doc $id")
+      assert(fs.forall(f => f.width == w && f.height == h &&
+        f.fps_num == fps), s"doc $id header parse")
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0L until nf).toSeq)
+      // y_sum + c_sum must cover the whole planar buffer: recompute
+      // frame 0's total from the generator
+      val sz = VideoCodec.frameSize(w, h)
+      val total0 = (0 until sz).map(i => (s0 + 31L * i) % 256).sum
+      val f0 = fs.find(_.frame_idx == 0L).get
+      assert(f0.y_sum + f0.c_sum == total0, s"doc $id plane coverage")
+    }
+  }
+
   test("feature extraction: unit-norm, deterministic, feeds cosine ANN") {
     val media = Multimodal.mediaTable(Tables.documents(spark, Sf0001)
       .limit(100))
