@@ -5121,6 +5121,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ★ r11: compressed-blob TEXT ingestion — the `.jsonl.gz` shape
+    // real corpora arrive in: documents stored as opaque gzip
+    // payloads (even ids are TWO concatenated members, the
+    // block-parallel-compressor layout a first-trailer-stops decoder
+    // silently truncates), decompressed with per-member CRC-32/ISIZE
+    // verification in the partition-wise slot. Witnesses (byte
+    // length + MD5 of the decompressed bytes) are replayed by the
+    // oracle from the ORIGINAL text — a match certifies byte-exact
+    // recovery through compression, concatenation, and decompression.
+    "source_gzip" -> ((s, d) => {
+      ops.CompressedOps.gunzipAll(s,
+        ops.CompressedOps.gzipTable(s, t(s, d, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("n_raw"), col("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ★ r11: REAL COMPRESSED-format decode — the same deterministic
     // picture per doc as multimodal_decode, but encoded as true PNG
     // (ops.PngCodec: chunk framing with verified CRC-32s, zlib
@@ -9712,6 +9729,16 @@ object SparkEntry {
         |  px.px_sum
         |FROM sz JOIN px USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // The witnesses come from the ORIGINAL text (DuckDB never sees
+    // the gzip bytes): byte length + MD5 over the UTF-8 encoding —
+    // equality certifies the Spark side recovered the exact bytes
+    // through the multi-member gzip round trip.
+    "source_gzip" ->
+      """SELECT doc_id,
+        |  cast(strlen(text) as bigint) AS n_raw,
+        |  md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Replays the shared image generator with the per-row format
     // split (cp0 mod 3) — the witness is the same full-plane px_sum,

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Multimodal.MediaRow
+
+/** Compressed-blob text ingestion — the shape real corpora arrive in
+  * (`.jsonl.gz` / warc.gz members): documents stored as opaque gzip
+  * payloads that the pipeline must decompress, integrity-check, and
+  * only then gate/feature. Pure JVM via `java.util.zip`'s public
+  * GZIP streams (RFC 1952), which verify each member's CRC-32 and
+  * ISIZE trailer — corruption fails loud at the decompression
+  * boundary instead of flowing garbage into dedup/quality stages.
+  *
+  * Multi-member streams are part of the contract: gzip files are
+  * routinely the CONCATENATION of independently-compressed members
+  * (block-parallel compressors, appended logs), and a decoder that
+  * stops at the first trailer silently truncates the document. The
+  * generator makes every even-id doc a two-member stream so the
+  * oracle catches exactly that bug.
+  *
+  * Scale note: decompression is row-local, map-shaped work in the
+  * same `mapPartitions` slot as the media codecs ([[Multimodal]]);
+  * compressed payloads and inflated buffers never leave the task —
+  * only length/digest witness columns travel. The oracle replays the
+  * witnesses from the ORIGINAL text (`strlen`, `md5`), so a match
+  * certifies the decompressed bytes equal the pre-compression bytes
+  * exactly.
+  */
+object CompressedOps {
+
+  /** Build a table of gzip-compressed documents: the UTF-8 text bytes
+    * of each doc, compressed as ONE gzip member for odd doc_ids and
+    * as TWO concatenated members (text split at the byte midpoint)
+    * for even ids — the multi-member layout block-parallel
+    * compressors emit. */
+  def gzipTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+          def member(slice: Array[Byte]): Unit = {
+            val gz = new java.util.zip.GZIPOutputStream(out)
+            gz.write(slice); gz.finish()
+          }
+          if (id % 2 == 0 && raw.length >= 2) {
+            val mid = raw.length / 2
+            member(java.util.Arrays.copyOfRange(raw, 0, mid))
+            member(java.util.Arrays.copyOfRange(raw, mid, raw.length))
+          } else member(raw)
+          (id, out.toByteArray)
+        }
+      }
+      .toDF("doc_id", "content")
+  }
+
+  /** Decompress one gzip payload (all members), bounded by `cap`
+    * bytes — a hostile or corrupt stream that inflates past the cap
+    * is an error, not an allocation. The JDK stream verifies every
+    * member's CRC-32/ISIZE trailer as it drains. */
+  def gunzip(bytes: Array[Byte], cap: Int = 1 << 26): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(cap, math.max(64, bytes.length * 4)))
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n > 0) {
+      require(out.size() + n <= cap,
+        s"gzip: decompressed size exceeds the $cap-byte cap")
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    in.close()
+    out.toByteArray
+  }
+
+  /** One decompressed document's witnesses: the raw byte length and
+    * the MD5 of the decompressed bytes — both replayable from the
+    * ORIGINAL text, so the oracle certifies byte-exact recovery. */
+  case class GunzipMeta(doc_id: Long, n_raw: Long, text_md5: String)
+
+  /** Batch decompress + witness: one partition-wise pass; inflated
+    * buffers never leave the task. */
+  def gunzipAll(spark: SparkSession,
+      media: DataFrame): Dataset[GunzipMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // one digest instance per partition, reset per row
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val raw = gunzip(r.content)
+        md.reset()
+        val hex = md.digest(raw).map("%02x".format(_)).mkString
+        GunzipMeta(r.doc_id, raw.length.toLong, hex)
+      }
+    }
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+
+/** Gates for gzip-blob text ingestion: a hand-built golden gzip
+  * member (raw stored-mode deflate + longhand trailer layout,
+  * independent of GZIPOutputStream), multi-member concatenation,
+  * CRC-verified corruption failure, the inflation cap, and byte-exact
+  * corpus recovery through the full generator → decompress path. */
+class CompressedOpsSpec extends SparkSpec {
+
+  private def le32(v: Long) = Array[Byte](
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** One gzip member assembled byte-by-byte from RFC 1952: fixed
+    * 10-byte header, a raw STORED deflate block, CRC-32 + ISIZE
+    * little-endian trailer. Only the CRC value comes from the JDK's
+    * public CRC32 — no GZIPOutputStream involved. */
+  private def handMember(data: Array[Byte]): Array[Byte] = {
+    val crc = new java.util.zip.CRC32(); crc.update(data)
+    Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte) ++
+      Array[Byte](0x01,
+        (data.length & 0xff).toByte, ((data.length >> 8) & 0xff).toByte,
+        (~data.length & 0xff).toByte,
+        ((~data.length >> 8) & 0xff).toByte) ++
+      data ++ le32(crc.getValue) ++ le32(data.length.toLong)
+  }
+
+  test("hand-built golden gzip member decompresses to exact bytes") {
+    val data = "hello, corpus!".getBytes("UTF-8")
+    assert(CompressedOps.gunzip(handMember(data)).toSeq == data.toSeq)
+  }
+
+  test("concatenated members decompress to the concatenation — a " +
+      "first-trailer-stops decoder would truncate") {
+    val a = "first half / ".getBytes("UTF-8")
+    val b = "second half".getBytes("UTF-8")
+    val got = CompressedOps.gunzip(handMember(a) ++ handMember(b))
+    assert(got.toSeq == (a ++ b).toSeq)
+  }
+
+  test("corruption fails loud: flipped payload bit (CRC), truncated " +
+      "trailer, non-gzip magic") {
+    val data = ("x" * 100).getBytes("UTF-8")
+    val good = handMember(data)
+    val flipped = good.clone()
+    flipped(20) = (flipped(20) ^ 0x10).toByte
+    intercept[java.io.IOException] { CompressedOps.gunzip(flipped) }
+    intercept[java.io.IOException] {
+      CompressedOps.gunzip(good.slice(0, good.length - 3))
+    }
+    intercept[java.io.IOException] {
+      CompressedOps.gunzip("not gzip at all".getBytes("UTF-8"))
+    }
+  }
+
+  test("the inflation cap bounds hostile expansion") {
+    val big = new Array[Byte](100000) // zeros compress ~1000x
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(big); gz.finish()
+    intercept[IllegalArgumentException] {
+      CompressedOps.gunzip(out.toByteArray, cap = 4096)
+    }
+    // same payload under a sufficient cap is fine
+    assert(CompressedOps.gunzip(out.toByteArray).length == big.length)
+  }
+
+  test("corpus recovery is byte-exact: every doc's decompressed " +
+      "bytes equal the original text (even ids via two members)") {
+    val docs = Tables.documents(spark, Sf0001)
+    val metas = CompressedOps.gunzipAll(spark,
+      CompressedOps.gzipTable(spark, docs)).collect()
+      .map(m => m.doc_id -> m).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    docs.collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val raw = r.getAs[String]("text").getBytes("UTF-8")
+      md.reset()
+      val hex = md.digest(raw).map("%02x".format(_)).mkString
+      assert(metas(id).n_raw == raw.length.toLong, s"doc $id length")
+      assert(metas(id).text_md5 == hex, s"doc $id digest")
+    }
+  }
+}
