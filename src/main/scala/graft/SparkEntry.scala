@@ -5156,6 +5156,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ★ r11: END-TO-END media dedup over the shard corpus — the
+    // composition a multimodal curation pipeline actually runs: tar
+    // walk → inner image decode → perceptual hash (one partition
+    // pass, ops.Multimodal.ahashTarAll) → EXACT-hash duplicate
+    // groups with a deterministic representative (min doc_id).
+    // Group stats via groupBy + join-back rather than a window over
+    // the hash key: partial aggregation absorbs a pathologically
+    // common hash (e.g. blank images) map-side, where a window
+    // partition would funnel the whole group through one task. The
+    // oracle replays the hash from the generator and the same
+    // group/representative election.
+    "pipeline_media_dedup" -> ((s, d) => {
+      // the (id, hash) table is 16 bytes/shard and referenced twice
+      // (grouping + join-back) — materialize the one decode+hash
+      // pass instead of re-walking every archive per reference
+      val hashed = ops.Multimodal.ahashTarAll(s,
+        ops.Multimodal.tarShardTable(s, t(s, d, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("ahash"))
+        .localCheckpoint(true)
+      val groups = hashed.groupBy(col("ahash"))
+        .agg(min(col("doc_id")).as("rep"),
+          count(lit(1)).as("group_size"))
+      hashed.join(groups, Seq("ahash"))
+        .select(col("doc_id"), col("ahash"), col("group_size"),
+          (col("doc_id") === col("rep")).as("is_rep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ★ r11: REAL COMPRESSED-format decode — the same deterministic
     // picture per doc as multimodal_decode, but encoded as true PNG
     // (ops.PngCodec: chunk framing with verified CRC-32s, zlib
@@ -9746,6 +9775,47 @@ object SparkEntry {
         |  cast((1 + 3 * w) * h as bigint) AS raw_len,
         |  px.px_sum
         |FROM sz JOIN px USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Replays the shard images' aHash from the generator (the tar
+    // member holds the same deterministic PPM), then the exact-dup
+    // grouping and min-doc_id representative election.
+    "pipeline_media_dedup" ->
+      """WITH sz AS (
+        |  SELECT doc_id,
+        |    ascii(substr(text, 1, 1)) % 64 + 16 AS w,
+        |    ascii(substr(text, 2, 1)) % 64 + 16 AS h,
+        |    (ascii(substr(text, 1, 1)) * 7 +
+        |     ascii(substr(text, 2, 1)) * 13) % 256 AS s0
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, y * 8 + x AS i,
+        |    ((s0 + 31 * (((y * h // 8) * w + (x * w // 8)) * 3)) % 256
+        |     + (s0 + 31 * (((y * h // 8) * w + (x * w // 8)) * 3 + 1))
+        |       % 256
+        |     + (s0 + 31 * (((y * h // 8) * w + (x * w // 8)) * 3 + 2))
+        |       % 256) // 3 AS gray
+        |  FROM sz,
+        |    LATERAL unnest(generate_series(0, 7)) ty(y),
+        |    LATERAL unnest(generate_series(0, 7)) tx(x)),
+        |t AS (SELECT doc_id, sum(gray) AS total FROM g GROUP BY doc_id),
+        |b AS (
+        |  SELECT g.doc_id,
+        |    printf('%08x%08x',
+        |      cast(sum(CASE WHEN g.gray * 64 > t.total AND g.i >= 32
+        |        THEN (CAST(1 AS BIGINT) << (g.i - 32)) ELSE 0 END)
+        |        as bigint),
+        |      cast(sum(CASE WHEN g.gray * 64 > t.total AND g.i < 32
+        |        THEN (CAST(1 AS BIGINT) << g.i) ELSE 0 END)
+        |        as bigint)) AS ahash
+        |  FROM g JOIN t USING (doc_id) GROUP BY g.doc_id),
+        |grp AS (
+        |  SELECT ahash, min(doc_id) AS rep,
+        |    cast(count(*) as bigint) AS group_size
+        |  FROM b GROUP BY ahash)
+        |SELECT b.doc_id, b.ahash, grp.group_size,
+        |  b.doc_id = grp.rep AS is_rep
+        |FROM b JOIN grp USING (ahash)
         |ORDER BY doc_id""".stripMargin,
 
     // Replays the ustar layout arithmetic (two 512-byte headers +

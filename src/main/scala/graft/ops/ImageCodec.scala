@@ -99,6 +99,19 @@ object ImageCodec {
       s"unsupported image magic: 0x${"%02x%02x".format(bytes(0), bytes(1))}")
   }
 
+  /** [[decode]] with a CALLER-owned zlib Inflater for the PNG arm
+    * (`new Inflater(false)`; the uncompressed formats ignore it) —
+    * partition-wise decoders over PNG-bearing corpora reuse one
+    * ~270 KB native zlib state across rows instead of allocating per
+    * payload. */
+  def decode(bytes: Array[Byte],
+      pngInfl: java.util.zip.Inflater): Image = {
+    require(bytes.length >= 2, "payload too short to sniff")
+    if (bytes(0) == 0x89.toByte && bytes(1) == 'P'.toByte)
+      PngCodec.decodeWith(bytes, pngInfl)
+    else decode(bytes)
+  }
+
   /** PPM (P6) parser: whitespace-separated header tokens with
     * `#`-comment support per the Netpbm spec, maxval must be 255,
     * exactly one whitespace byte before the raw RGB plane. */

@@ -92,6 +92,9 @@ object Multimodal {
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
+        // one ~270 KB native zlib state per PARTITION, not per row
+        val defl = new java.util.zip.Deflater(
+          java.util.zip.Deflater.BEST_SPEED, false)
         rows.map { case (id, text) =>
           val cp0 = if (text.nonEmpty) text.codePointAt(0) else 0
           val cp1 =
@@ -103,7 +106,7 @@ object Multimodal {
           val s0 = (cp0 * 7 + cp1 * 13) % 256
           val rgb = Array.tabulate(w * h * 3)(i =>
             ((s0 + 31L * i) % 256).toByte)
-          (id, PngCodec.encode(w, h, rgb))
+          (id, PngCodec.encodeWith(w, h, rgb, defl))
         }
       }
       .toDF("doc_id", "content")
@@ -122,6 +125,8 @@ object Multimodal {
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
+        val defl = new java.util.zip.Deflater(
+          java.util.zip.Deflater.BEST_SPEED, false)
         rows.map { case (id, text) =>
           val cp0 = if (text.nonEmpty) text.codePointAt(0) else 0
           val cp1 =
@@ -136,7 +141,7 @@ object Multimodal {
           val bytes = cp0 % 3 match {
             case 0 => ImageCodec.encodePpm(w, h, rgb)
             case 1 => ImageCodec.encodeBmp(w, h, rgb)
-            case _ => PngCodec.encode(w, h, rgb)
+            case _ => PngCodec.encodeWith(w, h, rgb, defl)
           }
           (id, bytes)
         }
@@ -161,8 +166,9 @@ object Multimodal {
       media: DataFrame): Dataset[PngMeta] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
+      val infl = new java.util.zip.Inflater(false)
       rows.map { r =>
-        val img = ImageCodec.decode(r.content)
+        val img = ImageCodec.decode(r.content, infl)
         PngMeta(r.doc_id, img.width, img.height, img.format,
           (1L + img.width * 3L) * img.height,
           ImageCodec.pixelSum(img.rgb))
@@ -178,8 +184,9 @@ object Multimodal {
   def decodeAll(spark: SparkSession, media: DataFrame): Dataset[DecodedMeta] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
+      val infl = new java.util.zip.Inflater(false)
       rows.map { r =>
-        val img = ImageCodec.decode(r.content)
+        val img = ImageCodec.decode(r.content, infl)
         DecodedMeta(r.doc_id, img.width, img.height, img.format,
           r.content.length.toLong, ImageCodec.pixelSum(img.rgb))
       }
@@ -250,6 +257,27 @@ object Multimodal {
         TarMeta(r.doc_id, members.length.toLong,
           r.content.length.toLong, hex,
           ImageCodec.pixelSum(ImageCodec.decode(img).rgb))
+      }
+    }
+  }
+
+  /** Shard → perceptual hash in ONE partition pass: tar walk, inner
+    * PPM decode, 8×8 average-hash — the front of a shard-corpus
+    * image-dedup pipeline (member and pixel buffers never leave the
+    * task; 16 hex chars per shard travel). */
+  def ahashTarAll(spark: SparkSession,
+      media: DataFrame): Dataset[MediaAhash] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val img = TarCodec.decode(r.content).collectFirst {
+          case (n, d) if n.endsWith(".ppm") => d }
+          .getOrElse(throw new IllegalArgumentException(
+            s"shard ${r.doc_id}: no .ppm member"))
+        val h = ImageCodec.averageHash(ImageCodec.decode(img))
+        MediaAhash(r.doc_id, h,
+          java.lang.Long.bitCount(
+            java.lang.Long.parseUnsignedLong(h, 16)).toLong)
       }
     }
   }

@@ -46,6 +46,16 @@ object PngCodec {
     * `y mod 5` so decoders must implement all five), IEND. CRC-32 per
     * chunk over type + data, as the spec requires. */
   def encode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    val defl = new Deflater(Deflater.BEST_SPEED, false)
+    try encodeWith(width, height, rgb, defl) finally defl.end()
+  }
+
+  /** [[encode]] with a CALLER-owned zlib-wrapping Deflater
+    * (`new Deflater(level, false)`), reset here — zlib state is
+    * ~270 KB of native memory, so partition-wise encoders allocate
+    * one and reuse it across rows. */
+  def encodeWith(width: Int, height: Int, rgb: Array[Byte],
+      defl: Deflater): Array[Byte] = {
     require(rgb.length == width.toLong * height * 3, "bad pixel buffer")
     val bpp = 3
     val rowBytes = width * bpp
@@ -81,12 +91,11 @@ object PngCodec {
     // the decode CONTRACT is container-length-independent (raw_len /
     // px_sum), so the encoder — which only exists to feed the decode
     // path real compressed streams — takes the fast level
-    val defl = new Deflater(Deflater.BEST_SPEED, false)
+    defl.reset()
     defl.setInput(raw); defl.finish()
     val buf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
     val tmp = new Array[Byte](8192)
     while (!defl.finished()) buf.write(tmp, 0, defl.deflate(tmp))
-    defl.end()
     val idat = buf.toByteArray
 
     val out = new java.io.ByteArrayOutputStream(idat.length + 64)
@@ -118,6 +127,16 @@ object PngCodec {
     * IDAT chunks are concatenated per the spec (chunk boundaries are
     * arbitrary within the zlib stream). */
   def decode(bytes: Array[Byte]): ImageCodec.Image = {
+    val infl = new Inflater(false)
+    try decodeWith(bytes, infl) finally infl.end()
+  }
+
+  /** [[decode]] with a CALLER-owned zlib Inflater
+    * (`new Inflater(false)`), reset here — for partition-wise batch
+    * decoders that would otherwise allocate ~270 KB of native zlib
+    * state per row. */
+  def decodeWith(bytes: Array[Byte],
+      reusedInfl: Inflater): ImageCodec.Image = {
     require(bytes.length >= Signature.length + 12, "PNG: truncated file")
     require(java.util.Arrays.equals(
         java.util.Arrays.copyOf(bytes, 8), Signature),
@@ -170,11 +189,17 @@ object PngCodec {
     val rowBytes = w * 3
     val rawLen = (1 + rowBytes) * h
     val raw = new Array[Byte](rawLen)
-    val infl = new Inflater(false)
+    val infl = reusedInfl
+    infl.reset()
     infl.setInput(idat.toByteArray)
     var got = 0
     while (got < rawLen && !infl.finished()) {
-      val n = infl.inflate(raw, got, rawLen - got)
+      val n =
+        try infl.inflate(raw, got, rawLen - got)
+        catch { case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(
+            s"PNG: corrupt zlib stream: ${e.getMessage}")
+        }
       require(n > 0 || infl.finished(),
         "PNG: truncated or non-zlib IDAT stream")
       got += n
@@ -183,7 +208,6 @@ object PngCodec {
     require(got == rawLen && extra == 0 &&
         (infl.finished() || infl.getRemaining == 0),
       s"PNG: inflated stream size mismatch (got $got, want $rawLen)")
-    infl.end()
 
     // unfilter: Recon(x) = Filt(x) + predictor, mod 256
     val bpp = 3

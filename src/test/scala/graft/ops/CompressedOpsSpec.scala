@@ -46,12 +46,30 @@ class CompressedOpsSpec extends SparkSpec {
     val good = handMember(data)
     val flipped = good.clone()
     flipped(20) = (flipped(20) ^ 0x10).toByte
-    intercept[java.io.IOException] { CompressedOps.gunzip(flipped) }
-    intercept[java.io.IOException] {
+    intercept[IllegalArgumentException] { CompressedOps.gunzip(flipped) }
+    intercept[IllegalArgumentException] {
       CompressedOps.gunzip(good.slice(0, good.length - 3))
     }
-    intercept[java.io.IOException] {
+    intercept[IllegalArgumentException] {
       CompressedOps.gunzip("not gzip at all".getBytes("UTF-8"))
+    }
+    // optional header fields are parsed, not rejected: FNAME + FHCRC
+    // in front of a valid member must skip cleanly... and their
+    // truncation fails loud
+    val payload = ("z" * 64).getBytes("UTF-8")
+    val base = handMember(payload)
+    val crc16 = { // FHCRC = low 16 bits of CRC32 over the header bytes
+      val hdr = Array[Byte](0x1f, 0x8b.toByte, 8, 10, 0, 0, 0, 0, 0,
+        0xff.toByte) ++ "name.txt".getBytes("US-ASCII") ++
+        Array[Byte](0)
+      val c = new java.util.zip.CRC32(); c.update(hdr)
+      hdr ++ Array[Byte]((c.getValue & 0xff).toByte,
+        ((c.getValue >> 8) & 0xff).toByte)
+    }
+    val withFields = crc16 ++ base.drop(10)
+    assert(CompressedOps.gunzip(withFields).toSeq == payload.toSeq)
+    intercept[IllegalArgumentException] {
+      CompressedOps.gunzip(withFields.slice(0, 12)) // inside FNAME
     }
   }
 
