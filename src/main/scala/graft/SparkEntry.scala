@@ -5156,6 +5156,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ★ r11: SHARD EXPORT — the WRITE side of the WebDataset
+    // convention (the media analogue of pipeline_pack_export):
+    // group docs into 32 shards, order members deterministically,
+    // BUILD one real ustar archive per shard (id.txt + id.ppm per
+    // doc), re-walk it with the decoder as a self-check, and certify
+    // the built archive's byte length against the oracle's
+    // independent layout arithmetic (headers + 512-padding + end
+    // blocks, summed per shard). The one payload shuffle is the
+    // grouping the product REQUIRES — a shard's members must meet in
+    // one task to be serialized; nothing larger than a shard exists
+    // at once.
+    "pipeline_shard_export" -> ((s, d) => {
+      ops.Multimodal.shardExport(s, t(s, d, "documents"), nShards = 32)
+        .toDF()
+        .select(col("shard_id"), col("n_docs"), col("n_members"),
+          col("tar_bytes"), col("txt_bytes"), col("reread_members"))
+        .orderBy(col("shard_id"))
+    }),
+
     // ★ r11: END-TO-END media dedup over the shard corpus — the
     // composition a multimodal curation pipeline actually runs: tar
     // walk → inner image decode → perceptual hash (one partition
@@ -9776,6 +9795,34 @@ object SparkEntry {
         |  px.px_sum
         |FROM sz JOIN px USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Independent layout arithmetic per shard: each doc contributes
+    // two members (header 512 + data padded to 512 each), plus the
+    // 1024-byte end-of-archive; the Spark side reports the length of
+    // the archive it actually BUILT, so equality certifies the
+    // builder's framing against the spec, member by member.
+    "pipeline_shard_export" ->
+      """WITH sz AS (
+        |  SELECT doc_id, text,
+        |    ascii(substr(text, 1, 1)) % 64 + 16 AS w,
+        |    ascii(substr(text, 2, 1)) % 64 + 16 AS h
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id % 32 AS shard_id,
+        |    512 + ((strlen(text) + 511) // 512) * 512
+        |      + 512 + ((9 + strlen(cast(w as varchar))
+        |        + strlen(cast(h as varchar)) + w * h * 3 + 511) // 512)
+        |        * 512 AS member_bytes,
+        |    strlen(text) AS txt
+        |  FROM sz)
+        |SELECT shard_id,
+        |  cast(count(*) as bigint) AS n_docs,
+        |  cast(count(*) * 2 as bigint) AS n_members,
+        |  cast(1024 + sum(member_bytes) as bigint) AS tar_bytes,
+        |  cast(sum(txt) as bigint) AS txt_bytes,
+        |  cast(count(*) * 2 as bigint) AS reread_members
+        |FROM m GROUP BY shard_id
+        |ORDER BY shard_id""".stripMargin,
 
     // Replays the shard images' aHash from the generator (the tar
     // member holds the same deterministic PPM), then the exact-dup

@@ -282,6 +282,65 @@ object Multimodal {
     }
   }
 
+  /** One assembled shard's witnesses: member/doc counts, the BUILT
+    * archive's byte length (certified against the oracle's layout
+    * arithmetic), total text payload bytes, and a decode-back member
+    * count (the builder's own output re-walked by the decoder). */
+  case class ShardMeta(shard_id: Long, n_docs: Long, n_members: Long,
+      tar_bytes: Long, txt_bytes: Long, reread_members: Long)
+
+  /** SHARD EXPORT — the WRITE side of the WebDataset convention:
+    * group documents into shards (doc_id mod `nShards`), order
+    * members deterministically, and BUILD one real ustar archive per
+    * shard holding each doc's `id.txt` + `id.ppm` pair. This is the
+    * export counterpart of [[decodeTarAll]] (and the media analogue
+    * of pipeline_pack_export): the one payload-bearing shuffle is
+    * the grouping that the product REQUIRES — each shard's members
+    * must meet in one task to be serialized — and nothing larger
+    * than a shard ever exists at once. The built archive is
+    * immediately re-walked by [[TarCodec.decode]] as a self-check
+    * (`reread_members`), and its byte length is certified against
+    * the oracle's independent layout arithmetic. */
+  def shardExport(spark: SparkSession, docs: DataFrame,
+      nShards: Int = 32): Dataset[ShardMeta] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .withColumn("shard_id", pmod(col("doc_id"), lit(nShards))
+        .cast("long"))
+      .groupBy(col("shard_id"))
+      // struct fields named _1/_2 so the tuple encoder resolves;
+      // sort_array orders by the first field = doc_id (deterministic
+      // member order inside the shard)
+      .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
+        col("text").as("_2")))).as("members"))
+      .select(col("shard_id").as("_1"), col("members").as("_2"))
+      .as[(Long, Seq[(Long, String)])]
+      .map { case (sid, members) =>
+        val entries = members.flatMap { case (id, text) =>
+          val cp0 = if (text.nonEmpty) text.codePointAt(0) else 0
+          val cp1 =
+            if (text.length > Character.charCount(cp0))
+              text.codePointAt(Character.charCount(cp0))
+            else 0
+          val w = cp0 % 64 + 16
+          val h = cp1 % 64 + 16
+          val s0 = (cp0 * 7 + cp1 * 13) % 256
+          val rgb = Array.tabulate(w * h * 3)(i =>
+            ((s0 + 31L * i) % 256).toByte)
+          Seq(
+            s"$id.txt" ->
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            s"$id.ppm" -> ImageCodec.encodePpm(w, h, rgb))
+        }
+        val tar = TarCodec.encode(entries)
+        ShardMeta(sid, members.size.toLong, entries.size.toLong,
+          tar.length.toLong,
+          members.map(_._2.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8).length.toLong).sum,
+          TarCodec.decode(tar).length.toLong)
+      }
+  }
+
   // ---- audio: real WAV/PCM16 payloads --------------------------------
 
   /** Build a media table of REAL ENCODED WAV CLIPS from documents:

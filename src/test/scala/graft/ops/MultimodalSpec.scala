@@ -220,6 +220,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("tar shards: members decode through the archive AND the inner " +
+      "codec; media dedup elects exactly one representative per " +
+      "exact-hash group") {
+    val docs = Tables.documents(spark, Sf0001)
+    val metas = Multimodal.decodeTarAll(spark,
+      Multimodal.tarShardTable(spark, docs)).collect()
+    assert(metas.length == docs.count())
+    metas.foreach { m =>
+      assert(m.n_members == 2L, s"doc ${m.doc_id}")
+      assert(m.tar_bytes % 512 == 0, "archives are whole blocks")
+      assert(m.img_px > 0)
+    }
+    val dedup = graft.SparkEntry
+      .queries("pipeline_media_dedup")(spark, Sf0001).collect()
+    val byHash = dedup.groupBy(_.getAs[String]("ahash"))
+    byHash.foreach { case (h, rows) =>
+      val reps = rows.filter(_.getAs[Boolean]("is_rep"))
+      assert(reps.length == 1, s"group $h must have ONE representative")
+      assert(reps.head.getAs[Long]("doc_id") ==
+        rows.map(_.getAs[Long]("doc_id")).min,
+        s"group $h representative must be the min doc_id")
+      assert(rows.forall(_.getAs[Long]("group_size") == rows.length),
+        s"group $h size column must equal the group cardinality")
+    }
+    // exact duplicates exist by construction (images depend only on
+    // the first two codepoints), so dedup must be non-trivial
+    assert(byHash.exists(_._2.length > 1),
+      "the corpus must contain at least one exact-dup image group")
+  }
+
   test("feature extraction: unit-norm, deterministic, feeds cosine ANN") {
     val media = Multimodal.mediaTable(Tables.documents(spark, Sf0001)
       .limit(100))
