@@ -5156,6 +5156,45 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ★ r11: audio FINGERPRINT dedup — the classic energy-delta
+    // signature (bit j set iff frame-energy(j+1) > energy(j),
+    // strict integer comparison over 64-sample frames): volume-
+    // robust, order-exact, and composed here with the same
+    // exact-match grouping as pipeline_media_dedup (agg + join-back;
+    // the checkpointed (id, fp) table is 24 B/clip). The oracle
+    // replays frame energies, the lead-comparison bits, the hex
+    // packing, and the group sizes.
+    "multimodal_audio_fp" -> ((s, d) => {
+      val fps = ops.Multimodal.audioFingerprintAll(s,
+        ops.Multimodal.audioTable(s, t(s, d, "documents")),
+        frameLen = 64)
+        .toDF()
+        .select(col("doc_id"), col("fp"), col("n_frames"),
+          col("n_rising"))
+        .localCheckpoint(true)
+      val groups = fps.groupBy(col("fp"))
+        .agg(count(lit(1)).as("group_size"))
+      fps.join(groups, Seq("fp"))
+        .select(col("doc_id"), col("fp"), col("n_frames"),
+          col("n_rising"), col("group_size"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ★ r11: per-frame video perceptual hash — the frame-level
+    // signature video dedup / scene clustering blocks on: decode
+    // each Y4M frame, 8×8 grid over the LUMA plane, the image
+    // aHash's strict integer mean threshold, two 32-bit hex halves.
+    // The oracle re-derives every frame's 64 grid lumas from the
+    // generator and replays threshold + packing bit-for-bit.
+    "multimodal_video_phash" -> ((s, d) => {
+      ops.Multimodal.videoFrameHashAll(s,
+        ops.Multimodal.videoTable(s, t(s, d, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("vhash"),
+          col("n_bright"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // ★ r11: SHARD EXPORT — the WRITE side of the WebDataset
     // convention (the media analogue of pipeline_pack_export):
     // group docs into 32 shards, order members deterministically,
@@ -9795,6 +9834,86 @@ object SparkEntry {
         |  px.px_sum
         |FROM sz JOIN px USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Replays the fingerprint end-to-end: 64-sample frame energies
+    // from the quadratic generator, bit j from the lead(e) > e
+    // strict comparison (last frame's NULL lead falls to the ELSE 0
+    // arm, same as the Scala loop bound), %016x packing, exact-match
+    // group sizes.
+    "multimodal_audio_fp" ->
+      """WITH sz AS (
+        |  SELECT doc_id,
+        |    (ascii(substr(text, 1, 1)) % 768 + 256) * 2 AS n,
+        |    (ascii(substr(text, 1, 1)) * 7 +
+        |     ascii(substr(text, 2, 1)) * 13) % 256 AS s0
+        |  FROM documents),
+        |smp AS (
+        |  SELECT doc_id, i,
+        |    ((s0 + 37 * i * i + 11 * i) % 4001) - 2000 AS s
+        |  FROM sz, LATERAL unnest(generate_series(0, n - 1)) t(i)),
+        |en AS (
+        |  SELECT doc_id, i // 64 AS f, sum(s * s) AS e
+        |  FROM smp GROUP BY doc_id, i // 64),
+        |bits AS (
+        |  SELECT doc_id, f,
+        |    CASE WHEN lead(e) OVER (PARTITION BY doc_id ORDER BY f) > e
+        |      THEN (CAST(1 AS BIGINT) << f) ELSE 0 END AS b,
+        |    CASE WHEN lead(e) OVER (PARTITION BY doc_id ORDER BY f) > e
+        |      THEN 1 ELSE 0 END AS r
+        |  FROM en),
+        |fp AS (
+        |  SELECT doc_id, printf('%016x', cast(sum(b) as bigint)) AS fp,
+        |    cast(count(*) as bigint) AS n_frames,
+        |    cast(sum(r) as bigint) AS n_rising
+        |  FROM bits GROUP BY doc_id),
+        |grp AS (
+        |  SELECT fp, cast(count(*) as bigint) AS group_size
+        |  FROM fp GROUP BY fp)
+        |SELECT doc_id, fp.fp, n_frames, n_rising, grp.group_size
+        |FROM fp JOIN grp USING (fp)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Re-derives every frame's 8×8 grid lumas from the Y4M generator
+    // (luma byte iy·w + ix of frame f), then the strict gray·64 > Σ
+    // threshold and the two-half hex packing — certifying frame
+    // extraction + plane indexing + hash arithmetic per frame.
+    "multimodal_video_phash" ->
+      """WITH sz AS (
+        |  SELECT doc_id,
+        |    (ascii(substr(text, 1, 1)) % 12) * 2 + 8 AS w,
+        |    (ascii(substr(text, 2, 1)) % 12) * 2 + 8 AS h,
+        |    (ascii(substr(text, 1, 1)) +
+        |     ascii(substr(text, 2, 1))) % 5 + 2 AS nf,
+        |    (ascii(substr(text, 1, 1)) * 7 +
+        |     ascii(substr(text, 2, 1)) * 13) % 256 AS s0
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, w, h, s0, f
+        |  FROM sz, LATERAL unnest(generate_series(0, nf - 1)) t(f)),
+        |g AS (
+        |  SELECT doc_id, f, y * 8 + x AS i,
+        |    (s0 + 11 * f + 31 * ((y * h // 8) * w + (x * w // 8)))
+        |      % 256 AS gray
+        |  FROM fr,
+        |    LATERAL unnest(generate_series(0, 7)) ty(y),
+        |    LATERAL unnest(generate_series(0, 7)) tx(x)),
+        |t AS (
+        |  SELECT doc_id, f, sum(gray) AS total
+        |  FROM g GROUP BY doc_id, f),
+        |b AS (
+        |  SELECT g.doc_id, g.f,
+        |    cast(sum(CASE WHEN g.gray * 64 > t.total AND g.i >= 32
+        |      THEN (CAST(1 AS BIGINT) << (g.i - 32)) ELSE 0 END)
+        |      as bigint) AS hi,
+        |    cast(sum(CASE WHEN g.gray * 64 > t.total AND g.i < 32
+        |      THEN (CAST(1 AS BIGINT) << g.i) ELSE 0 END)
+        |      as bigint) AS lo,
+        |    cast(sum(CASE WHEN g.gray * 64 > t.total THEN 1 ELSE 0 END)
+        |      as bigint) AS n_bright
+        |  FROM g JOIN t USING (doc_id, f) GROUP BY g.doc_id, g.f)
+        |SELECT doc_id, cast(f as bigint) AS frame_idx,
+        |  printf('%08x%08x', hi, lo) AS vhash, n_bright
+        |FROM b ORDER BY doc_id, frame_idx""".stripMargin,
 
     // Independent layout arithmetic per shard: each doc contributes
     // two members (header 512 + data padded to 512 each), plus the

@@ -527,6 +527,87 @@ object Multimodal {
     }
   }
 
+  /** One clip's fingerprint: energy-delta bits as zero-padded hex,
+    * the frame count, and the exact-match group size. */
+  case class AudioFingerprint(doc_id: Long, fp: String, n_frames: Long,
+      n_rising: Long)
+
+  /** Energy-delta audio fingerprint — the classic public audio-dedup
+    * primitive (the sign of successive frame-energy deltas survives
+    * volume scaling and mild noise): decode → 64-sample frame
+    * energies → bit j set iff e(j+1) > e(j) (strict, integer) →
+    * packed hex. One partition-wise pass; only (id, hex, counts)
+    * travel. Composes with exact-match grouping exactly like
+    * [[ahashTarAll]] + pipeline_media_dedup. */
+  def audioFingerprintAll(spark: SparkSession, media: DataFrame,
+      frameLen: Int = 64): Dataset[AudioFingerprint] = {
+    import spark.implicits._
+    require(frameLen > 0, "frameLen must be positive")
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val a = AudioCodec.decodeWav(r.content)
+        val energies = a.samples.grouped(frameLen)
+          .map(AudioCodec.squareSum).toArray
+        var fp = 0L
+        var j = 0
+        while (j + 1 < energies.length) {
+          if (energies(j + 1) > energies(j)) fp |= 1L << j
+          j += 1
+        }
+        AudioFingerprint(r.doc_id, f"$fp%016x",
+          energies.length.toLong, java.lang.Long.bitCount(fp).toLong)
+      }
+    }
+  }
+
+  /** One frame's perceptual hash over the LUMA plane. */
+  case class VideoFrameHash(doc_id: Long, frame_idx: Long,
+      vhash: String, n_bright: Long)
+
+  /** Per-frame 8×8 average-hash over decoded video LUMA planes — the
+    * frame-level signature a video-dedup / scene-clustering pipeline
+    * blocks on (two clips sharing most frame hashes are near-dups;
+    * consecutive equal hashes mark static segments). Same
+    * integer-exact discipline as [[ImageCodec.averageHash]]: grid
+    * sample x·w div 8 / y·h div 8, strict gray·64 > Σ comparison,
+    * two zero-padded 32-bit hex halves. Decode + hash share the row;
+    * frame buffers never leave the task. */
+  def videoFrameHashAll(spark: SparkSession,
+      media: DataFrame): Dataset[VideoFrameHash] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val v = VideoCodec.decodeY4m(r.content)
+        v.frames.iterator.zipWithIndex.map { case (f, idx) =>
+          val grays = new Array[Long](64)
+          var y = 0
+          while (y < 8) {
+            val iy = (y.toLong * v.height / 8).toInt
+            var x = 0
+            while (x < 8) {
+              val ix = (x.toLong * v.width / 8).toInt
+              grays(y * 8 + x) = f(iy * v.width + ix) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val sum = grays.sum
+          var hi = 0L; var lo = 0L
+          var i = 0
+          while (i < 64) {
+            if (grays(i) * 64 > sum) {
+              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          VideoFrameHash(r.doc_id, idx.toLong, f"$hi%08x$lo%08x",
+            (java.lang.Long.bitCount(hi) + java.lang.Long.bitCount(lo))
+              .toLong)
+        }
+      }
+    }
+  }
+
   /** Deterministic frame-offset sampling for a "video" payload: every
     * `stride`-th byte offset, capped at `maxFrames` — pure column math,
     * no decode needed for planning-level operations. A zero-byte

@@ -250,6 +250,26 @@ class MultimodalSpec extends SparkSpec {
       "the corpus must contain at least one exact-dup image group")
   }
 
+  test("audio fingerprint is volume-robust: uniformly scaled clips " +
+      "collide; a reordered clip does not") {
+    import spark.implicits._
+    val base = Array.tabulate(512)(i =>
+      (math.sin(i / 7.0) * 1000).toShort)
+    val loud = base.map(s => (s * 2).toShort) // no clipping at ±2000
+    val shuffled = base.reverse
+    val media = Seq(
+      (1L, AudioCodec.encodeWav(8000, 1, base)),
+      (2L, AudioCodec.encodeWav(8000, 1, loud)),
+      (3L, AudioCodec.encodeWav(8000, 1, shuffled)))
+      .toDF("doc_id", "content")
+    val fps = Multimodal.audioFingerprintAll(spark, media, frameLen = 64)
+      .collect().map(f => f.doc_id -> f.fp).toMap
+    assert(fps(1L) == fps(2L),
+      "uniform gain must not change the energy-delta signs")
+    assert(fps(1L) != fps(3L),
+      "a structurally different clip must not collide")
+  }
+
   test("feature extraction: unit-norm, deterministic, feeds cosine ANN") {
     val media = Multimodal.mediaTable(Tables.documents(spark, Sf0001)
       .limit(100))
