@@ -9856,9 +9856,11 @@ object SparkEntry {
         |  FROM smp GROUP BY doc_id, i // 64),
         |bits AS (
         |  SELECT doc_id, f,
-        |    CASE WHEN lead(e) OVER (PARTITION BY doc_id ORDER BY f) > e
+        |    CASE WHEN f < 64 AND
+        |        lead(e) OVER (PARTITION BY doc_id ORDER BY f) > e
         |      THEN (CAST(1 AS BIGINT) << f) ELSE 0 END AS b,
-        |    CASE WHEN lead(e) OVER (PARTITION BY doc_id ORDER BY f) > e
+        |    CASE WHEN f < 64 AND
+        |        lead(e) OVER (PARTITION BY doc_id ORDER BY f) > e
         |      THEN 1 ELSE 0 END AS r
         |  FROM en),
         |fp AS (

@@ -69,7 +69,9 @@ object AudioCodec {
     while (pos + 8 <= bytes.length && (rate < 0 || samples == null)) {
       val id = fourcc(pos)
       val len = b.getInt(pos + 4)
-      require(len >= 0 && pos + 8 + len <= bytes.length,
+      // Long arithmetic: a hostile len near Int.MaxValue would wrap
+      // `pos + 8 + len` negative and sail past an Int comparison
+      require(len >= 0 && pos.toLong + 8 + len <= bytes.length,
         s"WAV: chunk '$id' size $len outside the file")
       id match {
         case "fmt " =>
@@ -93,6 +95,7 @@ object AudioCodec {
           samples = out
         case _ => () // ancillary chunk (LIST, fact, ...): skip
       }
+      // bounded by the require above, so this cannot wrap negative
       pos += 8 + len + (len & 1) // RIFF pads odd chunks by one byte
     }
     require(rate > 0, "WAV: missing fmt chunk")

@@ -83,6 +83,7 @@ object CompressedOps {
       .as[(Long, String)]
       .mapPartitions { rows =>
         val defl = new Deflater(Deflater.BEST_SPEED, true)
+        Multimodal.endOnTaskCompletion(() => defl.end())
         val crc = new CRC32()
         rows.map { case (id, text) =>
           val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -194,6 +195,7 @@ object CompressedOps {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       val infl = new Inflater(true)
+      Multimodal.endOnTaskCompletion(() => infl.end())
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val raw = gunzipWith(r.content, infl)

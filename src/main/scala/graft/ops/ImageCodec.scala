@@ -259,6 +259,17 @@ object ImageCodec {
       }
       y += 1
     }
+    packGridHash(grays)
+  }
+
+  /** Pack a 64-cell gray grid into the aHash wire format: strict
+    * integer `gray·64 > Σgrays` threshold, bit (y·8+x), two
+    * zero-padded 32-bit hex halves. ONE definition shared by the
+    * image [[averageHash]] and the video per-frame luma hash
+    * ([[Multimodal.videoFrameHashAll]]) so the convention — and both
+    * DuckDB replays of it — stays bit-identical. */
+  def packGridHash(grays: Array[Long]): String = {
+    require(grays.length == 64, s"grid must be 8x8 (${grays.length})")
     val sum = grays.sum
     var hi = 0L
     var lo = 0L

@@ -30,6 +30,40 @@ object Multimodal {
   /** One media row: id + opaque payload. */
   case class MediaRow(doc_id: Long, content: Array[Byte])
 
+  /** Release native resources when the task finishes: zlib state is
+    * ~270 KB off-heap per Deflater/Inflater, and leaving it to
+    * finalization accumulates un-freed allocations on a long-lived
+    * executor. No-op outside a task (driver-side unit-test calls). */
+  private[ops] def endOnTaskCompletion(end: () => Unit): Unit =
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => end()))
+
+  /** The first two codepoints of a doc's text — the shared seed of
+    * every deterministic payload generator (and of every DuckDB
+    * oracle's `ascii(substr(text, 1, 1))` replay). */
+  private[ops] def genCodepoints(text: String): (Int, Int) = {
+    val cp0 = if (text.nonEmpty) text.codePointAt(0) else 0
+    val cp1 =
+      if (text.length > Character.charCount(cp0))
+        text.codePointAt(Character.charCount(cp0))
+      else 0
+    (cp0, cp1)
+  }
+
+  /** The shared deterministic-picture generator: (cp0, w, h, rgb)
+    * for a doc — ONE definition, used by every image-bearing table
+    * builder so the five oracle replays that re-derive this
+    * arithmetic can never drift from only SOME of the generators. */
+  private[ops] def genImage(text: String): (Int, Int, Int, Array[Byte]) = {
+    val (cp0, cp1) = genCodepoints(text)
+    val w = cp0 % 64 + 16
+    val h = cp1 % 64 + 16
+    val s0 = (cp0 * 7 + cp1 * 13) % 256
+    val rgb = Array.tabulate(w * h * 3)(i =>
+      ((s0 + 31L * i) % 256).toByte)
+    (cp0, w, h, rgb)
+  }
+
   /** Decoded metadata + the pixel-content witness (`px_sum` = sum of
     * all decoded RGB bytes, unsigned) the oracle recomputes. */
   case class DecodedMeta(doc_id: Long, width: Int, height: Int,
@@ -60,16 +94,7 @@ object Multimodal {
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
-          val cp0 = if (text.nonEmpty) text.codePointAt(0) else 0
-          val cp1 =
-            if (text.length > Character.charCount(cp0))
-              text.codePointAt(Character.charCount(cp0))
-            else 0
-          val w = cp0 % 64 + 16
-          val h = cp1 % 64 + 16
-          val s0 = (cp0 * 7 + cp1 * 13) % 256
-          val rgb = Array.tabulate(w * h * 3)(i =>
-            ((s0 + 31L * i) % 256).toByte)
+          val (cp0, w, h, rgb) = genImage(text)
           val bytes =
             if (cp0 % 2 == 0) ImageCodec.encodePpm(w, h, rgb)
             else ImageCodec.encodeBmp(w, h, rgb)
@@ -95,17 +120,9 @@ object Multimodal {
         // one ~270 KB native zlib state per PARTITION, not per row
         val defl = new java.util.zip.Deflater(
           java.util.zip.Deflater.BEST_SPEED, false)
+        endOnTaskCompletion(() => defl.end())
         rows.map { case (id, text) =>
-          val cp0 = if (text.nonEmpty) text.codePointAt(0) else 0
-          val cp1 =
-            if (text.length > Character.charCount(cp0))
-              text.codePointAt(Character.charCount(cp0))
-            else 0
-          val w = cp0 % 64 + 16
-          val h = cp1 % 64 + 16
-          val s0 = (cp0 * 7 + cp1 * 13) % 256
-          val rgb = Array.tabulate(w * h * 3)(i =>
-            ((s0 + 31L * i) % 256).toByte)
+          val (_, w, h, rgb) = genImage(text)
           (id, PngCodec.encodeWith(w, h, rgb, defl))
         }
       }
@@ -127,17 +144,9 @@ object Multimodal {
       .mapPartitions { rows =>
         val defl = new java.util.zip.Deflater(
           java.util.zip.Deflater.BEST_SPEED, false)
+        endOnTaskCompletion(() => defl.end())
         rows.map { case (id, text) =>
-          val cp0 = if (text.nonEmpty) text.codePointAt(0) else 0
-          val cp1 =
-            if (text.length > Character.charCount(cp0))
-              text.codePointAt(Character.charCount(cp0))
-            else 0
-          val w = cp0 % 64 + 16
-          val h = cp1 % 64 + 16
-          val s0 = (cp0 * 7 + cp1 * 13) % 256
-          val rgb = Array.tabulate(w * h * 3)(i =>
-            ((s0 + 31L * i) % 256).toByte)
+          val (cp0, w, h, rgb) = genImage(text)
           val bytes = cp0 % 3 match {
             case 0 => ImageCodec.encodePpm(w, h, rgb)
             case 1 => ImageCodec.encodeBmp(w, h, rgb)
@@ -167,6 +176,7 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       val infl = new java.util.zip.Inflater(false)
+      endOnTaskCompletion(() => infl.end())
       rows.map { r =>
         val img = ImageCodec.decode(r.content, infl)
         PngMeta(r.doc_id, img.width, img.height, img.format,
@@ -185,6 +195,7 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       val infl = new java.util.zip.Inflater(false)
+      endOnTaskCompletion(() => infl.end())
       rows.map { r =>
         val img = ImageCodec.decode(r.content, infl)
         DecodedMeta(r.doc_id, img.width, img.height, img.format,
@@ -208,16 +219,7 @@ object Multimodal {
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
-          val cp0 = if (text.nonEmpty) text.codePointAt(0) else 0
-          val cp1 =
-            if (text.length > Character.charCount(cp0))
-              text.codePointAt(Character.charCount(cp0))
-            else 0
-          val w = cp0 % 64 + 16
-          val h = cp1 % 64 + 16
-          val s0 = (cp0 * 7 + cp1 * 13) % 256
-          val rgb = Array.tabulate(w * h * 3)(i =>
-            ((s0 + 31L * i) % 256).toByte)
+          val (_, w, h, rgb) = genImage(text)
           val tar = TarCodec.encode(Seq(
             s"$id.txt" ->
               text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -317,16 +319,7 @@ object Multimodal {
       .as[(Long, Seq[(Long, String)])]
       .map { case (sid, members) =>
         val entries = members.flatMap { case (id, text) =>
-          val cp0 = if (text.nonEmpty) text.codePointAt(0) else 0
-          val cp1 =
-            if (text.length > Character.charCount(cp0))
-              text.codePointAt(Character.charCount(cp0))
-            else 0
-          val w = cp0 % 64 + 16
-          val h = cp1 % 64 + 16
-          val s0 = (cp0 * 7 + cp1 * 13) % 256
-          val rgb = Array.tabulate(w * h * 3)(i =>
-            ((s0 + 31L * i) % 256).toByte)
+          val (_, w, h, rgb) = genImage(text)
           Seq(
             s"$id.txt" ->
               text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -359,11 +352,7 @@ object Multimodal {
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
-          val cp0 = if (text.nonEmpty) text.codePointAt(0) else 0
-          val cp1 =
-            if (text.length > Character.charCount(cp0))
-              text.codePointAt(Character.charCount(cp0))
-            else 0
+          val (cp0, cp1) = genCodepoints(text)
           val n = (cp0 % 768 + 256) * 2
           val rate = 8000 + (cp1 % 4) * 4000
           val channels = cp1 % 2 + 1
@@ -479,11 +468,7 @@ object Multimodal {
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
-          val cp0 = if (text.nonEmpty) text.codePointAt(0) else 0
-          val cp1 =
-            if (text.length > Character.charCount(cp0))
-              text.codePointAt(Character.charCount(cp0))
-            else 0
+          val (cp0, cp1) = genCodepoints(text)
           val w = (cp0 % 12) * 2 + 8
           val h = (cp1 % 12) * 2 + 8
           val nf = (cp0 + cp1) % 5 + 2
@@ -550,7 +535,10 @@ object Multimodal {
           .map(AudioCodec.squareSum).toArray
         var fp = 0L
         var j = 0
-        while (j + 1 < energies.length) {
+        // the fingerprint holds 64 delta bits; JVM Long shifts wrap
+        // mod 64, so an uncapped loop would fold frame 64's bit onto
+        // frame 0's (and diverge from the oracle's shift semantics)
+        while (j + 1 < energies.length && j < 64) {
           if (energies(j + 1) > energies(j)) fp |= 1L << j
           j += 1
         }
@@ -579,6 +567,9 @@ object Multimodal {
       rows.flatMap { r =>
         val v = VideoCodec.decodeY4m(r.content)
         v.frames.iterator.zipWithIndex.map { case (f, idx) =>
+          // 8x8 luma grid -> the SHARED aHash packing
+          // (ImageCodec.packGridHash), so image and video hashes can
+          // never drift apart
           val grays = new Array[Long](64)
           var y = 0
           while (y < 8) {
@@ -591,18 +582,10 @@ object Multimodal {
             }
             y += 1
           }
-          val sum = grays.sum
-          var hi = 0L; var lo = 0L
-          var i = 0
-          while (i < 64) {
-            if (grays(i) * 64 > sum) {
-              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
-            }
-            i += 1
-          }
-          VideoFrameHash(r.doc_id, idx.toLong, f"$hi%08x$lo%08x",
-            (java.lang.Long.bitCount(hi) + java.lang.Long.bitCount(lo))
-              .toLong)
+          val hex = ImageCodec.packGridHash(grays)
+          VideoFrameHash(r.doc_id, idx.toLong, hex,
+            java.lang.Long.bitCount(
+              java.lang.Long.parseUnsignedLong(hex, 16)).toLong)
         }
       }
     }

@@ -170,7 +170,11 @@ object PngCodec {
               s"colour=$colour)")
           require(comp == 0 && filt == 0 && inter == 0,
             "PNG: unsupported compression/filter/interlace method")
-          require(w > 0 && h > 0 && w.toLong * h * 3 <= Int.MaxValue,
+          // the serialized-scanline length (1 + 3w)·h must fit an Int
+          // too: w·h·3 alone can pass while (1+3w)·h wraps negative
+          // and surfaces as NegativeArraySizeException downstream
+          require(w > 0 && h > 0 &&
+              (1L + 3L * w) * h <= Int.MaxValue,
             s"PNG: unreasonable dimensions $w x $h")
           sawIhdr = true
         case "IDAT" =>

@@ -99,10 +99,13 @@ object VideoCodec {
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var pos = nl + 1
     while (pos < bytes.length) {
-      require(pos + marker.length <= bytes.length &&
+      require(pos + marker.length < bytes.length &&
         new String(bytes, pos, marker.length,
-          java.nio.charset.StandardCharsets.US_ASCII) == marker,
-        s"Y4M: expected FRAME marker at byte $pos")
+          java.nio.charset.StandardCharsets.US_ASCII) == marker &&
+        (bytes(pos + marker.length) == '\n'.toByte ||
+          bytes(pos + marker.length) == ' '.toByte),
+        s"Y4M: expected FRAME marker at byte $pos (frame parameters " +
+          "must start with a space per the spec)")
       var e = pos + marker.length
       while (e < bytes.length && bytes(e) != '\n'.toByte) e += 1
       require(e < bytes.length, "Y4M: unterminated FRAME header")

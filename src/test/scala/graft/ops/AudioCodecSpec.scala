@@ -69,6 +69,12 @@ class AudioCodecSpec extends SparkSpec {
     hostile(at) = 0xff.toByte; hostile(at + 1) = 0xff.toByte
     hostile(at + 2) = 0xff.toByte; hostile(at + 3) = 0x7f.toByte
     intercept[IllegalArgumentException] { AudioCodec.decodeWav(hostile) }
+    // an EVEN hostile size whose pos+8+len wraps negative in Int
+    // arithmetic: must be a bounds error, not a ~2 GB allocation
+    val wrapping = good.clone()
+    wrapping(at) = 0xfe.toByte; wrapping(at + 1) = 0xff.toByte
+    wrapping(at + 2) = 0xff.toByte; wrapping(at + 3) = 0x7f.toByte
+    intercept[IllegalArgumentException] { AudioCodec.decodeWav(wrapping) }
     val nonPcm = good.clone(); nonPcm(20) = 3 // IEEE float tag
     intercept[IllegalArgumentException] { AudioCodec.decodeWav(nonPcm) }
     val eightBit = good.clone(); eightBit(34) = 8
