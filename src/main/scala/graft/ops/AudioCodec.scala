@@ -34,6 +34,11 @@ object AudioCodec {
     require(sampleRate > 0 && channels > 0, "bad wav params")
     require(samples.length % channels == 0,
       "sample count must be a whole number of frames")
+    // >1G samples would wrap `length * 2` negative and surface as an
+    // opaque allocation error; the RIFF container tops out near 4 GB
+    // anyway, so fail with the codec's own message
+    require(samples.length.toLong * 2 + 44 <= Int.MaxValue,
+      s"WAV: ${samples.length} samples exceed the RIFF size limit")
     val dataLen = samples.length * 2
     val b = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)

@@ -148,9 +148,13 @@ object CompressedOps {
       }
       if ((flg & 8) != 0) skipZString("FNAME")
       if ((flg & 16) != 0) skipZString("FCOMMENT")
-      if ((flg & 2) != 0) { // FHCRC
+      if ((flg & 2) != 0) { // FHCRC: CRC-16 of the header bytes so far
+        require(bytes.length - p >= 2, "gzip: truncated FHCRC")
+        crc.reset(); crc.update(bytes, pos, p - pos)
+        val want = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+        require((crc.getValue & 0xffffL) == want,
+          s"gzip: header CRC16 mismatch at byte $p")
         p += 2
-        require(p <= bytes.length, "gzip: truncated FHCRC")
       }
       infl.reset()
       infl.setInput(bytes, p, bytes.length - p)

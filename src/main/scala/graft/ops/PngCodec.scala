@@ -144,7 +144,7 @@ object PngCodec {
     val b = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
     b.position(8)
     var w = -1; var h = -1
-    var sawIhdr = false; var sawIend = false
+    var sawIhdr = false; var sawIend = false; var idatDone = false
     val idat = new java.io.ByteArrayOutputStream()
     while (!sawIend) {
       require(b.remaining() >= 12, "PNG: truncated chunk header")
@@ -179,11 +179,19 @@ object PngCodec {
           sawIhdr = true
         case "IDAT" =>
           require(sawIhdr, "PNG: IDAT before IHDR")
+          // the spec requires IDAT chunks be CONSECUTIVE — an
+          // ancillary chunk interleaved into the IDAT run is corruption
+          require(!idatDone, "PNG: non-consecutive IDAT chunks")
           idat.write(data, 0, len)
         case "IEND" => sawIend = true
-        case _ => () // ancillary chunks: skipped (CRC still verified)
+        case _ => // ancillary chunks: skipped (CRC still verified)
+          if (idat.size() > 0) idatDone = true
       }
     }
+    // fail-loud posture: a PNG with trailing garbage after IEND is
+    // corruption (or smuggled data), not a decodable image
+    require(b.remaining() == 0,
+      s"PNG: ${b.remaining()} trailing bytes after IEND")
     require(sawIhdr, "PNG: missing IHDR")
     require(idat.size() > 0, "PNG: missing IDAT")
 

@@ -100,8 +100,20 @@ object TarCodec {
             s"(stored $stored, computed $sum)")
         var nameEnd = pos
         while (nameEnd < pos + 100 && bytes(nameEnd) != 0) nameEnd += 1
-        val name = new String(bytes, pos, nameEnd - pos,
+        val base = new String(bytes, pos, nameEnd - pos,
           java.nio.charset.StandardCharsets.US_ASCII)
+        // ustar prefix field (offset 345, 155 bytes): long paths store
+        // their leading directories here; ignoring it would silently
+        // TRUNCATE member names on foreign archives
+        val magic = new String(bytes, pos + 257, 5,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        var preEnd = pos + 345
+        while (preEnd < pos + 345 + 155 && bytes(preEnd) != 0) preEnd += 1
+        val name =
+          if (magic == "ustar" && preEnd > pos + 345)
+            new String(bytes, pos + 345, preEnd - (pos + 345),
+              java.nio.charset.StandardCharsets.US_ASCII) + "/" + base
+          else base
         val size = parseOctal(bytes, pos + 124, 12)
         require(size >= 0 && size <= Int.MaxValue.toLong,
           s"tar: unreasonable member size $size")

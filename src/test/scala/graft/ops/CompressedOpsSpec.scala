@@ -101,4 +101,24 @@ class CompressedOpsSpec extends SparkSpec {
       assert(metas(id).text_md5 == hex, s"doc $id digest")
     }
   }
+
+  test("a corrupted FHCRC header is rejected — the stored CRC16 is " +
+      "verified against the header bytes, not just skipped") {
+    val payload = ("q" * 64).getBytes("UTF-8")
+    val base = handMember(payload)
+    val hdr = Array[Byte](0x1f, 0x8b.toByte, 8, 10, 0, 0, 0, 0, 0,
+      0xff.toByte) ++ "name.txt".getBytes("US-ASCII") ++ Array[Byte](0)
+    val c = new java.util.zip.CRC32(); c.update(hdr)
+    val good = hdr ++ Array[Byte]((c.getValue & 0xff).toByte,
+      ((c.getValue >> 8) & 0xff).toByte) ++ base.drop(10)
+    assert(CompressedOps.gunzip(good).toSeq == payload.toSeq)
+    // flip a byte inside the FNAME field: the body still inflates and
+    // its CRC-32 still matches, so only the header CRC16 catches it
+    val bad = good.clone()
+    bad(12) = (bad(12) ^ 0x04).toByte
+    val e = intercept[IllegalArgumentException] {
+      CompressedOps.gunzip(bad)
+    }
+    assert(e.getMessage.contains("header CRC16"))
+  }
 }

@@ -185,4 +185,28 @@ class PngCodecSpec extends SparkSpec {
       PngCodec.decode(ihdrWith(8, 2, 1))  // Adam7
     }
   }
+
+  test("trailing bytes after IEND and non-consecutive IDAT runs are " +
+      "rejected — the fail-loud posture covers the whole container") {
+    val good = sig ++ ihdr2x2 ++ chunk("IDAT", zlibStored(raw2x2)) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(PngCodec.decode(good).rgb.toSeq == rgb2x2.toSeq)
+    // appended garbage (e.g. smuggled data) after IEND
+    val e1 = intercept[IllegalArgumentException] {
+      PngCodec.decode(good ++ Array[Byte](1, 2, 3))
+    }
+    assert(e1.getMessage.contains("trailing bytes"))
+    // an ancillary chunk interleaved into the IDAT run: the spec
+    // requires IDAT chunks be consecutive
+    val z = zlibStored(raw2x2)
+    val interleaved = sig ++ ihdr2x2 ++
+      chunk("IDAT", z.slice(0, 5)) ++
+      chunk("tEXt", "k v".getBytes("US-ASCII")) ++
+      chunk("IDAT", z.slice(5, z.length)) ++
+      chunk("IEND", Array.emptyByteArray)
+    val e2 = intercept[IllegalArgumentException] {
+      PngCodec.decode(interleaved)
+    }
+    assert(e2.getMessage.contains("non-consecutive IDAT"))
+  }
 }

@@ -105,4 +105,24 @@ class TarCodecSpec extends SparkSpec {
     h(154) = 0; h(155) = ' '.toByte
     intercept[IllegalArgumentException] { TarCodec.decode(h) }
   }
+
+  test("the ustar prefix field joins onto the name — a foreign " +
+      "archive's >100-char path is not silently truncated") {
+    val data = "payload".getBytes("UTF-8")
+    val arch = handArchive("leaf.txt", data)
+    // plant a prefix (offset 345) and refresh the checksum
+    val h = arch.clone()
+    val pre = "some/deep/dir".getBytes("US-ASCII")
+    System.arraycopy(pre, 0, h, 345, pre.length)
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L
+    (0 until 512).foreach(i => sum += h(i) & 0xff)
+    val cs = java.lang.Long.toOctalString(sum)
+    System.arraycopy((("0" * (6 - cs.length)) + cs).getBytes("US-ASCII"),
+      0, h, 148, 6)
+    h(154) = 0; h(155) = ' '.toByte
+    val got = TarCodec.decode(h)
+    assert(got.map(_._1) == Seq("some/deep/dir/leaf.txt"))
+    assert(got.head._2.toSeq == data.toSeq)
+  }
 }
