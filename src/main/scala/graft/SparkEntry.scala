@@ -5156,6 +5156,44 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ★ r12: WARC ingestion — Common Crawl's actual container: per
+    // doc a `.warc.gz` file of three WARC/1.1 records (warcinfo /
+    // request / response), EACH its own gzip member (the
+    // member-per-record crawl layout), decompressed by the existing
+    // RFC 1952 member walk and then parsed by the real record
+    // grammar (version line, header block, Content-Length body,
+    // CRLF CRLF separators — ops.WarcOps.parseRecords, fail-loud on
+    // framing disagreement). WARC-Type dispatch is certified: the
+    // oracle replays each record type's block length from the
+    // original row (the fixed warcinfo block, the deterministic
+    // 41+strlen(id) HTTP request, the text response with its MD5)
+    // plus the response's target URI.
+    "source_warc" -> ((s, d) => {
+      ops.WarcOps.readWarcAll(s,
+        ops.WarcOps.warcTable(s, t(s, d, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("n_records"), col("info_len"),
+          col("req_len"), col("resp_len"), col("resp_md5"),
+          col("target_uri"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ★ r12: Zstandard ingestion — the `.jsonl.zst` shape modern
+    // public corpora (Dolma, RedPajama) ship in, via zstd-jni (the
+    // public library Spark itself bundles): a real multi-FRAME walk
+    // (even ids are two concatenated frames — the pzstd layout a
+    // first-frame-stops decoder silently truncates), declared
+    // content sizes gating allocation, per-frame xxhash64 checksums
+    // verified, one native context per partition. Witnesses replayed
+    // from the ORIGINAL text, certifying byte-exact recovery.
+    "source_zstd" -> ((s, d) => {
+      ops.ZstdOps.unzstdAll(s,
+        ops.ZstdOps.zstdTable(s, t(s, d, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("n_raw"), col("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ★ r11: audio FINGERPRINT dedup — the classic energy-delta
     // signature (bit j set iff frame-energy(j+1) > energy(j),
     // strict integer comparison over 64-sample frames): volume-
@@ -5689,7 +5727,50 @@ object SparkEntry {
     // argmax key.)
     "pipeline_gopher_repetition" -> ((s, d) =>
       ops.TextOps.gopherRepetition(t(s, d, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // ★ r12: corrupt-payload QUARANTINE lane — the production gap
+    // every crawl hits on day one: ONE corrupt blob must land in a
+    // quarantined row with a stable error class, not kill the stage.
+    // The corpus is the clean mixed-format image table with one
+    // corruption class PLANTED per doc_id mod 8 (junk magic / hostile
+    // dims / truncated plane / flipped CRC bit — see
+    // ops.QuarantineOps.corruptImageTable), decoded by the UNCHANGED
+    // fail-loud codecs under the attempt() wrapper. Classes come from
+    // the decoders' own diagnostics (the codec family's shared
+    // message vocabulary), never from knowledge of the planting; the
+    // oracle replays status + class from the planting arithmetic and
+    // the clean rows' full pixel witnesses — so a match certifies
+    // both that every planted corruption was caught AND that good
+    // rows are byte-identical to the all-clean run (QuarantineSpec
+    // additionally proves row equality against multimodal_mixed's
+    // path).
+    "pipeline_quarantine" -> ((s, d) => {
+      ops.QuarantineOps.tryDecodeImageAll(s,
+        ops.QuarantineOps.corruptImageTable(s, t(s, d, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("status"), col("error_class"),
+          col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"), col("format"),
+          col("px_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ★ r12: the quarantine lane's per-class ACCOUNTING — the
+    // operational dashboard row a crawl ingest reconciles against
+    // (accepted + quarantined-by-class == seen): counts and witness
+    // totals per (status, error_class). Tiny aggregate over the lane;
+    // NULL classes coalesce to 'none' so the cross-engine sort is
+    // total.
+    "pipeline_quarantine_stats" -> ((s, d) => {
+      ops.QuarantineOps.tryDecodeImageAll(s,
+        ops.QuarantineOps.corruptImageTable(s, t(s, d, "documents")))
+        .toDF()
+        .groupBy(col("status"),
+          coalesce(col("error_class"), lit("none")).as("error_class"))
+        .agg(count(lit(1)).as("n"), sum(col("px_sum")).as("px_total"))
+        .orderBy(col("status"), col("error_class"))
+    })
   )
 
   // ------------------------------------------------------------------
@@ -10015,6 +10096,32 @@ object SparkEntry {
         |FROM sz JOIN px USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // Replays every record type's witnesses from the original row:
+    // the warcinfo block is a 47-byte constant, the request block is
+    // the deterministic HTTP GET (41 + strlen(id) ASCII bytes), the
+    // response block is the doc text (length + MD5), and the target
+    // URI is pure concatenation — so a match certifies the gzip
+    // member walk, the record framing, AND the WARC-Type dispatch
+    // recovered all three bodies byte-exactly.
+    "source_warc" ->
+      """SELECT doc_id,
+        |  cast(3 as bigint) AS n_records,
+        |  cast(47 as bigint) AS info_len,
+        |  cast(41 + strlen(cast(doc_id as varchar)) as bigint)
+        |    AS req_len,
+        |  cast(strlen(text) as bigint) AS resp_len,
+        |  md5(text) AS resp_md5,
+        |  'https://example.com/doc/' || cast(doc_id as varchar)
+        |    AS target_uri
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Same witness contract as source_gzip, over the zstd frame walk.
+    "source_zstd" ->
+      """SELECT doc_id,
+        |  cast(strlen(text) as bigint) AS n_raw,
+        |  md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // The witnesses come from the ORIGINAL text (DuckDB never sees
     // the gzip bytes): byte length + MD5 over the UTF-8 encoding —
     // equality certifies the Spark side recovered the exact bytes
@@ -10024,6 +10131,77 @@ object SparkEntry {
         |  cast(strlen(text) as bigint) AS n_raw,
         |  md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Replays the quarantine lane end-to-end from the planting
+    // arithmetic: docs 0..3 mod 8 carry one corruption class each
+    // (junk magic / hostile PPM dims / truncated plane / flipped IDAT
+    // CRC bit → the decoder classes below), docs 4..7 mod 8 are the
+    // untouched mixed-format payload whose full pixel plane the clean
+    // rows must still witness byte-exactly.
+    "pipeline_quarantine" ->
+      """WITH sz AS (
+        |  SELECT doc_id,
+        |    ascii(substr(text, 1, 1)) AS cp0,
+        |    ascii(substr(text, 1, 1)) % 64 + 16 AS w,
+        |    ascii(substr(text, 2, 1)) % 64 + 16 AS h,
+        |    (ascii(substr(text, 1, 1)) * 7 +
+        |     ascii(substr(text, 2, 1)) * 13) % 256 AS s0
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |    cast(sum((s0 + 31 * i) % 256) as bigint) AS px_sum
+        |  FROM sz, LATERAL unnest(generate_series(0, w * h * 3 - 1)) t(i)
+        |  WHERE doc_id % 8 >= 4
+        |  GROUP BY doc_id)
+        |SELECT sz.doc_id,
+        |  CASE WHEN sz.doc_id % 8 <= 3 THEN 'quarantined'
+        |       ELSE 'ok' END AS status,
+        |  CASE sz.doc_id % 8
+        |    WHEN 0 THEN 'bad_magic' WHEN 1 THEN 'hostile_header'
+        |    WHEN 2 THEN 'truncated' WHEN 3 THEN 'integrity'
+        |    ELSE NULL END AS error_class,
+        |  CASE WHEN sz.doc_id % 8 >= 4
+        |    THEN cast(w as integer) END AS width,
+        |  CASE WHEN sz.doc_id % 8 >= 4
+        |    THEN cast(h as integer) END AS height,
+        |  CASE WHEN sz.doc_id % 8 >= 4 THEN
+        |    CASE cp0 % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+        |      ELSE 'png' END END AS format,
+        |  px.px_sum
+        |FROM sz LEFT JOIN px USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // The per-class accounting over the same planting arithmetic —
+    // counts and clean-row pixel totals reconcile to the corpus size.
+    "pipeline_quarantine_stats" ->
+      """WITH sz AS (
+        |  SELECT doc_id,
+        |    ascii(substr(text, 1, 1)) % 64 + 16 AS w,
+        |    ascii(substr(text, 2, 1)) % 64 + 16 AS h,
+        |    (ascii(substr(text, 1, 1)) * 7 +
+        |     ascii(substr(text, 2, 1)) * 13) % 256 AS s0
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |    cast(sum((s0 + 31 * i) % 256) as bigint) AS px_sum
+        |  FROM sz, LATERAL unnest(generate_series(0, w * h * 3 - 1)) t(i)
+        |  WHERE doc_id % 8 >= 4
+        |  GROUP BY doc_id),
+        |lane AS (
+        |  SELECT sz.doc_id,
+        |    CASE WHEN sz.doc_id % 8 <= 3 THEN 'quarantined'
+        |         ELSE 'ok' END AS status,
+        |    CASE sz.doc_id % 8
+        |      WHEN 0 THEN 'bad_magic' WHEN 1 THEN 'hostile_header'
+        |      WHEN 2 THEN 'truncated' WHEN 3 THEN 'integrity'
+        |      ELSE 'none' END AS error_class,
+        |    px.px_sum
+        |  FROM sz LEFT JOIN px USING (doc_id))
+        |SELECT status, error_class,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(sum(px_sum) as bigint) AS px_total
+        |FROM lane GROUP BY status, error_class
+        |ORDER BY status, error_class""".stripMargin,
 
     // Replays the shared image generator with the per-row format
     // split (cp0 mod 3) — the witness is the same full-plane px_sum,

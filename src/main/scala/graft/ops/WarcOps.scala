@@ -1,0 +1,224 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Multimodal.MediaRow
+
+/** WARC ingestion — the container Common Crawl (the canonical public
+  * LLM corpus) actually ships: `.warc.gz` files where each WARC/1.1
+  * record (ISO 28500 / the public IIPC spec) is compressed as its OWN
+  * gzip member, so readers can seek to a member boundary and start
+  * parsing. This layers the WARC record framing on top of the
+  * existing RFC 1952 member walk ([[CompressedOps.gunzipWith]] — the
+  * decompressed concatenation of members IS the record stream,
+  * because records are self-delimiting via `Content-Length`).
+  *
+  * Record grammar implemented (and enforced, fail-loud):
+  *
+  * {{{
+  *   record      = version CRLF *header CRLF block CRLF CRLF
+  *   version     = "WARC/1.1" | "WARC/1.0"
+  *   header      = field-name ":" SP field-value CRLF
+  *   block       = exactly Content-Length bytes
+  * }}}
+  *
+  * `WARC-Type` dispatch is part of the contract: a WARC file
+  * interleaves `warcinfo` / `request` / `response` / `metadata`
+  * records, and a pipeline that wants page text must select response
+  * records while still WALKING (and length-validating) everything
+  * else. The reader returns per-type witnesses so the oracle
+  * certifies all three record bodies were recovered byte-exactly,
+  * not just skipped over.
+  *
+  * Scale shape: identical to the other codecs — row-local, map-shaped
+  * `mapPartitions` work with ONE native Inflater per partition;
+  * payloads and record blocks never leave the task, only witness
+  * columns travel. At a real 100 TB crawl the unit of work is one
+  * WARC file per task (the scan splits on files), which is exactly
+  * this shape.
+  */
+object WarcOps {
+
+  private val Crlf = "\r\n"
+
+  /** Serialize one WARC/1.1 record: version line, headers (with
+    * Content-Length appended), blank line, block, two CRLFs. */
+  def record(warcType: String, headers: Seq[(String, String)],
+      block: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("WARC/1.1").append(Crlf)
+    sb.append("WARC-Type: ").append(warcType).append(Crlf)
+    headers.foreach { case (k, v) =>
+      sb.append(k).append(": ").append(v).append(Crlf)
+    }
+    sb.append("Content-Length: ").append(block.length).append(Crlf)
+    sb.append(Crlf)
+    val head = sb.toString.getBytes(US_ASCII)
+    val out = new Array[Byte](head.length + block.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(block, 0, out, head.length, block.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  /** The deterministic request block for a doc — plain HTTP/1.1 GET
+    * (41 + strlen(doc_id) ASCII bytes; the oracle replays the
+    * length). */
+  private[ops] def requestBlock(id: Long): Array[Byte] =
+    (s"GET /doc/$id HTTP/1.1\r\nHost: example.com\r\n\r\n")
+      .getBytes(US_ASCII)
+
+  /** The fixed warcinfo block every generated file carries. */
+  private[ops] val InfoBlock: Array[Byte] =
+    "software: graft\r\nformat: WARC File Format 1.1\r\n"
+      .getBytes(US_ASCII)
+
+  /** Build a `.warc.gz` corpus from documents: per doc one WARC file
+    * holding a `warcinfo`, a `request`, and a `response` record (the
+    * Common Crawl record mix), EACH compressed as its own gzip member
+    * — the member-per-record layout the real crawl uses so readers
+    * can resume at member boundaries. The response block is the doc's
+    * UTF-8 text; every field is deterministic (no timestamps — the
+    * WARC-Date is a fixed epoch and the record id derives from
+    * doc_id), so the DuckDB oracle replays all witnesses from the
+    * original row. One Deflater per partition. */
+  def warcTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val defl = new Deflater(Deflater.BEST_SPEED, true)
+        Multimodal.endOnTaskCompletion(() => defl.end())
+        val crc = new CRC32()
+        rows.map { case (id, text) =>
+          val uri = s"https://example.com/doc/$id"
+          val date = "2020-01-01T00:00:00Z"
+          def common(n: Int) = Seq(
+            "WARC-Record-ID" -> s"<urn:uuid:0000-$id-$n>",
+            "WARC-Date" -> date)
+          val info = record("warcinfo", common(0), InfoBlock)
+          val req = record("request",
+            common(1) :+ ("WARC-Target-URI" -> uri), requestBlock(id))
+          val resp = record("response",
+            common(2) :+ ("WARC-Target-URI" -> uri),
+            text.getBytes(UTF_8))
+          val out = new java.io.ByteArrayOutputStream(
+            resp.length / 2 + 256)
+          CompressedOps.gzipMember(info, defl, crc, out)
+          CompressedOps.gzipMember(req, defl, crc, out)
+          CompressedOps.gzipMember(resp, defl, crc, out)
+          (id, out.toByteArray)
+        }
+      }
+      .toDF("doc_id", "content")
+  }
+
+  /** One parsed record: type, headers, block bytes. */
+  final case class WarcRecord(warcType: String,
+      headers: Map[String, String], block: Array[Byte])
+
+  /** Walk the decompressed record stream. Framing is UNTRUSTED:
+    * version line required, header lines must be `Name: value`,
+    * `Content-Length` required and bounds-checked against the buffer,
+    * and the two CRLFs after every block are verified — a record
+    * whose declared length disagrees with its framing is corruption,
+    * not a resync point. */
+  def parseRecords(bytes: Array[Byte]): Seq[WarcRecord] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    var pos = 0
+    def line(): String = {
+      val start = pos
+      while (pos + 1 < bytes.length &&
+        !(bytes(pos) == '\r' && bytes(pos + 1) == '\n')) pos += 1
+      require(pos + 1 < bytes.length, "WARC: unterminated header line")
+      val s = new String(bytes, start, pos - start, US_ASCII)
+      pos += 2
+      s
+    }
+    while (pos < bytes.length) {
+      val version = line()
+      require(version == "WARC/1.1" || version == "WARC/1.0",
+        s"WARC: bad magic '${version.take(12)}' at record start")
+      val headers = scala.collection.mutable.LinkedHashMap
+        .empty[String, String]
+      var l = line()
+      while (l.nonEmpty) {
+        val i = l.indexOf(':')
+        require(i > 0, s"WARC: malformed header line '${l.take(40)}'")
+        headers += l.substring(0, i).trim -> l.substring(i + 1).trim
+        l = line()
+      }
+      val lenStr = headers.getOrElse("Content-Length",
+        throw new IllegalArgumentException(
+          "WARC: missing Content-Length header"))
+      val len =
+        try lenStr.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"WARC: malformed Content-Length '$lenStr'")
+        }
+      require(len >= 0 && len <= Int.MaxValue &&
+          bytes.length.toLong - pos >= len + 4,
+        s"WARC: truncated record block (need $len bytes at $pos)")
+      val block = java.util.Arrays.copyOfRange(bytes, pos,
+        pos + len.toInt)
+      pos += len.toInt
+      require(bytes(pos) == '\r' && bytes(pos + 1) == '\n' &&
+          bytes(pos + 2) == '\r' && bytes(pos + 3) == '\n',
+        s"WARC: missing record separator after block at byte $pos " +
+          "(Content-Length disagrees with framing)")
+      pos += 4
+      out += WarcRecord(
+        headers.getOrElse("WARC-Type",
+          throw new IllegalArgumentException(
+            "WARC: missing WARC-Type header")),
+        headers.toMap, block)
+    }
+    out.toSeq
+  }
+
+  /** One WARC file's witnesses: record count, per-type block lengths,
+    * the response body's MD5, and the response's target URI — all
+    * replayable by the oracle from the original document row. */
+  final case class WarcMeta(doc_id: Long, n_records: Long,
+      info_len: Long, req_len: Long, resp_len: Long, resp_md5: String,
+      target_uri: String)
+
+  /** Batch WARC read: gzip member walk + record framing + WARC-Type
+    * dispatch in one partition-wise pass (one Inflater per
+    * partition); record blocks never leave the task. Fail-loud by
+    * contract — route through [[QuarantineOps.attempt]] for the
+    * production lane. */
+  def readWarcAll(spark: SparkSession,
+      media: DataFrame): Dataset[WarcMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      val infl = new Inflater(true)
+      Multimodal.endOnTaskCompletion(() => infl.end())
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val records = parseRecords(
+          CompressedOps.gunzipWith(r.content, infl))
+        def one(t: String): WarcRecord = {
+          val of = records.filter(_.warcType == t)
+          require(of.length == 1,
+            s"WARC: expected one $t record, got ${of.length}")
+          of.head
+        }
+        val resp = one("response")
+        md.reset()
+        val hex = md.digest(resp.block).map("%02x".format(_)).mkString
+        WarcMeta(r.doc_id, records.length.toLong,
+          one("warcinfo").block.length.toLong,
+          one("request").block.length.toLong,
+          resp.block.length.toLong, hex,
+          resp.headers.getOrElse("WARC-Target-URI", ""))
+      }
+    }
+  }
+}
