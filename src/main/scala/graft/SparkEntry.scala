@@ -5252,6 +5252,28 @@ object SparkEntry {
         .orderBy(col("shard_id"))
     }),
 
+    // ★ r12: BYTE-BUDGET shard export — how real WebDataset writers
+    // cut shards: next-fit member pairs (no splitting) against a
+    // 16 KiB archive budget instead of doc_id mod N. The narrow
+    // manifest walks per 64-doc bucket (one aggregate HOF over the
+    // sorted (id, bytes) array — PackOps.nextFitPack's distribution
+    // discipline), bucket shard ranges concatenate via
+    // withGlobalOffset, and only then do members meet their shard to
+    // be serialized (the one payload shuffle). The oracle replays
+    // the walk as a lockstep recursive CTE over the SAME layout
+    // arithmetic and certifies every BUILT archive's byte length +
+    // the budget verdict (a shard fits unless it is one oversize
+    // member pair; this corpus's pairs are 8.5-15.9 KiB so a 32 KiB
+    // budget packs 2-3 pairs per shard — the oversize arm is
+    // spec-gated with synthetic docs, ShardBudgetSpec).
+    "pipeline_shard_budget" -> ((s, d) => {
+      ops.Multimodal.shardExportBudget(s, t(s, d, "documents"),
+        budgetBytes = 32768L, bucketSize = 64L)
+        .select(col("shard_id"), col("n_docs"), col("n_members"),
+          col("txt_bytes"), col("tar_bytes"), col("fits"))
+        .orderBy(col("shard_id"))
+    }),
+
     // ★ r11: END-TO-END media dedup over the shard corpus — the
     // composition a multimodal curation pipeline actually runs: tar
     // walk → inner image decode → perceptual hash (one partition
@@ -10024,6 +10046,60 @@ object SparkEntry {
         |  cast(sum(txt) as bigint) AS txt_bytes,
         |  cast(count(*) * 2 as bigint) AS reread_members
         |FROM m GROUP BY shard_id
+        |ORDER BY shard_id""".stripMargin,
+
+    // Replays the byte-budget walk as a lockstep recursion (all
+    // 64-doc buckets advance one doc per step — the placement
+    // scalars mirror Multimodal.shardExportBudget's accumulator
+    // exactly), then the window exclusive scan into global shard
+    // ids, then per-shard layout arithmetic (1024 end-block bytes +
+    // each member pair's headers + 512-padded payloads) and the
+    // budget verdict.
+    "pipeline_shard_budget" ->
+      """WITH RECURSIVE sz AS (
+        |  SELECT doc_id, strlen(text) AS txt,
+        |    ascii(substr(text, 1, 1)) % 64 + 16 AS w,
+        |    ascii(substr(text, 2, 1)) % 64 + 16 AS h
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id // 64 AS bucket, doc_id, txt,
+        |    512 + ((txt + 511) // 512) * 512
+        |      + 512 + ((9 + strlen(cast(w as varchar))
+        |        + strlen(cast(h as varchar)) + w * h * 3 + 511) // 512)
+        |        * 512 AS mb,
+        |    row_number() OVER (PARTITION BY doc_id // 64
+        |      ORDER BY doc_id) AS rn
+        |  FROM sz),
+        |walk(bucket, rn, doc_id, txt, mb, shard_rel, fill) AS (
+        |  SELECT bucket, rn, doc_id, txt, mb, cast(0 AS BIGINT), mb
+        |  FROM m WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.bucket, d.rn, d.doc_id, d.txt, d.mb,
+        |    w.shard_rel + CASE WHEN w.fill > 0 AND
+        |      w.fill + d.mb > 31744 THEN 1 ELSE 0 END,
+        |    CASE WHEN w.fill > 0 AND w.fill + d.mb > 31744
+        |      THEN d.mb ELSE w.fill + d.mb END
+        |  FROM walk w JOIN m d
+        |    ON d.bucket = w.bucket AND d.rn = w.rn + 1),
+        |bu AS (
+        |  SELECT bucket, max(shard_rel) + 1 AS nb
+        |  FROM walk GROUP BY bucket),
+        |gbase AS (
+        |  SELECT bucket, coalesce(sum(nb) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS base
+        |  FROM bu),
+        |sh AS (
+        |  SELECT w.shard_rel + g.base AS shard_id, w.doc_id, w.txt,
+        |    w.mb
+        |  FROM walk w JOIN gbase g USING (bucket))
+        |SELECT cast(shard_id AS BIGINT) AS shard_id,
+        |  cast(count(*) AS BIGINT) AS n_docs,
+        |  cast(count(*) * 2 AS BIGINT) AS n_members,
+        |  cast(sum(txt) AS BIGINT) AS txt_bytes,
+        |  cast(1024 + sum(mb) AS BIGINT) AS tar_bytes,
+        |  (1024 + sum(mb) <= 32768) OR count(*) = 1 AS fits
+        |FROM sh GROUP BY shard_id
         |ORDER BY shard_id""".stripMargin,
 
     // Replays the shard images' aHash from the generator (the tar

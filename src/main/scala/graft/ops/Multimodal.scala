@@ -334,6 +334,131 @@ object Multimodal {
       }
   }
 
+  /** One byte-budget shard's witnesses: doc/member counts, the BUILT
+    * archive's byte length, text payload bytes, and the budget
+    * verdict (a shard fits unless it is a single oversize member —
+    * the one case next-fit cannot avoid). */
+  case class BudgetShardMeta(shard_id: Long, n_docs: Long,
+      n_members: Long, txt_bytes: Long, tar_bytes: Long, fits: Boolean)
+
+  /** BYTE-BUDGET shard export — how real WebDataset writers actually
+    * cut shards: not `doc_id mod N` ([[shardExport]]) but "pack
+    * members until the next one would blow the size budget, then
+    * close the shard". Composes [[graft.ops.PackOps.nextFitPack]]'s
+    * distribution discipline with the tar build:
+    *
+    *   1. a NARROW manifest pass computes each doc's member-pair tar
+    *     footprint (two 512-byte headers + both payloads 512-padded —
+    *     pure layout arithmetic, no payload built yet);
+    *   2. the sequential next-fit walk (no splitting: a doc whose
+    *     pair doesn't fit the remainder closes the shard; a pair
+    *     larger than the whole budget gets its own shard) runs per
+    *     FIXED-SIZE id bucket as one `aggregate` HOF over the
+    *     bucket's sorted (id, bytes) array — deterministic arithmetic
+    *     bucket boundaries, memory bounded by `bucketSize`;
+    *   3. per-bucket shard counts concatenate into global shard ids
+    *     via [[graft.ops.PackOps.withGlobalOffset]] (one bounded
+    *     carry row per partition, never per bucket);
+    *   4. placements join back to the corpus and each shard's members
+    *     meet in ONE task to be serialized — the only payload-bearing
+    *     shuffle, and the one the product requires.
+    *
+    * The budget covers the WHOLE archive: members walk against
+    * `budget − 1024` so the two end-of-archive zero blocks always
+    * fit. Every shard's built length is certified against the
+    * oracle's independent walk + layout arithmetic, and `fits`
+    * asserts the contract: `tar_bytes <= budget` unless the shard is
+    * one oversize member pair. */
+  def shardExportBudget(spark: SparkSession, docs: DataFrame,
+      budgetBytes: Long = 16384L, bucketSize: Long = 64L): DataFrame = {
+    import spark.implicits._
+    require(budgetBytes > 1024, "budget must exceed the tar end blocks")
+    val cap = budgetBytes - 1024L
+    // 1. narrow manifest: the member-pair footprint from the SAME
+    // generator arithmetic the build step uses (byte-exact by
+    // construction, since both call genImage)
+    val manifest = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val (_, w, h, _) = genImage(text)
+          val txt = text.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8).length.toLong
+          val ppm = 9L + w.toString.length + h.toString.length +
+            w.toLong * h * 3
+          val mb = 512L + (txt + 511) / 512 * 512 +
+            512L + (ppm + 511) / 512 * 512
+          (id, mb)
+        }
+      }
+      .toDF("id", "mb")
+    // 2. the per-bucket sequential walk (mirrors PackOps.nextFitPack's
+    // accumulator shape, without the spanning arm — shards never
+    // split a member pair)
+    val grouped = manifest
+      .select(DedupOps.idiv(col("id"), lit(bucketSize)).as("bucket"),
+        col("id"), col("mb"))
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("id"), col("mb"))))
+        .as("ds"))
+    val walk = expr(
+      s"""aggregate(ds,
+         |  named_struct('shard', 0L, 'fill', 0L,
+         |    'out', cast(array() as array<struct<
+         |      id: bigint, mb: bigint, shard_rel: bigint>>)),
+         |  (acc, d) -> named_struct(
+         |    'shard', acc.shard
+         |      + if(acc.fill > 0L and acc.fill + d.mb > $cap, 1L, 0L),
+         |    'fill', if(acc.fill > 0L and acc.fill + d.mb > $cap,
+         |      d.mb, acc.fill + d.mb),
+         |    'out', acc.out || array(named_struct(
+         |      'id', d.id, 'mb', d.mb,
+         |      'shard_rel', acc.shard
+         |        + if(acc.fill > 0L and acc.fill + d.mb > $cap,
+         |             1L, 0L)))),
+         |  acc -> acc.out)""".stripMargin)
+    val placed = grouped
+      .select(col("bucket"), explode(walk).as("p"))
+      .select(col("bucket"), col("p.id").as("id"), col("p.mb").as("mb"),
+        col("p.shard_rel").as("shard_rel"))
+      .localCheckpoint(true)
+    // 3. global shard ids: exclusive scan of per-bucket shard counts
+    val totals = placed.groupBy(col("bucket"))
+      .agg((max(col("shard_rel")) + 1L).as("nb"))
+    val bases = PackOps.withGlobalOffset(totals, "bucket", "nb", "base")
+      .select(col("bucket"), col("base"))
+    val withSid = placed.join(bases, Seq("bucket"))
+      .select((col("base") + col("shard_rel")).as("shard_id"), col("id"))
+    // 4. members meet their shard (the one payload shuffle), build +
+    // self-check the archive, certify against the budget
+    withSid
+      .join(docs.select(col("doc_id").cast("long").as("id"), col("text")),
+        Seq("id"))
+      .groupBy(col("shard_id"))
+      .agg(sort_array(collect_list(struct(col("id").as("_1"),
+        col("text").as("_2")))).as("members"))
+      .select(col("shard_id").as("_1"), col("members").as("_2"))
+      .as[(Long, Seq[(Long, String)])]
+      .map { case (sid, members) =>
+        val entries = members.flatMap { case (id, text) =>
+          val (_, w, h, rgb) = genImage(text)
+          Seq(
+            s"$id.txt" ->
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            s"$id.ppm" -> ImageCodec.encodePpm(w, h, rgb))
+        }
+        val tar = TarCodec.encode(entries)
+        require(TarCodec.decode(tar).length == entries.length,
+          s"shard $sid: decode-back member count mismatch")
+        BudgetShardMeta(sid, members.size.toLong, entries.size.toLong,
+          members.map(_._2.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8).length.toLong).sum,
+          tar.length.toLong,
+          tar.length <= budgetBytes || members.size == 1)
+      }
+      .toDF()
+  }
+
   // ---- audio: real WAV/PCM16 payloads --------------------------------
 
   /** Build a media table of REAL ENCODED WAV CLIPS from documents:
