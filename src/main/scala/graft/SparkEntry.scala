@@ -5340,6 +5340,45 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ★ r12: REAL BASELINE JPEG decode — the format a real media
+    // crawl is overwhelmingly made of: per doc a constant-block
+    // grayscale picture encoded as interleaved 4:2:0 baseline JPEG
+    // (real DQT/DHT/SOF0/SOS syntax, Huffman-coded DC deltas through
+    // the spec's Annex K DC table), decoded by a full general
+    // baseline decoder (ops.JpegCodec: canonical Huffman
+    // construction, entropy scan with byte unstuffing, dequant,
+    // exact separable IDCT, chroma upsampling, JFIF color convert).
+    // Constant blocks under all-ones quantization survive JPEG
+    // EXACTLY (only DC is nonzero), so the oracle replays the full
+    // decoded pixel plane from the generator arithmetic; general AC
+    // / ZRL / restart decoding is gated by hand-assembled streams in
+    // JpegCodecSpec. Container length is Huffman-output-defined and
+    // stays out of the contract (the PNG discipline).
+    "multimodal_jpeg" -> ((s, d) => {
+      ops.Multimodal.decodeAll(s,
+        ops.Multimodal.jpegImageTable(s, t(s, d, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"), col("format"),
+          col("px_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ★ r12: the FOUR-format heterogeneous corpus (cp0 mod 4 → PPM /
+    // BMP / PNG / JPEG over the shared constant-block picture) — the
+    // media-crawl mix including the lossy format, dispatched per row
+    // by magic bytes through the same sniffer. A mis-route of any
+    // row to the wrong parser shifts px_sum immediately.
+    "multimodal_mixed4" -> ((s, d) => {
+      ops.Multimodal.decodeAll(s,
+        ops.Multimodal.mixed4ImageTable(s, t(s, d, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"), col("format"),
+          col("px_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ★ r11: rate normalization — decode → deinterleave channel 0 →
     // integer nearest-neighbor resample to 8 kHz (the pass a speech
     // corpus runs so every clip feeds the model at one rate; the
@@ -10301,6 +10340,63 @@ object SparkEntry {
         |  cast(h as integer) AS height,
         |  CASE cp0 % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
         |    ELSE 'png' END AS format,
+        |  px.px_sum
+        |FROM sz JOIN px USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Replays the constant-block generator: w/h from the first two
+    // codepoints (multiples of 16), block b flat gray
+    // (s0 + 17·b) mod 256, px_sum = 192·Σ block values (64 pixels ×
+    // 3 channels per block). A match certifies the WHOLE baseline
+    // decode chain — Huffman DC deltas, dequant, IDCT, 4:2:0
+    // upsample, color convert — reproduced every pixel.
+    "multimodal_jpeg" ->
+      """WITH sz AS (
+        |  SELECT doc_id,
+        |    (ascii(substr(text, 1, 1)) % 4 + 1) * 16 AS w,
+        |    (ascii(substr(text, 2, 1)) % 4 + 1) * 16 AS h,
+        |    (ascii(substr(text, 1, 1)) * 7 +
+        |     ascii(substr(text, 2, 1)) * 13) % 256 AS s0
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |    cast(sum(192 * ((s0 + 17 * b) % 256)) as bigint) AS px_sum
+        |  FROM sz,
+        |    LATERAL unnest(generate_series(0, (w // 8) * (h // 8) - 1))
+        |      t(b)
+        |  GROUP BY doc_id)
+        |SELECT sz.doc_id,
+        |  cast(w as integer) AS width,
+        |  cast(h as integer) AS height,
+        |  'jpeg' AS format,
+        |  px.px_sum
+        |FROM sz JOIN px USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // The 4-format split over the same block generator — the witness
+    // is the shared full-plane px_sum, so a sniffer mis-route shows
+    // up as a value mismatch in any arm.
+    "multimodal_mixed4" ->
+      """WITH sz AS (
+        |  SELECT doc_id,
+        |    ascii(substr(text, 1, 1)) AS cp0,
+        |    (ascii(substr(text, 1, 1)) % 4 + 1) * 16 AS w,
+        |    (ascii(substr(text, 2, 1)) % 4 + 1) * 16 AS h,
+        |    (ascii(substr(text, 1, 1)) * 7 +
+        |     ascii(substr(text, 2, 1)) * 13) % 256 AS s0
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |    cast(sum(192 * ((s0 + 17 * b) % 256)) as bigint) AS px_sum
+        |  FROM sz,
+        |    LATERAL unnest(generate_series(0, (w // 8) * (h // 8) - 1))
+        |      t(b)
+        |  GROUP BY doc_id)
+        |SELECT sz.doc_id,
+        |  cast(w as integer) AS width,
+        |  cast(h as integer) AS height,
+        |  CASE cp0 % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+        |    WHEN 2 THEN 'png' ELSE 'jpeg' END AS format,
         |  px.px_sum
         |FROM sz JOIN px USING (doc_id)
         |ORDER BY doc_id""".stripMargin,

@@ -85,9 +85,11 @@ object ImageCodec {
 
   /** Decode by magic sniffing: `P6` → PPM, `BM` → BMP,
     * `\x89PNG` → [[PngCodec]] (real zlib DEFLATE + all five scanline
-    * filters). Fails loud on anything else — callers with opaque
-    * non-image payloads belong on the payload-agnostic operators
-    * ([[Multimodal.phashBytes]], feature extraction), not the codec. */
+    * filters), `\xff\xd8` → [[JpegCodec]] (real baseline
+    * sequential-DCT decode). Fails loud on anything else — callers
+    * with opaque non-image payloads belong on the payload-agnostic
+    * operators ([[Multimodal.phashBytes]], feature extraction), not
+    * the codec. */
   def decode(bytes: Array[Byte]): Image = {
     require(bytes.length >= 2, "payload too short to sniff")
     if (bytes(0) == 'P'.toByte && bytes(1) == '6'.toByte) decodePpm(bytes)
@@ -95,6 +97,8 @@ object ImageCodec {
       decodeBmp(bytes)
     else if (bytes(0) == 0x89.toByte && bytes(1) == 'P'.toByte)
       PngCodec.decode(bytes)
+    else if (bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte)
+      JpegCodec.decode(bytes)
     else throw new IllegalArgumentException(
       s"unsupported image magic: 0x${"%02x%02x".format(bytes(0), bytes(1))}")
   }

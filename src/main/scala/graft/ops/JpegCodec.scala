@@ -1,0 +1,591 @@
+package graft.ops
+
+/** Pure-JVM baseline JPEG codec (ITU-T T.81 / ISO 10918-1, the public
+  * spec): a REAL sequential-DCT decoder — marker segment walk,
+  * 8-bit quantization tables, canonical Huffman table construction
+  * (spec F.2.2.3 mincode/maxcode/valptr), the full entropy-coded
+  * MCU scan with DC prediction + AC run/size coding + byte
+  * unstuffing + restart markers, dequantization, an exact separable
+  * IDCT (StrictMath cosines, so the arithmetic is bit-deterministic
+  * across JVMs), subsampled-plane upsampling (4:4:4 / 4:2:2 / 4:2:0),
+  * and the JFIF YCbCr→RGB conversion. Crawled images are
+  * overwhelmingly JPEG — this makes the magic-sniffed decode path
+  * ([[ImageCodec.decode]]) representative of a real media crawl.
+  *
+  * The ENCODER side is deliberately narrow: it emits grayscale
+  * constant-block images (each 8×8 block one value, chroma flat 128)
+  * in full 4:2:0 interleaved baseline syntax. JPEG is lossy, but a
+  * constant block survives the round trip EXACTLY when the
+  * quantization tables are all ones: the block's only nonzero
+  * coefficient is DC = 8·(v−128), and IDCT(DC)/8 + 128 = v with no
+  * rounding loss — so the DuckDB oracle can replay decoded pixels
+  * from the generator arithmetic while the decoder still performs
+  * every step of a general baseline decode (the entropy stream
+  * carries real per-block DC deltas through real Huffman tables).
+  * General AC decoding, ZRL runs, and restart intervals are gated by
+  * hand-assembled streams in JpegCodecSpec, independent of this
+  * encoder.
+  *
+  * Scale note: like the other codecs this is row-local, map-shaped
+  * work inside `mapPartitions` — payloads and sample planes never
+  * leave the task; only witness columns travel.
+  *
+  * Beyond-reference surface: the reference engine has no binary type
+  * at all (SURVEY §1.2; reference src/datatypes/mod.rs:14-22).
+  */
+object JpegCodec {
+
+  // ---- shared tables ---------------------------------------------------
+
+  /** Zigzag order: zigzag(k) = raster index (v*8+u) of scan position k. */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Annex K.3.1 luminance DC table (the spec's own example table —
+    * varied code lengths, so canonical construction is exercised). */
+  private val StdDcBits: Array[Int] =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val StdDcVals: Array[Int] = (0 to 11).toArray
+
+  /** Minimal AC table the encoder declares: one length-2 code for EOB
+    * (constant blocks have no AC energy; the file is self-describing
+    * so any canonical table is legal JPEG). */
+  private val EobAcBits: Array[Int] =
+    Array(0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val EobAcVals: Array[Int] = Array(0x00)
+
+  /** Canonical code assignment (spec C.2): codes of length L are
+    * consecutive, doubling when the length grows. Returns
+    * symbol → (code, length). */
+  private def canonicalCodes(bits: Array[Int],
+      vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        out += vals(k) -> ((code, len))
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    out.result()
+  }
+
+  // ---- encoder ---------------------------------------------------------
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0L
+    private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); n += len
+      while (n >= 8) {
+        val b = ((acc >> (n - 8)) & 0xff).toInt
+        out.write(b)
+        if (b == 0xff) out.write(0x00) // byte stuffing
+        n -= 8
+      }
+    }
+    def flush(): Unit = if (n > 0) { // pad with 1-bits per the spec
+      val b = (((acc << (8 - n)) | ((1 << (8 - n)) - 1)) & 0xff).toInt
+      out.write(b)
+      if (b == 0xff) out.write(0x00)
+      n = 0
+    }
+  }
+
+  private def seg(out: java.io.ByteArrayOutputStream, marker: Int,
+      payload: Array[Byte]): Unit = {
+    out.write(0xff); out.write(marker)
+    val len = payload.length + 2
+    out.write((len >> 8) & 0xff); out.write(len & 0xff)
+    out.write(payload, 0, payload.length)
+  }
+
+  /** Encode a grayscale CONSTANT-BLOCK image as interleaved baseline
+    * 4:2:0 JPEG: dimensions must be multiples of 16; `blockVals` has
+    * one 0..255 value per 8×8 luma block, raster order
+    * (by·(w/8)+bx). Quant tables are all ones and chroma is flat 128,
+    * so decoding reproduces every pixel exactly (see object doc). */
+  def encodeGrayBlocks(width: Int, height: Int,
+      blockVals: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 &&
+      width % 16 == 0 && height % 16 == 0,
+      "JPEG encoder: dimensions must be positive multiples of 16")
+    val bw = width / 8; val bh = height / 8
+    require(blockVals.length == bw * bh,
+      s"JPEG encoder: ${blockVals.length} block values != ${bw * bh}")
+    require(blockVals.forall(v => v >= 0 && v <= 255),
+      "JPEG encoder: block values must be 0..255")
+    val out = new java.io.ByteArrayOutputStream(blockVals.length * 4 + 1024)
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(out, 0xe0, Array[Byte](                        // APP0 JFIF
+      'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    // DQT: two all-ones tables (id 0 luma, id 1 chroma)
+    for (id <- 0 to 1)
+      seg(out, 0xdb, (id.toByte +: Array.fill(64)(1.toByte)).toArray)
+    // SOF0: 8-bit, 3 components, Y 2x2 q0 / Cb 1x1 q1 / Cr 1x1 q1
+    seg(out, 0xc0, Array[Byte](8,
+      ((height >> 8) & 0xff).toByte, (height & 0xff).toByte,
+      ((width >> 8) & 0xff).toByte, (width & 0xff).toByte,
+      3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    // DHT: DC tables (Annex K luma DC for both), minimal EOB AC tables
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit =
+      seg(out, 0xc4, (((cls << 4) | id).toByte +:
+        (bits.map(_.toByte) ++ vals.map(_.toByte))).toArray)
+    dht(0, 0, StdDcBits, StdDcVals); dht(1, 0, EobAcBits, EobAcVals)
+    dht(0, 1, StdDcBits, StdDcVals); dht(1, 1, EobAcBits, EobAcVals)
+    // SOS: 3 components, Y tables 0/0, chroma 1/1
+    seg(out, 0xda, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+    val dcCodes = canonicalCodes(StdDcBits, StdDcVals)
+    val eob = canonicalCodes(EobAcBits, EobAcVals)(0x00)
+    val bits = new BitWriter(out)
+    def putDc(diff: Int): Unit = {
+      val cat = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (code, len) = dcCodes(cat)
+      bits.put(code, len)
+      if (cat > 0)
+        bits.put(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
+    }
+    var predY = 0
+    val mcusX = width / 16; val mcusY = height / 16
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        // 4 Y blocks, left-to-right top-to-bottom inside the MCU
+        var vy = 0
+        while (vy < 2) {
+          var vx = 0
+          while (vx < 2) {
+            val dc = 8 * (blockVals((my * 2 + vy) * bw + mx * 2 + vx)
+              - 128)
+            putDc(dc - predY); predY = dc
+            bits.put(eob._1, eob._2)
+            vx += 1
+          }
+          vy += 1
+        }
+        // flat chroma: DC diff 0 (category 0), EOB — twice
+        val zeroCat = dcCodes(0)
+        bits.put(zeroCat._1, zeroCat._2); bits.put(eob._1, eob._2)
+        bits.put(zeroCat._1, zeroCat._2); bits.put(eob._1, eob._2)
+        mx += 1
+      }
+      my += 1
+    }
+    bits.flush()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ---- decoder ---------------------------------------------------------
+
+  /** Decode-side Huffman table: spec F.2.2.3 structures. */
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17) // -1 = no codes of this length
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) > 0) {
+          valPtr(l) = k; minCode(l) = code
+          code += bits(l - 1); k += bits(l - 1)
+          maxCode(l) = code - 1
+        } else maxCode(l) = -1
+        code <<= 1; l += 1
+      }
+      require(k == vals.length, "JPEG: malformed DHT counts")
+    }
+    def value(idx: Int): Int = vals(idx)
+  }
+
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var n = 0
+    /** True if positioned at a marker (0xFF followed by non-stuffing). */
+    def atMarker: Boolean =
+      pos + 1 < bytes.length && (bytes(pos) & 0xff) == 0xff &&
+        bytes(pos + 1) != 0
+    def readBit(): Int = {
+      if (n == 0) {
+        require(pos < bytes.length, "JPEG: truncated entropy stream")
+        val b = bytes(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          require(pos < bytes.length, "JPEG: truncated entropy stream")
+          val b2 = bytes(pos) & 0xff
+          require(b2 == 0x00,
+            f"JPEG: unexpected marker 0xff$b2%02x inside entropy stream")
+          pos += 1
+        }
+        acc = b; n = 8
+      }
+      n -= 1
+      (acc >> n) & 1
+    }
+    def readBits(len: Int): Int = {
+      var v = 0; var i = 0
+      while (i < len) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    def byteAlign(): Unit = { n = 0 }
+    /** Consume an expected RSTn marker at a restart boundary. */
+    def expectRst(which: Int): Unit = {
+      byteAlign()
+      require(pos + 1 < bytes.length &&
+          (bytes(pos) & 0xff) == 0xff &&
+          (bytes(pos + 1) & 0xff) == 0xd0 + which,
+        s"JPEG: expected RST$which marker at byte $pos")
+      pos += 2
+    }
+  }
+
+  private def decodeHuff(r: BitReader, t: HuffTable): Int = {
+    var code = r.readBit()
+    var l = 1
+    while (t.maxCode(l) < 0 || code > t.maxCode(l)) {
+      code = (code << 1) | r.readBit()
+      l += 1
+      require(l <= 16, "JPEG: invalid Huffman code in entropy stream")
+    }
+    t.value(t.valPtr(l) + code - t.minCode(l))
+  }
+
+  /** EXTEND (spec F.2.2.1): map `cat` magnitude bits to a signed
+    * coefficient. */
+  private def extend(v: Int, cat: Int): Int =
+    if (cat == 0) 0
+    else if (v < (1 << (cat - 1))) v - (1 << cat) + 1
+    else v
+
+  /** Precomputed StrictMath cosine basis: cosT(u)(x) =
+    * cos((2x+1)·u·π/16), with C(u) folded in — deterministic across
+    * JVMs (StrictMath, not platform-intrinsic Math). */
+  private val CosT: Array[Array[Double]] = Array.tabulate(8, 8) {
+    (u, x) =>
+      val c = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
+      c * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
+  }
+
+  /** Exact separable 8×8 IDCT + level shift + clamp: coef is raster
+    * (v*8+u) dequantized; out gets 0..255 samples. */
+  private def idct(coef: Array[Int], out: Array[Int]): Unit = {
+    // rows: t(v)(x) = Σu C(u) F(u,v) cosT(u)(x)
+    val t = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += CosT(u)(x) * coef(v * 8 + u); u += 1 }
+        t(v * 8 + x) = s
+        x += 1
+      }
+      v += 1
+    }
+    // columns: s(x,y) = 1/4 Σv C(v) t(v)(x) cosT(v)(y)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var vv = 0
+        while (vv < 8) { s += CosT(vv)(y) * t(vv * 8 + x); vv += 1 }
+        val px = StrictMath.round(s / 4.0 + 128.0).toInt
+        out(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  private final case class Component(id: Int, h: Int, v: Int, tq: Int) {
+    var dcTable: HuffTable = _
+    var acTable: HuffTable = _
+    var pred: Int = 0
+    var plane: Array[Int] = _ // blocksX*8 wide
+    var planeW: Int = 0
+  }
+
+  /** Decode a baseline sequential JPEG (SOF0, 8-bit, Huffman,
+    * interleaved single scan, grayscale or YCbCr, sampling factors
+    * 1..2, restart intervals honored). Every header field is
+    * UNTRUSTED: segment lengths are bounds-checked, dimensions gated
+    * before allocation, table references must resolve, the entropy
+    * stream must not run past the data, and trailing bytes after EOI
+    * are corruption (the [[PngCodec]] posture). */
+  def decode(bytes: Array[Byte]): ImageCodec.Image = {
+    require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8,
+      "JPEG: bad magic (missing SOI)")
+    var pos = 2
+    val qtables = new Array[Array[Int]](4)
+    val htables =
+      scala.collection.mutable.Map.empty[(Int, Int), HuffTable]
+    var comps: Array[Component] = null
+    var w = -1; var h = -1
+    var restartInterval = 0
+    var sawEoi = false
+
+    def u16(at: Int): Int =
+      ((bytes(at) & 0xff) << 8) | (bytes(at + 1) & 0xff)
+
+    while (!sawEoi) {
+      require(pos + 1 < bytes.length, "JPEG: truncated marker stream")
+      require((bytes(pos) & 0xff) == 0xff,
+        f"JPEG: expected marker at byte $pos, got 0x${bytes(pos)}%02x")
+      while (pos + 1 < bytes.length && (bytes(pos + 1) & 0xff) == 0xff)
+        pos += 1 // fill bytes
+      val marker = bytes(pos + 1) & 0xff
+      pos += 2
+      marker match {
+        case 0xd9 => sawEoi = true
+        case m if m >= 0xe0 && m <= 0xef || m == 0xfe => // APPn / COM
+          require(pos + 2 <= bytes.length, "JPEG: truncated segment")
+          val len = u16(pos)
+          require(len >= 2 && pos + len <= bytes.length,
+            s"JPEG: segment length $len outside the file")
+          pos += len
+        case 0xdb => // DQT
+          val len = u16(pos)
+          require(len >= 2 && pos + len <= bytes.length,
+            "JPEG: DQT length outside the file")
+          var p = pos + 2
+          while (p < pos + len) {
+            val pq = (bytes(p) & 0xff) >> 4
+            val tq = bytes(p) & 0x0f
+            require(pq == 0, "JPEG: only 8-bit quantization supported")
+            require(p + 65 <= pos + len, "JPEG: truncated DQT table")
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) { t(i) = bytes(p + 1 + i) & 0xff; i += 1 }
+            qtables(tq) = t
+            p += 65
+          }
+          pos += len
+        case 0xc4 => // DHT
+          val len = u16(pos)
+          require(len >= 2 && pos + len <= bytes.length,
+            "JPEG: DHT length outside the file")
+          var p = pos + 2
+          while (p < pos + len) {
+            val cls = (bytes(p) & 0xff) >> 4
+            val id = bytes(p) & 0x0f
+            require(cls <= 1 && id <= 3, "JPEG: bad DHT class/id")
+            require(p + 17 <= pos + len, "JPEG: truncated DHT counts")
+            val bits17 = Array.tabulate(16)(i => bytes(p + 1 + i) & 0xff)
+            val n = bits17.sum
+            require(n <= 256 && p + 17 + n <= pos + len,
+              "JPEG: truncated DHT values")
+            val vals = Array.tabulate(n)(i => bytes(p + 17 + i) & 0xff)
+            htables((cls, id)) = new HuffTable(bits17, vals)
+            p += 17 + n
+          }
+          pos += len
+        case 0xc0 => // SOF0: baseline sequential
+          val len = u16(pos)
+          require(len >= 2 && pos + len <= bytes.length,
+            "JPEG: SOF0 length outside the file")
+          require(bytes(pos + 2) == 8,
+            "JPEG: only 8-bit precision supported")
+          h = u16(pos + 3); w = u16(pos + 5)
+          require(w > 0 && h > 0 && w.toLong * h * 3 <= Int.MaxValue,
+            s"JPEG: unreasonable dimensions $w x $h")
+          val nc = bytes(pos + 7) & 0xff
+          require(nc == 1 || nc == 3,
+            s"JPEG: only 1 or 3 components supported ($nc)")
+          require(len == 8 + 3 * nc, "JPEG: malformed SOF0 length")
+          comps = Array.tabulate(nc) { i =>
+            val b = pos + 8 + 3 * i
+            val hv = bytes(b + 1) & 0xff
+            val c = Component(bytes(b) & 0xff, hv >> 4, hv & 0x0f,
+              bytes(b + 2) & 0x0f)
+            require(c.h >= 1 && c.h <= 2 && c.v >= 1 && c.v <= 2,
+              s"JPEG: unsupported sampling factor ${c.h}x${c.v}")
+            c
+          }
+          pos += len
+        case m if m == 0xc1 || m == 0xc2 || m == 0xc3 ||
+            (m >= 0xc5 && m <= 0xc7) || (m >= 0xc9 && m <= 0xcf
+              && m != 0xcc) =>
+          throw new IllegalArgumentException(
+            f"JPEG: only baseline sequential (SOF0) supported " +
+              f"(marker 0xff$m%02x)")
+        case 0xdd => // DRI
+          val len = u16(pos)
+          require(len == 4 && pos + len <= bytes.length,
+            "JPEG: malformed DRI")
+          restartInterval = u16(pos + 2)
+          pos += len
+        case 0xda => // SOS: decode the scan, then continue the walk
+          require(comps != null, "JPEG: SOS before SOF0")
+          val len = u16(pos)
+          require(len >= 2 && pos + len <= bytes.length,
+            "JPEG: SOS length outside the file")
+          val ns = bytes(pos + 2) & 0xff
+          require(ns == comps.length,
+            "JPEG: scan must cover all frame components (interleaved)")
+          var i = 0
+          while (i < ns) {
+            val cs = bytes(pos + 3 + 2 * i) & 0xff
+            val td = (bytes(pos + 4 + 2 * i) & 0xff) >> 4
+            val ta = bytes(pos + 4 + 2 * i) & 0x0f
+            val c = comps.find(_.id == cs).getOrElse(
+              throw new IllegalArgumentException(
+                s"JPEG: scan references unknown component $cs"))
+            c.dcTable = htables.getOrElse((0, td),
+              throw new IllegalArgumentException(
+                s"JPEG: missing DC Huffman table $td"))
+            c.acTable = htables.getOrElse((1, ta),
+              throw new IllegalArgumentException(
+                s"JPEG: missing AC Huffman table $ta"))
+            i += 1
+          }
+          pos += len
+          pos = decodeScan(bytes, pos, w, h, comps, qtables,
+            restartInterval)
+        case m =>
+          throw new IllegalArgumentException(
+            f"JPEG: unsupported marker 0xff$m%02x")
+      }
+    }
+    require(pos == bytes.length,
+      s"JPEG: ${bytes.length - pos} trailing bytes after EOI")
+    require(comps != null && comps.forall(_.plane != null),
+      "JPEG: no decoded scan")
+    toRgb(w, h, comps)
+  }
+
+  /** Entropy-decode one interleaved scan; returns the position just
+    * past the scan data. */
+  private def decodeScan(bytes: Array[Byte], start: Int, w: Int,
+      h: Int, comps: Array[Component], qtables: Array[Array[Int]],
+      restartInterval: Int): Int = {
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    comps.foreach { c =>
+      require(qtables(c.tq) != null,
+        s"JPEG: missing quantization table ${c.tq}")
+      c.planeW = mcusX * c.h * 8
+      c.plane = new Array[Int](c.planeW * mcusY * c.v * 8)
+      c.pred = 0
+    }
+    val r = new BitReader(bytes, start)
+    val zz = new Array[Int](64)
+    val px = new Array[Int](64)
+    var mcu = 0
+    var rstIdx = 0
+    val totalMcus = mcusX * mcusY
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 &&
+          mcu % restartInterval == 0) {
+        r.expectRst(rstIdx % 8)
+        rstIdx += 1
+        comps.foreach(_.pred = 0)
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      comps.foreach { c =>
+        val q = qtables(c.tq)
+        var vy = 0
+        while (vy < c.v) {
+          var vx = 0
+          while (vx < c.h) {
+            java.util.Arrays.fill(zz, 0)
+            // DC
+            val cat = decodeHuff(r, c.dcTable)
+            require(cat <= 15, "JPEG: invalid DC category")
+            c.pred += extend(r.readBits(cat), cat)
+            zz(Zigzag(0)) = c.pred * q(0)
+            // AC run/size
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = decodeHuff(r, c.acTable)
+              val run = rs >> 4; val size = rs & 0x0f
+              if (size == 0) {
+                if (run == 15) { // ZRL: sixteen zeros
+                  k += 16
+                  require(k <= 64,
+                    "JPEG: ZRL run past the end of the block")
+                } else eob = true
+              } else {
+                k += run
+                require(k < 64,
+                  "JPEG: AC run past the end of the block")
+                zz(Zigzag(k)) = extend(r.readBits(size), size) * q(k)
+                k += 1
+              }
+            }
+            idct(zz, px)
+            // place into the component plane
+            val bx = (mx * c.h + vx) * 8
+            val by = (my * c.v + vy) * 8
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                c.plane((by + yy) * c.planeW + bx + xx) = px(yy * 8 + xx)
+                xx += 1
+              }
+              yy += 1
+            }
+            vx += 1
+          }
+          vy += 1
+        }
+      }
+      mcu += 1
+    }
+    r.byteAlign()
+    r.pos
+  }
+
+  /** Upsample (nearest, the JFIF convention) + YCbCr→RGB (or
+    * grayscale replication for 1-component frames). */
+  private def toRgb(w: Int, h: Int,
+      comps: Array[Component]): ImageCodec.Image = {
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val rgb = new Array[Byte](w * h * 3)
+    def sample(c: Component, x: Int, y: Int): Int =
+      c.plane((y * c.v / vMax) * c.planeW + (x * c.h / hMax))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val d = (y * w + x) * 3
+        if (comps.length == 1) {
+          val g = sample(comps(0), x, y).toByte
+          rgb(d) = g; rgb(d + 1) = g; rgb(d + 2) = g
+        } else {
+          val yy = sample(comps(0), x, y)
+          val cb = sample(comps(1), x, y) - 128
+          val cr = sample(comps(2), x, y) - 128
+          def clamp(v: Long): Byte =
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          // JFIF conversion in 16.16 fixed point: integer-exact and
+          // engine-replayable (no double rounding ambiguity)
+          rgb(d) = clamp((yy.toLong << 16) + 91881L * cr + 32768 >> 16)
+          rgb(d + 1) = clamp(
+            (yy.toLong << 16) - 22554L * cb - 46802L * cr + 32768 >> 16)
+          rgb(d + 2) = clamp((yy.toLong << 16) + 116130L * cb
+            + 32768 >> 16)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    ImageCodec.Image("jpeg", w, h, rgb)
+  }
+}

@@ -69,6 +69,93 @@ object Multimodal {
   case class DecodedMeta(doc_id: Long, width: Int, height: Int,
       format: String, n_bytes: Long, px_sum: Long)
 
+  /** The CONSTANT-BLOCK picture generator shared by the JPEG corpus
+    * and the 4-format mixed corpus: w = (cp0 mod 4 + 1)·16,
+    * h = (cp1 mod 4 + 1)·16 (multiples of 16 so 4:2:0 MCUs tile
+    * exactly), 8×8 block b (raster order) is the flat gray value
+    * (s0 + 17·b) mod 256. Constant blocks are the one picture family
+    * JPEG represents LOSSLESSLY under all-ones quantization (only the
+    * DC coefficient is nonzero — see [[JpegCodec]]), so the same
+    * arithmetic feeds the lossless formats and every oracle replay. */
+  private[ops] def genBlockImage(
+      text: String): (Int, Int, Int, Array[Int]) = {
+    val (cp0, cp1) = genCodepoints(text)
+    val w = (cp0 % 4 + 1) * 16
+    val h = (cp1 % 4 + 1) * 16
+    val s0 = (cp0 * 7 + cp1 * 13) % 256
+    val blocks = Array.tabulate((w / 8) * (h / 8))(b => (s0 + 17 * b) % 256)
+    (cp0, w, h, blocks)
+  }
+
+  /** Expand a block grid to the raster RGB plane (all three channels
+    * equal the block gray — the grayscale the JPEG arm encodes). */
+  private[ops] def blocksToRgb(w: Int, h: Int,
+      blocks: Array[Int]): Array[Byte] = {
+    val bw = w / 8
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = blocks((y / 8) * bw + x / 8).toByte
+        val d = (y * w + x) * 3
+        rgb(d) = v; rgb(d + 1) = v; rgb(d + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    rgb
+  }
+
+  /** Build a media table of REAL BASELINE JPEGs from documents: the
+    * constant-block picture per doc ([[genBlockImage]]), encoded as
+    * interleaved 4:2:0 baseline JPEG by [[JpegCodec.encodeGrayBlocks]]
+    * — real DQT/DHT/SOF0/SOS syntax, real Huffman-coded DC deltas.
+    * [[decodeAll]] gets the pixels back by a full general baseline
+    * decode (entropy scan, dequant, IDCT, upsample, color convert),
+    * not by trusting the generator. */
+  def jpegImageTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val (_, w, h, blocks) = genBlockImage(text)
+          (id, JpegCodec.encodeGrayBlocks(w, h, blocks))
+        }
+      }
+      .toDF("doc_id", "content")
+  }
+
+  /** The FOUR-format heterogeneous corpus (cp0 mod 4 → PPM / BMP /
+    * PNG / JPEG) over the constant-block picture — the realistic
+    * media-crawl mix including the lossy format, decodable to one
+    * shared pixel witness because constant blocks survive JPEG
+    * exactly. The decode stage dispatches per row by MAGIC BYTES
+    * through the same sniffer as [[mixedImageTable]]. */
+  def mixed4ImageTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val defl = new java.util.zip.Deflater(
+          java.util.zip.Deflater.BEST_SPEED, false)
+        endOnTaskCompletion(() => defl.end())
+        rows.map { case (id, text) =>
+          val (cp0, w, h, blocks) = genBlockImage(text)
+          val bytes = cp0 % 4 match {
+            case 0 => ImageCodec.encodePpm(w, h, blocksToRgb(w, h, blocks))
+            case 1 => ImageCodec.encodeBmp(w, h, blocksToRgb(w, h, blocks))
+            case 2 => PngCodec.encodeWith(w, h,
+              blocksToRgb(w, h, blocks), defl)
+            case _ => JpegCodec.encodeGrayBlocks(w, h, blocks)
+          }
+          (id, bytes)
+        }
+      }
+      .toDF("doc_id", "content")
+  }
+
   /** Build a media table from documents: the UTF-8 text bytes stand in
     * for an OPAQUE payload (perceptual hash / feature extraction /
     * frame sampling are payload-agnostic). For the real image codec

@@ -1,0 +1,238 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Gates for the baseline JPEG codec: constant-block exact round
+  * trips through the real entropy syntax, HAND-ASSEMBLED streams
+  * (independent of the encoder) exercising AC run/size decoding, ZRL,
+  * byte unstuffing, restart markers, and color conversion, an
+  * independent direct-2D IDCT cross-check, and hostile-input gates
+  * matching the PngCodec discipline. */
+class JpegCodecSpec extends SparkSpec {
+
+  // ---- tiny independent bit/segment assembler (no JpegCodec code) ---
+  private class Packer {
+    val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var n = 0
+    def seg(marker: Int, payload: Array[Int]): this.type = {
+      out.write(0xff); out.write(marker)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      payload.foreach(out.write)
+      this
+    }
+    def bits(s: String): this.type = {
+      s.foreach { c =>
+        acc = (acc << 1) | (c - '0'); n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00)
+          acc = 0; n = 0
+        }
+      }
+      this
+    }
+    def flushBits(): this.type = {
+      if (n > 0) {
+        val b = (acc << (8 - n)) | ((1 << (8 - n)) - 1)
+        out.write(b)
+        if (b == 0xff) out.write(0x00)
+        acc = 0; n = 0
+      }
+      this
+    }
+    def raw(vals: Int*): this.type = { vals.foreach(out.write); this }
+    def bytes: Array[Byte] = out.toByteArray
+  }
+
+  // shared segments for a grayscale 8x8 single-block file
+  private def grayHeader(p: Packer, w: Int, h: Int): Packer = {
+    p.raw(0xff, 0xd8)                                   // SOI
+    p.seg(0xdb, 0 +: Array.fill(64)(1))                 // DQT id0, all 1
+    p.seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff,
+      1, 1, 0x11, 0))                                   // SOF0, 1 comp
+    // DC table 0: Annex K luma DC (counts 0,1,5,1,1,1,1,1,1)
+    p.seg(0xc4, Array(0x00, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0,
+      0, 0) ++ (0 to 11))
+    // AC table 0: four length-2 codes: 00->EOB(0x00), 01->0x01
+    // (run 0 size 1), 10->ZRL(0xF0), 11->0x21 (run 2 size 1)
+    p.seg(0xc4, Array(0x10, 0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0, 0, 0x00, 0x01, 0xf0, 0x21))
+    p.seg(0xda, Array(1, 1, 0x00, 0, 63, 0))            // SOS
+  }
+
+  /** Independent direct 2-D IDCT (Math.cos, quadruple loop) for
+    * cross-checking — a different implementation shape than the
+    * codec's separable StrictMath version. */
+  private def directIdct(coef: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      var s = 0.0
+      for (v <- 0 until 8; u <- 0 until 8) {
+        val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+        val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+        s += cu * cv * coef(v * 8 + u) *
+          math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+          math.cos((2 * y + 1) * v * math.Pi / 16.0)
+      }
+      val px = math.round(s / 4.0 + 128.0).toInt
+      out(y * 8 + x) = math.max(0, math.min(255, px))
+    }
+    out
+  }
+
+  test("constant-block images round-trip EXACTLY through the real " +
+      "baseline syntax (the property the oracle replays)") {
+    val blocks = Array(40, 130, 200, 15, 255, 0, 128, 77)
+    val enc = JpegCodec.encodeGrayBlocks(32, 16, blocks)
+    val img = ImageCodec.decode(enc) // through the shared sniffer
+    assert(img.format == "jpeg" && img.width == 32 && img.height == 16)
+    for (y <- 0 until 16; x <- 0 until 32; c <- 0 until 2) {
+      val want = blocks((y / 8) * 4 + x / 8)
+      val got = img.rgb((y * 32 + x) * 3 + c) & 0xff
+      assert(got == want, s"pixel ($x,$y) channel $c: $got != $want")
+    }
+  }
+
+  test("hand-assembled stream: AC coefficients, a ZRL run, and DC " +
+      "prediction decode against an independent direct IDCT") {
+    // one 8x8 block: DC diff 3 (cat 2 -> DC code 011 + bits 11),
+    // AC k=1: size1 value 1 (01 + bit 1), ZRL (10) to k=18,
+    // AC k=18: size1 bits 0 -> EXTEND = -1, EOB (00)
+    val p = grayHeader(new Packer, 8, 8)
+    p.bits("011" + "11" + "01" + "1" + "10" + "01" + "0" + "00")
+      .flushBits()
+    p.raw(0xff, 0xd9)
+    val img = JpegCodec.decode(p.bytes)
+    assert(img.width == 8 && img.height == 8)
+    val zz = new Array[Int](64)
+    val zig = Array(0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11,
+      4, 5, 12, 19, 26)
+    zz(zig(0)) = 3; zz(zig(1)) = 1; zz(zig(18)) = -1
+    val want = directIdct(zz)
+    for (i <- 0 until 64) {
+      val got = img.rgb(i * 3) & 0xff
+      assert(math.abs(got - want(i)) <= 1,
+        s"sample $i: $got vs ${want(i)}")
+      assert(img.rgb(i * 3 + 1) == img.rgb(i * 3)) // grayscale replicate
+    }
+  }
+
+  test("restart intervals: DRI + RST0 resets DC prediction and " +
+      "byte-aligns, per the spec") {
+    val p = new Packer
+    p.raw(0xff, 0xd8)
+    p.seg(0xdb, 0 +: Array.fill(64)(1))
+    p.seg(0xc0, Array(8, 0, 8, 0, 16, 1, 1, 0x11, 0)) // 16x8: 2 MCUs
+    p.seg(0xc4, Array(0x00, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0,
+      0, 0) ++ (0 to 11))
+    p.seg(0xc4, Array(0x10, 0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0, 0, 0x00, 0x01, 0xf0))
+    p.seg(0xdd, Array(0, 1))                           // DRI = 1 MCU
+    p.seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
+    // MCU 0: DC diff +8 (cat 4: code 101, bits 1000), EOB
+    p.bits("101" + "1000" + "00").flushBits()
+    p.raw(0xff, 0xd0)                                  // RST0
+    // MCU 1: DC diff +8 again — prediction was RESET, so both
+    // blocks hold the same value
+    p.bits("101" + "1000" + "00").flushBits()
+    p.raw(0xff, 0xd9)
+    val img = JpegCodec.decode(p.bytes)
+    val b0 = img.rgb(0) & 0xff
+    val b1 = img.rgb(8 * 3) & 0xff
+    assert(b0 == b1, s"restart did not reset DC prediction: $b0 vs $b1")
+    assert(b0 == 129, s"DC 8 -> 8/8 + 128 = 129, got $b0")
+  }
+
+  test("the color path: a 4:2:0 three-component file with flat " +
+      "chroma converts by the JFIF fixed-point formula") {
+    val blocks = Array.fill(4)(200)
+    val enc = JpegCodec.encodeGrayBlocks(16, 16, blocks)
+    val img = JpegCodec.decode(enc)
+    // gray encoder writes Cb=Cr=128 -> R=G=B=Y exactly
+    assert(img.rgb.forall(b => (b & 0xff) == 200))
+  }
+
+  test("corruption fails loud: truncated entropy stream, stray " +
+      "marker mid-scan, invalid Huffman code, AC run past block end") {
+    val good = JpegCodec.encodeGrayBlocks(16, 16, Array(1, 2, 3, 4))
+    intercept[IllegalArgumentException] {
+      JpegCodec.decode(good.dropRight(8))
+    }
+    // flip a bit in the entropy stream: decodes to garbage DC or an
+    // invalid code — either way a parse error, never a wrong pixel
+    // silently (constant-block streams are short; an invalid Huffman
+    // path is the reachable failure)
+    intercept[IllegalArgumentException] {
+      val p = grayHeader(new Packer, 8, 8)
+      // DC cat 15 is not in the table: code 111111111 (9 ones) is the
+      // longest valid prefix + more ones -> invalid-code guard
+      p.bits("1111111111111111").flushBits()
+      p.raw(0xff, 0xd9)
+      JpegCodec.decode(p.bytes)
+    }
+    intercept[IllegalArgumentException] {
+      val p = grayHeader(new Packer, 8, 8)
+      // DC 0; ZRL x3 -> k=49; 14 single coefficients -> k=63; then
+      // run-2 symbol 0x21 lands k=65 -> the explicit run guard
+      p.bits("00" + "10" * 3 + ("01" + "1") * 14 + "11" + "1")
+        .flushBits()
+      p.raw(0xff, 0xd9)
+      JpegCodec.decode(p.bytes)
+    }
+    intercept[IllegalArgumentException] {
+      val p = grayHeader(new Packer, 8, 8)
+      // DC 0; ZRL x4 -> k=65: sixteen zeros past the block end
+      p.bits("00" + "10" * 4).flushBits()
+      p.raw(0xff, 0xd9)
+      JpegCodec.decode(p.bytes)
+    }
+    intercept[IllegalArgumentException] {
+      JpegCodec.decode(good ++ Array[Byte](1, 2, 3)) // trailing bytes
+    }
+  }
+
+  test("unsupported shapes are rejected, not mis-decoded: " +
+      "progressive SOF2, 12-bit precision, hostile dimensions") {
+    def sof(marker: Int, precision: Int, w: Int, h: Int): Array[Byte] = {
+      val p = new Packer
+      p.raw(0xff, 0xd8)
+      p.seg(0xdb, 0 +: Array.fill(64)(1))
+      p.seg(marker, Array(precision, h >> 8, h & 0xff, w >> 8,
+        w & 0xff, 1, 1, 0x11, 0))
+      p.bytes
+    }
+    intercept[IllegalArgumentException] {
+      JpegCodec.decode(sof(0xc2, 8, 8, 8))   // progressive
+    }
+    intercept[IllegalArgumentException] {
+      JpegCodec.decode(sof(0xc0, 12, 8, 8))  // 12-bit
+    }
+    intercept[IllegalArgumentException] {
+      JpegCodec.decode(sof(0xc0, 8, 40000, 40000)) // w*h*3 overflow
+    }
+    intercept[IllegalArgumentException] {
+      JpegCodec.decode("no jpeg here".getBytes("US-ASCII"))
+    }
+  }
+
+  test("the 4-format mixed corpus decodes every arm to the shared " +
+      "block witness (sniffer dispatch with the lossy format)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, Sf0001).limit(64)
+    val got = Multimodal.decodeAll(spark,
+      Multimodal.mixed4ImageTable(spark, docs)).collect()
+    assert(got.nonEmpty)
+    val byId = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(got.map(_.format).toSet.size >= 3, "format mix too narrow")
+    got.foreach { m =>
+      val (cp0, w, h, blocks) = Multimodal.genBlockImage(byId(m.doc_id))
+      assert(m.width == w && m.height == h)
+      assert(m.format == Seq("ppm", "bmp", "png", "jpeg")(cp0 % 4))
+      assert(m.px_sum == 192L * blocks.map(_.toLong).sum,
+        s"doc ${m.doc_id} (${m.format}) pixel witness")
+    }
+  }
+}
