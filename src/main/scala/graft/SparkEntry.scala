@@ -5817,6 +5817,65 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ★ r12: the quarantine lane THREADED THROUGH THE INGEST LOOP —
+    // the end-to-end production shape: batches arrive as gzip BLOBS,
+    // the loop decodes each batch once (payload mode), corrupt blobs
+    // land in the quarantine artifact under the SAME exactly-once
+    // tagged-overwrite discipline as the pack manifest (redelivery
+    // REPLACES the tag's files; the committed-tag replay below is a
+    // structural no-op — duplicate rows would break the oracle hash),
+    // and only cleanly decoded text reaches the gates. Corruption is
+    // planted by pure arithmetic (doc_id mod 10 = 2 → magic
+    // overwrite, = 7 → ISIZE trailer flip), so the oracle replays the
+    // artifact rows — batch, doc_id, and the decoder's own error
+    // class — without seeing a payload byte.
+    "pipeline_ingest_quarantine" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val run = java.util.UUID.randomUUID().toString.take(12)
+      val key = s"ingq_$run"
+      ops.IngestOps.buildInventory(s, key,
+        docs.filter(lit(false)), "text")
+      val qdir = ops.StorageOps.scratchPath(s"ingq_quar_$run")
+      val payloads = docs
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          val defl = new java.util.zip.Deflater(
+            java.util.zip.Deflater.BEST_SPEED, true)
+          ops.Multimodal.endOnTaskCompletion(() => defl.end())
+          val crc = new java.util.zip.CRC32()
+          rows.map { case (id, text) =>
+            val out = new java.io.ByteArrayOutputStream()
+            ops.CompressedOps.gzipMember(text.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8), defl, crc, out)
+            val b = out.toByteArray
+            if (id % 10 == 2) { b(0) = 'Z'.toByte; b(1) = 'Z'.toByte }
+            else if (id % 10 == 7)
+              b(b.length - 1) = (b(b.length - 1) ^ 0x10).toByte
+            (id, b)
+          }
+        }
+        .toDF("doc_id", "content")
+        .localCheckpoint(true)
+      val loop = new graft.streaming.IngestLoop(s, key, "doc_id",
+        "text", None, 16, None, None, None,
+        payloadCol = Some("content"), quarantineDir = Some(qdir))
+      val b0 = payloads.filter(pmod(col("doc_id"), lit(2)) === 0)
+      loop.processBatch(b0, "b0")
+      loop.processBatch(b0, "b0") // committed-tag redelivery: no-op
+      loop.processBatch(
+        payloads.filter(pmod(col("doc_id"), lit(2)) =!= 0), "b1")
+      val rep = loop.quarantineReport
+        .select(col("batch"), col("doc_id"), col("error_class"))
+        .orderBy(col("batch"), col("doc_id"))
+        .localCheckpoint(true)
+      ops.IngestOps.dropInventory(key)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(qdir))
+      rep
+    }),
+
     // ★ r12: the quarantine lane's per-class ACCOUNTING — the
     // operational dashboard row a crawl ingest reconciles against
     // (accepted + quarantined-by-class == seen): counts and witness
@@ -10285,6 +10344,18 @@ object SparkEntry {
         |  px.px_sum
         |FROM sz LEFT JOIN px USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Replays the ingest loop's quarantine artifact from the planting
+    // arithmetic: batch = parity, class = the decoder's diagnosis per
+    // rule (magic overwrite → bad_magic, ISIZE flip → integrity). A
+    // duplicate row from a mishandled redelivery would break the hash.
+    "pipeline_ingest_quarantine" ->
+      """SELECT 'b' || cast(doc_id % 2 as varchar) AS batch, doc_id,
+        |  CASE doc_id % 10 WHEN 2 THEN 'bad_magic'
+        |    ELSE 'integrity' END AS error_class
+        |FROM documents
+        |WHERE doc_id % 10 = 2 OR doc_id % 10 = 7
+        |ORDER BY batch, doc_id""".stripMargin,
 
     // The per-class accounting over the same planting arithmetic —
     // counts and clean-row pixel totals reconcile to the corpus size.

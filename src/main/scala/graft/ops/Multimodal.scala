@@ -34,7 +34,7 @@ object Multimodal {
     * ~270 KB off-heap per Deflater/Inflater, and leaving it to
     * finalization accumulates un-freed allocations on a long-lived
     * executor. No-op outside a task (driver-side unit-test calls). */
-  private[ops] def endOnTaskCompletion(end: () => Unit): Unit =
+  private[graft] def endOnTaskCompletion(end: () => Unit): Unit =
     Option(org.apache.spark.TaskContext.get())
       .foreach(_.addTaskCompletionListener[Unit](_ => end()))
 

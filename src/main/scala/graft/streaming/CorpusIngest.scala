@@ -269,7 +269,13 @@ final class IngestLoop(spark: SparkSession, key: String, idCol: String,
     segLen: Int = 16,
     wp: Option[graft.functions.WordPieceModel] = None,
     bpe: Option[graft.functions.BpeModel] = None,
-    packManifestDir: Option[String] = None) {
+    packManifestDir: Option[String] = None,
+    payloadCol: Option[String] = None,
+    quarantineDir: Option[String] = None) {
+
+  require(payloadCol.isEmpty || quarantineDir.nonEmpty,
+    "payload mode requires a quarantineDir — a crawl loop without a " +
+      "quarantine lane dies on its first corrupt blob")
 
   private val stageBuf =
     scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
@@ -328,18 +334,43 @@ final class IngestLoop(spark: SparkSession, key: String, idCol: String,
     stageBuf.filterInPlace(_._1 != tag)
     driftBuf.filterInPlace(_._1 != tag)
     acceptedInputFiles.filterInPlace(_._1 != tag)
+    // QUARANTINE LANE (payload mode): decode compressed blobs ONCE
+    // per batch (shared native Inflater per partition), route corrupt
+    // payloads into the quarantine artifact under the SAME
+    // exactly-once tagged-overwrite discipline as the pack manifest
+    // (a redelivery REPLACES the tag's quarantine files), and gate
+    // only the cleanly decoded rows. Accounting rows make the
+    // reconciliation auditable per batch:
+    // 0_incoming == 0a_decoded + 0b_quarantined.
+    val decodeStages = payloadCol match {
+      case Some(pc) =>
+        val decoded = decodePayloads(batch, pc).localCheckpoint(true)
+        val bad = decoded.filter(col("__err").isNotNull)
+          .select(lit(tag).as("batch"), col(idCol),
+            col("__err").as("error_class"))
+        graft.ops.IngestOps.overwriteTagged(spark, bad,
+          quarantineDir.get, tag, 1)
+        val ok = decoded.filter(col("__err").isNull)
+          .select(col(idCol), col(textCol))
+        Some((ok, bad))
+      case None => None
+    }
+    val gateInput = decodeStages.map(_._1).getOrElse(batch)
     // the lazy twin of this plan carries the no-corpus-read audit
     // surface; record it BEFORE the materialized run below
     acceptedInputFiles += ((tag, graft.ops.IngestOps.ingestBatch(spark,
-      key, batch, idCol, textCol, evalGrams, segLen).s4.inputFiles))
-    val st = graft.ops.IngestOps.ingestBatch(spark, key, batch, idCol,
-      textCol, evalGrams, segLen, materializeStages = true)
+      key, gateInput, idCol, textCol, evalGrams, segLen).s4.inputFiles))
+    val st = graft.ops.IngestOps.ingestBatch(spark, key, gateInput,
+      idCol, textCol, evalGrams, segLen, materializeStages = true)
     val accepted = st.s4.localCheckpoint(true)
-    // ONE action for all five stage accountings (a per-stage .head
-    // would pay five job round-trips per batch)
-    Seq("0_incoming" -> batch, "1_exact" -> st.s1,
-      "2_segments" -> st.s2, "3_quality" -> st.s3,
-      "4_decon" -> accepted)
+    // ONE action for all stage accountings (a per-stage .head
+    // would pay one job round-trip per stage per batch)
+    (Seq("0_incoming" -> batch) ++
+      decodeStages.toSeq.flatMap { case (ok, bad) =>
+        Seq("0a_decoded" -> ok, "0b_quarantined" -> bad) } ++
+      Seq("1_exact" -> st.s1,
+        "2_segments" -> st.s2, "3_quality" -> st.s3,
+        "4_decon" -> accepted))
       .map { case (nm, df) =>
         df.agg(count(lit(1)).as("n"),
           coalesce(sum(col(idCol)), lit(0L)).as("s"))
@@ -447,6 +478,42 @@ final class IngestLoop(spark: SparkSession, key: String, idCol: String,
     for (dir <- packManifestDir)
       graft.ops.IngestOps.compactDirIfNeeded(spark, dir)
     graft.ops.IngestOps.compactInventoryIfNeeded(spark, key)
+  }
+
+  /** Decode one payload batch: gzip member walk per row (one native
+    * Inflater per partition, the [[graft.ops.CompressedOps]]
+    * discipline) under the quarantine contract — corrupt blobs yield
+    * a classed `__err` instead of a dead stage. */
+  private def decodePayloads(batch: DataFrame, pc: String): DataFrame = {
+    import spark.implicits._
+    batch.select(col(idCol).cast("long"), col(pc))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val infl = new java.util.zip.Inflater(true)
+        graft.ops.Multimodal.endOnTaskCompletion(() => infl.end())
+        rows.map { case (id, content) =>
+          graft.ops.QuarantineOps.attempt(new String(
+            graft.ops.CompressedOps.gunzipWith(content, infl),
+            java.nio.charset.StandardCharsets.UTF_8)) match {
+            case Right(txt) => (id, txt, Option.empty[String])
+            case Left(cls)  => (id, "", Option(cls))
+          }
+        }
+      }
+      .toDF(idCol, textCol, "__err")
+  }
+
+  /** The persisted quarantine artifact (batch, doc_id, error_class) —
+    * empty frame if the loop ran without payload mode or quarantined
+    * nothing. */
+  def quarantineReport: DataFrame = quarantineDir match {
+    case Some(dir)
+        if java.nio.file.Files.exists(java.nio.file.Paths.get(dir)) =>
+      spark.read.parquet(dir)
+    case _ =>
+      import spark.implicits._
+      Seq.empty[(String, Long, String)]
+        .toDF("batch", idCol, "error_class")
   }
 
   /** Content fingerprint of a batch — row count + id sum, the stage-
