@@ -269,6 +269,16 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window",
       org.apache.logging.log4j.Level.ERROR)
+    // the streaming-loop queries (pipeline_ingest_stream and kin)
+    // re-emit ResolveWriteToStream's "adaptive ... will be disabled"
+    // WARN per micro-batch — dozens of repeats per sweep on the
+    // session log (the r11 verdict's residual-WARN note). Expected by
+    // construction for foreachBatch loops; silence the category in
+    // bench sessions so the whole session log is quiet end-to-end.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.runtime" +
+        ".ResolveWriteToStream",
+      org.apache.logging.log4j.Level.ERROR)
 
     // per-query shuffle-volume tally ("measure, don't guess"): total
     // shuffle bytes READ across each query's timed runs, attributed by
