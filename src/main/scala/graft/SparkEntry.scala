@@ -5837,19 +5837,34 @@ object SparkEntry {
       ops.IngestOps.buildInventory(s, key,
         docs.filter(lit(false)), "text")
       val qdir = ops.StorageOps.scratchPath(s"ingq_quar_$run")
+      // heterogeneous blobs, the real crawl mix: every third doc a
+      // checksummed zstd frame, the rest gzip members — the loop's
+      // decode stage dispatches per row by magic. Corruption rules
+      // are codec-agnostic: a magic overwrite is bad_magic either
+      // way; a flipped final byte lands in the gzip ISIZE trailer or
+      // the zstd frame checksum — both integrity by the decoders'
+      // own diagnosis.
       val payloads = docs
         .select(col("doc_id").cast("long"), col("text"))
         .as[(Long, String)]
         .mapPartitions { rows =>
           val defl = new java.util.zip.Deflater(
             java.util.zip.Deflater.BEST_SPEED, true)
-          ops.Multimodal.endOnTaskCompletion(() => defl.end())
+          val zc = new com.github.luben.zstd.ZstdCompressCtx()
+            .setLevel(3).setChecksum(true)
+          ops.Multimodal.endOnTaskCompletion { () =>
+            defl.end(); zc.close()
+          }
           val crc = new java.util.zip.CRC32()
           rows.map { case (id, text) =>
-            val out = new java.io.ByteArrayOutputStream()
-            ops.CompressedOps.gzipMember(text.getBytes(
-              java.nio.charset.StandardCharsets.UTF_8), defl, crc, out)
-            val b = out.toByteArray
+            val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val b =
+              if (id % 3 == 0) zc.compress(raw)
+              else {
+                val out = new java.io.ByteArrayOutputStream()
+                ops.CompressedOps.gzipMember(raw, defl, crc, out)
+                out.toByteArray
+              }
             if (id % 10 == 2) { b(0) = 'Z'.toByte; b(1) = 'Z'.toByte }
             else if (id % 10 == 7)
               b(b.length - 1) = (b(b.length - 1) ^ 0x10).toByte

@@ -480,21 +480,39 @@ final class IngestLoop(spark: SparkSession, key: String, idCol: String,
     graft.ops.IngestOps.compactInventoryIfNeeded(spark, key)
   }
 
-  /** Decode one payload batch: gzip member walk per row (one native
-    * Inflater per partition, the [[graft.ops.CompressedOps]]
-    * discipline) under the quarantine contract — corrupt blobs yield
-    * a classed `__err` instead of a dead stage. */
+  /** Decode one payload batch under the quarantine contract: per-row
+    * MAGIC dispatch between the compression formats a real crawl
+    * mixes — RFC 1952 gzip member walks and RFC 8878 zstd frame walks
+    * (one native Inflater + one zstd context per PARTITION, the
+    * [[graft.ops.CompressedOps]] discipline); unknown magic and
+    * corrupt streams yield a classed `__err` instead of a dead
+    * stage. */
   private def decodePayloads(batch: DataFrame, pc: String): DataFrame = {
     import spark.implicits._
     batch.select(col(idCol).cast("long"), col(pc))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val infl = new java.util.zip.Inflater(true)
-        graft.ops.Multimodal.endOnTaskCompletion(() => infl.end())
+        val zctx = new com.github.luben.zstd.ZstdDecompressCtx()
+        graft.ops.Multimodal.endOnTaskCompletion { () =>
+          infl.end(); zctx.close()
+        }
         rows.map { case (id, content) =>
-          graft.ops.QuarantineOps.attempt(new String(
-            graft.ops.CompressedOps.gunzipWith(content, infl),
-            java.nio.charset.StandardCharsets.UTF_8)) match {
+          graft.ops.QuarantineOps.attempt {
+            val raw =
+              if (content.length >= 2 && (content(0) & 0xff) == 0x1f &&
+                  (content(1) & 0xff) == 0x8b)
+                graft.ops.CompressedOps.gunzipWith(content, infl)
+              else if (content.length >= 4 &&
+                  (content(0) & 0xff) == 0x28 &&
+                  (content(1) & 0xff) == 0xb5 &&
+                  (content(2) & 0xff) == 0x2f &&
+                  (content(3) & 0xff) == 0xfd)
+                graft.ops.ZstdOps.unzstdWith(content, zctx)
+              else throw new IllegalArgumentException(
+                "payload: unsupported compression magic")
+            new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+          } match {
             case Right(txt) => (id, txt, Option.empty[String])
             case Left(cls)  => (id, "", Option(cls))
           }

@@ -18,8 +18,11 @@ class IngestQuarantineSpec extends SparkSpec {
 
   private val Sf001 = "/root/testdata/sf0.01"
 
-  /** gzip every doc; corrupt per doc_id rule (mod 10 = 2 → magic
-    * overwrite, = 7 → ISIZE trailer flip). */
+  /** Heterogeneous blobs (every third doc a checksummed zstd frame,
+    * the rest gzip members — the loop dispatches by magic); corrupt
+    * per doc_id rule (mod 10 = 2 → magic overwrite, = 7 → final-byte
+    * flip: gzip ISIZE trailer or zstd frame checksum, both
+    * integrity). */
   private def payloadTable() = {
     graft.Tables.documents(spark, Sf001)
       .select(col("doc_id").cast("long"), col("text"))
@@ -27,12 +30,18 @@ class IngestQuarantineSpec extends SparkSpec {
       .mapPartitions { rows =>
         val defl = new java.util.zip.Deflater(
           java.util.zip.Deflater.BEST_SPEED, true)
+        val zc = new com.github.luben.zstd.ZstdCompressCtx()
+          .setLevel(3).setChecksum(true)
         val crc = new java.util.zip.CRC32()
         rows.map { case (id, text) =>
-          val out = new java.io.ByteArrayOutputStream()
-          CompressedOps.gzipMember(
-            text.getBytes("UTF-8"), defl, crc, out)
-          val b = out.toByteArray
+          val raw = text.getBytes("UTF-8")
+          val b =
+            if (id % 3 == 0) zc.compress(raw)
+            else {
+              val out = new java.io.ByteArrayOutputStream()
+              CompressedOps.gzipMember(raw, defl, crc, out)
+              out.toByteArray
+            }
           if (id % 10 == 2) { b(0) = 'Z'.toByte; b(1) = 'Z'.toByte }
           else if (id % 10 == 7)
             b(b.length - 1) = (b(b.length - 1) ^ 0x10).toByte
@@ -136,5 +145,66 @@ class IngestQuarantineSpec extends SparkSpec {
       assert(quarA == quarB, "quarantine artifact drift (duplicate " +
         "rows would mean the tagged overwrite failed)")
     } finally { cleanup(keyA, qdirA); cleanup(keyB, qdirB) }
+  }
+
+  test("the STREAMING loop in payload mode == its batch twin: same " +
+      "stage reports, same quarantine artifact, row for row") {
+    val payloads = payloadTable()
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    // stream input: two file batches with an arrival tag, stamped so
+    // maxFilesPerTrigger=1 drains them in order
+    val inDir = StorageOps.scratchPath(s"ingqspec_stream_$run")
+    payloads.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .withColumn("arrival", lit("b0"))
+      .coalesce(1).write.parquet(s"$inDir/b0")
+    payloads.filter(pmod(col("doc_id"), lit(2)) =!= 0)
+      .withColumn("arrival", lit("b1"))
+      .coalesce(1).write.parquet(s"$inDir/b1")
+    def stamp(sub: String, ts: Long): Unit =
+      new java.io.File(s"$inDir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(ts))
+    val t0 = System.currentTimeMillis() - 120000
+    stamp("b0", t0); stamp("b1", t0 + 60000)
+
+    val (streamLoop, keyS, qdirS) = freshLoop(run + "s")
+    val (batchLoop, keyB, qdirB) = freshLoop(run + "b")
+    val ckpt = StorageOps.scratchPath(s"ingqspec_ckpt_$run")
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("arrival",
+          org.apache.spark.sql.types.StringType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$inDir/b*")
+      streamLoop.start(stream, col("arrival"), ckpt).awaitTermination()
+
+      batchLoop.processBatch(
+        payloads.filter(pmod(col("doc_id"), lit(2)) === 0), "b0")
+      batchLoop.processBatch(
+        payloads.filter(pmod(col("doc_id"), lit(2)) =!= 0), "b1")
+
+      def rows(l: IngestLoop) = (
+        l.stageReport.orderBy(col("batch"), col("stage")).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getLong(3))).toSeq,
+        l.quarantineReport.orderBy(col("doc_id")).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+          .toSeq)
+      val (stS, quS) = rows(streamLoop)
+      val (stB, quB) = rows(batchLoop)
+      assert(stS == stB, "streaming stage report != batch twin")
+      assert(quS == quB, "streaming quarantine artifact != batch twin")
+      assert(quS.nonEmpty)
+    } finally {
+      cleanup(keyS, qdirS); cleanup(keyB, qdirB)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(inDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(ckpt))
+    }
   }
 }
