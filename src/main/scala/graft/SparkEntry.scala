@@ -10322,11 +10322,11 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Replays the quarantine lane end-to-end from the planting
-    // arithmetic: docs 0..3 mod 8 carry one corruption class each
+    // arithmetic: docs 0..4 mod 8 carry one corruption class each
     // (junk magic / hostile PPM dims / truncated plane / flipped IDAT
-    // CRC bit → the decoder classes below), docs 4..7 mod 8 are the
-    // untouched mixed-format payload whose full pixel plane the clean
-    // rows must still witness byte-exactly.
+    // CRC bit / truncated JPEG tail → the decoder classes below),
+    // docs 5..7 mod 8 are the untouched mixed-format payload whose
+    // full pixel plane the clean rows must still witness byte-exactly.
     "pipeline_quarantine" ->
       """WITH sz AS (
         |  SELECT doc_id,
@@ -10340,20 +10340,21 @@ object SparkEntry {
         |  SELECT doc_id,
         |    cast(sum((s0 + 31 * i) % 256) as bigint) AS px_sum
         |  FROM sz, LATERAL unnest(generate_series(0, w * h * 3 - 1)) t(i)
-        |  WHERE doc_id % 8 >= 4
+        |  WHERE doc_id % 8 >= 5
         |  GROUP BY doc_id)
         |SELECT sz.doc_id,
-        |  CASE WHEN sz.doc_id % 8 <= 3 THEN 'quarantined'
+        |  CASE WHEN sz.doc_id % 8 <= 4 THEN 'quarantined'
         |       ELSE 'ok' END AS status,
         |  CASE sz.doc_id % 8
         |    WHEN 0 THEN 'bad_magic' WHEN 1 THEN 'hostile_header'
         |    WHEN 2 THEN 'truncated' WHEN 3 THEN 'integrity'
+        |    WHEN 4 THEN 'truncated'
         |    ELSE NULL END AS error_class,
-        |  CASE WHEN sz.doc_id % 8 >= 4
+        |  CASE WHEN sz.doc_id % 8 >= 5
         |    THEN cast(w as integer) END AS width,
-        |  CASE WHEN sz.doc_id % 8 >= 4
+        |  CASE WHEN sz.doc_id % 8 >= 5
         |    THEN cast(h as integer) END AS height,
-        |  CASE WHEN sz.doc_id % 8 >= 4 THEN
+        |  CASE WHEN sz.doc_id % 8 >= 5 THEN
         |    CASE cp0 % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
         |      ELSE 'png' END END AS format,
         |  px.px_sum
@@ -10386,15 +10387,16 @@ object SparkEntry {
         |  SELECT doc_id,
         |    cast(sum((s0 + 31 * i) % 256) as bigint) AS px_sum
         |  FROM sz, LATERAL unnest(generate_series(0, w * h * 3 - 1)) t(i)
-        |  WHERE doc_id % 8 >= 4
+        |  WHERE doc_id % 8 >= 5
         |  GROUP BY doc_id),
         |lane AS (
         |  SELECT sz.doc_id,
-        |    CASE WHEN sz.doc_id % 8 <= 3 THEN 'quarantined'
+        |    CASE WHEN sz.doc_id % 8 <= 4 THEN 'quarantined'
         |         ELSE 'ok' END AS status,
         |    CASE sz.doc_id % 8
         |      WHEN 0 THEN 'bad_magic' WHEN 1 THEN 'hostile_header'
         |      WHEN 2 THEN 'truncated' WHEN 3 THEN 'integrity'
+        |      WHEN 4 THEN 'truncated'
         |      ELSE 'none' END AS error_class,
         |    px.px_sum
         |  FROM sz LEFT JOIN px USING (doc_id))

@@ -219,7 +219,9 @@ object QuarantineOps {
     *     check fails → `truncated`;
     *   - 3 → a PNG with one bit flipped in the IDAT chunk's stored
     *     CRC-32: chunk verification fails → `integrity`;
-    *   - 4..7 → clean (the mixed-format payload, untouched).
+    *   - 4 → a baseline JPEG with its tail (EOI + entropy bytes) cut
+    *     off: the scan's bit reader hits the end → `truncated`;
+    *   - 5..7 → clean (the mixed-format payload, untouched).
     *
     * The planting rules are pure arithmetic on (doc_id, text), so the
     * DuckDB oracle replays status + class + clean-row witnesses
@@ -254,6 +256,14 @@ object QuarantineOps {
               // last 12 bytes are IEND; byte -13 is the final byte of
               // the IDAT chunk's stored CRC-32
               b(b.length - 13) = (b(b.length - 13) ^ 0x01).toByte; b
+            case 4 =>
+              val (_, bw, bh, blocks) = Multimodal.genBlockImage(text)
+              val b = JpegCodec.encodeGrayBlocks(bw, bh, blocks)
+              // drop EOI + two entropy bytes: always inside the scan
+              // (the smallest constant-block file still carries >= 7
+              // entropy bytes), never into the SOS header — so the
+              // diagnosis is deterministically `truncated`
+              java.util.Arrays.copyOf(b, b.length - 4)
             case _ => clean
           }
           (id, bytes)

@@ -21,7 +21,7 @@ class QuarantineSpec extends SparkSpec {
           r.error_class.contains("bad_magic"), s"doc ${r.doc_id}")
         case 1 => assert(r.status == "quarantined" &&
           r.error_class.contains("hostile_header"), s"doc ${r.doc_id}")
-        case 2 => assert(r.status == "quarantined" &&
+        case 2 | 4 => assert(r.status == "quarantined" &&
           r.error_class.contains("truncated"), s"doc ${r.doc_id}")
         case 3 => assert(r.status == "quarantined" &&
           r.error_class.contains("integrity"), s"doc ${r.doc_id}")
@@ -41,7 +41,7 @@ class QuarantineSpec extends SparkSpec {
       .toMap
     val clean = Multimodal.decodeAll(spark,
       Multimodal.mixedImageTable(spark, docs)).collect()
-      .filter(_.doc_id % 8 >= 4)
+      .filter(_.doc_id % 8 >= 5)
       .map(m => m.doc_id -> ((m.width, m.height, m.format, m.px_sum)))
       .toMap
     assert(lane.keySet == clean.keySet, "clean-row id sets differ")
