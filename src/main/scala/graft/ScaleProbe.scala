@@ -53,7 +53,13 @@ object ScaleProbe {
     // explode, gzip multi-member recovery — all scan → per-row
     // kernel → sort, so they join the linear-scaling gate
     "multimodal_png", "multimodal_mixed", "multimodal_audio",
-    "multimodal_video_frames", "source_gzip", "source_tar")
+    "multimodal_video_frames", "source_gzip", "source_tar",
+    // round-12 crawl-ingest family: baseline JPEG decode, 4-format
+    // magic dispatch, the quarantine lane (exception unwind instead
+    // of stage kill — must stay map-shaped), WARC record framing
+    // over the gzip member walk, and the zstd frame walk
+    "multimodal_jpeg", "multimodal_mixed4", "pipeline_quarantine",
+    "source_warc", "source_zstd")
 
   /** Exponent gate for the map-shaped panel: honest linear scaling
     * with local-mode noise and per-job fixed cost lands well under
