@@ -5178,6 +5178,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ★ r12: MULTI-DOCUMENT WARC files — the real crawl unit of work
+    // (Common Crawl ships ~1 GB files of thousands of captures): 50
+    // docs per file, ONE warcinfo record then a request+response
+    // pair per doc, every record its own gzip member. The reader
+    // walks one FILE per row and EXPLODES to per-capture rows,
+    // deriving each doc id from the record's own WARC-Target-URI —
+    // the container is the source of truth, not a side channel — and
+    // enforcing the file grammar (warcinfo first, request/response
+    // pair discipline, URI match). The oracle replays the grouping
+    // arithmetic, the per-file record count, and the byte-exact
+    // response witnesses.
+    "source_warc_files" -> ((s, d) => {
+      ops.WarcOps.readWarcFilesAll(s,
+        ops.WarcOps.warcFileTable(s, t(s, d, "documents"),
+          docsPerFile = 50))
+        .toDF()
+        .select(col("doc_id"), col("file_id"), col("n_file_records"),
+          col("resp_len"), col("resp_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ★ r12: Zstandard ingestion — the `.jsonl.zst` shape modern
     // public corpora (Dolma, RedPajama) ship in, via zstd-jni (the
     // public library Spark itself bundles): a real multi-FRAME walk
@@ -10303,6 +10324,22 @@ object SparkEntry {
         |  'https://example.com/doc/' || cast(doc_id as varchar)
         |    AS target_uri
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Replays the multi-doc file grouping (doc_id div 50), each
+    // file's record count (1 warcinfo + 2 per doc), and the
+    // byte-exact response witnesses — certifying the per-file
+    // explode recovered every capture under the enforced grammar.
+    "source_warc_files" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, doc_id // 50 AS file_id
+        |  FROM documents),
+        |c AS (SELECT file_id, count(*) AS n FROM f GROUP BY file_id)
+        |SELECT f.doc_id, f.file_id,
+        |  cast(1 + 2 * c.n as bigint) AS n_file_records,
+        |  cast(strlen(text) as bigint) AS resp_len,
+        |  md5(text) AS resp_md5
+        |FROM f JOIN c USING (file_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // Same witness contract as source_gzip, over the zstd frame walk.
     "source_zstd" ->

@@ -182,6 +182,115 @@ object WarcOps {
     out.toSeq
   }
 
+  /** Build MULTI-DOCUMENT `.warc.gz` files — the real crawl unit of
+    * work (Common Crawl ships ~1 GB files of thousands of captures,
+    * not one file per page): docs group by `doc_id div docsPerFile`,
+    * and each file is ONE warcinfo record followed by a
+    * request+response pair per doc in id order, every record its own
+    * gzip member. The one payload-bearing shuffle is the grouping the
+    * container requires (a file's records must meet in one task to be
+    * serialized — the [[Multimodal.shardExport]] discipline); at read
+    * time the scan parallelizes per FILE and explodes to per-record
+    * rows, which is exactly the 100 TB shape. */
+  def warcFileTable(spark: SparkSession, docs: DataFrame,
+      docsPerFile: Int = 50): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .withColumn("file_id",
+        DedupOps.idiv(col("doc_id"), lit(docsPerFile.toLong)))
+      .groupBy(col("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
+        col("text").as("_2")))).as("members"))
+      .select(col("file_id").as("_1"), col("members").as("_2"))
+      .as[(Long, Seq[(Long, String)])]
+      .mapPartitions { rows =>
+        val defl = new Deflater(Deflater.BEST_SPEED, true)
+        Multimodal.endOnTaskCompletion(() => defl.end())
+        val crc = new CRC32()
+        rows.map { case (fid, members) =>
+          val out = new java.io.ByteArrayOutputStream(
+            members.map(_._2.length).sum / 2 + 1024)
+          val date = "2020-01-01T00:00:00Z"
+          CompressedOps.gzipMember(record("warcinfo", Seq(
+            "WARC-Record-ID" -> s"<urn:uuid:file-$fid>",
+            "WARC-Date" -> date), InfoBlock), defl, crc, out)
+          members.foreach { case (id, text) =>
+            val uri = s"https://example.com/doc/$id"
+            CompressedOps.gzipMember(record("request", Seq(
+              "WARC-Record-ID" -> s"<urn:uuid:0000-$id-1>",
+              "WARC-Date" -> date, "WARC-Target-URI" -> uri),
+              requestBlock(id)), defl, crc, out)
+            CompressedOps.gzipMember(record("response", Seq(
+              "WARC-Record-ID" -> s"<urn:uuid:0000-$id-2>",
+              "WARC-Date" -> date, "WARC-Target-URI" -> uri),
+              text.getBytes(UTF_8)), defl, crc, out)
+          }
+          (fid, out.toByteArray)
+        }
+      }
+      .toDF("file_id", "content")
+  }
+
+  /** One response capture extracted from a multi-document file:
+    * the doc id comes from the record's OWN `WARC-Target-URI` (the
+    * reader trusts the container, not a side channel), plus the
+    * file's record count and the byte-exact body witnesses. */
+  final case class WarcCapture(doc_id: Long, file_id: Long,
+      n_file_records: Long, resp_len: Long, resp_md5: String)
+
+  /** Read multi-document WARC files: one gzip+record walk per FILE
+    * row, exploded to one output row per response capture. The file
+    * structure is enforced, not assumed: the first record must be the
+    * warcinfo, and every response must be immediately preceded by its
+    * request for the SAME target URI (the pair discipline crawlers
+    * write) — a shuffled or spliced file fails loud. */
+  def readWarcFilesAll(spark: SparkSession,
+      media: DataFrame): Dataset[WarcCapture] = {
+    import spark.implicits._
+    media.select(col("file_id").cast("long").as("doc_id"),
+      col("content")).as[MediaRow].mapPartitions { rows =>
+      val infl = new Inflater(true)
+      Multimodal.endOnTaskCompletion(() => infl.end())
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val records = parseRecords(
+          CompressedOps.gunzipWith(r.content, infl, cap = 1 << 28))
+        require(records.nonEmpty &&
+            records.head.warcType == "warcinfo",
+          s"WARC: file ${r.doc_id} does not start with a warcinfo " +
+            "record")
+        val n = records.length.toLong
+        records.drop(1).grouped(2).map { pair =>
+          require(pair.length == 2 &&
+              pair(0).warcType == "request" &&
+              pair(1).warcType == "response",
+            s"WARC: file ${r.doc_id} breaks the request/response " +
+              "pair discipline")
+          val uri = pair(1).headers.getOrElse("WARC-Target-URI",
+            throw new IllegalArgumentException(
+              "WARC: response without WARC-Target-URI"))
+          require(pair(0).headers.get("WARC-Target-URI")
+              .contains(uri),
+            s"WARC: request/response URI mismatch in file ${r.doc_id}")
+          val prefix = "https://example.com/doc/"
+          require(uri.startsWith(prefix),
+            s"WARC: unexpected target URI '$uri'")
+          val id =
+            try uri.substring(prefix.length).toLong
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"WARC: non-numeric doc id in URI '$uri'")
+            }
+          md.reset()
+          val hex = md.digest(pair(1).block).map("%02x".format(_))
+            .mkString
+          WarcCapture(id, r.doc_id, n, pair(1).block.length.toLong,
+            hex)
+        }
+      }
+    }
+  }
+
   /** One WARC file's witnesses: record count, per-type block lengths,
     * the response body's MD5, and the response's target URI — all
     * replayable by the oracle from the original document row. */

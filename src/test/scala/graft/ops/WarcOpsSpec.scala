@@ -88,6 +88,53 @@ class WarcOpsSpec extends SparkSpec {
     }
   }
 
+  test("multi-document files: 50-doc grouping, per-file explode, " +
+      "ids recovered from the records' own URIs, grammar enforced") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001)
+    val files = WarcOps.warcFileTable(spark, docs, docsPerFile = 50)
+      .localCheckpoint(true)
+    val got = WarcOps.readWarcFilesAll(spark, files).collect()
+      .map(c => c.doc_id -> c).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rows = docs.select("doc_id", "text").collect()
+    assert(got.size == rows.length, "one capture per doc")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val raw = r.getAs[String]("text").getBytes("UTF-8")
+      md.reset()
+      val hex = md.digest(raw).map("%02x".format(_)).mkString
+      val c = got(id)
+      assert(c.file_id == id / 50 && c.resp_len == raw.length &&
+        c.resp_md5 == hex, s"doc $id")
+    }
+    // grammar enforcement: a file whose pair discipline is broken
+    // (response before request) fails loud
+    val bad = {
+      val defl = new java.util.zip.Deflater(
+        java.util.zip.Deflater.BEST_SPEED, true)
+      val crc = new java.util.zip.CRC32()
+      val out = new java.io.ByteArrayOutputStream()
+      def member(rec: Array[Byte]): Unit =
+        CompressedOps.gzipMember(rec, defl, crc, out)
+      member(WarcOps.record("warcinfo", Seq.empty, WarcOps.InfoBlock))
+      member(WarcOps.record("response",
+        Seq("WARC-Target-URI" -> "https://example.com/doc/1"),
+        "x".getBytes("UTF-8")))
+      member(WarcOps.record("request",
+        Seq("WARC-Target-URI" -> "https://example.com/doc/1"),
+        "y".getBytes("UTF-8")))
+      defl.end()
+      out.toByteArray
+    }
+    val e = intercept[org.apache.spark.SparkException] {
+      WarcOps.readWarcFilesAll(spark,
+        Seq((0L, bad)).toDF("file_id", "content")).collect()
+    }
+    assert(e.getMessage.contains("pair discipline") ||
+      Option(e.getCause).exists(_.getMessage.contains("pair discipline")))
+  }
+
   test("the quarantine lane composes: a flipped gzip byte in one " +
       "member quarantines the file, intact files stay ok") {
     import spark.implicits._
