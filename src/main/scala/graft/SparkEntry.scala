@@ -700,24 +700,6 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
-    // Cohort retention triangle over the events stream: users grouped
-    // by first-activity week, activity counted per week offset — the
-    // product-analytics shape that exercises a self-join through a
-    // per-user scalar (min week) none of the other event queries hit.
-    // The first-week table is user-sized (ids + one long), co-keyed
-    // with the event stream on user_id.
-    "q_cohort_retention" -> ((s, d) => {
-      val weekNs = 7L * 86400L * 1000000000L
-      val ev = t(s, d, "events")
-        .select(col("user_id"), expr(s"ts div $weekNs").as("week"))
-      val first = ev.groupBy(col("user_id"))
-        .agg(min(col("week")).as("cohort_week"))
-      ev.join(first, Seq("user_id"))
-        .groupBy(col("cohort_week"),
-          (col("week") - col("cohort_week")).as("week_offset"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
-        .orderBy(col("cohort_week"), col("week_offset"))
-    }),
 
     "text_langid" -> ((s, d) => {
       t(s, d, "documents")
@@ -5275,7 +5257,7 @@ object SparkEntry {
 
     // ★ r12: BYTE-BUDGET shard export — how real WebDataset writers
     // cut shards: next-fit member pairs (no splitting) against a
-    // 16 KiB archive budget instead of doc_id mod N. The narrow
+    // 32 KiB archive budget instead of doc_id mod N. The narrow
     // manifest walks per 64-doc bucket (one aggregate HOF over the
     // sorted (id, bytes) array — PackOps.nextFitPack's distribution
     // discipline), bucket shard ranges concatenate via
@@ -9570,18 +9552,7 @@ object SparkEntry {
          |JOIN tr ON q.lang = tr.lang
          |ORDER BY q.lang""".stripMargin,
 
-    "q_cohort_retention" ->
-      """WITH ev AS (
-        |  SELECT user_id,
-        |    epoch_ns(ts) // 604800000000000 AS week FROM events),
-        |first AS (
-        |  SELECT user_id, min(week) AS cohort_week FROM ev
-        |  GROUP BY user_id)
-        |SELECT cohort_week, week - cohort_week AS week_offset,
-        |  count(DISTINCT ev.user_id) AS n_users
-        |FROM ev JOIN first ON ev.user_id = first.user_id
-        |GROUP BY cohort_week, week_offset
-        |ORDER BY cohort_week, week_offset""".stripMargin,
+    
 
     "text_langid" ->
       s"""WITH scored AS (

@@ -339,6 +339,18 @@ object JpegCodec {
     def u16(at: Int): Int =
       ((bytes(at) & 0xff) << 8) | (bytes(at + 1) & 0xff)
 
+    // shared segment-length read with the bounds guard EVERY marker
+    // case needs: truncation at a marker boundary must be the codec's
+    // own parse error, never an ArrayIndexOutOfBoundsException
+    def segLen(marker: String): Int = {
+      require(pos + 2 <= bytes.length,
+        s"JPEG: truncated $marker segment header")
+      val len = u16(pos)
+      require(len >= 2 && pos + len <= bytes.length,
+        s"JPEG: $marker length $len outside the file")
+      len
+    }
+
     while (!sawEoi) {
       require(pos + 1 < bytes.length, "JPEG: truncated marker stream")
       require((bytes(pos) & 0xff) == 0xff,
@@ -350,15 +362,9 @@ object JpegCodec {
       marker match {
         case 0xd9 => sawEoi = true
         case m if m >= 0xe0 && m <= 0xef || m == 0xfe => // APPn / COM
-          require(pos + 2 <= bytes.length, "JPEG: truncated segment")
-          val len = u16(pos)
-          require(len >= 2 && pos + len <= bytes.length,
-            s"JPEG: segment length $len outside the file")
-          pos += len
+          pos += segLen("APPn/COM")
         case 0xdb => // DQT
-          val len = u16(pos)
-          require(len >= 2 && pos + len <= bytes.length,
-            "JPEG: DQT length outside the file")
+          val len = segLen("DQT")
           var p = pos + 2
           while (p < pos + len) {
             val pq = (bytes(p) & 0xff) >> 4
@@ -373,9 +379,7 @@ object JpegCodec {
           }
           pos += len
         case 0xc4 => // DHT
-          val len = u16(pos)
-          require(len >= 2 && pos + len <= bytes.length,
-            "JPEG: DHT length outside the file")
+          val len = segLen("DHT")
           var p = pos + 2
           while (p < pos + len) {
             val cls = (bytes(p) & 0xff) >> 4
@@ -392,13 +396,17 @@ object JpegCodec {
           }
           pos += len
         case 0xc0 => // SOF0: baseline sequential
-          val len = u16(pos)
-          require(len >= 2 && pos + len <= bytes.length,
-            "JPEG: SOF0 length outside the file")
+          val len = segLen("SOF0")
           require(bytes(pos + 2) == 8,
             "JPEG: only 8-bit precision supported")
+          require(len >= 8, s"JPEG: truncated SOF0 segment ($len)")
           h = u16(pos + 3); w = u16(pos + 5)
-          require(w > 0 && h > 0 && w.toLong * h * 3 <= Int.MaxValue,
+          // the dimension gate must bound ALLOCATION, not just the
+          // pixel count: a ~200-byte crafted header can otherwise
+          // drive multi-GB plane allocations before any entropy byte
+          // is read — an OOM is FATAL by the quarantine contract, so
+          // a hostile header has to die here as a parse error
+          require(w > 0 && h > 0 && w.toLong * h * 3 <= (1L << 27),
             s"JPEG: unreasonable dimensions $w x $h")
           val nc = bytes(pos + 7) & 0xff
           require(nc == 1 || nc == 3,
@@ -407,8 +415,18 @@ object JpegCodec {
           comps = Array.tabulate(nc) { i =>
             val b = pos + 8 + 3 * i
             val hv = bytes(b + 1) & 0xff
-            val c = Component(bytes(b) & 0xff, hv >> 4, hv & 0x0f,
-              bytes(b + 2) & 0x0f)
+            // T.81: an Ns=1 scan is NON-interleaved with MCU = one
+            // data unit — a single-component frame's declared
+            // sampling factors do not shape the scan, so normalize
+            // them to 1x1 instead of mis-decoding a legal grayscale
+            // 2x2 file in interleaved order (scrambled pixels, no
+            // error — the silent-wrong-pixel case the fail-loud
+            // contract forbids)
+            val c =
+              if (nc == 1) Component(bytes(b) & 0xff, 1, 1,
+                bytes(b + 2) & 0x0f)
+              else Component(bytes(b) & 0xff, hv >> 4, hv & 0x0f,
+                bytes(b + 2) & 0x0f)
             require(c.h >= 1 && c.h <= 2 && c.v >= 1 && c.v <= 2,
               s"JPEG: unsupported sampling factor ${c.h}x${c.v}")
             c
@@ -421,17 +439,16 @@ object JpegCodec {
             f"JPEG: only baseline sequential (SOF0) supported " +
               f"(marker 0xff$m%02x)")
         case 0xdd => // DRI
-          val len = u16(pos)
-          require(len == 4 && pos + len <= bytes.length,
-            "JPEG: malformed DRI")
+          val len = segLen("DRI")
+          require(len == 4, "JPEG: malformed DRI")
           restartInterval = u16(pos + 2)
           pos += len
         case 0xda => // SOS: decode the scan, then continue the walk
           require(comps != null, "JPEG: SOS before SOF0")
-          val len = u16(pos)
-          require(len >= 2 && pos + len <= bytes.length,
-            "JPEG: SOS length outside the file")
+          val len = segLen("SOS")
+          require(len >= 3, s"JPEG: truncated SOS header ($len)")
           val ns = bytes(pos + 2) & 0xff
+          require(len == 6 + 2 * ns, "JPEG: malformed SOS length")
           require(ns == comps.length,
             "JPEG: scan must cover all frame components (interleaved)")
           var i = 0

@@ -144,7 +144,8 @@ object PngCodec {
     val b = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
     b.position(8)
     var w = -1; var h = -1
-    var sawIhdr = false; var sawIend = false; var idatDone = false
+    var sawIhdr = false; var sawIend = false
+    var sawIdat = false; var idatDone = false
     val idat = new java.io.ByteArrayOutputStream()
     while (!sawIend) {
       require(b.remaining() >= 12, "PNG: truncated chunk header")
@@ -180,12 +181,15 @@ object PngCodec {
         case "IDAT" =>
           require(sawIhdr, "PNG: IDAT before IHDR")
           // the spec requires IDAT chunks be CONSECUTIVE — an
-          // ancillary chunk interleaved into the IDAT run is corruption
+          // ancillary chunk interleaved into the IDAT run is
+          // corruption (tracked by presence, not accumulated bytes:
+          // zero-length IDAT chunks are legal and must still arm it)
           require(!idatDone, "PNG: non-consecutive IDAT chunks")
+          sawIdat = true
           idat.write(data, 0, len)
         case "IEND" => sawIend = true
         case _ => // ancillary chunks: skipped (CRC still verified)
-          if (idat.size() > 0) idatDone = true
+          if (sawIdat) idatDone = true
       }
     }
     // fail-loud posture: a PNG with trailing garbage after IEND is

@@ -212,9 +212,49 @@ class JpegCodecSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       JpegCodec.decode(sof(0xc0, 8, 40000, 40000)) // w*h*3 overflow
     }
+    // a ~20-byte header declaring dims whose planes would allocate
+    // hundreds of MB must die at the gate (an OOM is FATAL under the
+    // quarantine contract — a hostile header has to be a parse error)
+    val e = intercept[IllegalArgumentException] {
+      JpegCodec.decode(sof(0xc0, 8, 16384, 16384))
+    }
+    assert(e.getMessage.contains("unreasonable dimensions"))
     intercept[IllegalArgumentException] {
       JpegCodec.decode("no jpeg here".getBytes("US-ASCII"))
     }
+    // truncation AT a marker boundary is the codec's own parse error,
+    // never an ArrayIndexOutOfBoundsException
+    // (0xda is diagnosed as "SOS before SOF0" first — also fail-loud)
+    for (m <- Seq(0xdb, 0xc4, 0xc0, 0xdd)) {
+      val t = intercept[IllegalArgumentException] {
+        JpegCodec.decode(Array(0xff, 0xd8, 0xff, m).map(_.toByte))
+      }
+      assert(t.getMessage.contains("truncated"), f"marker 0xff$m%02x")
+    }
+  }
+
+  test("a single-component scan is non-interleaved per T.81: the " +
+      "declared sampling factors do not scramble a grayscale file") {
+    // same entropy stream, sampling 0x11 vs 0x22 — one 8x8 block
+    // either way, identical pixels (Ns=1 => MCU = one data unit)
+    def gray(sampling: Int): Array[Byte] = {
+      val p = new Packer
+      p.raw(0xff, 0xd8)
+      p.seg(0xdb, 0 +: Array.fill(64)(1))
+      p.seg(0xc0, Array(8, 0, 8, 0, 8, 1, 1, sampling, 0))
+      p.seg(0xc4, Array(0x00, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0,
+        0, 0, 0) ++ (0 to 11))
+      p.seg(0xc4, Array(0x10, 0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        0, 0, 0, 0x00, 0x01, 0xf0, 0x21))
+      p.seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
+      p.bits("101" + "1000" + "00").flushBits() // DC 8, EOB
+      p.raw(0xff, 0xd9)
+      p.bytes
+    }
+    val a = JpegCodec.decode(gray(0x11))
+    val b = JpegCodec.decode(gray(0x22))
+    assert(a.rgb.toSeq == b.rgb.toSeq)
+    assert((a.rgb(0) & 0xff) == 129)
   }
 
   test("the 4-format mixed corpus decodes every arm to the shared " +

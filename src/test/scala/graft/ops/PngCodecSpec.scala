@@ -208,5 +208,16 @@ class PngCodecSpec extends SparkSpec {
       PngCodec.decode(interleaved)
     }
     assert(e2.getMessage.contains("non-consecutive IDAT"))
+    // a ZERO-LENGTH leading IDAT (legal, real encoders emit them)
+    // still arms the consecutiveness check
+    val zeroLed = sig ++ ihdr2x2 ++
+      chunk("IDAT", Array.emptyByteArray) ++
+      chunk("tEXt", "k v".getBytes("US-ASCII")) ++
+      chunk("IDAT", z) ++
+      chunk("IEND", Array.emptyByteArray)
+    val e3 = intercept[IllegalArgumentException] {
+      PngCodec.decode(zeroLed)
+    }
+    assert(e3.getMessage.contains("non-consecutive IDAT"))
   }
 }

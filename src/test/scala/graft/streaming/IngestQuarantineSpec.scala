@@ -32,6 +32,7 @@ class IngestQuarantineSpec extends SparkSpec {
           java.util.zip.Deflater.BEST_SPEED, true)
         val zc = new com.github.luben.zstd.ZstdCompressCtx()
           .setLevel(3).setChecksum(true)
+        Multimodal.endOnTaskCompletion { () => defl.end(); zc.close() }
         val crc = new java.util.zip.CRC32()
         rows.map { case (id, text) =>
           val raw = text.getBytes("UTF-8")
