@@ -5181,6 +5181,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ★ r13: MEMBER-GRANULAR quarantine over multi-document WARC —
+    // the production posture the real crawl demands: the STREAMING
+    // member-at-a-time walk (peak memory = one record, never the
+    // decompressed file) with per-member failure granularity — a
+    // planted gzip-CRC flip on one response member quarantines ONE
+    // capture (class from the decoder's own trailer diagnosis) and a
+    // pre-compression record-grammar overwrite on one request member
+    // quarantines ONE member while its OWN response still survives.
+    // The oracle replays member ordinals, statuses, classes, and the
+    // clean captures' byte-exact witnesses from planting arithmetic.
+    "source_warc_quarantine" -> ((s, d) => {
+      ops.WarcOps.tryReadWarcFiles(s,
+        ops.WarcOps.corruptWarcFileTable(s, t(s, d, "documents"), 50))
+        .toDF()
+        .select(col("file_id"),
+          col("member_idx").cast("long").as("member_idx"),
+          col("status"),
+          coalesce(col("error_class"), lit("")).as("error_class"),
+          coalesce(col("doc_id"), lit(-1L)).as("doc_id"),
+          coalesce(col("resp_len"), lit(-1L)).as("resp_len"),
+          coalesce(col("resp_md5"), lit("")).as("resp_md5"))
+        .orderBy(col("file_id"), col("member_idx"))
+    }),
+
     // ★ r12: Zstandard ingestion — the `.jsonl.zst` shape modern
     // public corpora (Dolma, RedPajama) ship in, via zstd-jni (the
     // public library Spark itself bundles): a real multi-FRAME walk
@@ -10311,6 +10335,43 @@ object SparkEntry {
         |  md5(text) AS resp_md5
         |FROM f JOIN c USING (file_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Replays the member-granular quarantine lane from the planting
+    // arithmetic: member ordinals from the file layout (warcinfo 0,
+    // then request 1+2k / response 2+2k per doc in id order), the
+    // response CRC-flip (doc_id%17=3 → one 'integrity' quarantine,
+    // capture lost), the request grammar overwrite (doc_id%17=7 →
+    // one 'bad_magic' quarantine, its response SURVIVES), and every
+    // clean capture's byte-exact witnesses.
+    "source_warc_quarantine" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, doc_id // 50 AS file_id,
+        |    row_number() OVER (PARTITION BY doc_id // 50
+        |      ORDER BY doc_id) - 1 AS k
+        |  FROM documents),
+        |resp AS (
+        |  SELECT file_id, cast(2 + 2 * k as bigint) AS member_idx,
+        |    CASE WHEN doc_id % 17 = 3 THEN 'quarantined' ELSE 'ok' END
+        |      AS status,
+        |    CASE WHEN doc_id % 17 = 3 THEN 'integrity' ELSE '' END
+        |      AS error_class,
+        |    CASE WHEN doc_id % 17 = 3 THEN -1 ELSE doc_id END
+        |      AS doc_id,
+        |    CASE WHEN doc_id % 17 = 3 THEN -1
+        |      ELSE cast(strlen(text) as bigint) END AS resp_len,
+        |    CASE WHEN doc_id % 17 = 3 THEN '' ELSE md5(text) END
+        |      AS resp_md5
+        |  FROM f),
+        |reqq AS (
+        |  SELECT file_id, cast(1 + 2 * k as bigint) AS member_idx,
+        |    'quarantined' AS status, 'bad_magic' AS error_class,
+        |    cast(-1 as bigint) AS doc_id, cast(-1 as bigint) AS resp_len,
+        |    '' AS resp_md5
+        |  FROM f WHERE doc_id % 17 = 7)
+        |SELECT file_id, member_idx, status, error_class, doc_id,
+        |  resp_len, resp_md5
+        |FROM (SELECT * FROM resp UNION ALL SELECT * FROM reqq)
+        |ORDER BY file_id, member_idx""".stripMargin,
 
     // Same witness contract as source_gzip, over the zstd frame walk.
     "source_zstd" ->

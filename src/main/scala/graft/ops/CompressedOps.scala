@@ -109,6 +109,108 @@ object CompressedOps {
     try gunzipWith(bytes, infl, cap) finally infl.end()
   }
 
+  /** A gzip-member failure that still knows where the NEXT member
+    * starts (`resumePos >= 0`): trailer integrity failures (CRC /
+    * ISIZE) are detected AFTER the member's deflate stream was fully
+    * consumed, so a member-granular reader can quarantine exactly one
+    * member and resume at the boundary. Header or deflate-stream
+    * corruption loses sync (`resumePos == -1`) — the caller must
+    * rescan for a member magic or abandon the stream. */
+  final class GzipMemberException(msg: String, val resumePos: Int)
+      extends IllegalArgumentException(msg)
+
+  /** Scan for the next plausible gzip member start (`1f 8b 08`) at or
+    * after `from`; -1 if none. The resync primitive member-granular
+    * readers use after a lost-sync failure — the standard recovery
+    * posture for member-per-record WARC files. */
+  def findGzipMagic(bytes: Array[Byte], from: Int): Int = {
+    var i = math.max(0, from)
+    while (i + 2 < bytes.length) {
+      if ((bytes(i) & 0xff) == 0x1f && (bytes(i + 1) & 0xff) == 0x8b &&
+          bytes(i + 2) == 8.toByte) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Inflate exactly ONE RFC 1952 member starting at `pos` with a
+    * caller-owned raw Inflater: full header validation (magic / CM /
+    * reserved FLG / FEXTRA / FNAME / FCOMMENT / FHCRC), CRC-32 + ISIZE
+    * trailer verification, output bounded by `cap`. Returns the
+    * member's decompressed bytes and the offset just past its trailer.
+    * Throws [[GzipMemberException]] with a valid `resumePos` for
+    * trailer integrity failures (framing intact — a member-granular
+    * reader can skip exactly this member), `resumePos == -1` when sync
+    * is lost. This is the PEAK-MEMORY primitive: a reader that calls
+    * it member-at-a-time holds one member, never the decompressed
+    * concatenation. */
+  def inflateMemberAt(bytes: Array[Byte], pos: Int, infl: Inflater,
+      cap: Int = 1 << 26): (Array[Byte], Int) = {
+    def fail(msg: String, resume: Int = -1): Nothing =
+      throw new GzipMemberException(msg, resume)
+    if (bytes.length - pos < 10) fail("gzip: truncated member header")
+    if ((bytes(pos) & 0xff) != 0x1f || (bytes(pos + 1) & 0xff) != 0x8b)
+      fail(s"gzip: bad magic at byte $pos")
+    if (bytes(pos + 2) != 8.toByte)
+      fail(s"gzip: unsupported compression method ${bytes(pos + 2)}")
+    val flg = bytes(pos + 3) & 0xff
+    if ((flg & 0xe0) != 0) fail("gzip: reserved FLG bits set")
+    val crc = new CRC32()
+    var p = pos + 10
+    if ((flg & 4) != 0) { // FEXTRA
+      if (bytes.length - p < 2) fail("gzip: truncated FEXTRA length")
+      val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+      p += 2 + xlen
+      if (p > bytes.length) fail("gzip: truncated FEXTRA data")
+    }
+    def skipZString(field: String): Unit = {
+      while (p < bytes.length && bytes(p) != 0) p += 1
+      if (p >= bytes.length) fail(s"gzip: unterminated $field")
+      p += 1
+    }
+    if ((flg & 8) != 0) skipZString("FNAME")
+    if ((flg & 16) != 0) skipZString("FCOMMENT")
+    if ((flg & 2) != 0) { // FHCRC: CRC-16 of the header bytes so far
+      if (bytes.length - p < 2) fail("gzip: truncated FHCRC")
+      crc.reset(); crc.update(bytes, pos, p - pos)
+      val want = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+      if ((crc.getValue & 0xffffL) != want)
+        fail(s"gzip: header CRC16 mismatch at byte $p")
+      p += 2
+    }
+    infl.reset()
+    infl.setInput(bytes, p, bytes.length - p)
+    crc.reset()
+    val out = new java.io.ByteArrayOutputStream(
+      math.max(64L, math.min(cap.toLong,
+        (bytes.length.toLong - p) * 4)).toInt)
+    val buf = new Array[Byte](8192)
+    var memberLen = 0L
+    while (!infl.finished()) {
+      val n =
+        try infl.inflate(buf)
+        catch { case e: DataFormatException =>
+          fail(s"gzip: corrupt deflate stream at byte $p: ${e.getMessage}")
+        }
+      if (n == 0 && !infl.finished())
+        fail("gzip: truncated deflate stream")
+      if (out.size() + n > cap)
+        fail(s"gzip: decompressed size exceeds the $cap-byte cap")
+      out.write(buf, 0, n)
+      crc.update(buf, 0, n)
+      memberLen += n
+    }
+    p += infl.getBytesRead.toInt
+    if (bytes.length - p < 8) fail("gzip: truncated member trailer")
+    // trailer failures know their resume point: the deflate stream
+    // was structurally sound, only the integrity witness disagrees
+    if (le32At(bytes, p) != crc.getValue)
+      fail(s"gzip: member CRC mismatch at byte $p", p + 8)
+    if (le32At(bytes, p + 4) != (memberLen & 0xffffffffL))
+      fail(s"gzip: member ISIZE mismatch at byte $p", p + 8)
+    (out.toByteArray, p + 8)
+  }
+
   /** The full RFC 1952 member walk with a CALLER-owned raw Inflater
     * (`new Inflater(true)`), reset per member. Headers are UNTRUSTED:
     * magic/CM/reserved-FLG validated, the optional FEXTRA / FNAME /
@@ -116,72 +218,20 @@ object CompressedOps {
     * member's CRC-32 and ISIZE trailer verified, and the total
     * decompressed size bounded by `cap` — a hostile or corrupt
     * stream that inflates past the cap is an error, not an
-    * allocation. */
+    * allocation. Delegates to [[inflateMemberAt]] per member. */
   def gunzipWith(bytes: Array[Byte], infl: Inflater,
       cap: Int = 1 << 26): Array[Byte] = {
     require(bytes.length >= 18, "gzip: truncated stream")
+    // size hint in LONG arithmetic (same guard as ZstdOps.unzstdWith):
+    // bytes.length * 4 overflows Int past 512 MiB of input
     val out = new java.io.ByteArrayOutputStream(
-      math.max(64, math.min(cap, bytes.length * 4)))
-    val crc = new CRC32()
-    val buf = new Array[Byte](8192)
+      math.max(64L, math.min(cap.toLong, bytes.length.toLong * 4)).toInt)
     var pos = 0
     while (pos < bytes.length) {
-      require(bytes.length - pos >= 10, "gzip: truncated member header")
-      require((bytes(pos) & 0xff) == 0x1f &&
-          (bytes(pos + 1) & 0xff) == 0x8b,
-        s"gzip: bad magic at byte $pos")
-      require(bytes(pos + 2) == 8.toByte,
-        s"gzip: unsupported compression method ${bytes(pos + 2)}")
-      val flg = bytes(pos + 3) & 0xff
-      require((flg & 0xe0) == 0, "gzip: reserved FLG bits set")
-      var p = pos + 10
-      if ((flg & 4) != 0) { // FEXTRA
-        require(bytes.length - p >= 2, "gzip: truncated FEXTRA length")
-        val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
-        p += 2 + xlen
-        require(p <= bytes.length, "gzip: truncated FEXTRA data")
-      }
-      def skipZString(field: String): Unit = {
-        while (p < bytes.length && bytes(p) != 0) p += 1
-        require(p < bytes.length, s"gzip: unterminated $field")
-        p += 1
-      }
-      if ((flg & 8) != 0) skipZString("FNAME")
-      if ((flg & 16) != 0) skipZString("FCOMMENT")
-      if ((flg & 2) != 0) { // FHCRC: CRC-16 of the header bytes so far
-        require(bytes.length - p >= 2, "gzip: truncated FHCRC")
-        crc.reset(); crc.update(bytes, pos, p - pos)
-        val want = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
-        require((crc.getValue & 0xffffL) == want,
-          s"gzip: header CRC16 mismatch at byte $p")
-        p += 2
-      }
-      infl.reset()
-      infl.setInput(bytes, p, bytes.length - p)
-      crc.reset()
-      var memberLen = 0L
-      while (!infl.finished()) {
-        val n =
-          try infl.inflate(buf)
-          catch { case e: DataFormatException =>
-            throw new IllegalArgumentException(
-              s"gzip: corrupt deflate stream at byte $p: ${e.getMessage}")
-          }
-        require(n > 0 || infl.finished(),
-          "gzip: truncated deflate stream")
-        require(out.size() + n <= cap,
-          s"gzip: decompressed size exceeds the $cap-byte cap")
-        out.write(buf, 0, n)
-        crc.update(buf, 0, n)
-        memberLen += n
-      }
-      p += infl.getBytesRead.toInt
-      require(bytes.length - p >= 8, "gzip: truncated member trailer")
-      require(le32At(bytes, p) == crc.getValue,
-        s"gzip: member CRC mismatch at byte $p")
-      require(le32At(bytes, p + 4) == (memberLen & 0xffffffffL),
-        s"gzip: member ISIZE mismatch at byte $p")
-      pos = p + 8
+      val (data, next) = inflateMemberAt(bytes, pos, infl,
+        cap - out.size())
+      out.write(data, 0, data.length)
+      pos = next
     }
     out.toByteArray
   }

@@ -397,16 +397,24 @@ object JpegCodec {
           pos += len
         case 0xc0 => // SOF0: baseline sequential
           val len = segLen("SOF0")
+          // length gate FIRST: a malformed SOF0 with len < 8 at
+          // end-of-file must be the codec's own parse error, never an
+          // ArrayIndexOutOfBoundsException from reading the precision
+          // byte past the buffer
+          require(len >= 8, s"JPEG: truncated SOF0 segment ($len)")
           require(bytes(pos + 2) == 8,
             "JPEG: only 8-bit precision supported")
-          require(len >= 8, s"JPEG: truncated SOF0 segment ($len)")
           h = u16(pos + 3); w = u16(pos + 5)
           // the dimension gate must bound ALLOCATION, not just the
-          // pixel count: a ~200-byte crafted header can otherwise
-          // drive multi-GB plane allocations before any entropy byte
-          // is read — an OOM is FATAL by the quarantine contract, so
-          // a hostile header has to die here as a parse error
-          require(w > 0 && h > 0 && w.toLong * h * 3 <= (1L << 27),
+          // pixel count: the decoder's worst case (4:4:4) allocates
+          // three full-resolution Int sample planes (3·w·h·4 bytes)
+          // plus the w·h·3 RGB buffer = 15·w·h transient bytes — a
+          // ~200-byte crafted header can otherwise drive multi-GB
+          // allocations before any entropy byte is read, and an OOM
+          // is FATAL by the quarantine contract, so a hostile header
+          // has to die here as a parse error sized against the REAL
+          // footprint
+          require(w > 0 && h > 0 && w.toLong * h * 15 <= (1L << 27),
             s"JPEG: unreasonable dimensions $w x $h")
           val nc = bytes(pos + 7) & 0xff
           require(nc == 1 || nc == 3,

@@ -105,12 +105,19 @@ object TarCodec {
         // ustar prefix field (offset 345, 155 bytes): long paths store
         // their leading directories here; ignoring it would silently
         // TRUNCATE member names on foreign archives
+        // POSIX ustar only: magic "ustar\0" + version "00". Old-GNU
+        // archives share the first five magic bytes ("ustar  \0") but
+        // store atime/ctime at offset 345 — treating those bytes as a
+        // path prefix would silently decode bogus member names, the
+        // silent-wrong-output case this codec family forbids.
         val magic = new String(bytes, pos + 257, 5,
           java.nio.charset.StandardCharsets.US_ASCII)
+        val posixUstar = magic == "ustar" && bytes(pos + 262) == 0 &&
+          bytes(pos + 263) == '0'.toByte && bytes(pos + 264) == '0'.toByte
         var preEnd = pos + 345
         while (preEnd < pos + 345 + 155 && bytes(preEnd) != 0) preEnd += 1
         val name =
-          if (magic == "ustar" && preEnd > pos + 345)
+          if (posixUstar && preEnd > pos + 345)
             new String(bytes, pos + 345, preEnd - (pos + 345),
               java.nio.charset.StandardCharsets.US_ASCII) + "/" + base
           else base

@@ -231,6 +231,71 @@ object WarcOps {
       .toDF("file_id", "content")
   }
 
+  /** One step of the member-at-a-time walk: the member's ordinal in
+    * the file, its starting byte offset, and the parsed record or the
+    * failure that quarantines exactly this member. */
+  final case class MemberStep(idx: Int, start: Int,
+      result: Either[Throwable, WarcRecord])
+
+  /** STREAMING member-at-a-time walk of a member-per-record `.warc.gz`
+    * file: inflate ONE gzip member ([[CompressedOps.inflateMemberAt]]),
+    * parse ONE record, emit, reuse the Inflater — peak memory is one
+    * record, never the decompressed concatenation (the shape a
+    * 1000-capture-per-GB real crawl file requires; a whole-file
+    * inflate is a per-task OOM at that scale).
+    *
+    * Failure granularity is per MEMBER: a trailer integrity failure
+    * (CRC/ISIZE — framing intact) resumes at the next member boundary;
+    * a record-grammar failure inside an intact member costs only that
+    * member; header/deflate corruption loses gzip sync, and the walk
+    * rescans for the next member magic ([[CompressedOps.findGzipMagic]],
+    * the standard WARC-reader recovery posture). `memberCap` bounds
+    * ONE member's decompressed size — the per-task memory gate. */
+  def walkRecordMembers(bytes: Array[Byte], infl: Inflater,
+      memberCap: Int = 1 << 26): Iterator[MemberStep] =
+    new Iterator[MemberStep] {
+      private var pos = 0
+      private var idx = 0
+      override def hasNext: Boolean = pos < bytes.length
+      override def next(): MemberStep = {
+        val start = pos
+        val result =
+          try {
+            val (data, nxt) =
+              CompressedOps.inflateMemberAt(bytes, pos, infl, memberCap)
+            pos = nxt
+            val recs = parseRecords(data)
+            require(recs.length == 1,
+              s"WARC: member at byte $start must hold exactly one " +
+                s"record, got ${recs.length}")
+            Right(recs.head)
+          } catch {
+            case e: CompressedOps.GzipMemberException =>
+              // resume at the trailer boundary when the failure knows
+              // it, else rescan for the next member magic
+              pos =
+                if (e.resumePos >= 0) e.resumePos
+                else {
+                  val at = CompressedOps.findGzipMagic(bytes, start + 1)
+                  if (at < 0) bytes.length else at
+                }
+              Left(e)
+            case scala.util.control.NonFatal(e) =>
+              // record grammar failed but the MEMBER framing was
+              // sound — pos already advanced past its trailer.
+              // Defensive: a failure that did NOT advance must rescan
+              // (a stuck position would loop the iterator forever)
+              if (pos == start) {
+                val at = CompressedOps.findGzipMagic(bytes, start + 1)
+                pos = if (at < 0) bytes.length else at
+              }
+              Left(e)
+          }
+        idx += 1
+        MemberStep(idx - 1, start, result)
+      }
+    }
+
   /** One response capture extracted from a multi-document file:
     * the doc id comes from the record's OWN `WARC-Target-URI` (the
     * reader trusts the container, not a side channel), plus the
@@ -238,14 +303,18 @@ object WarcOps {
   final case class WarcCapture(doc_id: Long, file_id: Long,
       n_file_records: Long, resp_len: Long, resp_md5: String)
 
-  /** Read multi-document WARC files: one gzip+record walk per FILE
-    * row, exploded to one output row per response capture. The file
+  /** Read multi-document WARC files with the STREAMING walk: one
+    * member-at-a-time pass per FILE row (peak memory = one record +
+    * the per-capture witness list, never the decompressed file),
+    * exploded to one output row per response capture. The file
     * structure is enforced, not assumed: the first record must be the
     * warcinfo, and every response must be immediately preceded by its
     * request for the SAME target URI (the pair discipline crawlers
-    * write) — a shuffled or spliced file fails loud. */
-  def readWarcFilesAll(spark: SparkSession,
-      media: DataFrame): Dataset[WarcCapture] = {
+    * write) — a shuffled or spliced file fails loud (this is the
+    * CERTIFICATION reader; [[tryReadWarcFiles]] is the production
+    * quarantine lane). */
+  def readWarcFilesAll(spark: SparkSession, media: DataFrame,
+      memberCap: Int = 1 << 26): Dataset[WarcCapture] = {
     import spark.implicits._
     media.select(col("file_id").cast("long").as("doc_id"),
       col("content")).as[MediaRow].mapPartitions { rows =>
@@ -253,42 +322,193 @@ object WarcOps {
       Multimodal.endOnTaskCompletion(() => infl.end())
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.flatMap { r =>
-        val records = parseRecords(
-          CompressedOps.gunzipWith(r.content, infl, cap = 1 << 28))
-        require(records.nonEmpty &&
-            records.head.warcType == "warcinfo",
-          s"WARC: file ${r.doc_id} does not start with a warcinfo " +
-            "record")
-        val n = records.length.toLong
-        records.drop(1).grouped(2).map { pair =>
-          require(pair.length == 2 &&
-              pair(0).warcType == "request" &&
-              pair(1).warcType == "response",
-            s"WARC: file ${r.doc_id} breaks the request/response " +
-              "pair discipline")
-          val uri = pair(1).headers.getOrElse("WARC-Target-URI",
-            throw new IllegalArgumentException(
-              "WARC: response without WARC-Target-URI"))
-          require(pair(0).headers.get("WARC-Target-URI")
-              .contains(uri),
-            s"WARC: request/response URI mismatch in file ${r.doc_id}")
-          val prefix = "https://example.com/doc/"
-          require(uri.startsWith(prefix),
-            s"WARC: unexpected target URI '$uri'")
-          val id =
-            try uri.substring(prefix.length).toLong
-            catch { case _: NumberFormatException =>
-              throw new IllegalArgumentException(
-                s"WARC: non-numeric doc id in URI '$uri'")
-            }
-          md.reset()
-          val hex = md.digest(pair(1).block).map("%02x".format(_))
-            .mkString
-          WarcCapture(id, r.doc_id, n, pair(1).block.length.toLong,
-            hex)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, String)] // (doc_id, resp_len, resp_md5)
+        var n = 0L
+        var pendingReq: Option[WarcRecord] = None
+        walkRecordMembers(r.content, infl, memberCap).foreach { step =>
+          val rec = step.result match {
+            case Right(rc) => rc
+            case Left(e) => throw e // fail-loud reader
+          }
+          if (step.idx == 0) {
+            require(rec.warcType == "warcinfo",
+              s"WARC: file ${r.doc_id} does not start with a " +
+                "warcinfo record")
+          } else rec.warcType match {
+            case "request" =>
+              require(pendingReq.isEmpty,
+                s"WARC: file ${r.doc_id} breaks the request/response " +
+                  "pair discipline")
+              pendingReq = Some(rec)
+            case "response" =>
+              val req = pendingReq.getOrElse(
+                throw new IllegalArgumentException(
+                  s"WARC: file ${r.doc_id} breaks the " +
+                    "request/response pair discipline"))
+              pendingReq = None
+              val uri = rec.headers.getOrElse("WARC-Target-URI",
+                throw new IllegalArgumentException(
+                  "WARC: response without WARC-Target-URI"))
+              require(req.headers.get("WARC-Target-URI").contains(uri),
+                s"WARC: request/response URI mismatch in file " +
+                  s"${r.doc_id}")
+              val prefix = "https://example.com/doc/"
+              require(uri.startsWith(prefix),
+                s"WARC: unexpected target URI '$uri'")
+              val id =
+                try uri.substring(prefix.length).toLong
+                catch { case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    s"WARC: non-numeric doc id in URI '$uri'")
+                }
+              md.reset()
+              val hex = md.digest(rec.block).map("%02x".format(_))
+                .mkString
+              out += ((id, rec.block.length.toLong, hex))
+            case t => throw new IllegalArgumentException(
+              s"WARC: unexpected $t record in file ${r.doc_id}")
+          }
+          n += 1
+        }
+        require(pendingReq.isEmpty,
+          s"WARC: file ${r.doc_id} ends with an unpaired request")
+        out.iterator.map { case (id, len, hex) =>
+          WarcCapture(id, r.doc_id, n, len, hex)
         }
       }
     }
+  }
+
+  /** One member's outcome under the quarantine contract: `ok` rows are
+    * response captures with their byte-exact witnesses; `quarantined`
+    * rows carry the stable error class for exactly ONE member —
+    * sibling captures in the same file survive. Intact non-response
+    * records (warcinfo / request) emit nothing. */
+  final case class TriedCapture(file_id: Long, member_idx: Int,
+      status: String, error_class: Option[String],
+      doc_id: Option[Long], resp_len: Option[Long],
+      resp_md5: Option[String])
+
+  /** The PRODUCTION multi-document WARC reader: the same streaming
+    * member-at-a-time walk as [[readWarcFilesAll]], but corruption is
+    * member-granular — one corrupt record quarantines ONE capture
+    * (file_id, member_idx, error_class) and the remaining captures in
+    * the file survive, instead of one bad byte killing a
+    * 50k-capture file (and with it the stage). Responses are kept on
+    * their OWN record's integrity; requests and warcinfo records are
+    * walked (and length-validated) but emit rows only when corrupt.
+    * Zero added shuffle — the same map-shaped slot as the fail-loud
+    * reader. */
+  def tryReadWarcFiles(spark: SparkSession, media: DataFrame,
+      memberCap: Int = 1 << 26): Dataset[TriedCapture] = {
+    import spark.implicits._
+    media.select(col("file_id").cast("long").as("doc_id"),
+      col("content")).as[MediaRow].mapPartitions { rows =>
+      val infl = new Inflater(true)
+      Multimodal.endOnTaskCompletion(() => infl.end())
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        walkRecordMembers(r.content, infl, memberCap).flatMap { step =>
+          step.result match {
+            case Left(e) =>
+              Some(TriedCapture(r.doc_id, step.idx, "quarantined",
+                Some(QuarantineOps.classify(e)), None, None, None))
+            case Right(rec) if rec.warcType == "response" =>
+              QuarantineOps.attempt {
+                val uri = rec.headers.getOrElse("WARC-Target-URI",
+                  throw new IllegalArgumentException(
+                    "WARC: response without WARC-Target-URI"))
+                val prefix = "https://example.com/doc/"
+                require(uri.startsWith(prefix),
+                  s"WARC: unexpected target URI '$uri'")
+                uri.substring(prefix.length).toLong
+              } match {
+                case Right(id) =>
+                  md.reset()
+                  val hex = md.digest(rec.block).map("%02x".format(_))
+                    .mkString
+                  Some(TriedCapture(r.doc_id, step.idx, "ok", None,
+                    Some(id), Some(rec.block.length.toLong), Some(hex)))
+                case Left(cls) =>
+                  Some(TriedCapture(r.doc_id, step.idx, "quarantined",
+                    Some(cls), None, None, None))
+              }
+            case Right(_) => None // intact warcinfo / request
+          }
+        }
+      }
+    }
+  }
+
+  /** The PLANTED-corruption multi-document corpus the member-granular
+    * quarantine oracle runs over: [[warcFileTable]]'s exact layout,
+    * with two corruption classes planted by doc_id arithmetic — each
+    * chosen so the walk's OWN diagnosis is deterministic AND the
+    * failure costs exactly one member:
+    *
+    *   - `doc_id % 17 == 3` → the RESPONSE member's stored gzip
+    *     CRC-32 gets its low bit flipped: the deflate stream still
+    *     inflates (framing intact, resume point known), the trailer
+    *     check fails → `integrity`, that one capture is lost, every
+    *     sibling survives;
+    *   - `doc_id % 17 == 7` → the REQUEST record's first byte is
+    *     overwritten ('X') BEFORE compression: the gzip member is
+    *     sound, the record grammar fails → `bad_magic`, and the
+    *     following response (its own record intact) SURVIVES.
+    *
+    * Planting is pure arithmetic on (doc_id, text), so the DuckDB
+    * oracle replays status + class + member ordinals + clean-row
+    * witnesses without seeing a payload byte. */
+  def corruptWarcFileTable(spark: SparkSession, docs: DataFrame,
+      docsPerFile: Int = 50): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .withColumn("file_id",
+        DedupOps.idiv(col("doc_id"), lit(docsPerFile.toLong)))
+      .groupBy(col("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
+        col("text").as("_2")))).as("members"))
+      .select(col("file_id").as("_1"), col("members").as("_2"))
+      .as[(Long, Seq[(Long, String)])]
+      .mapPartitions { rows =>
+        val defl = new Deflater(Deflater.BEST_SPEED, true)
+        Multimodal.endOnTaskCompletion(() => defl.end())
+        val crc = new CRC32()
+        rows.map { case (fid, members) =>
+          val out = new java.io.ByteArrayOutputStream(
+            members.map(_._2.length).sum / 2 + 1024)
+          val date = "2020-01-01T00:00:00Z"
+          def member(rec: Array[Byte], flipCrc: Boolean): Unit =
+            if (!flipCrc) CompressedOps.gzipMember(rec, defl, crc, out)
+            else {
+              val one = new java.io.ByteArrayOutputStream(
+                rec.length / 2 + 64)
+              CompressedOps.gzipMember(rec, defl, crc, one)
+              val b = one.toByteArray
+              b(b.length - 8) = (b(b.length - 8) ^ 0x01).toByte
+              out.write(b, 0, b.length)
+            }
+          member(record("warcinfo", Seq(
+            "WARC-Record-ID" -> s"<urn:uuid:file-$fid>",
+            "WARC-Date" -> date), InfoBlock), flipCrc = false)
+          members.foreach { case (id, text) =>
+            val uri = s"https://example.com/doc/$id"
+            val req = record("request", Seq(
+              "WARC-Record-ID" -> s"<urn:uuid:0000-$id-1>",
+              "WARC-Date" -> date, "WARC-Target-URI" -> uri),
+              requestBlock(id))
+            if (id % 17 == 7) req(0) = 'X'.toByte
+            member(req, flipCrc = false)
+            member(record("response", Seq(
+              "WARC-Record-ID" -> s"<urn:uuid:0000-$id-2>",
+              "WARC-Date" -> date, "WARC-Target-URI" -> uri),
+              text.getBytes(UTF_8)), flipCrc = id % 17 == 3)
+          }
+          (fid, out.toByteArray)
+        }
+      }
+      .toDF("file_id", "content")
   }
 
   /** One WARC file's witnesses: record count, per-type block lengths,

@@ -76,8 +76,11 @@ object ZstdOps {
   def unzstdWith(bytes: Array[Byte], ctx: ZstdDecompressCtx,
       cap: Int = 1 << 26): Array[Byte] = {
     require(bytes.length >= 4, "zstd: truncated stream")
+    // size hint in LONG arithmetic: bytes.length * 4 overflows Int
+    // (negative) past 512 MiB of input, and a negative hint makes the
+    // stream constructor throw an opaque error instead of decoding
     val out = new java.io.ByteArrayOutputStream(
-      math.max(64, math.min(cap, bytes.length * 4)))
+      math.max(64L, math.min(cap.toLong, bytes.length.toLong * 4)).toInt)
     var pos = 0
     while (pos < bytes.length) {
       val csize =

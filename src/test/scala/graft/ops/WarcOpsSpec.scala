@@ -160,4 +160,122 @@ class WarcOpsSpec extends SparkSpec {
     assert(got.values.count(_ == "integrity") == 1)
     assert(got.values.count(_ == "ok:3") == 2)
   }
+
+  // ---- r13: streaming member-at-a-time walk -------------------------
+
+  private def buildFile(docs: Seq[(Long, String)],
+      corrupt: (Long, Array[Byte]) => Array[Byte] = (_, b) => b)
+      : Array[Byte] = {
+    val defl = new java.util.zip.Deflater(
+      java.util.zip.Deflater.BEST_SPEED, true)
+    val crc = new java.util.zip.CRC32()
+    val out = new java.io.ByteArrayOutputStream()
+    def member(id: Long, rec: Array[Byte]): Unit = {
+      val one = new java.io.ByteArrayOutputStream()
+      CompressedOps.gzipMember(rec, defl, crc, one)
+      val b = corrupt(id, one.toByteArray)
+      out.write(b, 0, b.length)
+    }
+    member(-1L, WarcOps.record("warcinfo", Seq.empty, WarcOps.InfoBlock))
+    docs.foreach { case (id, text) =>
+      val uri = s"https://example.com/doc/$id"
+      member(-1L, WarcOps.record("request",
+        Seq("WARC-Target-URI" -> uri),
+        s"GET /doc/$id HTTP/1.1\r\n\r\n".getBytes("US-ASCII")))
+      member(id, WarcOps.record("response",
+        Seq("WARC-Target-URI" -> uri), text.getBytes("UTF-8")))
+    }
+    defl.end()
+    out.toByteArray
+  }
+
+  test("r13: one corrupt member quarantines ONE capture — the other " +
+      "49 siblings in the same file survive with exact witnesses") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => i -> s"document number $i body")
+    // flip the stored gzip CRC of doc 17's response member
+    val bytes = buildFile(docs, (id, b) =>
+      if (id == 17L) { val c = b.clone()
+        c(c.length - 8) = (c(c.length - 8) ^ 0x01).toByte; c } else b)
+    val got = WarcOps.tryReadWarcFiles(spark,
+      Seq((0L, bytes)).toDF("file_id", "content")).collect()
+    val quarantined = got.filter(_.status == "quarantined")
+    assert(quarantined.length == 1)
+    assert(quarantined.head.error_class.contains("integrity"))
+    assert(quarantined.head.member_idx == 1 + 2 * 17 + 1) // response slot
+    val ok = got.filter(_.status == "ok")
+    assert(ok.length == 49 && !ok.exists(_.doc_id.contains(17L)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    ok.foreach { c =>
+      val raw = s"document number ${c.doc_id.get} body".getBytes("UTF-8")
+      md.reset()
+      assert(c.resp_md5.contains(
+        md.digest(raw).map("%02x".format(_)).mkString))
+    }
+  }
+
+  test("r13: a corrupt REQUEST record costs only that member — its " +
+      "own response still survives; deflate corruption resyncs via " +
+      "the member-magic scan") {
+    import spark.implicits._
+    val docs = (0L until 6L).map(i => i -> s"body $i")
+    // doc 2: overwrite the request RECORD's first byte pre-compression
+    val defl = new java.util.zip.Deflater(
+      java.util.zip.Deflater.BEST_SPEED, true)
+    val crc = new java.util.zip.CRC32()
+    val out = new java.io.ByteArrayOutputStream()
+    def member(rec: Array[Byte], mangleDeflate: Boolean = false): Unit = {
+      val one = new java.io.ByteArrayOutputStream()
+      CompressedOps.gzipMember(rec, defl, crc, one)
+      val b = one.toByteArray
+      if (mangleDeflate) // smash deflate bytes mid-member: lost sync
+        for (i <- 12 until math.min(b.length - 8, 18))
+          b(i) = 0x55.toByte
+      out.write(b, 0, b.length)
+    }
+    member(WarcOps.record("warcinfo", Seq.empty, WarcOps.InfoBlock))
+    docs.foreach { case (id, text) =>
+      val uri = s"https://example.com/doc/$id"
+      val req = WarcOps.record("request",
+        Seq("WARC-Target-URI" -> uri),
+        s"GET /doc/$id HTTP/1.1\r\n\r\n".getBytes("US-ASCII"))
+      if (id == 2L) req(0) = 'X'.toByte
+      member(req, mangleDeflate = id == 4L)
+      member(WarcOps.record("response",
+        Seq("WARC-Target-URI" -> uri), text.getBytes("UTF-8")))
+    }
+    defl.end()
+    val got = WarcOps.tryReadWarcFiles(spark,
+      Seq((0L, out.toByteArray)).toDF("file_id", "content")).collect()
+    val ok = got.filter(_.status == "ok").flatMap(_.doc_id)
+    // doc 2's response survives its corrupt request; doc 4's request
+    // lost gzip sync but the scan resynced at the next member magic
+    assert(ok.toSet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    val classes = got.filter(_.status == "quarantined")
+      .flatMap(_.error_class).sorted.toSeq
+    assert(classes == Seq("bad_magic", "decode_error") ||
+      classes == Seq("bad_magic", "integrity"),
+      s"got $classes")
+  }
+
+  test("r13: bounded peak memory — a file whose TOTAL decompressed " +
+      "size exceeds the member cap streams fine member-at-a-time") {
+    import spark.implicits._
+    val big = "lorem ipsum dolor sit amet " * 2000 // ~54 KB per doc
+    val docs = (0L until 8L).map(i => i -> (s"doc $i " + big))
+    val bytes = buildFile(docs)
+    val memberCap = 1 << 17 // 128 KB: > one member, < the ~432 KB total
+    // the OLD whole-file shape dies at this cap...
+    val infl = new java.util.zip.Inflater(true)
+    try intercept[IllegalArgumentException] {
+      CompressedOps.gunzipWith(bytes, infl, cap = memberCap)
+    } finally infl.end()
+    // ...the streaming walk reads every capture within it
+    val got = WarcOps.readWarcFilesAll(spark,
+      Seq((0L, bytes)).toDF("file_id", "content"),
+      memberCap = memberCap).collect()
+    assert(got.length == 8 && got.forall(_.n_file_records == 17L))
+    assert(got.forall(c =>
+      c.resp_len == (s"doc ${c.doc_id} " + big).getBytes("UTF-8").length))
+  }
 }
