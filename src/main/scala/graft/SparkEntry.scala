@@ -5181,6 +5181,78 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ★ r13: the END-TO-END crawl-to-corpus composition — WARC files
+    // (the real multi-document container) → HTTP message parse
+    // (chunked + identity bodies, status dispatch) → HTML markup
+    // strip → quality gate → exact-fingerprint dedup, declared as ONE
+    // query with per-stage survivor accounting. Corpus text never
+    // shuffles: the WARC+HTTP decode and the regex scoring are
+    // map-shaped; only (fp, doc_id, n_tokens) travels to the dedup
+    // agg and only stage counts leave the final aggregate (the
+    // pipeline_full hash discipline over the real container).
+    "pipeline_crawl_curate" -> ((s, d) => {
+      val caps = ops.WarcOps.readWarcCrawl(s,
+        ops.WarcOps.warcCrawlTable(s, t(s, d, "documents"), 50)).toDF()
+      val noTags = regexp_replace(col("html"), "<[^>]*>", " ")
+      val decoded = regexp_replace(regexp_replace(regexp_replace(
+        noTags, "&amp;", "&"), "&lt;", "<"), "&gt;", ">")
+      val cleanCol = trim(regexp_replace(decoded, " +", " "))
+      // one regex-heavy scoring pass, materialized: three stage
+      // aggregates and the dedup branch all read the compact
+      // (doc_id, status, n_tokens, quality_score, fp) table
+      val scored = TextOps.quality(
+          caps.withColumn("clean", cleanCol),
+          col("clean"), length(col("clean")).cast("bigint"))
+        .withColumn("fp", TextOps.fingerprint(col("clean")))
+        .select(col("doc_id"), col("status"), col("n_tokens"),
+          col("quality_score"), col("fp"))
+        .localCheckpoint(true)
+      val httpOk = col("status") === 200
+      val qual = httpOk && (col("quality_score") >= 0.3)
+      val flat = scored.agg(
+        count(lit(1)).as("d1"), sum(col("n_tokens")).as("t1"),
+        sum(when(httpOk, 1L).otherwise(0L)).as("d2"),
+        sum(when(httpOk, col("n_tokens")).otherwise(0L)).as("t2"),
+        sum(when(qual, 1L).otherwise(0L)).as("d3"),
+        sum(when(qual, col("n_tokens")).otherwise(0L)).as("t3"))
+      val s123 = flat.select(explode(array(
+        struct(lit("1_ingest").as("stage"), col("d1").as("n_docs"),
+          col("t1").as("n_tokens")),
+        struct(lit("2_http_ok").as("stage"), col("d2").as("n_docs"),
+          col("t2").as("n_tokens")),
+        struct(lit("3_quality").as("stage"), col("d3").as("n_docs"),
+          col("t3").as("n_tokens")))).as("r"))
+        .select(col("r.stage"), col("r.n_docs"), col("r.n_tokens"))
+      val s4 = scored.filter(qual)
+        .groupBy(col("fp"))
+        .agg(min(struct(col("doc_id"), col("n_tokens"))).as("m"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("m.n_tokens")).as("n_tokens"))
+        .select(lit("4_dedup").as("stage"), col("n_docs"),
+          col("n_tokens"))
+      s123.unionByName(s4).orderBy(col("stage"))
+    }),
+
+    // ★ r13: HTTP message parsing inside WARC response records — real
+    // crawl captures are full HTTP/1.1 responses (status line, header
+    // block, often chunked transfer coding), not bare text: a reader
+    // that hashes the raw block witnesses the transfer framing, not
+    // the page. The generator emits real HTTP messages (even ids
+    // chunked in 100-byte chunks, odd ids identity+Content-Length,
+    // doc_id%10==9 are 404s) and ops.HttpOps.parseResponse recovers
+    // status, headers, Content-Type charset, and the DECODED body —
+    // whose MD5 the oracle replays from the original text, certifying
+    // byte-exact recovery through BOTH framings.
+    "source_warc_http" -> ((s, d) => {
+      ops.WarcOps.readWarcHttpAll(s,
+        ops.WarcOps.warcHttpTable(s, t(s, d, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("status"), col("n_headers"),
+          col("content_type"), col("charset"), col("chunked"),
+          col("n_chunks"), col("body_len"), col("body_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ★ r13: MEMBER-GRANULAR quarantine over multi-document WARC —
     // the production posture the real crawl demands: the STREAMING
     // member-at-a-time walk (peak memory = one record, never the
@@ -10335,6 +10407,74 @@ object SparkEntry {
         |  md5(text) AS resp_md5
         |FROM f JOIN c USING (file_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Replays the WHOLE crawl-to-corpus composition from the original
+    // rows: the HTML wrap (text_html_strip's markup), the strip
+    // expressions, the status dispatch (404s dropped at stage 2), the
+    // quality gate on the STRIPPED text, and keep-lowest-id exact
+    // dedup — so a match certifies WARC framing + HTTP de-chunking +
+    // markup strip + gates compose end-to-end byte-exactly.
+    "pipeline_crawl_curate" ->
+      s"""WITH cap AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 = 9 THEN 404 ELSE 200 END AS status,
+         |    '<html><head><title>d</title></head><body><p>' ||
+         |      regexp_replace(text, '\\. ', '.</p> <p>', 'g') ||
+         |      '</p><div class="footer">&amp;copy; 2026 &lt;corp&gt;' ||
+         |      '</div></body></html>' AS html
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, status, trim(regexp_replace(
+         |    regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+         |      '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+         |    ' +', ' ', 'g')) AS text
+         |  FROM cap),
+         |scored AS (
+         |  SELECT doc_id, status,
+         |    ${TextOps.sql.tokenCount} AS n_tokens,
+         |    round(least(1.0, ${TextOps.sql.tokenCount} / 100.0) *
+         |      (1.0 - cast(${TextOps.sql.patCount(TextOps.sql.stopword)}
+         |                  as double)
+         |             / ${TextOps.sql.tokenCount}), 4) AS quality_score,
+         |    ${TextOps.sql.fingerprint} AS fp
+         |  FROM c),
+         |dd AS (
+         |  SELECT fp, arg_min(n_tokens, doc_id) AS nt
+         |  FROM scored WHERE status = 200 AND quality_score >= 0.3
+         |  GROUP BY fp)
+         |SELECT '1_ingest' AS stage, count(*) AS n_docs,
+         |  cast(sum(n_tokens) as bigint) AS n_tokens FROM scored
+         |UNION ALL
+         |SELECT '2_http_ok', count(*), cast(sum(n_tokens) as bigint)
+         |FROM scored WHERE status = 200
+         |UNION ALL
+         |SELECT '3_quality', count(*), cast(sum(n_tokens) as bigint)
+         |FROM scored WHERE status = 200 AND quality_score >= 0.3
+         |UNION ALL
+         |SELECT '4_dedup', count(*), cast(sum(nt) as bigint) FROM dd
+         |ORDER BY stage""".stripMargin,
+
+    // Replays every HTTP witness from the generator arithmetic: the
+    // status dispatch (404 for doc_id%10=9), the 3-header block, the
+    // Content-Type media type + charset parameter, the transfer
+    // framing (even ids chunked, ceil(len/100) data chunks), and the
+    // decoded body's byte length + MD5 from the ORIGINAL text — a
+    // match certifies the de-chunking recovered the exact bytes.
+    "source_warc_http" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 9 THEN cast(404 as bigint)
+        |    ELSE cast(200 as bigint) END AS status,
+        |  cast(3 as bigint) AS n_headers,
+        |  'text/html' AS content_type,
+        |  'utf-8' AS charset,
+        |  doc_id % 2 = 0 AS chunked,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN cast(ceil(strlen(text) / 100.0) as bigint)
+        |    ELSE cast(0 as bigint) END AS n_chunks,
+        |  cast(strlen(text) as bigint) AS body_len,
+        |  md5(text) AS body_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Replays the member-granular quarantine lane from the planting
     // arithmetic: member ordinals from the file layout (warcinfo 0,

@@ -511,6 +511,199 @@ object WarcOps {
       .toDF("file_id", "content")
   }
 
+  /** Build a `.warc.gz` corpus whose response blocks are REAL HTTP/1.1
+    * messages ([[HttpOps.encodeResponse]]) — the shape actual crawl
+    * captures have (status line + header block + transfer-coded body),
+    * not bare text. Deterministic per doc: even ids are
+    * chunked-transfer coded in 100-byte chunks (the coding a
+    * first-cut reader silently mis-hashes), odd ids identity with
+    * Content-Length; `doc_id % 10 == 9` captures are 404s (status
+    * dispatch is part of the contract); every body is the doc's UTF-8
+    * text and every header is replayable arithmetic. */
+  def warcHttpTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val defl = new Deflater(Deflater.BEST_SPEED, true)
+        Multimodal.endOnTaskCompletion(() => defl.end())
+        val crc = new CRC32()
+        rows.map { case (id, text) =>
+          val uri = s"https://example.com/doc/$id"
+          val date = "2020-01-01T00:00:00Z"
+          def common(n: Int) = Seq(
+            "WARC-Record-ID" -> s"<urn:uuid:0000-$id-$n>",
+            "WARC-Date" -> date)
+          val (status, reason) =
+            if (id % 10 == 9) (404, "Not Found") else (200, "OK")
+          val http = HttpOps.encodeResponse(status, reason, Seq(
+            "Content-Type" -> "text/html; charset=utf-8",
+            "X-Doc" -> id.toString),
+            text.getBytes(UTF_8),
+            chunkSize = if (id % 2 == 0) 100 else 0)
+          val info = record("warcinfo", common(0), InfoBlock)
+          val req = record("request",
+            common(1) :+ ("WARC-Target-URI" -> uri), requestBlock(id))
+          val resp = record("response",
+            common(2) :+ ("WARC-Target-URI" -> uri), http)
+          val out = new java.io.ByteArrayOutputStream(
+            resp.length / 2 + 256)
+          CompressedOps.gzipMember(info, defl, crc, out)
+          CompressedOps.gzipMember(req, defl, crc, out)
+          CompressedOps.gzipMember(resp, defl, crc, out)
+          (id, out.toByteArray)
+        }
+      }
+      .toDF("doc_id", "content")
+  }
+
+  /** One HTTP-parsed capture's witnesses: status code, header count,
+    * media type + charset from Content-Type, the transfer framing
+    * (chunked flag + chunk count), and the byte-exact DECODED body —
+    * all replayable by the oracle from the original document row. */
+  final case class WarcHttpMeta(doc_id: Long, status: Long,
+      n_headers: Long, content_type: String, charset: String,
+      chunked: Boolean, n_chunks: Long, body_len: Long,
+      body_md5: String)
+
+  /** Read a per-doc `.warc.gz` corpus and parse each response block
+    * as a full HTTP message: gzip member walk → WARC record framing →
+    * [[HttpOps.parseResponse]] (status line, header block, chunked or
+    * identity body) in one partition-wise pass. A body digest match
+    * certifies the DECODED body equals the original text through the
+    * WARC framing AND the HTTP transfer coding. */
+  def readWarcHttpAll(spark: SparkSession,
+      media: DataFrame): Dataset[WarcHttpMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      val infl = new Inflater(true)
+      Multimodal.endOnTaskCompletion(() => infl.end())
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val records = parseRecords(
+          CompressedOps.gunzipWith(r.content, infl))
+        val of = records.filter(_.warcType == "response")
+        require(of.length == 1,
+          s"WARC: expected one response record, got ${of.length}")
+        val http = HttpOps.parseResponse(of.head.block)
+        md.reset()
+        val hex = md.digest(http.body).map("%02x".format(_)).mkString
+        WarcHttpMeta(r.doc_id, http.status.toLong,
+          http.headers.length.toLong,
+          http.contentType.getOrElse(""),
+          http.charset.getOrElse(""),
+          http.chunked, http.nChunks.toLong,
+          http.body.length.toLong, hex)
+      }
+    }
+  }
+
+  /** The HTML wrap the crawl generator serves (the same markup
+    * text_html_strip certifies): paragraphs split at sentence
+    * boundaries plus an entity-bearing footer. */
+  private[ops] def htmlWrap(text: String): String =
+    "<html><head><title>d</title></head><body><p>" +
+      text.replaceAll("\\. ", ".</p> <p>") +
+      "</p><div class=\"footer\">&amp;copy; 2026 &lt;corp&gt;</div>" +
+      "</body></html>"
+
+  /** Build MULTI-DOCUMENT `.warc.gz` files whose response blocks are
+    * full HTTP messages serving HTML — the complete real-crawl
+    * container: 50 captures per file, each response an HTTP/1.1
+    * message (chunked for even ids, identity otherwise, 404 for
+    * doc_id % 10 == 9) whose body is the HTML-wrapped document text.
+    * This is the input the end-to-end crawl-to-corpus pipeline
+    * certifies against. */
+  def warcCrawlTable(spark: SparkSession, docs: DataFrame,
+      docsPerFile: Int = 50): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .withColumn("file_id",
+        DedupOps.idiv(col("doc_id"), lit(docsPerFile.toLong)))
+      .groupBy(col("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
+        col("text").as("_2")))).as("members"))
+      .select(col("file_id").as("_1"), col("members").as("_2"))
+      .as[(Long, Seq[(Long, String)])]
+      .mapPartitions { rows =>
+        val defl = new Deflater(Deflater.BEST_SPEED, true)
+        Multimodal.endOnTaskCompletion(() => defl.end())
+        val crc = new CRC32()
+        rows.map { case (fid, members) =>
+          val out = new java.io.ByteArrayOutputStream(
+            members.map(_._2.length).sum / 2 + 1024)
+          val date = "2020-01-01T00:00:00Z"
+          CompressedOps.gzipMember(record("warcinfo", Seq(
+            "WARC-Record-ID" -> s"<urn:uuid:file-$fid>",
+            "WARC-Date" -> date), InfoBlock), defl, crc, out)
+          members.foreach { case (id, text) =>
+            val uri = s"https://example.com/doc/$id"
+            val (status, reason) =
+              if (id % 10 == 9) (404, "Not Found") else (200, "OK")
+            val http = HttpOps.encodeResponse(status, reason, Seq(
+              "Content-Type" -> "text/html; charset=utf-8",
+              "X-Doc" -> id.toString),
+              htmlWrap(text).getBytes(UTF_8),
+              chunkSize = if (id % 2 == 0) 100 else 0)
+            CompressedOps.gzipMember(record("request", Seq(
+              "WARC-Record-ID" -> s"<urn:uuid:0000-$id-1>",
+              "WARC-Date" -> date, "WARC-Target-URI" -> uri),
+              requestBlock(id)), defl, crc, out)
+            CompressedOps.gzipMember(record("response", Seq(
+              "WARC-Record-ID" -> s"<urn:uuid:0000-$id-2>",
+              "WARC-Date" -> date, "WARC-Target-URI" -> uri),
+              http), defl, crc, out)
+          }
+          (fid, out.toByteArray)
+        }
+      }
+      .toDF("file_id", "content")
+  }
+
+  /** One crawl capture after WARC + HTTP decoding: id from the
+    * record's own URI, the HTTP status, and the decoded (de-chunked)
+    * HTML body ready for the markup-strip stage. */
+  final case class CrawlCapture(doc_id: Long, file_id: Long,
+      status: Long, html: String)
+
+  /** Read a multi-document crawl container end-to-end: streaming
+    * member-at-a-time walk → WARC record framing → HTTP message parse
+    * → decoded body, one partition-wise pass (payloads never leave
+    * the task; the downstream strip/gate stages are pure column work
+    * over the emitted rows). Fail-loud certification reader; route a
+    * production run through the member-granular quarantine shape of
+    * [[tryReadWarcFiles]]. */
+  def readWarcCrawl(spark: SparkSession, media: DataFrame,
+      memberCap: Int = 1 << 26): Dataset[CrawlCapture] = {
+    import spark.implicits._
+    media.select(col("file_id").cast("long").as("doc_id"),
+      col("content")).as[MediaRow].mapPartitions { rows =>
+      val infl = new Inflater(true)
+      Multimodal.endOnTaskCompletion(() => infl.end())
+      rows.flatMap { r =>
+        walkRecordMembers(r.content, infl, memberCap).flatMap { step =>
+          val rec = step.result match {
+            case Right(rc) => rc
+            case Left(e) => throw e
+          }
+          if (rec.warcType != "response") None
+          else {
+            val uri = rec.headers.getOrElse("WARC-Target-URI",
+              throw new IllegalArgumentException(
+                "WARC: response without WARC-Target-URI"))
+            val prefix = "https://example.com/doc/"
+            require(uri.startsWith(prefix),
+              s"WARC: unexpected target URI '$uri'")
+            val id = uri.substring(prefix.length).toLong
+            val http = HttpOps.parseResponse(rec.block)
+            Some(CrawlCapture(id, r.doc_id, http.status.toLong,
+              new String(http.body, UTF_8)))
+          }
+        }
+      }
+    }
+  }
+
   /** One WARC file's witnesses: record count, per-type block lengths,
     * the response body's MD5, and the response's target URI — all
     * replayable by the oracle from the original document row. */
