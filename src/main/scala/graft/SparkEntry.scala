@@ -5181,6 +5181,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ★ r13: charset sniff + transcode — the stage between raw crawl
+    // bytes and every text gate (a real web corpus is NOT UTF-8:
+    // legacy pages arrive as windows-1252 / Shift_JIS / UTF-16). The
+    // generator plants all five arms (BOM'd UTF-8, cp1252, Shift_JIS,
+    // UTF-16LE, plain multi-byte UTF-8), each with a non-ASCII marker
+    // that PROVES the right decoder ran — the cp1252 arm's 0xE9 is an
+    // SJIS lead byte whose trail is invalid, so a sloppy sniff order
+    // misdetects it. The oracle replays detected labels and the
+    // byte-exact UTF-8 witnesses (text || marker) from the original
+    // rows, certifying the encode → sniff → decode → UTF-8 round trip.
+    "source_charset" -> ((s, d) => {
+      ops.CharsetOps.transcodeAll(s,
+        ops.CharsetOps.charsetTable(s, t(s, d, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("detected"), col("n_out"),
+          col("out_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ★ r13: the END-TO-END crawl-to-corpus composition — WARC files
     // (the real multi-document container) → HTTP message parse
     // (chunked + identity bodies, status dispatch) → HTML markup
@@ -10407,6 +10426,27 @@ object SparkEntry {
         |  md5(text) AS resp_md5
         |FROM f JOIN c USING (file_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Replays the planted encoding arms from doc_id arithmetic: the
+    // detected label per arm and the transcoded UTF-8 witnesses as
+    // text || marker (corpus text is ASCII, so every arm encodes
+    // losslessly and strlen/md5 over the UTF-8 SQL literals are the
+    // exact expected bytes).
+    "source_charset" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN '' WHEN 1 THEN ' café!' WHEN 2 THEN ' 日本語'
+        |      WHEN 3 THEN ' ★' ELSE ' ü' END AS marker,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN 'utf-8-bom' WHEN 1 THEN 'windows-1252'
+        |      WHEN 2 THEN 'shift_jis' WHEN 3 THEN 'utf-16le'
+        |      ELSE 'utf-8' END AS detected
+        |  FROM documents)
+        |SELECT doc_id, detected,
+        |  cast(strlen(text || marker) as bigint) AS n_out,
+        |  md5(text || marker) AS out_md5
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // Replays the WHOLE crawl-to-corpus composition from the original
     // rows: the HTML wrap (text_html_strip's markup), the strip
