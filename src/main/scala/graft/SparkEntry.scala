@@ -151,6 +151,28 @@ object SparkEntry {
     * survivors — the other order lets a low-quality duplicate with the
     * lowest doc_id knock out every higher-quality copy of the same
     * content. */
+  /** Deterministic URL corpus for the domain-curation lane: a 7-host
+    * table keyed by doc_id mod 7, a 20-doc path bucket (so
+    * canonicalization dedup has real collisions: ids congruent mod 7
+    * inside one bucket share a canonical URL), a unique ?id= query
+    * param, tracking params on every third doc, a fragment on every
+    * fifth — all pure column arithmetic the oracle replays. */
+  private def urlTable(s: SparkSession, d: String): DataFrame = {
+    val hosts = Seq("example.com", "news.example.co.uk",
+      "blog.spam.net", "en.wikipedia.org", "docs.python.org",
+      "ads.tracker.io", "forum.example.com")
+    val host0 = element_at(array(hosts.map(lit): _*),
+      (pmod(col("doc_id"), lit(7)) + 1).cast("int"))
+    t(s, d, "documents").withColumn("url", concat(
+      lit("https://"), host0, lit("/p/"),
+      ops.DedupOps.idiv(col("doc_id"), lit(20L)).cast("string"),
+      lit("?id="), col("doc_id").cast("string"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit("&utm_source=feed&utm_campaign=x")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit("#frag"))
+        .otherwise(lit(""))))
+  }
+
   private def curateSurvivors(s: SparkSession, d: String): DataFrame =
     TextOps.quality(t(s, d, "documents"), col("text"), col("n_chars"))
       .withColumn("fp", TextOps.fingerprint(col("text")))
@@ -5179,6 +5201,66 @@ object SparkEntry {
         .select(col("doc_id"), col("file_id"), col("n_file_records"),
           col("resp_len"), col("resp_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ★ r13: URL/domain profiling — the curation signals a crawl
+    // pipeline keys on (host, reversed-host for prefix range scans,
+    // TLD, registered domain with a public-suffix-style multi-label
+    // rule for .co.uk). URLs are built deterministically from doc_id
+    // arithmetic over a 7-host table and then PARSED with Spark's
+    // parse_url (HOST/PATH/QUERY — fragment excluded from QUERY); the
+    // oracle replays every witness from the arithmetic, so a match
+    // certifies the parser and the domain decompositions. Pure
+    // scan-side column work — the 100 TB shape for per-URL features.
+    "q_url_profile" -> ((s, d) => {
+      val labels = split(col("host"), "\\.")
+      urlTable(s, d)
+        .withColumn("host", expr("parse_url(url, 'HOST')"))
+        .withColumn("url_path", expr("parse_url(url, 'PATH')"))
+        .withColumn("url_query", expr("parse_url(url, 'QUERY')"))
+        .withColumn("reversed_host",
+          concat_ws(".", reverse(labels)))
+        .withColumn("tld", element_at(labels, -1))
+        .withColumn("reg_domain",
+          when(col("host").endsWith(".co.uk"),
+            concat_ws(".", slice(labels, size(labels) - lit(2), lit(3))))
+            .otherwise(
+              concat_ws(".", slice(labels, size(labels) - lit(1),
+                lit(2)))))
+        .select(col("doc_id"), col("host"), col("url_path"),
+          col("url_query"), col("reversed_host"), col("tld"),
+          col("reg_domain"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ★ r13: domain-level curation — blocklist anti-join (broadcast:
+    // the blocklist is small by nature) + URL canonicalization dedup
+    // (strip query + fragment — session/tracking params — then
+    // keep-lowest-id per canonical URL), rolled up per host. Only
+    // (host, canonical, doc_id, n_tokens) reaches the dedup agg —
+    // text never shuffles. The oracle replays the whole lane from the
+    // URL arithmetic.
+    "pipeline_domain_filter" -> ((s, d) => {
+      import s.implicits._
+      val blocklist = Seq("ads.tracker.io", "blog.spam.net")
+        .toDF("host")
+      val parsed = urlTable(s, d)
+        .withColumn("host", expr("parse_url(url, 'HOST')"))
+        .withColumn("canonical",
+          regexp_replace(col("url"), "[?#].*$", ""))
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+        .select(col("doc_id"), col("host"), col("canonical"),
+          col("n_tokens"))
+      val kept = parsed.join(broadcast(blocklist), Seq("host"),
+        "left_anti")
+      kept.groupBy(col("host"), col("canonical"))
+        .agg(min(struct(col("doc_id"), col("n_tokens"))).as("m"),
+          count(lit(1)).as("n_docs"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_canonical"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("m.n_tokens")).as("kept_tokens"))
+        .orderBy(col("host"))
     }),
 
     // ★ r13: charset sniff + transcode — the stage between raw crawl
@@ -10426,6 +10508,65 @@ object SparkEntry {
         |  md5(text) AS resp_md5
         |FROM f JOIN c USING (file_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Replays every URL witness from the 7-host arithmetic: host by
+    // doc_id mod 7, path bucket doc_id // 20, the query string with
+    // its conditional tracking params (fragment excluded from QUERY),
+    // the label reversal, the naive TLD, and the registered domain
+    // with the .co.uk multi-label rule — certifying Spark's parse_url
+    // and the domain decompositions against ground truth.
+    "q_url_profile" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 7
+        |      WHEN 0 THEN 'example.com' WHEN 1 THEN 'news.example.co.uk'
+        |      WHEN 2 THEN 'blog.spam.net' WHEN 3 THEN 'en.wikipedia.org'
+        |      WHEN 4 THEN 'docs.python.org' WHEN 5 THEN 'ads.tracker.io'
+        |      ELSE 'forum.example.com' END AS host
+        |  FROM documents)
+        |SELECT doc_id, host,
+        |  '/p/' || cast(doc_id // 20 as varchar) AS url_path,
+        |  'id=' || cast(doc_id as varchar) ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN '&utm_source=feed&utm_campaign=x' ELSE '' END
+        |    AS url_query,
+        |  array_to_string(list_reverse(string_split(host, '.')), '.')
+        |    AS reversed_host,
+        |  string_split(host, '.')[-1] AS tld,
+        |  CASE WHEN host LIKE '%.co.uk'
+        |    THEN array_to_string(string_split(host, '.')[-3:], '.')
+        |    ELSE array_to_string(string_split(host, '.')[-2:], '.') END
+        |    AS reg_domain
+        |FROM u ORDER BY doc_id""".stripMargin,
+
+    // Replays the domain-curation lane end-to-end: the blocklist
+    // drop, the canonical URL (query + fragment stripped), the
+    // keep-lowest-id dedup inside each (host, canonical) group, and
+    // the per-host rollup.
+    "pipeline_domain_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    cast(len(string_split(text, ' ')) as bigint) AS n_tokens,
+        |    CASE doc_id % 7
+        |      WHEN 0 THEN 'example.com' WHEN 1 THEN 'news.example.co.uk'
+        |      WHEN 2 THEN 'blog.spam.net' WHEN 3 THEN 'en.wikipedia.org'
+        |      WHEN 4 THEN 'docs.python.org' WHEN 5 THEN 'ads.tracker.io'
+        |      ELSE 'forum.example.com' END AS host
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, n_tokens, host,
+        |    'https://' || host || '/p/' || cast(doc_id // 20 as varchar)
+        |      AS canonical
+        |  FROM u
+        |  WHERE host NOT IN ('ads.tracker.io', 'blog.spam.net')),
+        |c AS (
+        |  SELECT host, canonical, count(*) AS n_docs,
+        |    arg_min(n_tokens, doc_id) AS kept_tok
+        |  FROM k GROUP BY host, canonical)
+        |SELECT host, count(*) AS n_canonical,
+        |  cast(sum(n_docs) as bigint) AS n_docs,
+        |  cast(sum(kept_tok) as bigint) AS kept_tokens
+        |FROM c GROUP BY host ORDER BY host""".stripMargin,
 
     // Replays the planted encoding arms from doc_id arithmetic: the
     // detected label per arm and the transcoded UTF-8 witnesses as
