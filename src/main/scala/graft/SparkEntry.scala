@@ -740,6 +740,29 @@ object SparkEntry {
         .orderBy(col("lang"), col("pred_lang"))
     }),
 
+    // ★ r13: TRAINED language ID — char-bigram multinomial Naive
+    // Bayes, learned from the labeled seed split (doc_id%10<3) with
+    // one count aggregate, scored map-side against the broadcast
+    // model (the quality-classifier discipline). Log-probs are
+    // integer micro-units quantized on the driver, so per-doc scores
+    // are exact integer sums — shuffle-order-safe and bit-identical
+    // in the oracle's embedded-model replay. Output: the held-out
+    // confusion matrix vs the true label (the eval a pipeline reports
+    // before trusting pred_lang); LangIdSpec gates accuracy >= the
+    // marker-lexicon heuristic on the same corpus.
+    "pipeline_langid_trained" -> ((s, d) => {
+      val derived = t(s, d, "documents").select(col("doc_id"),
+        col("lang"),
+        ops.LangIdOps.derivedText(col("text"), col("lang"),
+          col("doc_id")).as("text2"))
+      val model = ops.LangIdOps.train(s, derived)
+      ops.LangIdOps.score(s,
+        derived.filter(pmod(col("doc_id"), lit(10)) >= 3), model)
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred_lang"))
+    }),
+
     "text_fingerprint" -> ((s, d) => {
       t(s, d, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
@@ -6321,6 +6344,7 @@ object SparkEntry {
       // (QualityClassifierSpec / PcaSpec), scoring becomes
       // hash-certified cross-engine
       ("pipeline_quality_classifier" -> qcOracleSql) +
+      ("pipeline_langid_trained" -> langidTrainedOracleSql) +
       ("ann_pca" -> pcaOracleSql) +
       ("ann_pca_prefilter" -> pcaPrefilterOracleSql) +
       // the persisted-index path is result-identical to the in-memory
@@ -6461,11 +6485,65 @@ object SparkEntry {
       .mkString(", ") + "}"
     val uniMaxLen =
       if (uni.pieces.isEmpty) 1 else uni.pieces.map(_.length).max
-    qc ++ axes ++ cents +
+    // the trained langid Naive Bayes: bigram micro-unit log-prob rows
+    // + per-class defaults and priors, all integers (StrictMath on the
+    // driver, quantized before any engine sees them) — the oracle
+    // replays scoring with the exact model the Spark query used
+    val nb = ops.LangIdOps.train(s,
+      t(s, d, "documents").select(col("doc_id"), col("lang"),
+        ops.LangIdOps.derivedText(col("text"), col("lang"),
+          col("doc_id")).as("text2")))
+    val langid = Map("LANGID_ROWS" -> ops.LangIdOps.rowsSql(nb)) ++
+      nb.defaults.zipWithIndex.map { case (v, i) =>
+        s"LANGID_DEF_$i" -> v.toString } ++
+      nb.priors.zipWithIndex.map { case (v, i) =>
+        s"LANGID_PRIOR_$i" -> v.toString }
+    qc ++ axes ++ cents ++ langid +
       ("PCA_VAR" -> varTopk) + ("PQ_BOOK_ROWS" -> bookRows) +
       ("WP_VOCAB_ROWS" -> wpRows) + ("BPE_RANK_MAP" -> bpeMap) +
       ("UNI_LP_MAP" -> uniMap) + ("UNI_MAXLEN" -> uniMaxLen.toString)
   }
+
+  /** DuckDB mirror of the trained-langid scoring path: the embedded
+    * integer model rows join the same bigram explosion (char-based
+    * substr/length in both engines), per-doc scores are exact integer
+    * sums + priors, and the argmax cascade matches [[ops.LangIdOps
+    * .score]] tie-break for tie-break. Held-out split only
+    * (doc_id % 10 >= 3) — the seed docs trained the model. */
+  private lazy val langidTrainedOracleSql: String =
+    s"""WITH m AS (
+       |  SELECT * FROM (VALUES
+       |    {{LANGID_ROWS}})
+       |    AS m(g, lp_de, lp_en, lp_es, lp_fr, lp_zh)),
+       |t2 AS (
+       |  SELECT doc_id, lang, ${ops.LangIdOps.derivedTextSql} AS text2
+       |  FROM documents WHERE doc_id % 10 >= 3),
+       |gr AS (
+       |  SELECT doc_id, lang, substr(text2, cast(i as int), 2) AS g
+       |  FROM t2, LATERAL unnest(generate_series(1, length(text2) - 1))
+       |    AS u(i)),
+       |sc AS (
+       |  SELECT doc_id, lang,
+       |    sum(coalesce(lp_de, {{LANGID_DEF_0}})) + {{LANGID_PRIOR_0}}
+       |      AS s_de,
+       |    sum(coalesce(lp_en, {{LANGID_DEF_1}})) + {{LANGID_PRIOR_1}}
+       |      AS s_en,
+       |    sum(coalesce(lp_es, {{LANGID_DEF_2}})) + {{LANGID_PRIOR_2}}
+       |      AS s_es,
+       |    sum(coalesce(lp_fr, {{LANGID_DEF_3}})) + {{LANGID_PRIOR_3}}
+       |      AS s_fr,
+       |    sum(coalesce(lp_zh, {{LANGID_DEF_4}})) + {{LANGID_PRIOR_4}}
+       |      AS s_zh
+       |  FROM gr LEFT JOIN m USING (g)
+       |  GROUP BY doc_id, lang)
+       |SELECT lang,
+       |  CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+       |       WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+       |       WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+       |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS pred_lang,
+       |  count(*) AS n
+       |FROM sc GROUP BY lang, pred_lang
+       |ORDER BY lang, pred_lang""".stripMargin
 
   /** DuckDB mirror of the IVF probe: the 8 deterministic k-means
     * centroids embed as exact-double literals ({{IVF_Cn}}), cell

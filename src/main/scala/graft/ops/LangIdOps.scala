@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TRAINED language identification: a char-bigram multinomial Naive
+  * Bayes classifier, learned from a labeled seed split with one
+  * distributed count aggregate and scored map-side against the
+  * broadcast model — the [[QualityClassifierOps]] discipline (train
+  * once, bit-deterministic artifact, embedded-model oracle replay)
+  * applied to the marker-lexicon `text_langid` heuristic's job.
+  *
+  * Determinism discipline: every log-probability is quantized to
+  * integer MICRO-UNITS (`round(ln(p)·1e6)`) on the DRIVER with
+  * StrictMath, so per-document scores are sums of embedded integer
+  * literals — order-independent, shuffle-safe, and bit-identical in
+  * DuckDB (the oracle receives the same integers via `{{...}}`
+  * substitution). No float ever crosses an engine boundary.
+  *
+  * Model: Laplace-smoothed class-conditional bigram probabilities
+  * `P(g|c) = (cnt(c,g)+1)/(T_c+V)` with per-class priors; a bigram
+  * outside class c's seed counts gets the same `1/(T_c+V)` default
+  * whether or not other classes saw it.
+  *
+  * Scale shape: training is ONE explode + groupBy count over the seed
+  * split (the model is KB-sized: |bigrams|×|classes| integers);
+  * scoring is a broadcast join + one integer aggregate per document.
+  * At 100 TB the model still fits in a task broadcast and scoring
+  * stays map-shaped + one partial-aggregating shuffle on doc_id.
+  */
+object LangIdOps {
+
+  /** Fixed class order — also the argmax tie-break cascade. */
+  val Classes: Array[String] = Array("de", "en", "es", "fr", "zh")
+
+  /** Per-language function-word phrases the derived corpus appends
+    * (the labeled text signal; TESTDATA's text column does not vary
+    * by its lang label, so the trainable signal is planted by
+    * arithmetic both engines replay). */
+  val Phrases: Map[String, String] = Map(
+    "de" -> " der die und das ein mit",
+    "en" -> " the and of is to in",
+    "es" -> " el los las una por del",
+    "fr" -> " le la et les des une",
+    "zh" -> " 的 是 在 了 和 有")
+
+  /** The derived multilingual text: the doc's text plus its label's
+    * phrase repeated 1 + doc_id mod 3 times. */
+  def derivedText(text: Column, lang: Column, docId: Column): Column = {
+    val phrase = Phrases.foldLeft(lit("")) { case (acc, (l, p)) =>
+      when(lang === l, lit(p)).otherwise(acc)
+    }
+    concat(text, phrase,
+      when(pmod(docId, lit(3)) >= 1, phrase).otherwise(lit("")),
+      when(pmod(docId, lit(3)) === 2, phrase).otherwise(lit("")))
+  }
+
+  /** SQL mirror of [[derivedText]] (DuckDB dialect). */
+  def derivedTextSql: String = {
+    val caseSql = "CASE lang " + Classes.map(c =>
+      s"WHEN '$c' THEN '${Phrases(c)}'").mkString(" ") + " ELSE '' END"
+    s"text || $caseSql || " +
+      s"CASE WHEN doc_id % 3 >= 1 THEN $caseSql ELSE '' END || " +
+      s"CASE WHEN doc_id % 3 = 2 THEN $caseSql ELSE '' END"
+  }
+
+  /** Char bigrams of a string column, with multiplicity (positions
+    * 1..len-1, character-based substr — identical semantics in
+    * DuckDB's substr/length). */
+  def bigrams(text: Column): Column =
+    transform(sequence(lit(1), length(text) - 1),
+      i => text.substr(i, lit(2)))
+
+  /** The trained model: per-bigram micro-unit log-probs in [[Classes]]
+    * order, the per-class unseen-bigram default, and per-class priors. */
+  final case class NbModel(grams: Seq[(String, Array[Long])],
+      defaults: Array[Long], priors: Array[Long])
+
+  /** Train on the seed split (doc_id mod 10 < 3) of a derived corpus
+    * carrying (doc_id, lang, text2). ONE distributed aggregate
+    * produces (lang, bigram, count); everything after runs on the
+    * driver over the KB-sized count dict with StrictMath (the
+    * BpeOps 100-TB split: corpus-sized work distributed, model-sized
+    * work local). */
+  def train(spark: SparkSession, derived: DataFrame): NbModel = {
+    val seed = derived.filter(pmod(col("doc_id"), lit(10)) < 3)
+    val counts = seed
+      .select(col("lang"), explode(bigrams(col("text2"))).as("g"))
+      .groupBy(col("lang"), col("g"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nDocs = seed.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocab = counts.map(_._2).distinct.sorted
+    val v = vocab.length.toLong
+    val tC = Classes.map(c =>
+      counts.iterator.filter(_._1 == c).map(_._3).sum)
+    val byGram = counts.groupBy(_._2)
+    def micro(x: Double): Long = math.round(StrictMath.log(x) * 1e6)
+    val grams = vocab.map { g =>
+      val per = byGram(g).map(t => (t._1, t._3)).toMap
+      g -> Classes.zipWithIndex.map { case (c, i) =>
+        micro((per.getOrElse(c, 0L) + 1.0) / (tC(i) + v))
+      }
+    }.toSeq
+    val defaults = Classes.indices.map(i =>
+      micro(1.0 / (tC(i) + v))).toArray
+    val totalSeed = nDocs.values.sum
+    val priors = Classes.map(c =>
+      micro(nDocs.getOrElse(c, 0L).toDouble / totalSeed))
+    NbModel(grams, defaults, priors)
+  }
+
+  /** Score a derived corpus against a trained model: explode bigrams,
+    * broadcast-join the model, sum integer log-probs per document,
+    * add priors, argmax with the fixed [[Classes]] cascade. Returns
+    * (doc_id, lang, pred_lang). */
+  def score(spark: SparkSession, derived: DataFrame,
+      model: NbModel): DataFrame = {
+    import spark.implicits._
+    val modelDf = model.grams.map { case (g, lps) =>
+      (g, lps(0), lps(1), lps(2), lps(3), lps(4))
+    }.toDF("g", "lp_de", "lp_en", "lp_es", "lp_fr", "lp_zh")
+    val exploded = derived.select(col("doc_id"), col("lang"),
+      explode(bigrams(col("text2"))).as("g"))
+    val joined = exploded.join(broadcast(modelDf), Seq("g"), "left")
+    val sums = Classes.zipWithIndex.map { case (c, i) =>
+      (sum(coalesce(col(s"lp_$c"), lit(model.defaults(i)))) +
+        lit(model.priors(i))).as(s"s_$c")
+    }
+    val scored = joined.groupBy(col("doc_id"), col("lang"))
+      .agg(sums.head, sums.tail: _*)
+    val s = Classes.map(c => col(s"s_$c"))
+    val pred = when(s(0) >= greatest(s(1), s(2), s(3), s(4)), "de")
+      .when(s(1) >= greatest(s(2), s(3), s(4)), "en")
+      .when(s(2) >= greatest(s(3), s(4)), "es")
+      .when(s(3) >= s(4), "fr")
+      .otherwise("zh")
+    scored.select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+  }
+
+  /** The model's bigram rows as DuckDB VALUES literals (for the
+    * `{{LANGID_ROWS}}` oracle parameter). */
+  def rowsSql(model: NbModel): String =
+    model.grams.map { case (g, lps) =>
+      val esc = g.replace("'", "''")
+      s"('$esc', ${lps.mkString(", ")})"
+    }.mkString(",\n    ")
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Gates for the trained char-bigram Naive Bayes language identifier:
+  * a hand-checkable training anchor, held-out accuracy that must beat
+  * the marker-lexicon heuristic on the same derived corpus, and the
+  * integer-quantization discipline. */
+class LangIdSpec extends SparkSpec {
+
+  private def derived = {
+    val docs = Tables.documents(spark, Sf0001)
+    docs.select(col("doc_id"), col("lang"),
+      LangIdOps.derivedText(col("text"), col("lang"), col("doc_id"))
+        .as("text2"))
+  }
+
+  test("training anchors: Laplace arithmetic on a hand corpus") {
+    import spark.implicits._
+    // two classes, tiny corpus; doc_id 0..2 are all seed (mod 10 < 3)
+    val docs = Seq(
+      (0L, "de", "ab"), // bigrams: ab
+      (1L, "en", "ba"), // bigrams: ba
+      (2L, "en", "ab")  // bigrams: ab
+    ).toDF("doc_id", "lang", "text2")
+    val m = LangIdOps.train(spark, docs)
+    val grams = m.grams.toMap
+    // vocab = {ab, ba}, V=2; T_de=1, T_en=2
+    // lp(de,ab) = ln((1+1)/(1+2)) = ln(2/3)
+    assert(grams("ab")(0) ==
+      math.round(StrictMath.log(2.0 / 3.0) * 1e6))
+    // lp(en,ab) = ln((1+1)/(2+2)) = ln(1/2)
+    assert(grams("ab")(1) ==
+      math.round(StrictMath.log(0.5) * 1e6))
+    // default(de) = ln(1/(1+2))
+    assert(m.defaults(0) == math.round(StrictMath.log(1.0 / 3.0) * 1e6))
+    // priors: de 1/3, en 2/3
+    assert(m.priors(0) == math.round(StrictMath.log(1.0 / 3.0) * 1e6))
+    assert(m.priors(1) == math.round(StrictMath.log(2.0 / 3.0) * 1e6))
+  }
+
+  test("held-out accuracy beats the marker-lexicon heuristic on the " +
+      "derived corpus (the upgrade the trained model must justify)") {
+    val d = derived.localCheckpoint(true)
+    val model = LangIdOps.train(spark, d)
+    val held = d.filter(pmod(col("doc_id"), lit(10)) >= 3)
+    val nHeld = held.count()
+    val nbRight = LangIdOps.score(spark, held, model)
+      .filter(col("lang") === col("pred_lang")).count()
+    val lexRight = held
+      .filter(col("lang") === TextOps.langId(col("text2"))).count()
+    val nbAcc = nbRight.toDouble / nHeld
+    val lexAcc = lexRight.toDouble / nHeld
+    info(f"trained NB accuracy $nbAcc%.3f vs lexicon $lexAcc%.3f " +
+      s"on $nHeld held-out docs")
+    assert(nbAcc > lexAcc,
+      s"trained $nbAcc must beat lexicon $lexAcc")
+    assert(nbAcc >= 0.95, s"trained accuracy $nbAcc below 0.95")
+  }
+
+  test("scores are exact integer sums: reversing partition order " +
+      "cannot change a prediction (quantization discipline)") {
+    val d = derived.localCheckpoint(true)
+    val model = LangIdOps.train(spark, d)
+    val a = LangIdOps.score(spark, d, model)
+      .orderBy(col("doc_id")).collect().map(_.toSeq)
+    val b = LangIdOps.score(spark, d.repartition(7), model)
+      .orderBy(col("doc_id")).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+}
