@@ -5587,6 +5587,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ★ r13: PROGRESSIVE JPEG decode (SOF2) — the multi-scan layout
+    // real web JPEGs actually ship in: spectral selection (the AC
+    // band as its own scan, coded as EOB runs) + successive
+    // approximation (DC high bits first, a raw-bit refinement scan) —
+    // T.81 Annex G over the existing canonical-Huffman/IDCT
+    // machinery, with coefficients accumulated across scans and one
+    // dequant+IDCT at EOI. The oracle replays the full pixel plane
+    // (the DC quantizer folds out exactly); general AC-first /
+    // AC-refinement arms and an independent cross-decoder conformance
+    // check (javax.imageio over the SAME bytes) are gated in
+    // JpegCodecSpec.
+    "multimodal_jpeg_progressive" -> ((s, d) => {
+      ops.Multimodal.decodeAll(s,
+        ops.Multimodal.progressiveJpegTable(s, t(s, d, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"), col("format"),
+          col("px_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ★ r12: the FOUR-format heterogeneous corpus (cp0 mod 4 → PPM /
     // BMP / PNG / JPEG over the shared constant-block picture) — the
     // media-crawl mix including the lossy format, dispatched per row
@@ -6345,6 +6366,9 @@ object SparkEntry {
       // hash-certified cross-engine
       ("pipeline_quality_classifier" -> qcOracleSql) +
       ("pipeline_langid_trained" -> langidTrainedOracleSql) +
+      // progressive JPEG decodes the SAME constant-block picture the
+      // baseline arm certifies — one pixel-plane oracle serves both
+      ("multimodal_jpeg_progressive" -> baseOracle("multimodal_jpeg")) +
       ("ann_pca" -> pcaOracleSql) +
       ("ann_pca_prefilter" -> pcaPrefilterOracleSql) +
       // the persisted-index path is result-identical to the in-memory

@@ -185,6 +185,101 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** AC table for EOB-run coding in progressive scans: the fifteen
+    * EOBn symbols (r<<4, r = 0..14), all length-4 canonical codes. */
+  private val EobRunAcBits: Array[Int] =
+    Array(0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val EobRunAcVals: Array[Int] = (0 to 14).map(_ << 4).toArray
+
+  /** Encode a grayscale CONSTANT-BLOCK image as PROGRESSIVE (SOF2)
+    * JPEG with spectral selection + successive approximation — the
+    * scan script a real progressive encoder emits for the DC band:
+    *
+    *   1. DC first (Ss=0 Se=0 Ah=0 Al=1): Huffman-coded differences
+    *      of the coefficient's high bits;
+    *   2. AC first (Ss=1 Se=63 Ah=0 Al=0): the whole AC band as EOB
+    *      runs (constant blocks have no AC energy — the EOBn coding
+    *      real progressive files lean on);
+    *   3. DC refinement (Ah=1 Al=0): one raw low bit per block.
+    *
+    * The DC quantizer is 8 (chroma-free single component), so the
+    * quantized DC is exactly v−128 — its low bit VARIES, making the
+    * refinement scan non-trivial — and reconstruction is lossless:
+    * IDCT((v−128)·8)/8 + 128 = v. Dimensions must be multiples of 8. */
+  def encodeGrayProgressive(width: Int, height: Int,
+      blockVals: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 &&
+      width % 8 == 0 && height % 8 == 0,
+      "JPEG encoder: dimensions must be positive multiples of 8")
+    val bw = width / 8; val bh = height / 8
+    require(blockVals.length == bw * bh,
+      s"JPEG encoder: ${blockVals.length} block values != ${bw * bh}")
+    require(blockVals.forall(v => v >= 0 && v <= 255),
+      "JPEG encoder: block values must be 0..255")
+    val out = new java.io.ByteArrayOutputStream(
+      blockVals.length * 4 + 1024)
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(out, 0xe0, Array[Byte](
+      'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    // DQT id 0: DC quantizer 8, AC all ones
+    seg(out, 0xdb,
+      (0.toByte +: (8.toByte +: Array.fill(63)(1.toByte))).toArray)
+    // SOF2: 8-bit, 1 component, 1x1, q0
+    seg(out, 0xc2, Array[Byte](8,
+      ((height >> 8) & 0xff).toByte, (height & 0xff).toByte,
+      ((width >> 8) & 0xff).toByte, (width & 0xff).toByte,
+      1, 1, 0x11, 0))
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit =
+      seg(out, 0xc4, (((cls << 4) | id).toByte +:
+        (bits.map(_.toByte) ++ vals.map(_.toByte))).toArray)
+    dht(0, 0, StdDcBits, StdDcVals)
+    dht(1, 0, EobRunAcBits, EobRunAcVals)
+    val dcCodes = canonicalCodes(StdDcBits, StdDcVals)
+    val eobCodes = canonicalCodes(EobRunAcBits, EobRunAcVals)
+    def sos(ss: Int, se: Int, ah: Int, al: Int): Unit =
+      seg(out, 0xda, Array[Byte](1, 1, 0x00,
+        ss.toByte, se.toByte, ((ah << 4) | al).toByte))
+    // quantized DC per block: (8·(v−128)) / 8 = v − 128
+    val dcq = blockVals.map(_ - 128)
+    // scan 1: DC first at Al=1 — differences of (dcq >> 1)
+    sos(0, 0, 0, 1)
+    var bits = new BitWriter(out)
+    var pred = 0
+    dcq.foreach { dc =>
+      val hi = dc >> 1
+      val diff = hi - pred
+      pred = hi
+      val cat = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (code, len) = dcCodes(cat)
+      bits.put(code, len)
+      if (cat > 0)
+        bits.put(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
+    }
+    bits.flush()
+    // scan 2: AC first 1..63 at Al=0 — all-zero band as EOB runs
+    sos(1, 63, 0, 0)
+    bits = new BitWriter(out)
+    var remaining = blockVals.length
+    while (remaining > 0) {
+      var r = 0
+      while (r < 14 && (2 << r) <= remaining) r += 1 // 2^r <= remaining
+      val covered = math.min(remaining, (1 << r) + ((1 << r) - 1))
+      val extra = covered - (1 << r)
+      val (code, len) = eobCodes(r << 4)
+      bits.put(code, len)
+      if (r > 0) bits.put(extra, r)
+      remaining -= covered
+    }
+    bits.flush()
+    // scan 3: DC refinement Ah=1 Al=0 — the raw low bit per block
+    sos(0, 0, 1, 0)
+    bits = new BitWriter(out)
+    dcq.foreach(dc => bits.put(dc & 1, 1))
+    bits.flush()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   // ---- decoder ---------------------------------------------------------
 
   /** Decode-side Huffman table: spec F.2.2.3 structures. */
@@ -314,6 +409,15 @@ object JpegCodec {
     var pred: Int = 0
     var plane: Array[Int] = _ // blocksX*8 wide
     var planeW: Int = 0
+    // progressive state: accumulated (still-quantized) coefficients,
+    // raster order within each 64-slot block, interleaved-geometry
+    // block grid (blocksW × blocksH), plus the non-interleaved block
+    // dims used by single-component scans
+    var coefs: Array[Int] = _
+    var blocksW: Int = 0
+    var blocksH: Int = 0
+    var niW: Int = 0
+    var niH: Int = 0
   }
 
   /** Decode a baseline sequential JPEG (SOF0, 8-bit, Huffman,
@@ -335,6 +439,7 @@ object JpegCodec {
     var w = -1; var h = -1
     var restartInterval = 0
     var sawEoi = false
+    var progressive = false
 
     def u16(at: Int): Int =
       ((bytes(at) & 0xff) << 8) | (bytes(at + 1) & 0xff)
@@ -395,31 +500,36 @@ object JpegCodec {
             p += 17 + n
           }
           pos += len
-        case 0xc0 => // SOF0: baseline sequential
-          val len = segLen("SOF0")
-          // length gate FIRST: a malformed SOF0 with len < 8 at
+        case m if m == 0xc0 || m == 0xc2 => // SOF0 baseline / SOF2 progressive
+          progressive = m == 0xc2
+          val sofName = if (progressive) "SOF2" else "SOF0"
+          val len = segLen(sofName)
+          // length gate FIRST: a malformed SOF with len < 8 at
           // end-of-file must be the codec's own parse error, never an
           // ArrayIndexOutOfBoundsException from reading the precision
           // byte past the buffer
-          require(len >= 8, s"JPEG: truncated SOF0 segment ($len)")
+          require(len >= 8, s"JPEG: truncated $sofName segment ($len)")
           require(bytes(pos + 2) == 8,
             "JPEG: only 8-bit precision supported")
           h = u16(pos + 3); w = u16(pos + 5)
           // the dimension gate must bound ALLOCATION, not just the
-          // pixel count: the decoder's worst case (4:4:4) allocates
+          // pixel count: the baseline worst case (4:4:4) allocates
           // three full-resolution Int sample planes (3·w·h·4 bytes)
-          // plus the w·h·3 RGB buffer = 15·w·h transient bytes — a
+          // plus the w·h·3 RGB buffer = 15·w·h transient bytes; the
+          // progressive path additionally holds the accumulated
+          // coefficient arrays (another 3·w·h·4) → 27·w·h. A
           // ~200-byte crafted header can otherwise drive multi-GB
           // allocations before any entropy byte is read, and an OOM
           // is FATAL by the quarantine contract, so a hostile header
           // has to die here as a parse error sized against the REAL
           // footprint
-          require(w > 0 && h > 0 && w.toLong * h * 15 <= (1L << 27),
+          val footprint = if (progressive) 27L else 15L
+          require(w > 0 && h > 0 && w.toLong * h * footprint <= (1L << 27),
             s"JPEG: unreasonable dimensions $w x $h")
           val nc = bytes(pos + 7) & 0xff
           require(nc == 1 || nc == 3,
             s"JPEG: only 1 or 3 components supported ($nc)")
-          require(len == 8 + 3 * nc, "JPEG: malformed SOF0 length")
+          require(len == 8 + 3 * nc, s"JPEG: malformed $sofName length")
           comps = Array.tabulate(nc) { i =>
             val b = pos + 8 + 3 * i
             val hv = bytes(b + 1) & 0xff
@@ -440,12 +550,12 @@ object JpegCodec {
             c
           }
           pos += len
-        case m if m == 0xc1 || m == 0xc2 || m == 0xc3 ||
+        case m if m == 0xc1 || m == 0xc3 ||
             (m >= 0xc5 && m <= 0xc7) || (m >= 0xc9 && m <= 0xcf
               && m != 0xcc) =>
           throw new IllegalArgumentException(
-            f"JPEG: only baseline sequential (SOF0) supported " +
-              f"(marker 0xff$m%02x)")
+            f"JPEG: only baseline (SOF0) and progressive (SOF2) " +
+              f"supported (marker 0xff$m%02x)")
         case 0xdd => // DRI
           val len = segLen("DRI")
           require(len == 4, "JPEG: malformed DRI")
@@ -457,8 +567,25 @@ object JpegCodec {
           require(len >= 3, s"JPEG: truncated SOS header ($len)")
           val ns = bytes(pos + 2) & 0xff
           require(len == 6 + 2 * ns, "JPEG: malformed SOS length")
-          require(ns == comps.length,
-            "JPEG: scan must cover all frame components (interleaved)")
+          val ss = bytes(pos + 3 + 2 * ns) & 0xff
+          val se = bytes(pos + 4 + 2 * ns) & 0xff
+          val ahAl = bytes(pos + 5 + 2 * ns) & 0xff
+          val ah = ahAl >> 4; val al = ahAl & 0x0f
+          // band/approximation sanity BEFORE table resolution: a
+          // hostile scan header is diagnosed as such, not as a
+          // missing table it would never have read
+          if (progressive) {
+            require(se <= 63 && ss <= se,
+              s"JPEG: invalid spectral band $ss..$se")
+            require(al <= 13 && (ah == 0 || ah == al + 1),
+              s"JPEG: invalid successive approximation Ah=$ah Al=$al")
+            if (ss == 0)
+              require(se == 0,
+                "JPEG: progressive DC scan must have Se=0")
+            else require(ns == 1,
+              "JPEG: progressive AC scans are single-component")
+          }
+          val scanComps = new Array[Component](ns)
           var i = 0
           while (i < ns) {
             val cs = bytes(pos + 3 + 2 * i) & 0xff
@@ -467,17 +594,32 @@ object JpegCodec {
             val c = comps.find(_.id == cs).getOrElse(
               throw new IllegalArgumentException(
                 s"JPEG: scan references unknown component $cs"))
-            c.dcTable = htables.getOrElse((0, td),
-              throw new IllegalArgumentException(
-                s"JPEG: missing DC Huffman table $td"))
-            c.acTable = htables.getOrElse((1, ta),
-              throw new IllegalArgumentException(
-                s"JPEG: missing AC Huffman table $ta"))
+            // resolve exactly the tables this scan will read: DC
+            // refinement is raw bits (no table), DC-only scans need
+            // no AC table, AC scans need no DC table
+            if (ss == 0 && ah == 0)
+              c.dcTable = htables.getOrElse((0, td),
+                throw new IllegalArgumentException(
+                  s"JPEG: missing DC Huffman table $td"))
+            if (se > 0)
+              c.acTable = htables.getOrElse((1, ta),
+                throw new IllegalArgumentException(
+                  s"JPEG: missing AC Huffman table $ta"))
+            scanComps(i) = c
             i += 1
           }
           pos += len
-          pos = decodeScan(bytes, pos, w, h, comps, qtables,
-            restartInterval)
+          if (!progressive) {
+            require(ns == comps.length,
+              "JPEG: scan must cover all frame components (interleaved)")
+            require(ss == 0 && se == 63 && ah == 0 && al == 0,
+              s"JPEG: baseline scan must cover band 0..63 " +
+                s"(got $ss..$se, Ah=$ah Al=$al)")
+            pos = decodeScan(bytes, pos, w, h, comps, qtables,
+              restartInterval)
+          } else
+            pos = decodeProgScan(bytes, pos, w, h, comps, scanComps,
+              ss, se, ah, al, restartInterval)
         case m =>
           throw new IllegalArgumentException(
             f"JPEG: unsupported marker 0xff$m%02x")
@@ -485,9 +627,249 @@ object JpegCodec {
     }
     require(pos == bytes.length,
       s"JPEG: ${bytes.length - pos} trailing bytes after EOI")
+    if (progressive) finishProgressive(comps, qtables)
     require(comps != null && comps.forall(_.plane != null),
       "JPEG: no decoded scan")
     toRgb(w, h, comps)
+  }
+
+  /** Decode one PROGRESSIVE scan (T.81 G.2): spectral selection
+    * (Ss..Se band per scan) + successive approximation (first pass at
+    * Al, refinement passes adding one bit). DC scans may interleave
+    * all frame components; AC scans are single-component by spec.
+    * Coefficients accumulate still-quantized in each component's
+    * `coefs`; [[finishProgressive]] dequantizes + IDCTs once at EOI. */
+  private def decodeProgScan(bytes: Array[Byte], start: Int, w: Int,
+      h: Int, frameComps: Array[Component],
+      scanComps: Array[Component], ss: Int, se: Int, ah: Int, al: Int,
+      restartInterval: Int): Int = {
+    require(ss >= 0 && se <= 63 && ss <= se,
+      s"JPEG: invalid spectral band $ss..$se")
+    require(al <= 13 && (ah == 0 || ah == al + 1),
+      s"JPEG: invalid successive approximation Ah=$ah Al=$al")
+    if (ss == 0)
+      require(se == 0, "JPEG: progressive DC scan must have Se=0")
+    else
+      require(scanComps.length == 1,
+        "JPEG: progressive AC scans are single-component")
+    val hMax = frameComps.map(_.h).max
+    val vMax = frameComps.map(_.v).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    // allocate accumulated-coefficient grids on first use
+    frameComps.foreach { c =>
+      if (c.coefs == null) {
+        c.blocksW = mcusX * c.h
+        c.blocksH = mcusY * c.v
+        // non-interleaved geometry: ceil over the component's OWN
+        // scaled dimensions (T.81 A.2.2)
+        c.niW = (w * c.h + 8 * hMax - 1) / (8 * hMax)
+        c.niH = (h * c.v + 8 * vMax - 1) / (8 * vMax)
+        c.coefs = new Array[Int](c.blocksW * c.blocksH * 64)
+        c.pred = 0
+      }
+    }
+    val r = new BitReader(bytes, start)
+    var eobrun = 0
+    if (ss == 0) scanComps.foreach(_.pred = 0)
+    def refineNonzero(coef: Array[Int], off: Int, from: Int): Unit = {
+      val p1 = 1 << al
+      var k = from
+      while (k <= se) {
+        val idx = off + Zigzag(k)
+        if (coef(idx) != 0 && r.readBit() == 1 &&
+            (coef(idx) & p1) == 0)
+          coef(idx) += (if (coef(idx) >= 0) p1 else -p1)
+        k += 1
+      }
+    }
+    def decodeBlock(c: Component, blockIdx: Int): Unit = {
+      val off = blockIdx * 64
+      if (ss == 0) {
+        if (ah == 0) { // DC first
+          val cat = decodeHuff(r, c.dcTable)
+          require(cat <= 15, "JPEG: invalid DC category")
+          c.pred += extend(r.readBits(cat), cat)
+          c.coefs(off) = c.pred << al
+        } else // DC refinement: one raw bit
+          c.coefs(off) |= r.readBit() << al
+      } else if (ah == 0) { // AC first pass at this Al
+        if (eobrun > 0) eobrun -= 1
+        else {
+          var k = ss
+          var done = false
+          while (!done && k <= se) {
+            val rs = decodeHuff(r, c.acTable)
+            val run = rs >> 4; val size = rs & 0x0f
+            if (size == 0) {
+              if (run == 15) {
+                k += 16
+                require(k <= se + 1,
+                  "JPEG: ZRL run past the band end")
+              } else {
+                eobrun = (1 << run) - 1 +
+                  (if (run > 0) r.readBits(run) else 0)
+                done = true
+              }
+            } else {
+              k += run
+              require(k <= se, "JPEG: AC run past the band end")
+              c.coefs(off + Zigzag(k)) =
+                extend(r.readBits(size), size) << al
+              k += 1
+            }
+          }
+        }
+      } else { // AC refinement (T.81 G.1.2.3)
+        // eobrun convention in REFINEMENT scans counts the current
+        // block too (an EOB block still carries correction bits for
+        // its nonzero history — the phase below runs for it): a
+        // decoded EOBn sets eobrun = 2^r + extra, and every block the
+        // run covers refines its band then decrements
+        val p1 = 1 << al
+        var k = ss
+        if (eobrun == 0) {
+          var done = false
+          while (!done && k <= se) {
+            val rs = decodeHuff(r, c.acTable)
+            var run = rs >> 4; val size = rs & 0x0f
+            var newval = 0
+            if (size == 0) {
+              if (run < 15) {
+                eobrun = (1 << run) +
+                  (if (run > 0) r.readBits(run) else 0)
+                done = true
+              }
+              // run == 15 (ZRL): pass 16 zero-history positions below
+            } else {
+              require(size == 1,
+                "JPEG: invalid AC refinement magnitude")
+              newval = if (r.readBit() == 1) p1 else -p1
+            }
+            if (!done) {
+              // advance over `run` zero-history coefficients,
+              // emitting correction bits for nonzero-history ones; a
+              // ZRL (or trailing run) may legitimately end AT the
+              // band end — only PLACING a new value past it is
+              // corruption
+              var advancing = true
+              while (advancing && k <= se) {
+                val idx = off + Zigzag(k)
+                if (c.coefs(idx) != 0) {
+                  if (r.readBit() == 1 && (c.coefs(idx) & p1) == 0)
+                    c.coefs(idx) +=
+                      (if (c.coefs(idx) >= 0) p1 else -p1)
+                  k += 1
+                } else if (run == 0) advancing = false
+                else { run -= 1; k += 1 }
+              }
+              if (newval != 0) {
+                require(k <= se,
+                  "JPEG: AC refinement newval past the band end")
+                c.coefs(off + Zigzag(k)) = newval
+              }
+              k += 1
+            }
+          }
+        }
+        if (eobrun > 0) { // EOB phase: correction bits only
+          refineNonzero(c.coefs, off, k)
+          eobrun -= 1
+        }
+      }
+    }
+    def restartBoundary(unit: Int): Unit =
+      if (restartInterval > 0 && unit > 0 &&
+          unit % restartInterval == 0) {
+        r.expectRst((unit / restartInterval - 1) % 8)
+        scanComps.foreach(_.pred = 0)
+        eobrun = 0
+      }
+    if (scanComps.length > 1) {
+      // interleaved DC scan: MCU order (an Ns=1 scan is always
+      // non-interleaved, T.81 A.2.2 — even for DC)
+      var mcu = 0
+      val total = mcusX * mcusY
+      while (mcu < total) {
+        restartBoundary(mcu)
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        scanComps.foreach { c =>
+          var vy = 0
+          while (vy < c.v) {
+            var vx = 0
+            while (vx < c.h) {
+              decodeBlock(c,
+                (my * c.v + vy) * c.blocksW + mx * c.h + vx)
+              vx += 1
+            }
+            vy += 1
+          }
+        }
+        mcu += 1
+      }
+    } else {
+      // non-interleaved: one component, its own block raster
+      val c = scanComps(0)
+      var unit = 0
+      val total = c.niW * c.niH
+      while (unit < total) {
+        restartBoundary(unit)
+        val bx = unit % c.niW; val by = unit / c.niW
+        decodeBlock(c, by * c.blocksW + bx)
+        unit += 1
+      }
+    }
+    r.byteAlign()
+    r.pos
+  }
+
+  /** Dequantize the accumulated progressive coefficients and IDCT
+    * every block into the component sample planes (freed as we go —
+    * the footprint the SOF2 allocation gate sizes against). */
+  private def finishProgressive(comps: Array[Component],
+      qtables: Array[Array[Int]]): Unit = {
+    // q tables arrive in zigzag order; precompute raster-indexed
+    val qRaster = new Array[Array[Int]](4)
+    comps.foreach { c =>
+      require(c.coefs != null, "JPEG: no decoded scan")
+      require(qtables(c.tq) != null,
+        s"JPEG: missing quantization table ${c.tq}")
+      if (qRaster(c.tq) == null) {
+        val q = qtables(c.tq)
+        val qr = new Array[Int](64)
+        var k = 0
+        while (k < 64) { qr(Zigzag(k)) = q(k); k += 1 }
+        qRaster(c.tq) = qr
+      }
+      val qr = qRaster(c.tq)
+      c.planeW = c.blocksW * 8
+      c.plane = new Array[Int](c.planeW * c.blocksH * 8)
+      val tmp = new Array[Int](64)
+      val px = new Array[Int](64)
+      var by = 0
+      while (by < c.blocksH) {
+        var bx = 0
+        while (bx < c.blocksW) {
+          val off = (by * c.blocksW + bx) * 64
+          var i = 0
+          while (i < 64) { tmp(i) = c.coefs(off + i) * qr(i); i += 1 }
+          idct(tmp, px)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              c.plane((by * 8 + yy) * c.planeW + bx * 8 + xx) =
+                px(yy * 8 + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      c.coefs = null // release before the next component / RGB stage
+    }
   }
 
   /** Entropy-decode one interleaved scan; returns the position just

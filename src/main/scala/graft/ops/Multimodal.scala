@@ -127,6 +127,27 @@ object Multimodal {
       .toDF("doc_id", "content")
   }
 
+  /** Build a media table of PROGRESSIVE (SOF2) JPEGs from documents:
+    * the same constant-block picture as [[jpegImageTable]], encoded
+    * with spectral selection + successive approximation by
+    * [[JpegCodec.encodeGrayProgressive]] (DC-first at Al=1, the AC
+    * band as EOB runs, a DC refinement scan) — the multi-scan layout
+    * real web JPEGs ship in. Same lossless-witness contract: the DC
+    * quantizer folds out exactly, so the oracle replays every pixel. */
+  def progressiveJpegTable(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val (_, w, h, blocks) = genBlockImage(text)
+          (id, JpegCodec.encodeGrayProgressive(w, h, blocks))
+        }
+      }
+      .toDF("doc_id", "content")
+  }
+
   /** The FOUR-format heterogeneous corpus (cp0 mod 4 → PPM / BMP /
     * PNG / JPEG) over the constant-block picture — the realistic
     * media-crawl mix including the lossy format, decodable to one

@@ -194,7 +194,7 @@ class JpegCodecSpec extends SparkSpec {
   }
 
   test("unsupported shapes are rejected, not mis-decoded: " +
-      "progressive SOF2, 12-bit precision, hostile dimensions") {
+      "hierarchical SOF3, 12-bit precision, hostile dimensions") {
     def sof(marker: Int, precision: Int, w: Int, h: Int): Array[Byte] = {
       val p = new Packer
       p.raw(0xff, 0xd8)
@@ -203,9 +203,12 @@ class JpegCodecSpec extends SparkSpec {
         w & 0xff, 1, 1, 0x11, 0))
       p.bytes
     }
-    intercept[IllegalArgumentException] {
-      JpegCodec.decode(sof(0xc2, 8, 8, 8))   // progressive
+    // (SOF2 is SUPPORTED as of r13 — a lossless-sequential SOF3
+    // frame is the reject case now)
+    val sof3 = intercept[IllegalArgumentException] {
+      JpegCodec.decode(sof(0xc3, 8, 8, 8))
     }
+    assert(sof3.getMessage.contains("SOF2"))
     intercept[IllegalArgumentException] {
       JpegCodec.decode(sof(0xc0, 12, 8, 8))  // 12-bit
     }
@@ -274,5 +277,108 @@ class JpegCodecSpec extends SparkSpec {
       assert(m.px_sum == 192L * blocks.map(_.toLong).sum,
         s"doc ${m.doc_id} (${m.format}) pixel witness")
     }
+  }
+
+  // ---- r13: progressive (SOF2) ---------------------------------------
+
+  test("r13: progressive constant-block images round-trip EXACTLY — " +
+      "DC-first + AC EOB runs + DC refinement reassemble every pixel") {
+    for ((w, h) <- Seq((16, 16), (32, 16), (64, 64)); seed <- 0 to 2) {
+      val blocks = Array.tabulate((w / 8) * (h / 8))(b =>
+        (seed * 37 + 17 * b + (b % 3)) % 256) // low bits vary: the
+      // refinement scan carries real information
+      val img = JpegCodec.decode(
+        JpegCodec.encodeGrayProgressive(w, h, blocks))
+      assert(img.width == w && img.height == h && img.format == "jpeg")
+      val want = Multimodal.blocksToRgb(w, h, blocks)
+      assert(img.rgb.toSeq == want.toSeq, s"$w x $h seed $seed")
+    }
+  }
+
+  test("r13: cross-decoder conformance — the JDK's own progressive " +
+      "encoder (full IJG scan script: spectral bands, AC first AND " +
+      "refinement passes) decodes to the same pixels as javax.imageio") {
+    import javax.imageio.{ImageIO, ImageWriteParam}
+    // deterministic gradient+texture grayscale: every scan type has
+    // real work (DC deltas, AC energy across both spectral bands,
+    // nonzero refinement bits)
+    val w = 48; val h = 40
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 5 + y * 3 + ((x * y) % 7) * 11) % 256
+      src.getRaster.setSample(x, y, 0, v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val ios = ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    writer.write(null, new javax.imageio.IIOImage(src, null, null), p)
+    writer.dispose(); ios.close()
+    val bytes = out.toByteArray
+    // it must really be SOF2 (0xff 0xc2 in the marker stream)
+    assert(bytes.sliding(2).exists(s =>
+      (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xc2),
+      "JDK writer did not emit a progressive file")
+    val mine = JpegCodec.decode(bytes)
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(mine.width == w && mine.height == h)
+    var maxDiff = 0; var sumDiff = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val got = mine.rgb((y * w + x) * 3) & 0xff
+      val want = ref.getRaster.getSample(x, y, 0)
+      val d = math.abs(got - want)
+      maxDiff = math.max(maxDiff, d); sumDiff += d
+    }
+    val mean = sumDiff.toDouble / (w * h)
+    info(f"cross-decoder: maxDiff=$maxDiff meanDiff=$mean%.4f")
+    // both are conformant IDCTs of the SAME coefficients — they may
+    // disagree by the T.81 accuracy allowance, never structurally
+    assert(maxDiff <= 2, s"max pixel diff $maxDiff")
+    assert(mean <= 0.5, s"mean pixel diff $mean")
+  }
+
+  test("r13: progressive corruption fails loud — truncated " +
+      "refinement scan, band violations, invalid successive " +
+      "approximation") {
+    val good = JpegCodec.encodeGrayProgressive(16, 16,
+      Array.fill(4)(100))
+    // drop the EOI and the refinement scan's byte: truncated
+    intercept[IllegalArgumentException] {
+      JpegCodec.decode(java.util.Arrays.copyOf(good, good.length - 3))
+    }
+    // hand-build an SOS with Ss > Se (band violation)
+    def hdr(sos: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte](0xff.toByte, 0xd8.toByte), 0, 2)
+      def seg(marker: Int, payload: Array[Byte]): Unit = {
+        out.write(0xff); out.write(marker)
+        val len = payload.length + 2
+        out.write((len >> 8) & 0xff); out.write(len & 0xff)
+        out.write(payload, 0, payload.length)
+      }
+      seg(0xdb, (0.toByte +: Array.fill(64)(1.toByte)).toArray)
+      seg(0xc2, Array[Byte](8, 0, 16, 0, 16, 1, 1, 0x11, 0))
+      seg(0xc4, (0.toByte +:
+        (Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+          .map(_.toByte) ++ (0 to 11).map(_.toByte))).toArray)
+      seg(0xda, sos)
+      out.toByteArray
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      JpegCodec.decode(hdr(Array[Byte](1, 1, 0x00, 20, 10, 0)))
+    }
+    assert(e1.getMessage.contains("spectral band"))
+    val e2 = intercept[IllegalArgumentException] {
+      JpegCodec.decode(hdr(Array[Byte](1, 1, 0x00, 0, 0, 0x31)))
+    }
+    assert(e2.getMessage.contains("successive approximation"))
+    // a progressive DC scan with Se != 0
+    val e3 = intercept[IllegalArgumentException] {
+      JpegCodec.decode(hdr(Array[Byte](1, 1, 0x00, 0, 5, 0)))
+    }
+    assert(e3.getMessage.contains("Se=0"))
   }
 }
