@@ -5377,6 +5377,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ★ r13: the PRODUCTION crawl decode stack — WARC walk → HTTP
+    // parse → DECLARED-charset transcode (the Content-Type charset
+    // drives the decoder; a UTF-8 pipeline that ignores it corrupts
+    // exactly the non-English captures) with capture-granular
+    // quarantine: a planted Content-Length/body disagreement costs
+    // ONE capture ('truncated'), planted undecodable bytes under a
+    // false utf-8 declaration cost ONE capture ('decode_error' after
+    // the sniff fallback exhausts every candidate), and every sibling
+    // survives with byte-exact transcoded-UTF-8 witnesses across the
+    // three planted encodings (utf-8 / windows-1252 / shift_jis).
+    "pipeline_crawl_charset" -> ((s, d) => {
+      ops.WarcOps.tryReadWarcCrawlHttp(s,
+        ops.WarcOps.corruptCrawlHttpTable(s, t(s, d, "documents"), 50))
+        .toDF()
+        .select(col("doc_id"), col("status"), col("error_class"),
+          col("detected"), col("n_out"), col("out_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ★ r13: MEMBER-GRANULAR quarantine over multi-document WARC —
     // the production posture the real crawl demands: the STREAMING
     // member-at-a-time walk (peak memory = one record, never the
@@ -10758,6 +10777,33 @@ object SparkEntry {
         |  cast(strlen(text) as bigint) AS body_len,
         |  md5(text) AS body_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Replays the full production decode stack from doc_id
+    // arithmetic: the two corruption arms' statuses/classes (body cut
+    // short of Content-Length → truncated; undecodable bytes under a
+    // false declaration → decode_error), the per-arm detected
+    // charset, and the transcoded UTF-8 witnesses as text || marker.
+    "pipeline_crawl_charset" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 3 = 0 THEN ' ü'
+        |         WHEN doc_id % 3 = 1 THEN ' café!'
+        |         ELSE ' 日本語' END AS marker,
+        |    doc_id % 13 IN (5, 9) AS bad
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN bad THEN 'quarantined' ELSE 'ok' END AS status,
+        |  CASE WHEN doc_id % 13 = 5 THEN 'truncated'
+        |       WHEN doc_id % 13 = 9 THEN 'decode_error'
+        |       ELSE '' END AS error_class,
+        |  CASE WHEN bad THEN ''
+        |       WHEN doc_id % 3 = 0 THEN 'utf-8'
+        |       WHEN doc_id % 3 = 1 THEN 'windows-1252'
+        |       ELSE 'shift_jis' END AS detected,
+        |  CASE WHEN bad THEN -1
+        |       ELSE cast(strlen(text || marker) as bigint) END AS n_out,
+        |  CASE WHEN bad THEN '' ELSE md5(text || marker) END AS out_md5
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // Replays the member-granular quarantine lane from the planting
     // arithmetic: member ordinals from the file layout (warcinfo 0,

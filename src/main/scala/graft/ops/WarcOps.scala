@@ -704,6 +704,158 @@ object WarcOps {
     }
   }
 
+  /** The per-arm charset of the mixed-encoding crawl corpus (doc_id
+    * mod 3) and the non-ASCII marker that PROVES the right decoder
+    * ran — shared between the generator, the reader contract, and the
+    * oracle replay. */
+  private[ops] def charsetArm(id: Long): (String, String,
+      java.nio.charset.Charset) = (id % 3) match {
+    case 0 => ("utf-8", " ü",
+      java.nio.charset.StandardCharsets.UTF_8)
+    case 1 => ("windows-1252", " café!",
+      java.nio.charset.Charset.forName("windows-1252"))
+    case _ => ("shift_jis", " 日本語",
+      java.nio.charset.Charset.forName("Shift_JIS"))
+  }
+
+  /** Build MULTI-DOCUMENT crawl files whose HTTP bodies carry MIXED
+    * ENCODINGS declared via `Content-Type; charset=…` (the real-web
+    * shape: a UTF-8 pipeline that ignores the declaration corrupts
+    * exactly the non-English captures), plus two planted
+    * capture-level corruption arms:
+    *
+    *   - `doc_id % 13 == 5` → the identity body is cut 5 bytes short
+    *     of its declared Content-Length: the HTTP framing check
+    *     diagnoses the disagreement → `truncated`, ONE capture lost;
+    *   - `doc_id % 13 == 9` → undecodable bytes (0x81 0x20 0x81 —
+    *     invalid UTF-8, invalid SJIS trail, unmapped in cp1252)
+    *     appended under a utf-8 declaration: the declared decode
+    *     fails, the sniff fallback exhausts every candidate →
+    *     `decode_error`, ONE capture lost.
+    *
+    * Clean arms cycle utf-8 / windows-1252 / shift_jis by doc_id
+    * mod 3, each with its marker ([[charsetArm]]); even ids are
+    * chunked-transfer coded. Every witness is doc_id arithmetic. */
+  def corruptCrawlHttpTable(spark: SparkSession, docs: DataFrame,
+      docsPerFile: Int = 50): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .withColumn("file_id",
+        DedupOps.idiv(col("doc_id"), lit(docsPerFile.toLong)))
+      .groupBy(col("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
+        col("text").as("_2")))).as("members"))
+      .select(col("file_id").as("_1"), col("members").as("_2"))
+      .as[(Long, Seq[(Long, String)])]
+      .mapPartitions { rows =>
+        val defl = new Deflater(Deflater.BEST_SPEED, true)
+        Multimodal.endOnTaskCompletion(() => defl.end())
+        val crc = new CRC32()
+        rows.map { case (fid, members) =>
+          val out = new java.io.ByteArrayOutputStream(
+            members.map(_._2.length).sum / 2 + 1024)
+          val date = "2020-01-01T00:00:00Z"
+          CompressedOps.gzipMember(record("warcinfo", Seq(
+            "WARC-Record-ID" -> s"<urn:uuid:file-$fid>",
+            "WARC-Date" -> date), InfoBlock), defl, crc, out)
+          members.foreach { case (id, text) =>
+            val uri = s"https://example.com/doc/$id"
+            val http: Array[Byte] =
+              if (id % 13 == 5) {
+                // identity body 5 bytes short of its Content-Length
+                val body = text.getBytes(UTF_8)
+                val full = HttpOps.encodeResponse(200, "OK", Seq(
+                  "Content-Type" -> "text/plain; charset=utf-8"),
+                  body, chunkSize = 0)
+                java.util.Arrays.copyOf(full,
+                  full.length - math.min(5, body.length))
+              } else if (id % 13 == 9) {
+                val bad = text.getBytes(UTF_8) ++
+                  Array[Byte](0x81.toByte, 0x20, 0x81.toByte)
+                HttpOps.encodeResponse(200, "OK", Seq(
+                  "Content-Type" -> "text/plain; charset=utf-8"),
+                  bad, chunkSize = if (id % 2 == 0) 100 else 0)
+              } else {
+                val (name, marker, cs) = charsetArm(id)
+                HttpOps.encodeResponse(200, "OK", Seq(
+                  "Content-Type" -> s"text/plain; charset=$name"),
+                  (text + marker).getBytes(cs),
+                  chunkSize = if (id % 2 == 0) 100 else 0)
+              }
+            CompressedOps.gzipMember(record("request", Seq(
+              "WARC-Record-ID" -> s"<urn:uuid:0000-$id-1>",
+              "WARC-Date" -> date, "WARC-Target-URI" -> uri),
+              requestBlock(id)), defl, crc, out)
+            CompressedOps.gzipMember(record("response", Seq(
+              "WARC-Record-ID" -> s"<urn:uuid:0000-$id-2>",
+              "WARC-Date" -> date, "WARC-Target-URI" -> uri),
+              http), defl, crc, out)
+          }
+          (fid, out.toByteArray)
+        }
+      }
+      .toDF("file_id", "content")
+  }
+
+  /** One capture's outcome through the FULL production decode stack:
+    * WARC record → HTTP message → declared-charset transcode to
+    * UTF-8 — ok with byte-exact UTF-8 witnesses, or quarantined with
+    * the stable class of whichever layer refused. */
+  final case class CrawlTried(doc_id: Long, status: String,
+      error_class: String, detected: String, n_out: Long,
+      out_md5: String)
+
+  /** The PRODUCTION crawl reader: streaming member-at-a-time walk,
+    * then per CAPTURE the HTTP parse ([[HttpOps.parseResponse]]) and
+    * the declared-charset transcode ([[CharsetOps.transcodeDeclared]]
+    * — the Content-Type charset parameter drives the decoder, BOMs
+    * outrank it, undecodable bodies fail instead of emitting U+FFFD)
+    * under the quarantine contract: one malformed message or
+    * undecodable body costs ONE capture; siblings survive with their
+    * transcoded UTF-8 witnesses. Zero added shuffle. */
+  def tryReadWarcCrawlHttp(spark: SparkSession, media: DataFrame,
+      memberCap: Int = 1 << 26): Dataset[CrawlTried] = {
+    import spark.implicits._
+    media.select(col("file_id").cast("long").as("doc_id"),
+      col("content")).as[MediaRow].mapPartitions { rows =>
+      val infl = new Inflater(true)
+      Multimodal.endOnTaskCompletion(() => infl.end())
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        walkRecordMembers(r.content, infl, memberCap).flatMap { step =>
+          val rec = step.result match {
+            case Right(rc) => rc
+            case Left(e) => throw e // member corruption: not this lane
+          }
+          if (rec.warcType != "response") None
+          else {
+            val uri = rec.headers.getOrElse("WARC-Target-URI",
+              throw new IllegalArgumentException(
+                "WARC: response without WARC-Target-URI"))
+            val prefix = "https://example.com/doc/"
+            require(uri.startsWith(prefix),
+              s"WARC: unexpected target URI '$uri'")
+            val id = uri.substring(prefix.length).toLong
+            QuarantineOps.attempt {
+              val http = HttpOps.parseResponse(rec.block)
+              CharsetOps.transcodeDeclared(http.body, http.charset)
+            } match {
+              case Right((detected, text)) =>
+                val utf8 = text.getBytes(UTF_8)
+                md.reset()
+                val hex = md.digest(utf8).map("%02x".format(_))
+                  .mkString
+                Some(CrawlTried(id, "ok", "", detected,
+                  utf8.length.toLong, hex))
+              case Left(cls) =>
+                Some(CrawlTried(id, "quarantined", cls, "", -1L, ""))
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** One WARC file's witnesses: record count, per-type block lengths,
     * the response body's MD5, and the response's target URI — all
     * replayable by the oracle from the original document row. */

@@ -258,6 +258,41 @@ class WarcOpsSpec extends SparkSpec {
       s"got $classes")
   }
 
+  test("r13: the production crawl decode stack quarantines per " +
+      "CAPTURE — HTTP framing and charset failures each cost one " +
+      "capture, siblings keep byte-exact transcoded witnesses") {
+    val docs = Tables.documents(spark, Sf0001).limit(26)
+    val got = WarcOps.tryReadWarcCrawlHttp(spark,
+      WarcOps.corruptCrawlHttpTable(spark, docs, docsPerFile = 13))
+      .collect().map(c => c.doc_id -> c).toMap
+    assert(got.size == 26)
+    val q = got.values.filter(_.status == "quarantined").toSeq
+    // ids 5, 18 → truncated; 9, 22 → decode_error
+    assert(q.map(_.doc_id).toSet == Set(5L, 9L, 18L, 22L))
+    assert(got(5L).error_class == "truncated" &&
+      got(18L).error_class == "truncated")
+    assert(got(9L).error_class == "decode_error" &&
+      got(22L).error_class == "decode_error")
+    // every sibling survived with the right detected charset
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Tables.documents(spark, Sf0001).limit(26)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        if (id % 13 != 5 && id % 13 != 9) {
+          val (name, marker, _) = WarcOps.charsetArm(id)
+          val c = got(id)
+          assert(c.status == "ok" && c.detected == name, s"doc $id")
+          val utf8 = (r.getAs[String]("text") + marker).getBytes("UTF-8")
+          md.reset()
+          assert(c.n_out == utf8.length &&
+            c.out_md5 == md.digest(utf8).map("%02x".format(_)).mkString,
+            s"doc $id witnesses")
+        }
+      }
+  }
+
   test("r13: bounded peak memory — a file whose TOTAL decompressed " +
       "size exceeds the member cap streams fine member-at-a-time") {
     import spark.implicits._
