@@ -59,7 +59,15 @@ object ScaleProbe {
     // of stage kill — must stay map-shaped), WARC record framing
     // over the gzip member walk, and the zstd frame walk
     "multimodal_jpeg", "multimodal_mixed4", "pipeline_quarantine",
-    "source_warc", "source_zstd")
+    "source_warc", "source_zstd",
+    // round-13 crawl front-end: progressive JPEG decode, HTTP message
+    // parse + de-chunking inside the WARC walk, charset sniff +
+    // transcode, the member-granular quarantine walk, and the full
+    // production decode stack (HTTP + declared-charset transcode with
+    // capture quarantine) — all scan → per-row kernel → sort
+    "multimodal_jpeg_progressive", "source_warc_http",
+    "source_charset", "source_warc_quarantine",
+    "pipeline_crawl_charset")
 
   /** Exponent gate for the map-shaped panel: honest linear scaling
     * with local-mode noise and per-job fixed cost lands well under
