@@ -5377,6 +5377,69 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ★ r13: WAT-style LINK EXTRACTION over the crawl container —
+    // hyperlinks recovered from the decoded HTML (WARC walk → HTTP
+    // de-chunk → href regex), classified internal vs off-domain, and
+    // aggregated to per-doc out/in-degree — the link-based curation
+    // signals (and the edge list the link graph runs on). Only
+    // (doc_id, dst) longs reach the degree aggregates; HTML never
+    // shuffles. The oracle replays the planted outlink arithmetic.
+    "pipeline_crawl_links" -> ((s, d) => {
+      val caps = ops.WarcOps.readWarcCrawl(s,
+        ops.WarcOps.warcLinkedCrawlTable(s, t(s, d, "documents"), 50))
+        .toDF()
+      val prefix = "https://example.com/doc/"
+      val hrefs = caps.select(col("doc_id"),
+        explode(regexp_extract_all(col("html"),
+          lit("href=\"([^\"]+)\""), lit(1))).as("href"))
+        .withColumn("internal", col("href").startsWith(prefix))
+        .withColumn("dst",
+          when(col("internal"),
+            col("href").substr(lit(prefix.length + 1), lit(20))
+              .cast("long")))
+        .localCheckpoint(true) // the regex pass feeds both aggregates
+      val out = hrefs.groupBy(col("doc_id")).agg(
+        sum(when(col("internal"), 1L).otherwise(0L)).as("outdeg"),
+        sum(when(!col("internal"), 1L).otherwise(0L)).as("n_external"))
+      val ind = hrefs.filter(col("internal"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(count(lit(1)).as("indeg"))
+      caps.select(col("doc_id")).join(out, Seq("doc_id"), "left")
+        .join(ind, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+          coalesce(col("n_external"), lit(0L)).as("n_external"),
+          coalesce(col("indeg"), lit(0L)).as("indeg"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ★ r13: PAGERANK OVER THE CRAWL LINK GRAPH — the extracted
+    // internal edges feed the existing fixed-point integer PageRank
+    // (ops.GraphOps: 12 rounds, one job per round, no driver-side
+    // graph; the mod-n outlink structure is dangling-free so the
+    // per-round dangling aggregate is structurally skipped). The
+    // crawl-to-graph composition a link-quality curation pass runs;
+    // the oracle replays all 12 rounds as unrolled CTEs over the
+    // SAME arithmetic edge list.
+    "pipeline_crawl_linkrank" -> ((s, d) => {
+      val caps = ops.WarcOps.readWarcCrawl(s,
+        ops.WarcOps.warcLinkedCrawlTable(s, t(s, d, "documents"), 50))
+        .toDF()
+      val prefix = "https://example.com/doc/"
+      val edges = caps.select(col("doc_id").as("src"),
+        explode(regexp_extract_all(col("html"),
+          lit("href=\"([^\"]+)\""), lit(1))).as("href"))
+        .filter(col("href").startsWith(prefix))
+        .select(col("src"),
+          col("href").substr(lit(prefix.length + 1), lit(20))
+            .cast("long").as("dst"))
+      ops.GraphOps.pagerank(edges, "src", "dst")
+        .orderBy(col("rank_f").desc, col("node"))
+        .limit(20)
+        .select(col("node"),
+          round(col("rank_f") / 1e15, 6).as("rank"))
+    }),
+
     // ★ r13: the PRODUCTION crawl decode stack — WARC walk → HTTP
     // parse → DECLARED-charset transcode (the Content-Type charset
     // drives the decoder; a UTF-8 pipeline that ignores it corrupts
@@ -6388,6 +6451,9 @@ object SparkEntry {
       // progressive JPEG decodes the SAME constant-block picture the
       // baseline arm certifies — one pixel-plane oracle serves both
       ("multimodal_jpeg_progressive" -> baseOracle("multimodal_jpeg")) +
+      // crawl-link-graph PageRank: the unrolled 12-round replay over
+      // the planted outlink arithmetic (dangling-free by construction)
+      ("pipeline_crawl_linkrank" -> linkRankOracleSql(12)) +
       ("ann_pca" -> pcaOracleSql) +
       ("ann_pca_prefilter" -> pcaPrefilterOracleSql) +
       // the persisted-index path is result-identical to the in-memory
@@ -9456,8 +9522,12 @@ object SparkEntry {
        |ORDER BY node""".stripMargin
   }
 
-  private def pagerankOracleSql(iters: Int): String = {
-    val rounds = (1 to iters).map { i =>
+  /** The unrolled per-round PageRank CTEs — shared by every replay
+    * that runs the standard (uniform-teleport, dangling-free) update
+    * over an edge CTE named `e` with `nodes`/`deg`/`params`/`r0`
+    * defined by the caller. */
+  private def pagerankRoundsSql(iters: Int): String =
+    (1 to iters).map { i =>
       s"""r$i AS (
          |  SELECT n.node,
          |    (SELECT base FROM params) +
@@ -9470,6 +9540,34 @@ object SparkEntry {
          |      ON e.src = s.node
          |    GROUP BY e.dst) c USING (node))""".stripMargin
     }.mkString(",\n")
+
+  /** Crawl-link-graph PageRank replay: the SAME unrolled rounds as
+    * [[pagerankOracleSql]] over the planted outlink arithmetic (src →
+    * (src + {1,7,49}) mod n for the first 1 + src mod 3 offsets) —
+    * every doc has outdegree ≥ 1, so the graph is dangling-free and
+    * the standard update is exact. */
+  private def linkRankOracleSql(iters: Int): String =
+    s"""WITH p AS (SELECT count(*) AS nn FROM documents),
+       |e AS (
+       |  SELECT doc_id AS src,
+       |    (doc_id + o.off) % (SELECT nn FROM p) AS dst
+       |  FROM documents, (VALUES (0, 1), (1, 7), (2, 49)) AS o(k, off)
+       |  WHERE 1 + doc_id % 3 > o.k),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+       |params AS (SELECT count(*) AS n,
+       |    1000000000000000 // count(*) AS r_init,
+       |    (15 * (1000000000000000 // count(*))) // 100 AS base
+       |  FROM nodes),
+       |r0 AS (SELECT node, (SELECT r_init FROM params) AS rank_f
+       |       FROM nodes),
+       |${pagerankRoundsSql(iters)}
+       |SELECT node, round(rank_f / 1000000000000000.0, 6) AS rank
+       |FROM r$iters
+       |ORDER BY rank_f DESC, node LIMIT 20""".stripMargin
+
+  private def pagerankOracleSql(iters: Int): String = {
+    val rounds = pagerankRoundsSql(iters)
     s"""WITH ev AS (
        |  SELECT CAST(user_id AS BIGINT) AS usr,
        |    TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
@@ -10777,6 +10875,29 @@ object SparkEntry {
         |  cast(strlen(text) as bigint) AS body_len,
         |  md5(text) AS body_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Replays the planted outlink arithmetic: outdegree = 1 + id mod
+    // 3, one off-domain link on every fourth doc, and indegree from
+    // the inverted (src + offset) mod n edge relation — certifying
+    // the href extraction, the internal/external classification, and
+    // the target-id parse against ground truth.
+    "pipeline_crawl_links" ->
+      """WITH p AS (SELECT count(*) AS nn FROM documents),
+        |docs AS (SELECT doc_id, 1 + doc_id % 3 AS nl FROM documents),
+        |e AS (
+        |  SELECT doc_id AS src,
+        |    (doc_id + o.off) % (SELECT nn FROM p) AS dst
+        |  FROM docs, (VALUES (0, 1), (1, 7), (2, 49)) AS o(k, off)
+        |  WHERE nl > o.k),
+        |ind AS (SELECT dst AS doc_id, count(*) AS indeg
+        |        FROM e GROUP BY dst)
+        |SELECT d.doc_id,
+        |  cast(d.nl as bigint) AS outdeg,
+        |  cast(CASE WHEN d.doc_id % 4 = 0 THEN 1 ELSE 0 END as bigint)
+        |    AS n_external,
+        |  cast(coalesce(ind.indeg, 0) as bigint) AS indeg
+        |FROM docs d LEFT JOIN ind USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Replays the full production decode stack from doc_id
     // arithmetic: the two corruption arms' statuses/classes (body cut

@@ -660,6 +660,82 @@ object WarcOps {
       .toDF("file_id", "content")
   }
 
+  /** [[htmlWrap]] plus a deterministic OUTLINK nav block — the
+    * hyperlink structure a WAT-style extraction recovers: 1 +
+    * id mod 3 internal anchors to docs (id + {1, 7, 49}) mod n (mod-n
+    * so every target exists and the link graph is dangling-free for
+    * the PageRank composition) and, on every fourth doc, one
+    * off-domain anchor (the dangling-external case the extractor
+    * must classify, not crash on). */
+  private[ops] def linkedHtml(id: Long, n: Long, text: String): String = {
+    val offsets = Seq(1L, 7L, 49L)
+    val nLinks = 1 + (id % 3).toInt
+    val anchors = (0 until nLinks).map { k =>
+      val t = (id + offsets(k)) % n
+      s"""<a href="https://example.com/doc/$t">doc $t</a> """
+    }.mkString
+    val ext =
+      if (id % 4 == 0)
+        s"""<a href="https://dangling.example.net/x$id">ext</a> """
+      else ""
+    "<html><head><title>d</title></head><body><p>" +
+      text.replaceAll("\\. ", ".</p> <p>") +
+      "</p><nav>" + anchors + ext + "</nav>" +
+      "<div class=\"footer\">&amp;copy; 2026 &lt;corp&gt;</div>" +
+      "</body></html>"
+  }
+
+  /** Build MULTI-DOCUMENT crawl files whose HTML carries the
+    * deterministic outlink structure ([[linkedHtml]]) — the input for
+    * WAT-style link extraction and the crawl link graph. Same
+    * container discipline as [[warcCrawlTable]] (HTTP responses,
+    * chunked for even ids); all captures are 200s so the graph is
+    * complete. */
+  def warcLinkedCrawlTable(spark: SparkSession, docs: DataFrame,
+      docsPerFile: Int = 50): DataFrame = {
+    import spark.implicits._
+    val n = docs.count()
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .withColumn("file_id",
+        DedupOps.idiv(col("doc_id"), lit(docsPerFile.toLong)))
+      .groupBy(col("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
+        col("text").as("_2")))).as("members"))
+      .select(col("file_id").as("_1"), col("members").as("_2"))
+      .as[(Long, Seq[(Long, String)])]
+      .mapPartitions { rows =>
+        val defl = new Deflater(Deflater.BEST_SPEED, true)
+        Multimodal.endOnTaskCompletion(() => defl.end())
+        val crc = new CRC32()
+        rows.map { case (fid, members) =>
+          val out = new java.io.ByteArrayOutputStream(
+            members.map(_._2.length).sum / 2 + 1024)
+          val date = "2020-01-01T00:00:00Z"
+          CompressedOps.gzipMember(record("warcinfo", Seq(
+            "WARC-Record-ID" -> s"<urn:uuid:file-$fid>",
+            "WARC-Date" -> date), InfoBlock), defl, crc, out)
+          members.foreach { case (id, text) =>
+            val uri = s"https://example.com/doc/$id"
+            val http = HttpOps.encodeResponse(200, "OK", Seq(
+              "Content-Type" -> "text/html; charset=utf-8",
+              "X-Doc" -> id.toString),
+              linkedHtml(id, n, text).getBytes(UTF_8),
+              chunkSize = if (id % 2 == 0) 100 else 0)
+            CompressedOps.gzipMember(record("request", Seq(
+              "WARC-Record-ID" -> s"<urn:uuid:0000-$id-1>",
+              "WARC-Date" -> date, "WARC-Target-URI" -> uri),
+              requestBlock(id)), defl, crc, out)
+            CompressedOps.gzipMember(record("response", Seq(
+              "WARC-Record-ID" -> s"<urn:uuid:0000-$id-2>",
+              "WARC-Date" -> date, "WARC-Target-URI" -> uri),
+              http), defl, crc, out)
+          }
+          (fid, out.toByteArray)
+        }
+      }
+      .toDF("file_id", "content")
+  }
+
   /** One crawl capture after WARC + HTTP decoding: id from the
     * record's own URI, the HTTP status, and the decoded (de-chunked)
     * HTML body ready for the markup-strip stage. */
