@@ -175,9 +175,12 @@ object HttpOps {
     if (chunkSize > 0) sb.append("Transfer-Encoding: chunked\r\n\r\n")
     else sb.append("Content-Length: ").append(body.length)
       .append("\r\n\r\n")
+    // BYTE length, not char length: a non-ASCII reason/header char
+    // encodes to one replacement byte, so the two counts can differ
+    val head = sb.toString.getBytes(US_ASCII)
     val out = new java.io.ByteArrayOutputStream(
-      sb.length + body.length + 64)
-    out.write(sb.toString.getBytes(US_ASCII), 0, sb.length)
+      head.length + body.length + 64)
+    out.write(head, 0, head.length)
     if (chunkSize > 0) {
       var off = 0
       while (off < body.length) {

@@ -66,10 +66,15 @@ object LangIdOps {
 
   /** Char bigrams of a string column, with multiplicity (positions
     * 1..len-1, character-based substr — identical semantics in
-    * DuckDB's substr/length). */
+    * DuckDB's substr/length). Texts shorter than 2 chars yield the
+    * EMPTY array: Spark's sequence(1, 0) is the descending [1, 0]
+    * (phantom grams), while DuckDB's generate_series(1, 0) is empty —
+    * the guard keeps both engines on the empty branch. */
   def bigrams(text: Column): Column =
-    transform(sequence(lit(1), length(text) - 1),
-      i => text.substr(i, lit(2)))
+    when(length(text) >= 2,
+      transform(sequence(lit(1), length(text) - 1),
+        i => text.substr(i, lit(2))))
+      .otherwise(typedLit(Seq.empty[String]))
 
   /** The trained model: per-bigram micro-unit log-probs in [[Classes]]
     * order, the per-class unseen-bigram default, and per-class priors. */
@@ -92,6 +97,14 @@ object LangIdOps {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val nDocs = seed.groupBy(col("lang")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a class with no seed examples has no prior: ln(0) would
+    // quantize to Long.MinValue and WRAP under Spark's 64-bit sums
+    // (DuckDB's 128-bit sums don't) — fail loud instead of training
+    // a model the two engines score differently
+    require(Classes.forall(c => nDocs.getOrElse(c, 0L) > 0L),
+      "langid: seed split has no examples for " +
+        Classes.filter(c => nDocs.getOrElse(c, 0L) == 0L)
+          .mkString(", "))
     val vocab = counts.map(_._2).distinct.sorted
     val v = vocab.length.toLong
     val tC = Classes.map(c =>

@@ -45,6 +45,87 @@ object WarcOps {
 
   private val Crlf = "\r\n"
 
+  /** The fixed WARC-Date every generator writes (determinism: the
+    * oracle replays witnesses from the original rows, never time). */
+  private val WarcDate = "2020-01-01T00:00:00Z"
+
+  /** The per-capture target-URI prefix every generator writes and
+    * every reader trusts as the doc-id source. */
+  private val UriPrefix = "https://example.com/doc/"
+
+  /** Standard request/response member headers for one capture. */
+  private def pairHeaders(id: Long, n: Int): Seq[(String, String)] =
+    Seq("WARC-Record-ID" -> s"<urn:uuid:0000-$id-$n>",
+      "WARC-Date" -> WarcDate, "WARC-Target-URI" -> s"$UriPrefix$id")
+
+  /** Extract the capture's doc id from the record's OWN target URI —
+    * the container is the source of truth, not a side channel.
+    * Fail-loud with the quarantine vocabulary; the production lanes
+    * run it under [[QuarantineOps.attempt]], the certification
+    * readers let it kill the stage. ONE implementation so all four
+    * readers share one error contract. */
+  private def docIdFromUri(rec: WarcRecord): Long = {
+    val uri = rec.headers.getOrElse("WARC-Target-URI",
+      throw new IllegalArgumentException(
+        "WARC: response without WARC-Target-URI"))
+    require(uri.startsWith(UriPrefix),
+      s"WARC: unexpected target URI '$uri'")
+    try uri.substring(UriPrefix.length).toLong
+    catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"WARC: non-numeric doc id in URI '$uri'")
+    }
+  }
+
+  /** The shared multi-document `.warc.gz` builder behind every file
+    * generator: group docs into docsPerFile-sized files (the ONE
+    * payload shuffle the container requires — a file's records must
+    * meet in one task to be serialized), write the warcinfo member,
+    * then let `render` emit each doc's record members.
+    * `emit(recordBytes, flipCrc)` compresses the record as its own
+    * gzip member; `flipCrc` flips the stored CRC-32's low bit (the
+    * planted-integrity-corruption hook — framing stays intact, the
+    * trailer lies). One Deflater per partition. */
+  private def buildWarcFiles(spark: SparkSession, docs: DataFrame,
+      docsPerFile: Int)(
+      render: (Long, String, (Array[Byte], Boolean) => Unit) => Unit)
+      : DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .withColumn("file_id",
+        DedupOps.idiv(col("doc_id"), lit(docsPerFile.toLong)))
+      .groupBy(col("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
+        col("text").as("_2")))).as("members"))
+      .select(col("file_id").as("_1"), col("members").as("_2"))
+      .as[(Long, Seq[(Long, String)])]
+      .mapPartitions { rows =>
+        val defl = new Deflater(Deflater.BEST_SPEED, true)
+        Multimodal.endOnTaskCompletion(() => defl.end())
+        val crc = new CRC32()
+        rows.map { case (fid, members) =>
+          val out = new java.io.ByteArrayOutputStream(
+            members.map(_._2.length).sum / 2 + 1024)
+          def emit(rec: Array[Byte], flipCrc: Boolean): Unit =
+            if (!flipCrc) CompressedOps.gzipMember(rec, defl, crc, out)
+            else {
+              val one = new java.io.ByteArrayOutputStream(
+                rec.length / 2 + 64)
+              CompressedOps.gzipMember(rec, defl, crc, one)
+              val b = one.toByteArray
+              b(b.length - 8) = (b(b.length - 8) ^ 0x01).toByte
+              out.write(b, 0, b.length)
+            }
+          emit(record("warcinfo", Seq(
+            "WARC-Record-ID" -> s"<urn:uuid:file-$fid>",
+            "WARC-Date" -> WarcDate), InfoBlock), false)
+          members.foreach { case (id, text) => render(id, text, emit) }
+          (fid, out.toByteArray)
+        }
+      }
+      .toDF("file_id", "content")
+  }
+
   /** Serialize one WARC/1.1 record: version line, headers (with
     * Content-Length appended), blank line, block, two CRLFs. */
   def record(warcType: String, headers: Seq[(String, String)],
@@ -193,43 +274,13 @@ object WarcOps {
     * time the scan parallelizes per FILE and explodes to per-record
     * rows, which is exactly the 100 TB shape. */
   def warcFileTable(spark: SparkSession, docs: DataFrame,
-      docsPerFile: Int = 50): DataFrame = {
-    import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
-      .withColumn("file_id",
-        DedupOps.idiv(col("doc_id"), lit(docsPerFile.toLong)))
-      .groupBy(col("file_id"))
-      .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
-        col("text").as("_2")))).as("members"))
-      .select(col("file_id").as("_1"), col("members").as("_2"))
-      .as[(Long, Seq[(Long, String)])]
-      .mapPartitions { rows =>
-        val defl = new Deflater(Deflater.BEST_SPEED, true)
-        Multimodal.endOnTaskCompletion(() => defl.end())
-        val crc = new CRC32()
-        rows.map { case (fid, members) =>
-          val out = new java.io.ByteArrayOutputStream(
-            members.map(_._2.length).sum / 2 + 1024)
-          val date = "2020-01-01T00:00:00Z"
-          CompressedOps.gzipMember(record("warcinfo", Seq(
-            "WARC-Record-ID" -> s"<urn:uuid:file-$fid>",
-            "WARC-Date" -> date), InfoBlock), defl, crc, out)
-          members.foreach { case (id, text) =>
-            val uri = s"https://example.com/doc/$id"
-            CompressedOps.gzipMember(record("request", Seq(
-              "WARC-Record-ID" -> s"<urn:uuid:0000-$id-1>",
-              "WARC-Date" -> date, "WARC-Target-URI" -> uri),
-              requestBlock(id)), defl, crc, out)
-            CompressedOps.gzipMember(record("response", Seq(
-              "WARC-Record-ID" -> s"<urn:uuid:0000-$id-2>",
-              "WARC-Date" -> date, "WARC-Target-URI" -> uri),
-              text.getBytes(UTF_8)), defl, crc, out)
-          }
-          (fid, out.toByteArray)
-        }
-      }
-      .toDF("file_id", "content")
-  }
+      docsPerFile: Int = 50): DataFrame =
+    buildWarcFiles(spark, docs, docsPerFile) { (id, text, emit) =>
+      emit(record("request", pairHeaders(id, 1), requestBlock(id)),
+        false)
+      emit(record("response", pairHeaders(id, 2),
+        text.getBytes(UTF_8)), false)
+    }
 
   /** One step of the member-at-a-time walk: the member's ordinal in
     * the file, its starting byte offset, and the parsed record or the
@@ -322,6 +373,10 @@ object WarcOps {
       Multimodal.endOnTaskCompletion(() => infl.end())
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.flatMap { r =>
+        // a zero-byte file is data loss, not an empty capture set —
+        // the certification reader keeps the old gunzip fail-loud
+        // posture the streaming walk would otherwise skip past
+        require(r.content.nonEmpty, s"WARC: file ${r.doc_id} is empty")
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Long, String)] // (doc_id, resp_len, resp_md5)
         var n = 0L
@@ -347,21 +402,11 @@ object WarcOps {
                   s"WARC: file ${r.doc_id} breaks the " +
                     "request/response pair discipline"))
               pendingReq = None
-              val uri = rec.headers.getOrElse("WARC-Target-URI",
-                throw new IllegalArgumentException(
-                  "WARC: response without WARC-Target-URI"))
-              require(req.headers.get("WARC-Target-URI").contains(uri),
+              val id = docIdFromUri(rec)
+              require(req.headers.get("WARC-Target-URI")
+                  .contains(s"$UriPrefix$id"),
                 s"WARC: request/response URI mismatch in file " +
                   s"${r.doc_id}")
-              val prefix = "https://example.com/doc/"
-              require(uri.startsWith(prefix),
-                s"WARC: unexpected target URI '$uri'")
-              val id =
-                try uri.substring(prefix.length).toLong
-                catch { case _: NumberFormatException =>
-                  throw new IllegalArgumentException(
-                    s"WARC: non-numeric doc id in URI '$uri'")
-                }
               md.reset()
               val hex = md.digest(rec.block).map("%02x".format(_))
                 .mkString
@@ -409,21 +454,19 @@ object WarcOps {
       Multimodal.endOnTaskCompletion(() => infl.end())
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.flatMap { r =>
-        walkRecordMembers(r.content, infl, memberCap).flatMap { step =>
+        // a zero-byte file quarantines as ONE row — the production
+        // lane's analogue of the certification reader's fail-loud
+        if (r.content.isEmpty)
+          Iterator.single(TriedCapture(r.doc_id, 0, "quarantined",
+            Some("truncated"), None, None, None))
+        else walkRecordMembers(r.content, infl, memberCap)
+          .flatMap { step =>
           step.result match {
             case Left(e) =>
               Some(TriedCapture(r.doc_id, step.idx, "quarantined",
                 Some(QuarantineOps.classify(e)), None, None, None))
             case Right(rec) if rec.warcType == "response" =>
-              QuarantineOps.attempt {
-                val uri = rec.headers.getOrElse("WARC-Target-URI",
-                  throw new IllegalArgumentException(
-                    "WARC: response without WARC-Target-URI"))
-                val prefix = "https://example.com/doc/"
-                require(uri.startsWith(prefix),
-                  s"WARC: unexpected target URI '$uri'")
-                uri.substring(prefix.length).toLong
-              } match {
+              QuarantineOps.attempt(docIdFromUri(rec)) match {
                 case Right(id) =>
                   md.reset()
                   val hex = md.digest(rec.block).map("%02x".format(_))
@@ -461,55 +504,14 @@ object WarcOps {
     * oracle replays status + class + member ordinals + clean-row
     * witnesses without seeing a payload byte. */
   def corruptWarcFileTable(spark: SparkSession, docs: DataFrame,
-      docsPerFile: Int = 50): DataFrame = {
-    import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
-      .withColumn("file_id",
-        DedupOps.idiv(col("doc_id"), lit(docsPerFile.toLong)))
-      .groupBy(col("file_id"))
-      .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
-        col("text").as("_2")))).as("members"))
-      .select(col("file_id").as("_1"), col("members").as("_2"))
-      .as[(Long, Seq[(Long, String)])]
-      .mapPartitions { rows =>
-        val defl = new Deflater(Deflater.BEST_SPEED, true)
-        Multimodal.endOnTaskCompletion(() => defl.end())
-        val crc = new CRC32()
-        rows.map { case (fid, members) =>
-          val out = new java.io.ByteArrayOutputStream(
-            members.map(_._2.length).sum / 2 + 1024)
-          val date = "2020-01-01T00:00:00Z"
-          def member(rec: Array[Byte], flipCrc: Boolean): Unit =
-            if (!flipCrc) CompressedOps.gzipMember(rec, defl, crc, out)
-            else {
-              val one = new java.io.ByteArrayOutputStream(
-                rec.length / 2 + 64)
-              CompressedOps.gzipMember(rec, defl, crc, one)
-              val b = one.toByteArray
-              b(b.length - 8) = (b(b.length - 8) ^ 0x01).toByte
-              out.write(b, 0, b.length)
-            }
-          member(record("warcinfo", Seq(
-            "WARC-Record-ID" -> s"<urn:uuid:file-$fid>",
-            "WARC-Date" -> date), InfoBlock), flipCrc = false)
-          members.foreach { case (id, text) =>
-            val uri = s"https://example.com/doc/$id"
-            val req = record("request", Seq(
-              "WARC-Record-ID" -> s"<urn:uuid:0000-$id-1>",
-              "WARC-Date" -> date, "WARC-Target-URI" -> uri),
-              requestBlock(id))
-            if (id % 17 == 7) req(0) = 'X'.toByte
-            member(req, flipCrc = false)
-            member(record("response", Seq(
-              "WARC-Record-ID" -> s"<urn:uuid:0000-$id-2>",
-              "WARC-Date" -> date, "WARC-Target-URI" -> uri),
-              text.getBytes(UTF_8)), flipCrc = id % 17 == 3)
-          }
-          (fid, out.toByteArray)
-        }
-      }
-      .toDF("file_id", "content")
-  }
+      docsPerFile: Int = 50): DataFrame =
+    buildWarcFiles(spark, docs, docsPerFile) { (id, text, emit) =>
+      val req = record("request", pairHeaders(id, 1), requestBlock(id))
+      if (id % 17 == 7) req(0) = 'X'.toByte
+      emit(req, false)
+      emit(record("response", pairHeaders(id, 2),
+        text.getBytes(UTF_8)), id % 17 == 3)
+    }
 
   /** Build a `.warc.gz` corpus whose response blocks are REAL HTTP/1.1
     * messages ([[HttpOps.encodeResponse]]) — the shape actual crawl
@@ -601,11 +603,27 @@ object WarcOps {
   /** The HTML wrap the crawl generator serves (the same markup
     * text_html_strip certifies): paragraphs split at sentence
     * boundaries plus an entity-bearing footer. */
-  private[ops] def htmlWrap(text: String): String =
+  private[ops] def htmlWrap(text: String, nav: String = ""): String =
     "<html><head><title>d</title></head><body><p>" +
       text.replaceAll("\\. ", ".</p> <p>") +
-      "</p><div class=\"footer\">&amp;copy; 2026 &lt;corp&gt;</div>" +
+      "</p>" + nav +
+      "<div class=\"footer\">&amp;copy; 2026 &lt;corp&gt;</div>" +
       "</body></html>"
+
+  /** Emit one HTTP-over-WARC capture (request + response members)
+    * through the shared builder's `emit` — the common tail of the
+    * crawl generators. */
+  private def emitHttpCapture(id: Long, body: Array[Byte],
+      status: Int, reason: String, charset: String, chunked: Boolean,
+      emit: (Array[Byte], Boolean) => Unit): Unit = {
+    val http = HttpOps.encodeResponse(status, reason, Seq(
+      "Content-Type" -> s"text/html; charset=$charset",
+      "X-Doc" -> id.toString),
+      body, chunkSize = if (chunked) 100 else 0)
+    emit(record("request", pairHeaders(id, 1), requestBlock(id)),
+      false)
+    emit(record("response", pairHeaders(id, 2), http), false)
+  }
 
   /** Build MULTI-DOCUMENT `.warc.gz` files whose response blocks are
     * full HTTP messages serving HTML — the complete real-crawl
@@ -615,50 +633,13 @@ object WarcOps {
     * This is the input the end-to-end crawl-to-corpus pipeline
     * certifies against. */
   def warcCrawlTable(spark: SparkSession, docs: DataFrame,
-      docsPerFile: Int = 50): DataFrame = {
-    import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
-      .withColumn("file_id",
-        DedupOps.idiv(col("doc_id"), lit(docsPerFile.toLong)))
-      .groupBy(col("file_id"))
-      .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
-        col("text").as("_2")))).as("members"))
-      .select(col("file_id").as("_1"), col("members").as("_2"))
-      .as[(Long, Seq[(Long, String)])]
-      .mapPartitions { rows =>
-        val defl = new Deflater(Deflater.BEST_SPEED, true)
-        Multimodal.endOnTaskCompletion(() => defl.end())
-        val crc = new CRC32()
-        rows.map { case (fid, members) =>
-          val out = new java.io.ByteArrayOutputStream(
-            members.map(_._2.length).sum / 2 + 1024)
-          val date = "2020-01-01T00:00:00Z"
-          CompressedOps.gzipMember(record("warcinfo", Seq(
-            "WARC-Record-ID" -> s"<urn:uuid:file-$fid>",
-            "WARC-Date" -> date), InfoBlock), defl, crc, out)
-          members.foreach { case (id, text) =>
-            val uri = s"https://example.com/doc/$id"
-            val (status, reason) =
-              if (id % 10 == 9) (404, "Not Found") else (200, "OK")
-            val http = HttpOps.encodeResponse(status, reason, Seq(
-              "Content-Type" -> "text/html; charset=utf-8",
-              "X-Doc" -> id.toString),
-              htmlWrap(text).getBytes(UTF_8),
-              chunkSize = if (id % 2 == 0) 100 else 0)
-            CompressedOps.gzipMember(record("request", Seq(
-              "WARC-Record-ID" -> s"<urn:uuid:0000-$id-1>",
-              "WARC-Date" -> date, "WARC-Target-URI" -> uri),
-              requestBlock(id)), defl, crc, out)
-            CompressedOps.gzipMember(record("response", Seq(
-              "WARC-Record-ID" -> s"<urn:uuid:0000-$id-2>",
-              "WARC-Date" -> date, "WARC-Target-URI" -> uri),
-              http), defl, crc, out)
-          }
-          (fid, out.toByteArray)
-        }
-      }
-      .toDF("file_id", "content")
-  }
+      docsPerFile: Int = 50): DataFrame =
+    buildWarcFiles(spark, docs, docsPerFile) { (id, text, emit) =>
+      val (status, reason) =
+        if (id % 10 == 9) (404, "Not Found") else (200, "OK")
+      emitHttpCapture(id, htmlWrap(text).getBytes(UTF_8), status,
+        reason, "utf-8", chunked = id % 2 == 0, emit)
+    }
 
   /** [[htmlWrap]] plus a deterministic OUTLINK nav block — the
     * hyperlink structure a WAT-style extraction recovers: 1 +
@@ -678,11 +659,7 @@ object WarcOps {
       if (id % 4 == 0)
         s"""<a href="https://dangling.example.net/x$id">ext</a> """
       else ""
-    "<html><head><title>d</title></head><body><p>" +
-      text.replaceAll("\\. ", ".</p> <p>") +
-      "</p><nav>" + anchors + ext + "</nav>" +
-      "<div class=\"footer\">&amp;copy; 2026 &lt;corp&gt;</div>" +
-      "</body></html>"
+    htmlWrap(text, "<nav>" + anchors + ext + "</nav>")
   }
 
   /** Build MULTI-DOCUMENT crawl files whose HTML carries the
@@ -693,47 +670,11 @@ object WarcOps {
     * complete. */
   def warcLinkedCrawlTable(spark: SparkSession, docs: DataFrame,
       docsPerFile: Int = 50): DataFrame = {
-    import spark.implicits._
     val n = docs.count()
-    docs.select(col("doc_id").cast("long"), col("text"))
-      .withColumn("file_id",
-        DedupOps.idiv(col("doc_id"), lit(docsPerFile.toLong)))
-      .groupBy(col("file_id"))
-      .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
-        col("text").as("_2")))).as("members"))
-      .select(col("file_id").as("_1"), col("members").as("_2"))
-      .as[(Long, Seq[(Long, String)])]
-      .mapPartitions { rows =>
-        val defl = new Deflater(Deflater.BEST_SPEED, true)
-        Multimodal.endOnTaskCompletion(() => defl.end())
-        val crc = new CRC32()
-        rows.map { case (fid, members) =>
-          val out = new java.io.ByteArrayOutputStream(
-            members.map(_._2.length).sum / 2 + 1024)
-          val date = "2020-01-01T00:00:00Z"
-          CompressedOps.gzipMember(record("warcinfo", Seq(
-            "WARC-Record-ID" -> s"<urn:uuid:file-$fid>",
-            "WARC-Date" -> date), InfoBlock), defl, crc, out)
-          members.foreach { case (id, text) =>
-            val uri = s"https://example.com/doc/$id"
-            val http = HttpOps.encodeResponse(200, "OK", Seq(
-              "Content-Type" -> "text/html; charset=utf-8",
-              "X-Doc" -> id.toString),
-              linkedHtml(id, n, text).getBytes(UTF_8),
-              chunkSize = if (id % 2 == 0) 100 else 0)
-            CompressedOps.gzipMember(record("request", Seq(
-              "WARC-Record-ID" -> s"<urn:uuid:0000-$id-1>",
-              "WARC-Date" -> date, "WARC-Target-URI" -> uri),
-              requestBlock(id)), defl, crc, out)
-            CompressedOps.gzipMember(record("response", Seq(
-              "WARC-Record-ID" -> s"<urn:uuid:0000-$id-2>",
-              "WARC-Date" -> date, "WARC-Target-URI" -> uri),
-              http), defl, crc, out)
-          }
-          (fid, out.toByteArray)
-        }
-      }
-      .toDF("file_id", "content")
+    buildWarcFiles(spark, docs, docsPerFile) { (id, text, emit) =>
+      emitHttpCapture(id, linkedHtml(id, n, text).getBytes(UTF_8),
+        200, "OK", "utf-8", chunked = id % 2 == 0, emit)
+    }
   }
 
   /** One crawl capture after WARC + HTTP decoding: id from the
@@ -757,6 +698,7 @@ object WarcOps {
       val infl = new Inflater(true)
       Multimodal.endOnTaskCompletion(() => infl.end())
       rows.flatMap { r =>
+        require(r.content.nonEmpty, s"WARC: file ${r.doc_id} is empty")
         walkRecordMembers(r.content, infl, memberCap).flatMap { step =>
           val rec = step.result match {
             case Right(rc) => rc
@@ -764,16 +706,9 @@ object WarcOps {
           }
           if (rec.warcType != "response") None
           else {
-            val uri = rec.headers.getOrElse("WARC-Target-URI",
-              throw new IllegalArgumentException(
-                "WARC: response without WARC-Target-URI"))
-            val prefix = "https://example.com/doc/"
-            require(uri.startsWith(prefix),
-              s"WARC: unexpected target URI '$uri'")
-            val id = uri.substring(prefix.length).toLong
             val http = HttpOps.parseResponse(rec.block)
-            Some(CrawlCapture(id, r.doc_id, http.status.toLong,
-              new String(http.body, UTF_8)))
+            Some(CrawlCapture(docIdFromUri(rec), r.doc_id,
+              http.status.toLong, new String(http.body, UTF_8)))
           }
         }
       }
@@ -813,65 +748,36 @@ object WarcOps {
     * mod 3, each with its marker ([[charsetArm]]); even ids are
     * chunked-transfer coded. Every witness is doc_id arithmetic. */
   def corruptCrawlHttpTable(spark: SparkSession, docs: DataFrame,
-      docsPerFile: Int = 50): DataFrame = {
-    import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
-      .withColumn("file_id",
-        DedupOps.idiv(col("doc_id"), lit(docsPerFile.toLong)))
-      .groupBy(col("file_id"))
-      .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
-        col("text").as("_2")))).as("members"))
-      .select(col("file_id").as("_1"), col("members").as("_2"))
-      .as[(Long, Seq[(Long, String)])]
-      .mapPartitions { rows =>
-        val defl = new Deflater(Deflater.BEST_SPEED, true)
-        Multimodal.endOnTaskCompletion(() => defl.end())
-        val crc = new CRC32()
-        rows.map { case (fid, members) =>
-          val out = new java.io.ByteArrayOutputStream(
-            members.map(_._2.length).sum / 2 + 1024)
-          val date = "2020-01-01T00:00:00Z"
-          CompressedOps.gzipMember(record("warcinfo", Seq(
-            "WARC-Record-ID" -> s"<urn:uuid:file-$fid>",
-            "WARC-Date" -> date), InfoBlock), defl, crc, out)
-          members.foreach { case (id, text) =>
-            val uri = s"https://example.com/doc/$id"
-            val http: Array[Byte] =
-              if (id % 13 == 5) {
-                // identity body 5 bytes short of its Content-Length
-                val body = text.getBytes(UTF_8)
-                val full = HttpOps.encodeResponse(200, "OK", Seq(
-                  "Content-Type" -> "text/plain; charset=utf-8"),
-                  body, chunkSize = 0)
-                java.util.Arrays.copyOf(full,
-                  full.length - math.min(5, body.length))
-              } else if (id % 13 == 9) {
-                val bad = text.getBytes(UTF_8) ++
-                  Array[Byte](0x81.toByte, 0x20, 0x81.toByte)
-                HttpOps.encodeResponse(200, "OK", Seq(
-                  "Content-Type" -> "text/plain; charset=utf-8"),
-                  bad, chunkSize = if (id % 2 == 0) 100 else 0)
-              } else {
-                val (name, marker, cs) = charsetArm(id)
-                HttpOps.encodeResponse(200, "OK", Seq(
-                  "Content-Type" -> s"text/plain; charset=$name"),
-                  (text + marker).getBytes(cs),
-                  chunkSize = if (id % 2 == 0) 100 else 0)
-              }
-            CompressedOps.gzipMember(record("request", Seq(
-              "WARC-Record-ID" -> s"<urn:uuid:0000-$id-1>",
-              "WARC-Date" -> date, "WARC-Target-URI" -> uri),
-              requestBlock(id)), defl, crc, out)
-            CompressedOps.gzipMember(record("response", Seq(
-              "WARC-Record-ID" -> s"<urn:uuid:0000-$id-2>",
-              "WARC-Date" -> date, "WARC-Target-URI" -> uri),
-              http), defl, crc, out)
-          }
-          (fid, out.toByteArray)
+      docsPerFile: Int = 50): DataFrame =
+    buildWarcFiles(spark, docs, docsPerFile) { (id, text, emit) =>
+      val http: Array[Byte] =
+        if (id % 13 == 5) {
+          // identity body cut short of its Content-Length; an empty
+          // body cuts one header byte instead — either way the parse
+          // diagnosis is 'truncated', never a silent 'ok'
+          val body = text.getBytes(UTF_8)
+          val full = HttpOps.encodeResponse(200, "OK", Seq(
+            "Content-Type" -> "text/plain; charset=utf-8"),
+            body, chunkSize = 0)
+          java.util.Arrays.copyOf(full,
+            full.length - math.min(5, math.max(1, body.length)))
+        } else if (id % 13 == 9) {
+          val bad = text.getBytes(UTF_8) ++
+            Array[Byte](0x81.toByte, 0x20, 0x81.toByte)
+          HttpOps.encodeResponse(200, "OK", Seq(
+            "Content-Type" -> "text/plain; charset=utf-8"),
+            bad, chunkSize = if (id % 2 == 0) 100 else 0)
+        } else {
+          val (name, marker, cs) = charsetArm(id)
+          HttpOps.encodeResponse(200, "OK", Seq(
+            "Content-Type" -> s"text/plain; charset=$name"),
+            (text + marker).getBytes(cs),
+            chunkSize = if (id % 2 == 0) 100 else 0)
         }
-      }
-      .toDF("file_id", "content")
-  }
+      emit(record("request", pairHeaders(id, 1), requestBlock(id)),
+        false)
+      emit(record("response", pairHeaders(id, 2), http), false)
+    }
 
   /** One capture's outcome through the FULL production decode stack:
     * WARC record → HTTP message → declared-charset transcode to
@@ -898,34 +804,36 @@ object WarcOps {
       Multimodal.endOnTaskCompletion(() => infl.end())
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.flatMap { r =>
-        walkRecordMembers(r.content, infl, memberCap).flatMap { step =>
+        if (r.content.isEmpty) // zero-byte file: ONE quarantine row
+          Iterator.single(CrawlTried(-1L, "quarantined", "truncated",
+            "", -1L, ""))
+        else walkRecordMembers(r.content, infl, memberCap)
+          .flatMap { step =>
           val rec = step.result match {
             case Right(rc) => rc
             case Left(e) => throw e // member corruption: not this lane
           }
           if (rec.warcType != "response") None
-          else {
-            val uri = rec.headers.getOrElse("WARC-Target-URI",
-              throw new IllegalArgumentException(
-                "WARC: response without WARC-Target-URI"))
-            val prefix = "https://example.com/doc/"
-            require(uri.startsWith(prefix),
-              s"WARC: unexpected target URI '$uri'")
-            val id = uri.substring(prefix.length).toLong
-            QuarantineOps.attempt {
-              val http = HttpOps.parseResponse(rec.block)
-              CharsetOps.transcodeDeclared(http.body, http.charset)
-            } match {
-              case Right((detected, text)) =>
-                val utf8 = text.getBytes(UTF_8)
-                md.reset()
-                val hex = md.digest(utf8).map("%02x".format(_))
-                  .mkString
-                Some(CrawlTried(id, "ok", "", detected,
-                  utf8.length.toLong, hex))
-              case Left(cls) =>
-                Some(CrawlTried(id, "quarantined", cls, "", -1L, ""))
-            }
+          else QuarantineOps.attempt(docIdFromUri(rec)) match {
+            // a capture whose own URI is defective quarantines — it
+            // must never kill the stage (the per-capture contract)
+            case Left(cls) =>
+              Some(CrawlTried(-1L, "quarantined", cls, "", -1L, ""))
+            case Right(id) =>
+              QuarantineOps.attempt {
+                val http = HttpOps.parseResponse(rec.block)
+                CharsetOps.transcodeDeclared(http.body, http.charset)
+              } match {
+                case Right((detected, text)) =>
+                  val utf8 = text.getBytes(UTF_8)
+                  md.reset()
+                  val hex = md.digest(utf8).map("%02x".format(_))
+                    .mkString
+                  Some(CrawlTried(id, "ok", "", detected,
+                    utf8.length.toLong, hex))
+                case Left(cls) =>
+                  Some(CrawlTried(id, "quarantined", cls, "", -1L, ""))
+              }
           }
         }
       }

@@ -19,26 +19,37 @@ class LangIdSpec extends SparkSpec {
 
   test("training anchors: Laplace arithmetic on a hand corpus") {
     import spark.implicits._
-    // two classes, tiny corpus; doc_id 0..2 are all seed (mod 10 < 3)
+    // every class seeded (the training contract requires it —
+    // ln(0) priors would wrap Long sums); ids all land in the
+    // mod-10 < 3 seed split
     val docs = Seq(
       (0L, "de", "ab"), // bigrams: ab
       (1L, "en", "ba"), // bigrams: ba
-      (2L, "en", "ab")  // bigrams: ab
+      (2L, "en", "ab"), // bigrams: ab
+      (20L, "es", "cd"),
+      (21L, "fr", "dc"),
+      (22L, "zh", "ce")
     ).toDF("doc_id", "lang", "text2")
     val m = LangIdOps.train(spark, docs)
     val grams = m.grams.toMap
-    // vocab = {ab, ba}, V=2; T_de=1, T_en=2
-    // lp(de,ab) = ln((1+1)/(1+2)) = ln(2/3)
+    // vocab = {ab, ba, cd, ce, dc}, V=5; T_de=1, T_en=2
+    // lp(de,ab) = ln((1+1)/(1+5)) = ln(1/3)
     assert(grams("ab")(0) ==
-      math.round(StrictMath.log(2.0 / 3.0) * 1e6))
-    // lp(en,ab) = ln((1+1)/(2+2)) = ln(1/2)
+      math.round(StrictMath.log(1.0 / 3.0) * 1e6))
+    // lp(en,ab) = ln((1+1)/(2+5)) = ln(2/7)
     assert(grams("ab")(1) ==
-      math.round(StrictMath.log(0.5) * 1e6))
-    // default(de) = ln(1/(1+2))
-    assert(m.defaults(0) == math.round(StrictMath.log(1.0 / 3.0) * 1e6))
-    // priors: de 1/3, en 2/3
-    assert(m.priors(0) == math.round(StrictMath.log(1.0 / 3.0) * 1e6))
-    assert(m.priors(1) == math.round(StrictMath.log(2.0 / 3.0) * 1e6))
+      math.round(StrictMath.log(2.0 / 7.0) * 1e6))
+    // default(de) = ln(1/(1+5))
+    assert(m.defaults(0) == math.round(StrictMath.log(1.0 / 6.0) * 1e6))
+    // priors: de 1/6, en 2/6
+    assert(m.priors(0) == math.round(StrictMath.log(1.0 / 6.0) * 1e6))
+    assert(m.priors(1) == math.round(StrictMath.log(2.0 / 6.0) * 1e6))
+    // a seed split missing a class fails loud, never trains
+    val e = intercept[IllegalArgumentException] {
+      LangIdOps.train(spark,
+        docs.filter(col("lang") =!= "zh"))
+    }
+    assert(e.getMessage.contains("no examples"))
   }
 
   test("held-out accuracy beats the marker-lexicon heuristic on the " +
