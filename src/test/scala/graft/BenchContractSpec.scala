@@ -47,6 +47,40 @@ class BenchContractSpec extends AnyFunSuite {
       s"rollup count $othN + kept $kept != ${names.size}")
   }
 
+  test("deadline degrade path: phase decisions against a fake clock") {
+    var t = 0.0
+    val dl = new Bench.BenchDeadline(1000.0, () => t)
+    // warm-up is best-effort: continues early, stops past 25%
+    assert(dl.continueWarmup)
+    t = 251; assert(!dl.continueWarmup)
+    // the first interleaved pass needs 60% headroom
+    t = 500; assert(dl.startPass(None))
+    t = 601; assert(!dl.startPass(None))
+    // a later pass starts only if the previous pass's cost fits
+    // before 92% of budget
+    t = 600; assert(dl.startPass(Some(300.0)))
+    assert(!dl.startPass(Some(321.0)))
+    // prime + in-flight passes abort only at 97%
+    t = 969; assert(dl.continuePass && dl.continuePrime)
+    t = 971; assert(!dl.continuePass && !dl.continuePrime)
+    // the re-measure phase runs only if its estimate fits before 95%
+    t = 900; assert(dl.allowRemeasure(49.0))
+    assert(!dl.allowRemeasure(51.0))
+  }
+
+  test("degraded field pays for itself out of the per-query budget") {
+    // worst case the main loop can produce: 8 flags survive the cap,
+    // longest spelling ~"pass3_aborted"; the composed map shrinks by
+    // the field's length so line length is bounded by construction
+    val worstFlags = Seq("warmup", "prime", "pass1_aborted", "runs=0",
+      "fallback=273", "norem", "pass2_aborted", "pass3_aborted")
+    val field = s""","degraded":"${worstFlags.take(8).mkString(",")}""""
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val qs = Bench.composeQueries(names.map(_ -> 99.99),
+      Bench.QueriesBudget - field.length - 16)
+    assert(qs.length + field.length + 16 <= Bench.QueriesBudget)
+  }
+
   test("remeasured keys ride the stdout line, capped, inside the " +
       "line budget") {
     assert(Bench.composeRemeasured(Nil) == "[]")
