@@ -218,7 +218,8 @@ object Bench {
     "dedup_clusters_portable" -> "dcp", "pipeline_t5_spans" -> "pt5",
     "pipeline_cluster_balance" -> "pcb", "text_vocab_prune" -> "tvp",
     "pipeline_ul2_spans" -> "pu2", "pipeline_decon_excise" -> "pdx",
-    "pipeline_data_card" -> "pdd")
+    "pipeline_data_card" -> "pdd",
+    "pipeline_crawl_robots" -> "pcr", "pipeline_crawl_neardup" -> "pcd")
 
   /** 2-decimal seconds with trailing zeros stripped ("0.20" -> "0.2",
     * "1.00" -> "1") — still valid JSON numbers, ~0.5 chars/query saved. */

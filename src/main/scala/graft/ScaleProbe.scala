@@ -67,7 +67,14 @@ object ScaleProbe {
     // capture quarantine) — all scan → per-row kernel → sort
     "multimodal_jpeg_progressive", "source_warc_http",
     "source_charset", "source_warc_quarantine",
-    "pipeline_crawl_charset")
+    "pipeline_crawl_charset",
+    // round-14 curation front: the robots/soft-404 gate chain is a
+    // pure map front (WARC walk → header/markup/template classify →
+    // one 8-row aggregate), so it joins the linear-scaling gate.
+    // (pipeline_crawl_neardup is deliberately NOT here: the LSH
+    // candidate front is bucket-shaped, the banded dedup family's
+    // contract, not the map panel's.)
+    "pipeline_crawl_robots")
 
   /** Exponent gate for the map-shaped panel: honest linear scaling
     * with local-mode noise and per-job fixed cost lands well under

@@ -5459,6 +5459,103 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ★ r14: ROBOTS + SOFT-404 curation over the crawl container —
+    // the last common front-end signals: a 200 capture can still opt
+    // out of indexing via an `X-Robots-Tag: noindex` response header
+    // or a `<meta name="robots">` tag, and a 200 body can be an error
+    // template (soft 404) no status code will ever reveal. The
+    // generator plants all four arms by doc_id precedence; the gates
+    // HERE run on the parsed surface (header value, head markup, body
+    // template — never on ids), and the oracle replays the planting
+    // arithmetic, so a match certifies classification by content.
+    // Map-shaped front: only (stage, count) rows leave the aggregate.
+    "pipeline_crawl_robots" -> ((s, d) => {
+      val caps = ops.WarcOps.readWarcCrawlRobots(s,
+        ops.WarcOps.robotsCrawlTable(s, t(s, d, "documents"), 50))
+        .toDF()
+      val httpOk = col("status") === 200
+      val hdrNoindex = lower(col("x_robots")).contains("noindex")
+      val metaNoindex = col("html").rlike(
+        "(?i)<meta[^>]*name=\"robots\"[^>]*content=\"[^\"]*noindex")
+      val soft404 = col("html").contains("<h1>Page Not Found</h1>")
+      val indexable = httpOk && !hdrNoindex && !metaNoindex
+      val kept = indexable && !soft404
+      caps.agg(
+        count(lit(1)).as("c1"),
+        sum(when(httpOk, 1L).otherwise(0L)).as("c2"),
+        sum(when(indexable, 1L).otherwise(0L)).as("c3"),
+        sum(when(kept, 1L).otherwise(0L)).as("c4"),
+        sum(when(!httpOk, 1L).otherwise(0L)).as("r404"),
+        sum(when(httpOk && hdrNoindex, 1L).otherwise(0L)).as("rhdr"),
+        sum(when(httpOk && !hdrNoindex && metaNoindex, 1L)
+          .otherwise(0L)).as("rmeta"),
+        sum(when(indexable && soft404, 1L).otherwise(0L)).as("rsoft"))
+        .select(explode(array(
+          struct(lit("1_ingest").as("stage"), col("c1").as("n_docs")),
+          struct(lit("2_http_ok").as("stage"), col("c2").as("n_docs")),
+          struct(lit("3_indexable").as("stage"),
+            col("c3").as("n_docs")),
+          struct(lit("4_kept").as("stage"), col("c4").as("n_docs")),
+          struct(lit("x_http_404").as("stage"),
+            col("r404").as("n_docs")),
+          struct(lit("x_noindex_header").as("stage"),
+            col("rhdr").as("n_docs")),
+          struct(lit("x_noindex_meta").as("stage"),
+            col("rmeta").as("n_docs")),
+          struct(lit("x_soft_404").as("stage"),
+            col("rsoft").as("n_docs")))).as("r"))
+        .select(col("r.stage"), col("r.n_docs"))
+        .orderBy(col("stage"))
+    }),
+
+    // ★ r14: NEAR-DUP VERDICTS OVER THE CRAWL CONTAINER — the ingest
+    // decision the streaming neardupGateStream contract makes, here
+    // composed over the real container in its batch spelling with the
+    // PORTABLE hash family so the ENTIRE lane is oracle-replayable:
+    // WARC walk → HTTP de-chunk → markup strip → portable MinHash LSH
+    // candidates → exact-Jaccard verification → per-arriving-doc
+    // verdict (dup of the persisted corpus / dup of an earlier
+    // in-batch doc / unique, the keep-earliest discipline). Even doc
+    // ids play the persisted corpus, odd ids the arriving batch.
+    // HTML never shuffles: decode and strip are map-shaped,
+    // signatures are computed row-locally, and only (id, hash/count)
+    // rows reach the candidate and verdict aggregates.
+    "pipeline_crawl_neardup" -> ((s, d) => {
+      val caps = ops.WarcOps.readWarcCrawl(s,
+        ops.WarcOps.warcCrawlTable(s, t(s, d, "documents"), 50)).toDF()
+        .filter(col("status") === 200)
+      val noTags = regexp_replace(col("html"), "<[^>]*>", " ")
+      val decoded = regexp_replace(regexp_replace(regexp_replace(
+        noTags, "&amp;", "&"), "&lt;", "<"), "&gt;", ">")
+      val clean = caps.select(col("doc_id"),
+        trim(regexp_replace(decoded, " +", " ")).as("text"))
+        .localCheckpoint(true) // feeds the sketch pass + verdict join
+      val pairs = ops.DedupOps.portableMinhashPairs(
+        clean, "doc_id", "text", threshold = 0.7)
+      val adj = pairs
+        .select(col("a").as("doc_id"), col("b").as("partner"))
+        .unionByName(pairs.select(col("b").as("doc_id"),
+          col("a").as("partner")))
+        .filter(pmod(col("doc_id"), lit(2)) === 1)
+      val verdicts = adj.groupBy(col("doc_id")).agg(
+        sum(when(pmod(col("partner"), lit(2)) === 0, 1L)
+          .otherwise(0L)).as("n_corpus"),
+        sum(when(pmod(col("partner"), lit(2)) === 1 &&
+            col("partner") < col("doc_id"), 1L)
+          .otherwise(0L)).as("n_batch_prior"))
+      clean.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"))
+        .join(verdicts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(coalesce(col("n_corpus"), lit(0L)) > 0, "dup_corpus")
+            .when(coalesce(col("n_batch_prior"), lit(0L)) > 0,
+              "dup_batch")
+            .otherwise("unique").as("verdict"),
+          coalesce(col("n_corpus"), lit(0L)).as("n_corpus"),
+          coalesce(col("n_batch_prior"), lit(0L)).as("n_batch_prior"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ★ r13: MEMBER-GRANULAR quarantine over multi-document WARC —
     // the production posture the real crawl demands: the STREAMING
     // member-at-a-time walk (peak memory = one record, never the
@@ -10925,6 +11022,111 @@ object SparkEntry {
         |       ELSE cast(strlen(text || marker) as bigint) END AS n_out,
         |  CASE WHEN bad THEN '' ELSE md5(text || marker) END AS out_md5
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Replays the robots/soft-404 gate chain from the planting
+    // arithmetic (the generator's first-match-wins arm precedence) —
+    // the Spark side classifies by PARSED content (header value, head
+    // markup, body template), so agreement certifies content-driven
+    // classification, not id echo.
+    "pipeline_crawl_robots" ->
+      """WITH cls AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 9 THEN 'h404'
+        |         WHEN doc_id % 7 = 3 THEN 'hdr'
+        |         WHEN doc_id % 7 = 5 THEN 'meta'
+        |         WHEN doc_id % 11 = 7 THEN 'soft'
+        |         ELSE 'ok' END AS arm
+        |  FROM documents)
+        |SELECT stage, n_docs FROM (
+        |  SELECT '1_ingest' AS stage, count(*) AS n_docs FROM cls
+        |  UNION ALL SELECT '2_http_ok', count(*) FROM cls
+        |    WHERE arm <> 'h404'
+        |  UNION ALL SELECT '3_indexable', count(*) FROM cls
+        |    WHERE arm IN ('soft', 'ok')
+        |  UNION ALL SELECT '4_kept', count(*) FROM cls
+        |    WHERE arm = 'ok'
+        |  UNION ALL SELECT 'x_http_404', count(*) FROM cls
+        |    WHERE arm = 'h404'
+        |  UNION ALL SELECT 'x_noindex_header', count(*) FROM cls
+        |    WHERE arm = 'hdr'
+        |  UNION ALL SELECT 'x_noindex_meta', count(*) FROM cls
+        |    WHERE arm = 'meta'
+        |  UNION ALL SELECT 'x_soft_404', count(*) FROM cls
+        |    WHERE arm = 'soft'
+        |) ORDER BY stage""".stripMargin,
+
+    // Replays the whole crawl near-dup lane: the HTML wrap + strip
+    // (the crawl_curate replay), then the ENTIRE portable MinHash
+    // pipeline (per-shingle md5 → affine lanes → band keys → bucket
+    // pairs → exact-Jaccard verification — the dedup_minhash_portable
+    // replay over the STRIPPED text), then the even/odd
+    // corpus-vs-batch verdict aggregation with the keep-earliest
+    // in-batch rule.
+    "pipeline_crawl_neardup" ->
+      """WITH cap AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>d</title></head><body><p>' ||
+        |      regexp_replace(text, '\. ', '.</p> <p>', 'g') ||
+        |      '</p><div class="footer">&amp;copy; 2026 &lt;corp&gt;' ||
+        |      '</div></body></html>' AS html
+        |  FROM documents WHERE doc_id % 10 <> 9),
+        |c AS (
+        |  SELECT doc_id, trim(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |      '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |    ' +', ' ', 'g')) AS text
+        |  FROM cap),
+        |t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |      FROM c),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(w) >= 3
+        |       THEN list_transform(generate_series(1, len(w) - 2),
+        |            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |       ELSE [array_to_string(w, ' ')] END AS s FROM t),
+        |shd AS (SELECT doc_id, list_distinct(s) AS sd FROM sh),
+        |hmt AS (SELECT doc_id, sd,
+        |  list_transform(sd, x ->
+        |    (('0x' || substr(md5(x), 1, 15))::BIGINT) % 2147483647)
+        |    AS hm FROM shd),
+        |sig AS (SELECT doc_id,
+        |  list_transform(generate_series(0, 15),
+        |    i -> list_min(list_transform(hm, h ->
+        |      (((1103515245 * (i + 1)) % 2147483647) * h +
+        |       ((12345 * (i + 1)) % 2147483647)) % 2147483647)))
+        |    AS sig FROM hmt),
+        |band AS (SELECT doc_id, b AS band_id,
+        |  array_to_string(sig[b*2+1 : b*2+2], '|') AS band_key
+        |  FROM sig, LATERAL unnest(generate_series(0, 7)) tb(b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM band x JOIN band y
+        |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+        |   AND x.doc_id < y.doc_id),
+        |hmd AS (SELECT doc_id, list_distinct(hm) AS hd FROM hmt),
+        |ver AS (SELECT cd.a, cd.b,
+        |  len(list_intersect(sa.hd, sb.hd)) AS inter,
+        |  len(sa.hd) AS na, len(sb.hd) AS nb
+        |  FROM cand cd JOIN hmd sa ON sa.doc_id = cd.a
+        |               JOIN hmd sb ON sb.doc_id = cd.b),
+        |verq AS (SELECT a, b FROM ver
+        |  WHERE round(inter * 1.0 / (na + nb - inter), 4) >= 0.7),
+        |adjp AS (SELECT a AS doc_id, b AS partner FROM verq
+        |         UNION ALL SELECT b AS doc_id, a AS partner FROM verq),
+        |agg AS (SELECT doc_id,
+        |    sum(CASE WHEN partner % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS n_corpus,
+        |    sum(CASE WHEN partner % 2 = 1 AND partner < doc_id
+        |             THEN 1 ELSE 0 END) AS n_batch_prior
+        |  FROM adjp WHERE doc_id % 2 = 1 GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |  CASE WHEN coalesce(n_corpus, 0) > 0 THEN 'dup_corpus'
+        |       WHEN coalesce(n_batch_prior, 0) > 0 THEN 'dup_batch'
+        |       ELSE 'unique' END AS verdict,
+        |  cast(coalesce(n_corpus, 0) as bigint) AS n_corpus,
+        |  cast(coalesce(n_batch_prior, 0) as bigint) AS n_batch_prior
+        |FROM c LEFT JOIN agg USING (doc_id)
+        |WHERE c.doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // Replays the member-granular quarantine lane from the planting
     // arithmetic: member ordinals from the file layout (warcinfo 0,

@@ -103,9 +103,17 @@ object CharsetOps {
   /** Transcode with a DECLARED charset (e.g. the Content-Type
     * `charset=` parameter from [[HttpOps]]): the declaration wins
     * over the heuristic — but a BOM still outranks it (the in-band
-    * witness beats the out-of-band claim), and an undecodable body
-    * under the declared charset falls back to the sniffer rather
-    * than producing U+FFFD garbage. */
+    * witness beats the out-of-band claim) PROVIDED the BOM-implied
+    * decode succeeds strictly: a legacy body that merely starts with
+    * BOM-looking bytes (cp1252 text opening 'ÿþ…' is 0xFF 0xFE) must
+    * not lose its correct declared decode to a failing UTF-16
+    * force-decode — on BOM-decode failure the declaration is tried
+    * next, then the sniffer. (Residual, documented: an even-length
+    * legacy body whose UTF-16 decode happens to succeed still loses
+    * to the BOM — strict success is the only in-band evidence
+    * available.) An undecodable body under the declared charset
+    * falls back to the sniffer rather than producing U+FFFD
+    * garbage. */
   def transcodeDeclared(bytes: Array[Byte],
       declared: Option[String]): (String, String) = {
     val bom = bytes.length >= 2 &&
@@ -113,14 +121,17 @@ object CharsetOps {
         (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf) ||
         ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe) ||
         ((bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff))
-    if (bom) sniffTranscode(bytes)
-    else declared.flatMap { name =>
+    def viaDeclared: (String, String) = declared.flatMap { name =>
       val cs =
         try Some(Charset.forName(name))
         catch { case _: Exception => None }
       cs.flatMap(c => tryStrict(bytes, 0, c).map(
         (c.name().toLowerCase, _)))
     }.getOrElse(sniffTranscode(bytes))
+    if (bom)
+      try sniffTranscode(bytes)
+      catch { case _: IllegalArgumentException => viaDeclared }
+    else viaDeclared
   }
 
   /** The MIXED-ENCODING corpus the oracle runs over: each doc's text

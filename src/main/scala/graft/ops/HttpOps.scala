@@ -111,9 +111,16 @@ object HttpOps {
         require(sizeLine.nonEmpty &&
             sizeLine.forall(c => Character.digit(c, 16) >= 0),
           s"http: malformed chunk size '${sizeLine.take(16)}'")
-        require(sizeLine.length <= 7, // 16^7 > any sane chunk
+        // the hostile-size gate applies AFTER stripping leading
+        // zeros: RFC 9112 permits them ('0000000a' is a legal 10),
+        // and foreign captures do emit them — only the VALUE is gated
+        val sizeDigits = {
+          val t = sizeLine.dropWhile(_ == '0')
+          if (t.isEmpty) "0" else t
+        }
+        require(sizeDigits.length <= 7, // 16^7 > any sane chunk
           s"http: unreasonable chunk size '${sizeLine.take(16)}'")
-        val size = Integer.parseInt(sizeLine, 16)
+        val size = Integer.parseInt(sizeDigits, 16)
         if (size == 0) {
           // terminator: no trailers in this profile — the final CRLF
           // must follow immediately

@@ -84,17 +84,44 @@ object LangIdOps {
   /** Train on the seed split (doc_id mod 10 < 3) of a derived corpus
     * carrying (doc_id, lang, text2). ONE distributed aggregate
     * produces (lang, bigram, count); everything after runs on the
-    * driver over the KB-sized count dict with StrictMath (the
+    * driver over the capped count dict with StrictMath (the
     * BpeOps 100-TB split: corpus-sized work distributed, model-sized
-    * work local). */
-  def train(spark: SparkSession, derived: DataFrame): NbModel = {
+    * work local).
+    *
+    * `maxGrams` caps the MODEL VOCABULARY at the top-N bigrams by
+    * (total count DESC, gram) — the `BpeOps.wordTypeCounts` maxTypes
+    * discipline. On this corpus the char-bigram vocab is tiny and the
+    * cap never binds (the model is bit-identical to uncapped); on a
+    * real multilingual crawl (CJK) distinct bigrams reach 10⁷–10⁸ and
+    * an uncapped driver collect + broadcast model would become the
+    * bottleneck. Truncated tail grams score through the per-class
+    * unseen default — exactly the path a gram absent from the seed
+    * split already takes, so truncation degrades smoothly (gated in
+    * LangIdSpec on a planted heavy-tail vocab). Class totals T_c stay
+    * FULL-vocabulary sums (computed distributedly before the cut), so
+    * retained-gram probabilities are unchanged by the cap; only V —
+    * the Laplace vocabulary size — follows the retained set. */
+  def train(spark: SparkSession, derived: DataFrame,
+      maxGrams: Int = 200000): NbModel = {
     val seed = derived.filter(pmod(col("doc_id"), lit(10)) < 3)
-    val counts = seed
+    val countsDf = seed
       .select(col("lang"), explode(bigrams(col("text2"))).as("g"))
       .groupBy(col("lang"), col("g"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds totals, the cap cut, and the model
+    // full-vocabulary class totals: |Classes| rows to the driver
+    val tcMap = countsDf.groupBy(col("lang")).agg(sum(col("n")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the vocabulary cut: top-N grams by (total count DESC, gram),
+    // decided distributedly — only capped rows ever reach the driver
+    val retained = countsDf.groupBy(col("g"))
+      .agg(sum(col("n")).as("tot"))
+      .orderBy(col("tot").desc, col("g"))
+      .limit(maxGrams)
+      .select(col("g"))
+    val counts = countsDf.join(broadcast(retained), Seq("g"))
       .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .map(r => (r.getString(1), r.getString(0), r.getLong(2)))
     val nDocs = seed.groupBy(col("lang")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // a class with no seed examples has no prior: ln(0) would
@@ -107,8 +134,7 @@ object LangIdOps {
           .mkString(", "))
     val vocab = counts.map(_._2).distinct.sorted
     val v = vocab.length.toLong
-    val tC = Classes.map(c =>
-      counts.iterator.filter(_._1 == c).map(_._3).sum)
+    val tC = Classes.map(c => tcMap.getOrElse(c, 0L))
     val byGram = counts.groupBy(_._2)
     def micro(x: Double): Long = math.round(StrictMath.log(x) * 1e6)
     val grams = vocab.map { g =>

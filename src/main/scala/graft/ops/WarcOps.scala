@@ -603,8 +603,9 @@ object WarcOps {
   /** The HTML wrap the crawl generator serves (the same markup
     * text_html_strip certifies): paragraphs split at sentence
     * boundaries plus an entity-bearing footer. */
-  private[ops] def htmlWrap(text: String, nav: String = ""): String =
-    "<html><head><title>d</title></head><body><p>" +
+  private[ops] def htmlWrap(text: String, nav: String = "",
+      headExtra: String = ""): String =
+    "<html><head><title>d</title>" + headExtra + "</head><body><p>" +
       text.replaceAll("\\. ", ".</p> <p>") +
       "</p>" + nav +
       "<div class=\"footer\">&amp;copy; 2026 &lt;corp&gt;</div>" +
@@ -615,10 +616,11 @@ object WarcOps {
     * crawl generators. */
   private def emitHttpCapture(id: Long, body: Array[Byte],
       status: Int, reason: String, charset: String, chunked: Boolean,
-      emit: (Array[Byte], Boolean) => Unit): Unit = {
+      emit: (Array[Byte], Boolean) => Unit,
+      extraHeaders: Seq[(String, String)] = Nil): Unit = {
     val http = HttpOps.encodeResponse(status, reason, Seq(
       "Content-Type" -> s"text/html; charset=$charset",
-      "X-Doc" -> id.toString),
+      "X-Doc" -> id.toString) ++ extraHeaders,
       body, chunkSize = if (chunked) 100 else 0)
     emit(record("request", pairHeaders(id, 1), requestBlock(id)),
       false)
@@ -670,10 +672,115 @@ object WarcOps {
     * complete. */
   def warcLinkedCrawlTable(spark: SparkSession, docs: DataFrame,
       docsPerFile: Int = 50): DataFrame = {
-    val n = docs.count()
+    // the planted (id + off) mod n outlink arithmetic — and the
+    // linkrank oracle's DISTINCT-src node set — are only equivalent
+    // to the engine's src-union-dst node set when doc ids are exactly
+    // 0..n-1 (every mod-n target is then also a source, the graph is
+    // dangling-free, and both engines agree on n and r_init). Assert
+    // the invariant instead of silently diverging on a gappy id space.
+    val s = docs.agg(count(lit(1)), min(col("doc_id")),
+      max(col("doc_id"))).head()
+    val n = s.getLong(0)
+    require(n > 0 && s.getLong(1) == 0L && s.getLong(2) == n - 1,
+      s"warcLinkedCrawlTable needs contiguous doc_id 0..n-1, got " +
+        s"n=$n min=${s.getLong(1)} max=${s.getLong(2)}")
     buildWarcFiles(spark, docs, docsPerFile) { (id, text, emit) =>
       emitHttpCapture(id, linkedHtml(id, n, text).getBytes(UTF_8),
         200, "OK", "utf-8", chunked = id % 2 == 0, emit)
+    }
+  }
+
+  /** The soft-404 body template: a 200-status "page" that is really
+    * an error document — the classic CDN/origin misconfiguration a
+    * crawl curation pass must catch by CONTENT (the status code says
+    * keep). The `<h1>Page Not Found</h1>` landmark is what the
+    * classifier matches. */
+  private[ops] val Soft404Html: String =
+    "<html><head><title>404 Not Found</title></head><body>" +
+      "<h1>Page Not Found</h1><p>The requested URL was not found " +
+      "on this server.</p></body></html>"
+
+  /** The meta-robots head element of the noindex-by-markup arm. */
+  private[ops] val RobotsMeta: String =
+    "<meta name=\"robots\" content=\"noindex\">"
+
+  /** Build MULTI-DOCUMENT crawl files planting the four curation arms
+    * a robots/soft-404 gate must separate — BY PRECEDENCE on doc_id
+    * (first match wins, so every doc has exactly one arm and the
+    * oracle replays the same CASE):
+    *
+    *   - `id % 10 == 9` → a real 404 (the existing crawl convention);
+    *   - `id % 7 == 3`  → 200 with an `X-Robots-Tag: noindex` HTTP
+    *     header (the out-of-band opt-out);
+    *   - `id % 7 == 5`  → 200 with `<meta name="robots"
+    *     content="noindex">` in the HTML head (the in-band opt-out);
+    *   - `id % 11 == 7` → a SOFT 404: status 200 but the body is the
+    *     [[Soft404Html]] error template, not the document;
+    *   - otherwise a clean 200 serving the HTML-wrapped text.
+    *
+    * Same container discipline as [[warcCrawlTable]] (HTTP responses,
+    * chunked for even ids). */
+  def robotsCrawlTable(spark: SparkSession, docs: DataFrame,
+      docsPerFile: Int = 50): DataFrame =
+    buildWarcFiles(spark, docs, docsPerFile) { (id, text, emit) =>
+      val chunked = id % 2 == 0
+      if (id % 10 == 9)
+        emitHttpCapture(id, htmlWrap(text).getBytes(UTF_8), 404,
+          "Not Found", "utf-8", chunked, emit)
+      else if (id % 7 == 3)
+        emitHttpCapture(id, htmlWrap(text).getBytes(UTF_8), 200,
+          "OK", "utf-8", chunked, emit,
+          extraHeaders = Seq("X-Robots-Tag" -> "noindex"))
+      else if (id % 7 == 5)
+        emitHttpCapture(id,
+          htmlWrap(text, headExtra = RobotsMeta).getBytes(UTF_8),
+          200, "OK", "utf-8", chunked, emit)
+      else if (id % 11 == 7)
+        emitHttpCapture(id, Soft404Html.getBytes(UTF_8), 200, "OK",
+          "utf-8", chunked, emit)
+      else
+        emitHttpCapture(id, htmlWrap(text).getBytes(UTF_8), 200,
+          "OK", "utf-8", chunked, emit)
+    }
+
+  /** One crawl capture with its robots metadata: the HTTP status, the
+    * `X-Robots-Tag` header value (empty when absent), and the decoded
+    * HTML — what the robots/soft-404 gate chain consumes. */
+  final case class RobotsCapture(doc_id: Long, file_id: Long,
+      status: Long, x_robots: String, html: String)
+
+  /** [[readWarcCrawl]] carrying the robots surface: the same
+    * streaming member-at-a-time walk + HTTP parse, with the
+    * `X-Robots-Tag` response header surfaced per capture. The gate
+    * decisions themselves stay column work downstream — header match,
+    * meta-robots regex, soft-404 template regex — so the curation
+    * logic is declarative and the payload never leaves the task. */
+  def readWarcCrawlRobots(spark: SparkSession, media: DataFrame,
+      memberCap: Int = 1 << 26): Dataset[RobotsCapture] = {
+    import spark.implicits._
+    media.select(col("file_id").cast("long").as("doc_id"),
+      col("content")).as[MediaRow].mapPartitions { rows =>
+      val infl = new Inflater(true)
+      Multimodal.endOnTaskCompletion(() => infl.end())
+      rows.flatMap { r =>
+        require(r.content.nonEmpty, s"WARC: file ${r.doc_id} is empty")
+        walkRecordMembers(r.content, infl, memberCap).flatMap { step =>
+          val rec = step.result match {
+            case Right(rc) => rc
+            case Left(e) => throw e
+          }
+          if (rec.warcType != "response") None
+          else {
+            val http = HttpOps.parseResponse(rec.block)
+            val xRobots = http.headers.collectFirst {
+              case (k, v) if k.equalsIgnoreCase("X-Robots-Tag") => v
+            }.getOrElse("")
+            Some(RobotsCapture(docIdFromUri(rec), r.doc_id,
+              http.status.toLong, xRobots,
+              new String(http.body, UTF_8)))
+          }
+        }
+      }
     }
   }
 
@@ -804,9 +911,13 @@ object WarcOps {
       Multimodal.endOnTaskCompletion(() => infl.end())
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.flatMap { r =>
-        if (r.content.isEmpty) // zero-byte file: ONE quarantine row
-          Iterator.single(CrawlTried(-1L, "quarantined", "truncated",
-            "", -1L, ""))
+        if (r.content.isEmpty)
+          // zero-byte file: ONE quarantine row carrying the FILE id
+          // as its identity (r.doc_id is the file_id in this lane —
+          // the tryReadWarcFiles contract), so an empty file traces
+          // to its source and two empty files stay distinguishable
+          Iterator.single(CrawlTried(r.doc_id, "quarantined",
+            "truncated", "", -1L, ""))
         else walkRecordMembers(r.content, infl, memberCap)
           .flatMap { step =>
           val rec = step.result match {

@@ -75,6 +75,29 @@ class CharsetOpsSpec extends AnyFunSuite {
       == "shift_jis")
   }
 
+  test("BOM-looking legacy bytes do not hijack a correct declaration: " +
+      "the BOM outranks it only when its own decode succeeds") {
+    // cp1252 text opening 'ÿþ' is byte-identical to the UTF-16LE BOM;
+    // with an odd byte count the UTF-16 force-decode fails strictly,
+    // and the DECLARED cp1252 decode must win (it used to throw)
+    val legacy = "ÿþ odd!".getBytes("windows-1252")
+    assert(legacy.length % 2 == 1 &&
+      (legacy(0) & 0xff) == 0xff && (legacy(1) & 0xff) == 0xfe)
+    val (d, t) = CharsetOps.transcodeDeclared(legacy,
+      Some("windows-1252"))
+    assert(d == "windows-1252" && t == "ÿþ odd!")
+    // without a declaration the same body still fails loud (no
+    // candidate decodes it strictly after the BOM path is exhausted)
+    assert(QuarantineOps.attempt(CharsetOps.transcodeDeclared(legacy,
+      None)).isLeft)
+    // a REAL UTF-16LE body keeps outranking a wrong declaration
+    val utf16 = Array[Byte](0xff.toByte, 0xfe.toByte) ++
+      "real".getBytes("UTF-16LE")
+    val (d2, t2) = CharsetOps.transcodeDeclared(utf16,
+      Some("windows-1252"))
+    assert(d2 == "utf-16le" && t2 == "real")
+  }
+
   test("the generator's five arms round-trip byte-exactly through " +
       "sniff + transcode (the oracle contract, locally)") {
     val texts = Seq("alpha beta", "", "the quick. brown fox", "x")

@@ -93,4 +93,23 @@ class HttpOpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("unreasonable"))
   }
+
+  test("leading zeros in a chunk size are RFC-legal: the hostile-size " +
+      "gate applies to the value, not the digit count") {
+    // '0000000a' is 8 hex digits but a legal 10 — foreign captures
+    // emit zero-padded sizes; only the stripped value is gated
+    val r = HttpOps.parseResponse(ascii(
+      "HTTP/1.1 200 OK\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n" +
+        "0000000a\r\nabcdefghij\r\n" +
+        "0\r\n\r\n"))
+    assert(r.nChunks == 1 &&
+      new String(r.body, "US-ASCII") == "abcdefghij")
+    // a zero-padded HOSTILE size still dies before allocation
+    val e = intercept[IllegalArgumentException] {
+      HttpOps.parseResponse(ascii("HTTP/1.1 200 OK\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n0fffffff0\r\nx\r\n0\r\n\r\n"))
+    }
+    assert(e.getMessage.contains("unreasonable"))
+  }
 }

@@ -71,6 +71,57 @@ class LangIdSpec extends SparkSpec {
     assert(nbAcc >= 0.95, s"trained accuracy $nbAcc below 0.95")
   }
 
+  test("heavy-tail vocabulary truncates deterministically at maxGrams " +
+      "without accuracy loss on the held-out split") {
+    // plant the CJK-crawl failure mode: per-doc unique noise tokens
+    // whose bigrams are a huge count-1 tail (10⁷–10⁸ distinct grams
+    // on a real crawl — the uncapped driver collect the r13 verdict
+    // flagged). The cap must cut the tail, keep the repeated signal
+    // bigrams, and leave held-out accuracy intact: a truncated gram
+    // scores through the per-class unseen default, the same path an
+    // unseen gram already takes.
+    val clean = derived.localCheckpoint(true)
+    val mClean = LangIdOps.train(spark, clean)
+    val v0 = mClean.grams.size
+    // per-doc pseudo-random CJK chars: a 6-char token whose bigrams
+    // draw from a ~20k² pair space — genuinely count-1 tail grams
+    // (hex noise would be the opposite: a 16-char alphabet makes
+    // bigrams FREQUENT and they would legitimately win the count cut)
+    def cjk(k: Int) = decode(unhex(lpad(hex(
+      pmod(xxhash64(col("doc_id"), lit(k)), lit(20902)) + lit(19968)),
+      4, "0")), "UTF-16BE")
+    val noisy = clean.select(col("doc_id"), col("lang"),
+      concat(col("text2"), lit(" "),
+        cjk(1), cjk(2), cjk(3), cjk(4), cjk(5), cjk(6))
+        .as("text2")).localCheckpoint(true)
+    val mFull = LangIdOps.train(spark, noisy)
+    assert(mFull.grams.size > v0 + 50,
+      s"noise must inflate the vocab (${mFull.grams.size} vs $v0)")
+    // cap at the clean-signal size: the tail truncates to exactly N
+    val mCap = LangIdOps.train(spark, noisy, maxGrams = v0)
+    assert(mCap.grams.size == v0)
+    // deterministic: same corpus, any partitioning -> identical model
+    val mCap2 = LangIdOps.train(spark, noisy.repartition(7), maxGrams = v0)
+    def flat(m: LangIdOps.NbModel) =
+      m.grams.map { case (g, a) => (g, a.toSeq) }
+    assert(flat(mCap) == flat(mCap2) &&
+      mCap.defaults.toSeq == mCap2.defaults.toSeq &&
+      mCap.priors.toSeq == mCap2.priors.toSeq)
+    // no accuracy loss on the held-out split vs the uncapped model
+    val held = noisy.filter(pmod(col("doc_id"), lit(10)) >= 3)
+      .localCheckpoint(true)
+    val nHeld = held.count().toDouble
+    def acc(m: LangIdOps.NbModel): Double =
+      LangIdOps.score(spark, held, m)
+        .filter(col("lang") === col("pred_lang")).count() / nHeld
+    val aFull = acc(mFull)
+    val aCap = acc(mCap)
+    info(f"held-out accuracy capped $aCap%.3f vs uncapped $aFull%.3f " +
+      s"(vocab $v0 vs ${mFull.grams.size})")
+    assert(aCap >= aFull - 0.005 && aCap >= 0.95,
+      s"cap must not cost accuracy: $aCap vs $aFull")
+  }
+
   test("scores are exact integer sums: reversing partition order " +
       "cannot change a prediction (quantization discipline)") {
     val d = derived.localCheckpoint(true)

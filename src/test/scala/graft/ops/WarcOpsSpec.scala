@@ -293,6 +293,42 @@ class WarcOpsSpec extends SparkSpec {
       }
   }
 
+  test("zero-byte crawl files quarantine with their FILE identity — " +
+      "two empty files stay distinguishable and traceable") {
+    import spark.implicits._
+    val rows = WarcOps.tryReadWarcCrawlHttp(spark,
+      Seq((7L, Array.empty[Byte]), (11L, Array.empty[Byte]))
+        .toDF("file_id", "content")).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.doc_id).toSet == Set(7L, 11L))
+    assert(rows.forall(r =>
+      r.status == "quarantined" && r.error_class == "truncated"))
+  }
+
+  test("r14: robots/soft-404 arms surface through the parsed " +
+      "capture, not id arithmetic — header, markup, template") {
+    val docs = Tables.documents(spark, Sf0001).limit(80)
+    val got = WarcOps.readWarcCrawlRobots(spark,
+      WarcOps.robotsCrawlTable(spark, docs, docsPerFile = 40))
+      .collect().map(c => c.doc_id -> c).toMap
+    assert(got.size == 80)
+    (0L until 80L).foreach { id =>
+      val c = got(id)
+      if (id % 10 == 9) assert(c.status == 404, s"doc $id")
+      else {
+        assert(c.status == 200, s"doc $id")
+        // the header arm carries X-Robots-Tag; nobody else does
+        assert((c.x_robots == "noindex") == (id % 7 == 3), s"doc $id")
+        // the meta arm carries the head markup; nobody else does
+        assert(c.html.contains(WarcOps.RobotsMeta) ==
+          (id % 7 != 3 && id % 7 == 5), s"doc $id")
+        // the soft-404 arm serves the error template; nobody else does
+        assert(c.html.contains("<h1>Page Not Found</h1>") ==
+          (id % 7 != 3 && id % 7 != 5 && id % 11 == 7), s"doc $id")
+      }
+    }
+  }
+
   test("r13: bounded peak memory — a file whose TOTAL decompressed " +
       "size exceeds the member cap streams fine member-at-a-time") {
     import spark.implicits._
