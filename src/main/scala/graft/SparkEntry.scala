@@ -26,6 +26,17 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** [[t]] for CPU-heavy per-row KERNEL consumers (shingle/md5 passes,
+    * tokenizer encodes, codecs): size-gated fan-out so a scan whose
+    * natural split count is below the core count (a single-row-group
+    * file splits to ONE task no matter the split config) cannot
+    * serialize the kernel — see [[ops.StorageOps.fanOutForKernel]]. At
+    * scale the gate never fires and the plan is identical to [[t]].
+    * Use ONLY where per-row compute dominates the scan: for shuffle- or
+    * scan-bound queries the extra exchange is pure cost. */
+  private def tk(s: SparkSession, dir: String, name: String): DataFrame =
+    ops.StorageOps.fanOutForKernel(Tables.load(s, dir, name))
+
   /** Exact, order-independent sum of a double column: route through
     * decimal so 100-TB shuffles cannot produce run-to-run float drift. */
   private def dsum(c: Column, scale: Int = 2): Column =
@@ -751,7 +762,7 @@ object SparkEntry {
     // before trusting pred_lang); LangIdSpec gates accuracy >= the
     // marker-lexicon heuristic on the same corpus.
     "pipeline_langid_trained" -> ((s, d) => {
-      val derived = t(s, d, "documents").select(col("doc_id"),
+      val derived = tk(s, d, "documents").select(col("doc_id"),
         col("lang"),
         ops.LangIdOps.derivedText(col("text"), col("lang"),
           col("doc_id")).as("text2"))
@@ -2279,11 +2290,18 @@ object SparkEntry {
     "q_tpch21" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .withColumn("late", lReceiptDate > lCommitDate)
-      val perOrder = li.groupBy(col("l_orderkey").as("ok"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supps"),
-          countDistinct(when(col("late"), col("l_suppkey")))
-            .as("n_late_supps"),
-          min(when(col("late"), col("l_suppkey"))).as("late_supp"))
+      // r14: the two countDistincts planned an Expand that doubled
+      // every lineitem row through the aggregate exchange; the
+      // two-stage form — collapse to (order, supplier) first, then
+      // count per order — shuffles each row once, un-expanded, for
+      // the same exact integer counts
+      val perOrder = li
+        .groupBy(col("l_orderkey").as("ok"), col("l_suppkey"))
+        .agg(max(col("late")).as("any_late"))
+        .groupBy(col("ok"))
+        .agg(count(lit(1)).as("n_supps"),
+          count(when(col("any_late"), 1)).as("n_late_supps"),
+          min(when(col("any_late"), col("l_suppkey"))).as("late_supp"))
       li.filter(col("late"))
         .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey")),
@@ -2725,7 +2743,15 @@ object SparkEntry {
     // Statistical aggregates: exact interpolated percentiles, sample
     // stddev, correlation.
     "q_stats" -> ((s, d) => {
-      t(s, d, "lineitem")
+      // the exact-Percentile partial aggregate is interpreted and
+      // CPU-bound per row; a single-row-group input file would run it
+      // on ONE task — size-gated fan-out parallelizes the partials
+      // (count-map merges are order-independent; rounding absorbs the
+      // stddev/corr partial-merge ulps exactly as it does across
+      // shuffle fetch order today)
+      ops.StorageOps.fanOutForKernel(t(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity"),
+            col("l_extendedprice")))
         .groupBy(col("l_returnflag"))
         .agg(
           round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
@@ -3710,8 +3736,12 @@ object SparkEntry {
       // (6 doubles + label) table, not raw text + HOF featurization;
       // 5.2s -> ~1s at sf0.1. At 100 TB the features table is a
       // persisted artifact between curation stages anyway.
+      // featurize is a regexp-heavy per-row kernel; a single-row-group
+      // documents file would run it on one task — size-gated fan-out
+      // parallelizes the one featurize pass that feeds all 8 IRLS scans
       val feats = graft.ops.QualityClassifierOps
-        .featurize(t(s, d, "documents"), col("text"))
+        .featurize(ops.StorageOps.fanOutForKernel(
+          t(s, d, "documents")), col("text"))
         .localCheckpoint()
       val beta = graft.ops.QualityClassifierOps.train(feats)
       feats
@@ -6267,6 +6297,11 @@ object SparkEntry {
       // way; a flipped final byte lands in the gzip ISIZE trailer or
       // the zstd frame checksum — both integrity by the decoders'
       // own diagnosis.
+      // NO fan-out here (measured r14): the loop's ~80 per-batch jobs
+      // inherit the generator's partitioning, and 32-way batches turn
+      // every tiny per-batch stage into 32 tasks — wall went 4.1 s ->
+      // 5.4 s when this projection was fanned out. The 1-task encode
+      // is cheaper than widening the whole loop.
       val payloads = docs
         .select(col("doc_id").cast("long"), col("text"))
         .as[(Long, String)]

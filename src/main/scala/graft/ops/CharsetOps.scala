@@ -151,7 +151,8 @@ object CharsetOps {
     * and the oracle replays the UTF-8 witnesses as text || marker. */
   def charsetTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    StorageOps.fanOutForKernel(
+      docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>

@@ -79,7 +79,8 @@ object CompressedOps {
     * per partition. */
   def gzipTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    StorageOps.fanOutForKernel(
+      docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val defl = new Deflater(Deflater.BEST_SPEED, true)

@@ -417,7 +417,8 @@ object IngestOps {
     * anti-joined too so a caller merging anything else stays safe. */
   def mergeAccepted(spark: SparkSession, key: String, accepted: DataFrame,
       textCol: String, segLen: Int = 16,
-      rowsPerFile: Long = 4000000L): Unit = {
+      rowsPerFile: Long = 4000000L,
+      nDocsKnown: Option[Long] = None): Unit = {
     // delta parallelism scales with the delta's ROW COUNT
     // ([[deltaFileCount]]): one file for ordinary batches (writing at
     // shuffle parallelism would grow the inventory's file count 32x
@@ -426,7 +427,10 @@ object IngestOps {
     // funnel through a single write task. The segment delta is
     // checkpointed so the count and the write share one computation
     // of the anti-join (hash-compact rows, ~24 B each).
-    val nDocs = accepted.count()
+    // the loop already collected the accepted count in its stage
+    // accounting — reuse it instead of paying one more count job per
+    // batch (callers without the count pass None and pay it here)
+    val nDocs = nDocsKnown.getOrElse(accepted.count())
     if (nDocs == 0) return
     // WRITE ORDER MATTERS for the crash story: segments FIRST, md5s
     // second. A crash between the two writes redelivers the batch

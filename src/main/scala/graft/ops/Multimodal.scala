@@ -54,10 +54,16 @@ object Multimodal {
     * for a doc — ONE definition, used by every image-bearing table
     * builder so the five oracle replays that re-derive this
     * arithmetic can never drift from only SOME of the generators. */
+  /** Dimensions of [[genImage]]'s picture WITHOUT materializing its
+    * pixel plane — for manifest passes that need only (w, h). */
+  private[ops] def genDims(text: String): (Int, Int) = {
+    val (cp0, cp1) = genCodepoints(text)
+    (cp0 % 64 + 16, cp1 % 64 + 16)
+  }
+
   private[ops] def genImage(text: String): (Int, Int, Int, Array[Byte]) = {
     val (cp0, cp1) = genCodepoints(text)
-    val w = cp0 % 64 + 16
-    val h = cp1 % 64 + 16
+    val (w, h) = genDims(text)
     val s0 = (cp0 * 7 + cp1 * 13) % 256
     val rgb = Array.tabulate(w * h * 3)(i =>
       ((s0 + 31L * i) % 256).toByte)
@@ -116,7 +122,8 @@ object Multimodal {
     * not by trusting the generator. */
   def jpegImageTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    StorageOps.fanOutForKernel(
+      docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
@@ -137,7 +144,8 @@ object Multimodal {
   def progressiveJpegTable(spark: SparkSession,
       docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    StorageOps.fanOutForKernel(
+      docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
@@ -156,7 +164,8 @@ object Multimodal {
     * through the same sniffer as [[mixedImageTable]]. */
   def mixed4ImageTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    StorageOps.fanOutForKernel(
+      docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val defl = new java.util.zip.Deflater(
@@ -181,6 +190,11 @@ object Multimodal {
     * for an OPAQUE payload (perceptual hash / feature extraction /
     * frame sampling are payload-agnostic). For the real image codec
     * path use [[imageTable]]. */
+  // no fan-out: this payload is the raw text bytes and its consumers
+  // (perceptual hash, feature counts) are cheap byte loops — measured
+  // r14: fanning this out traded a free 1-task pass for a text shuffle
+  // plus wider downstream stages with no wall win (ahash_dups 2.3 ->
+  // 2.7 s). The REAL codec tables (image/png/jpeg/tar) fan out.
   def mediaTable(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       col("text").cast("binary").as("content"))
@@ -198,7 +212,8 @@ object Multimodal {
     * as decode (encode cost is row-local, map-shaped at any scale). */
   def imageTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    StorageOps.fanOutForKernel(
+      docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
@@ -222,7 +237,8 @@ object Multimodal {
     * inflate + all five unfilter paths, not just header math. */
   def pngImageTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    StorageOps.fanOutForKernel(
+      docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .mapPartitions { rows =>
         // one ~270 KB native zlib state per PARTITION, not per row
@@ -247,7 +263,8 @@ object Multimodal {
     * BGR rows would shift px_sum immediately). */
   def mixedImageTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    StorageOps.fanOutForKernel(
+      docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val defl = new java.util.zip.Deflater(
@@ -323,7 +340,8 @@ object Multimodal {
     * multimodal shard reader actually performs. */
   def tarShardTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    StorageOps.fanOutForKernel(
+      docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
@@ -414,6 +432,8 @@ object Multimodal {
   def shardExport(spark: SparkSession, docs: DataFrame,
       nShards: Int = 32): Dataset[ShardMeta] = {
     import spark.implicits._
+    // no fan-out here: the groupBy below is the required payload
+    // shuffle and already spreads the per-shard build across nShards
     docs.select(col("doc_id").cast("long"), col("text"))
       .withColumn("shard_id", pmod(col("doc_id"), lit(nShards))
         .cast("long"))
@@ -485,11 +505,14 @@ object Multimodal {
     // 1. narrow manifest: the member-pair footprint from the SAME
     // generator arithmetic the build step uses (byte-exact by
     // construction, since both call genImage)
-    val manifest = docs.select(col("doc_id").cast("long"), col("text"))
+    val manifest = StorageOps.fanOutForKernel(
+      docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
-          val (_, w, h, _) = genImage(text)
+          // dims-only: the manifest never touches pixels, so don't
+          // materialize genImage's w·h·3 array just to read (w, h)
+          val (w, h) = genDims(text)
           val txt = text.getBytes(
             java.nio.charset.StandardCharsets.UTF_8).length.toLong
           val ppm = 9L + w.toString.length + h.toString.length +
@@ -581,7 +604,8 @@ object Multimodal {
     * back by PARSING the container, not by trusting the generator. */
   def audioTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    StorageOps.fanOutForKernel(
+      docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
@@ -697,7 +721,8 @@ object Multimodal {
     * container (header tokens, FRAME markers, plane layout). */
   def videoTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    StorageOps.fanOutForKernel(
+      docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>

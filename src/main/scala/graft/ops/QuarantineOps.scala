@@ -228,7 +228,8 @@ object QuarantineOps {
     * without ever seeing a payload byte. */
   def corruptImageTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    StorageOps.fanOutForKernel(
+      docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val defl = new java.util.zip.Deflater(

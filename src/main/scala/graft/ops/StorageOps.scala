@@ -39,6 +39,38 @@ object StorageOps {
     s"$root/$name"
   }
 
+  /** SIZE-GATED kernel-input redistribution (optimization guide §2.5,
+    * "input skew: one huge unsplittable file … repartition immediately
+    * after the read"): CPU-heavy per-row kernels (image codecs, shingle
+    * md5 passes, tokenizer encodes) are bottlenecked not by bytes but
+    * by compute-per-byte, and a scan whose natural split count is below
+    * the cluster's core count serializes them — a single-row-group
+    * parquet file cannot be split at all, so a small input runs the
+    * whole kernel on ONE task regardless of `maxPartitionBytes`.
+    *
+    * The gate is scale-adaptive, not a local[32] constant: redistribute
+    * only when the OPTIMIZER'S SIZE ESTIMATE of the input says the scan
+    * cannot produce at least `defaultParallelism` full splits (i.e.
+    * bytes < cores × maxPartitionBytes). At 100 TB the estimate is
+    * orders of magnitude past the gate and the plan is untouched — the
+    * scan's own splits carry the parallelism, and no payload ever
+    * shuffles (the dedup-family discipline holds at scale by
+    * construction). Below the gate the redistribution moves exactly the
+    * kernel's projected input once, which is bounded by the gate itself
+    * (cores × 128 MB), and buys core-count parallelism for the kernel.
+    *
+    * Round-robin repartition keeps Spark's sort-before-repartition
+    * determinism; every downstream operator in this codebase is
+    * shuffle-order-safe by the dsum/row-local discipline (hash-gated by
+    * the DuckDB oracle), so the redistribution cannot move any result. */
+  def fanOutForKernel(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val maxPart = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (par > 1 && bytes < maxPart * par) df.repartition(par) else df
+  }
+
   /** Write `df` as parquet hive-partitioned by `partitionCol`. */
   def writePartitioned(df: DataFrame, path: String,
       partitionCol: String): Unit =

@@ -51,13 +51,18 @@ object SuffixArrayOps {
       .select(col("doc_id"), col("pos").cast("long").as("off"),
         ascii(col("col")).cast("long").as("c0"))
       .filter(col("c0") > 0) // split("") yields no trailing empty in Spark 3+
-    // round 0: rank by first character
-    var ranked = denseRank(pos.select(col("doc_id"), col("off"),
-      col("c0").as("k1"), lit(-1L).as("k2")), parts).localCheckpoint()
+    // round 0: rank by first character. denseRankCounted returns the
+    // global distinct-rank count computed IN the summaries pass it
+    // already runs — the old per-round `max(rank)` aggregate was a
+    // whole extra job per doubling round for a number the driver had
+    // just finished adding up (r14 job-count cut).
+    var (ranked0, distinctRanks) = denseRankCounted(
+      pos.select(col("doc_id"), col("off"),
+        col("c0").as("k1"), lit(-1L).as("k2")), parts)
+    var ranked = ranked0.localCheckpoint()
     val n = ranked.count()
-    // empty slice (no docs, or all texts empty): max(rank) below would
-    // be SQL NULL and throw on getLong — the empty ranked frame already
-    // has the right shape, so short-circuit
+    // empty slice (no docs, or all texts empty): the empty ranked
+    // frame already has the right shape, so short-circuit
     if (n == 0)
       return ranked.select(col("doc_id"), col("off"),
         col("rank").as("sa_rank"))
@@ -67,8 +72,6 @@ object SuffixArrayOps {
     // the partition is stable (r₂ₖ = f(rₖ) = rₖ ⇒ all later rounds are
     // identity) — this fires both when all suffixes separate AND when
     // persistent cross-doc ties (true repeats) stop refining
-    var distinctRanks =
-      ranked.agg(max(col("rank"))).head.getLong(0) + 1
     var prevDistinct = -1L
     while (k < maxLen && distinctRanks < n && distinctRanks != prevDistinct) {
       prevDistinct = distinctRanks
@@ -79,8 +82,9 @@ object SuffixArrayOps {
         "left")
         .select(col("doc_id"), col("off"), col("rank").as("k1"),
           coalesce(col("rk2"), lit(-1L)).as("k2"))
-      ranked = denseRank(keyed, parts).localCheckpoint()
-      distinctRanks = ranked.agg(max(col("rank"))).head.getLong(0) + 1
+      val (r2, d2) = denseRankCounted(keyed, parts)
+      ranked = r2.localCheckpoint()
+      distinctRanks = d2
       k *= 2
     }
     ranked.select(col("doc_id"), col("off"), col("rank").as("sa_rank"))
@@ -91,7 +95,15 @@ object SuffixArrayOps {
     * (first key, last key, distinct-key count) — nPartitions rows to
     * the driver — then assign global dense ranks in one more pass.
     * Returns (doc_id, off, rank). */
-  private[ops] def denseRank(keyed: DataFrame, parts: Int): DataFrame = {
+  private[ops] def denseRank(keyed: DataFrame, parts: Int): DataFrame =
+    denseRankCounted(keyed, parts)._1
+
+  /** [[denseRank]] plus the GLOBAL distinct-key count, read off the
+    * same per-partition summaries the rank-offset pass collects —
+    * callers that need the count (the doubling loop's fixed-point
+    * test) get it without a second aggregation job. */
+  private[ops] def denseRankCounted(keyed: DataFrame,
+      parts: Int): (DataFrame, Long) = {
     val spark = keyed.sparkSession
     val sorted = keyed
       .repartitionByRange(parts, col("k1"), col("k2"))
@@ -133,10 +145,11 @@ object SuffixArrayOps {
         Row(r.getLong(0), r.getLong(1), rank)
       }
     }
-    spark.createDataFrame(outRows, StructType(Seq(
+    (spark.createDataFrame(outRows, StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("off", LongType, nullable = false),
-      StructField("rank", LongType, nullable = false))))
+      StructField("rank", LongType, nullable = false)))),
+      acc) // acc = sum of per-partition distincts minus merges = global count
   }
 
   /** Pair each suffix with its SUCCESSOR in SA order — the `lead()`

@@ -170,7 +170,8 @@ object WarcOps {
     * original row. One Deflater per partition. */
   def warcTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    StorageOps.fanOutForKernel(
+      docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val defl = new Deflater(Deflater.BEST_SPEED, true)
@@ -524,7 +525,8 @@ object WarcOps {
     * text and every header is replayable arithmetic. */
   def warcHttpTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    StorageOps.fanOutForKernel(
+      docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val defl = new Deflater(Deflater.BEST_SPEED, true)

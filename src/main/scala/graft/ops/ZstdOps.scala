@@ -44,7 +44,8 @@ object ZstdOps {
     * default), checksummed. One context per partition. */
   def zstdTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    StorageOps.fanOutForKernel(
+      docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val ctx = new ZstdCompressCtx().setLevel(3).setChecksum(true)

@@ -363,24 +363,45 @@ final class IngestLoop(spark: SparkSession, key: String, idCol: String,
     val st = graft.ops.IngestOps.ingestBatch(spark, key, gateInput,
       idCol, textCol, evalGrams, segLen, materializeStages = true)
     val accepted = st.s4.localCheckpoint(true)
-    // ONE action for all stage accountings (a per-stage .head
-    // would pay one job round-trip per stage per batch)
-    (Seq("0_incoming" -> batch) ++
+    // ONE action — and ONE aggregation — for all stage accountings.
+    // The previous shape (per-stage agg branches unioned) planned one
+    // partial+final aggregate PAIR per stage: ~15 shuffle stages that
+    // AQE materializes as ~15 driver job round-trips per batch, which
+    // profiling showed dominates the loop's wall time (taskSum ~2 s vs
+    // wall ~5 s at 80+ jobs/run). Tagging rows with their stage name
+    // and aggregating ONCE plans a single narrow union of the (mostly
+    // checkpointed) stage frames + one exchange: 3 stages, 1 job.
+    // Stages that gated out every row (no rows to tag) are filled in
+    // driver-side as (n=0, s=0) — the exact rows the per-stage
+    // branches' count(*)+coalesce(sum) emitted for empty frames.
+    val stageNames = Seq("0_incoming" -> batch) ++
       decodeStages.toSeq.flatMap { case (ok, bad) =>
         Seq("0a_decoded" -> ok, "0b_quarantined" -> bad) } ++
       Seq("1_exact" -> st.s1,
         "2_segments" -> st.s2, "3_quality" -> st.s3,
-        "4_decon" -> accepted))
+        "4_decon" -> accepted)
+    val counted = stageNames
       .map { case (nm, df) =>
-        df.agg(count(lit(1)).as("n"),
-          coalesce(sum(col(idCol)), lit(0L)).as("s"))
-          .select(lit(nm).as("stage"), col("n"), col("s"))
+        df.select(lit(nm).as("stage"), col(idCol).cast("long").as("__id"))
       }
       .reduce(_ unionByName _)
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__id")), lit(0L)).as("s"))
       .collect()
-      .foreach(r =>
-        stageBuf += ((tag, r.getString(0), r.getLong(1), r.getLong(2))))
-    for (w <- wp; b <- bpe) {
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    stageNames.foreach { case (nm, _) =>
+      val (n, sm) = counted.getOrElse(nm, (0L, 0L))
+      stageBuf += ((tag, nm, n, sm))
+    }
+    // drift metrics run CONCURRENTLY with the pack-manifest and merge
+    // jobs below (optimization guide §2.6 — overlap independent jobs):
+    // the agg reads only the pinned `accepted` checkpoint, so nothing
+    // the later writes mutate can reach it; the buffer append happens
+    // on the driver inside the future and is ordered by the Await
+    // before the commit marker.
+    val driftFuture = for (w <- wp; b <- bpe) yield
+        scala.concurrent.Future {
       val pieces = graft.ops.WordPieceOps.encode(col("clean"), w)
       val r = accepted.select(
         size(split(col("clean"), " ")).cast("long").as("__w"),
@@ -409,7 +430,7 @@ final class IngestLoop(spark: SparkSession, key: String, idCol: String,
         .head
       driftBuf += ((tag, r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
-    }
+    }(scala.concurrent.ExecutionContext.global)
     // incremental PACK MANIFEST maintenance: the accepted batch
     // extends the global token stream at the STORED total — a batch
     // of any size appends batch-sized manifest rows without ever
@@ -460,7 +481,15 @@ final class IngestLoop(spark: SparkSession, key: String, idCol: String,
       throw new IllegalStateException("injected crash (test hook): " +
         "manifest delta written, inventory merge not committed")
     graft.ops.IngestOps.mergeAccepted(spark, key, accepted, "clean",
-      segLen)
+      segLen, nDocsKnown = stageBuf
+        .collectFirst { case (`tag`, "4_decon", n, _) => n })
+    // join the concurrent drift job BEFORE the commit marker: a drift
+    // failure leaves the tag uncommitted (exactly the crash window the
+    // replay protocol already covers — a committed-artifact replay is
+    // a structural no-op), and the report buffer is complete before
+    // the method returns.
+    driftFuture.foreach(f => scala.concurrent.Await.result(f,
+      scala.concurrent.duration.Duration.Inf))
     // the atomic commit point: both artifacts are now consistent.
     // The marker stores the INCOMING batch's fingerprint (already in
     // the stage accounting — no extra job) for tag-reuse detection.
