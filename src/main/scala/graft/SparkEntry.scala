@@ -386,8 +386,14 @@ object SparkEntry {
     // the oracle gate: same lag/cumulative-sum construction in both
     // engines. ts compared at microsecond precision on both sides.
     "q_sessionize" -> ((s, d) => {
-      val ev = streaming.EventStreams.canonicalEvents(t(s, d, "events"))
-        .select(col("user_id"), col("ts"), col("value"))
+      // keyed fan-out: the per-user lag/session compute otherwise runs
+      // on the 1-2 AQE-coalesced post-shuffle partitions a 2 MB events
+      // table produces (see StorageOps.fanOutForKey — plan untouched
+      // at scale, same rows move once either way)
+      val ev = ops.StorageOps.fanOutForKey(
+        streaming.EventStreams.canonicalEvents(t(s, d, "events"))
+          .select(col("user_id"), col("ts"), col("value")),
+        col("user_id"))
       streaming.EventStreams.sessionizeBatch(ev)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"),
@@ -402,8 +408,11 @@ object SparkEntry {
     // the session_window boundary rule (a gap of EXACTLY the window
     // size starts a new session; end = last event + gap).
     "q_session_window" -> ((s, d) => {
-      val ev = streaming.EventStreams.canonicalEvents(t(s, d, "events"))
-        .select(col("user_id"), col("ts"), col("value"))
+      // keyed fan-out — see q_sessionize
+      val ev = ops.StorageOps.fanOutForKey(
+        streaming.EventStreams.canonicalEvents(t(s, d, "events"))
+          .select(col("user_id"), col("ts"), col("value")),
+        col("user_id"))
       ev.groupBy(col("user_id"),
           session_window(col("ts"), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n_events"),
@@ -545,7 +554,7 @@ object SparkEntry {
 
     // ROLLUP grouping sets (nulls coalesced to 'ALL' for a stable sort).
     "q_rollup" -> ((s, d) => {
-      t(s, d, "lineitem")
+      tk(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
         .select(
@@ -910,7 +919,7 @@ object SparkEntry {
     // (hashing the redacted text makes the oracle verify the FULL
     // replacement output, not just the counts).
     "text_pii" -> ((s, d) => {
-      TextOps.piiCounts(t(s, d, "documents"), col("text"))
+      TextOps.piiCounts(tk(s, d, "documents"), col("text"))
         .select(col("doc_id"), col("n_urls"), col("n_emails"),
           col("n_phones"),
           md5(TextOps.piiRedact(col("text"))).as("redacted_md5"))
@@ -2717,7 +2726,7 @@ object SparkEntry {
 
     // Math scalar functions (sqrt/pow/ln/abs) under exact aggregation.
     "q_math_funcs" -> ((s, d) => {
-      t(s, d, "lineitem")
+      tk(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           sum(round(sqrt(col("l_quantity")), 6).cast(DecimalType(18, 6)))
@@ -3717,7 +3726,7 @@ object SparkEntry {
     // stream; fully hash-oracled (md5 buckets + decimal-summed
     // round-12 log terms, see SelectionOps).
     "pipeline_dsir" -> ((s, d) =>
-      ops.SelectionOps.dsirTopK(t(s, d, "documents"), "doc_id", "text",
+      ops.SelectionOps.dsirTopK(tk(s, d, "documents"), "doc_id", "text",
         col("lang") === "en", buckets = 1024, topK = 100)),
 
     // Model-based quality filtering: a logistic-regression scorer
@@ -3991,7 +4000,7 @@ object SparkEntry {
       // with stop < start would generate a DESCENDING range
       val nChunks = greatest(lit(1L),
         ceil(size(col("toks")).cast("double") / csize).cast("long"))
-      t(s, d, "documents")
+      tk(s, d, "documents")
         .select(col("doc_id"), BpeOps.encode(col("text"), model).as("toks"))
         .select(col("doc_id"), col("toks"), nChunks.as("n_chunks"))
         .select(col("doc_id"), col("toks"),
@@ -4373,7 +4382,13 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val bpe = BpeOps.cachedTrain(s, s"$d/documents.parquet", docs,
         col("text"), numMerges = 64)
-      val lens = docs.select(col("doc_id"),
+      // the BPE encode is the query's one expensive kernel and lens
+      // feeds BOTH denoiser branches of the final union — materialize
+      // it once (24-byte rows) with the encode pass fanned out, instead
+      // of paying a second full single-task encode per branch
+      val lens = ops.StorageOps.fanOutForKernel(
+          docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
           size(BpeOps.encode(col("text"), bpe)).cast("long").as("n"))
         .filter(col("n") >= 1)
         // class draw from the hash's TOP two bits (div 2^30): the low
@@ -4383,6 +4398,7 @@ object SparkEntry {
         // corpus in one class
         .withColumn("dcode", ops.DedupOps.idiv(
           knuthHash(col("doc_id") * 8 + 7), lit(1073741824L)))
+        .localCheckpoint(true)
       val sBranch = lens.filter(col("dcode") === 2)
         .withColumn("u", pmod(knuthHash(col("doc_id") * 8 + 6),
           col("n") + 1))
@@ -4631,7 +4647,7 @@ object SparkEntry {
     // counts and hash-mismatch, so the oracle also certifies
     // collision-freedom on this corpus.
     "dedup_substrings_hashed" -> ((s, d) => {
-      def grams = t(s, d, "documents")
+      def grams = tk(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 8)
         .select(col("doc_id"), explode(transform(
@@ -4682,13 +4698,13 @@ object SparkEntry {
     // over gram STRINGS — hash-green certifies both the interval
     // algebra and the excision op's hashed candidate front.
     "dedup_span_maximal" -> ((s, d) =>
-      ops.DedupOps.spanIntervals(t(s, d, "documents"), "doc_id", "text", 8)),
+      ops.DedupOps.spanIntervals(tk(s, d, "documents"), "doc_id", "text", 8)),
 
     // Corpus duplication-rate audit: per-language share of tokens
     // inside duplicated spans — the go/no-go statistic a dedup run
     // reports before anyone pays for span excision at full scale.
     "dedup_span_stats" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      val docs = tk(s, d, "documents")
       ops.DedupOps.spanCounts(docs, "doc_id", "text", 8)
         .join(docs.select(col("doc_id"), col("lang")), "doc_id")
         .groupBy(col("lang"))
@@ -6240,7 +6256,7 @@ object SparkEntry {
     // lead/count/max windows and the fixed-width (1e8−cnt)‖gram
     // argmax key.)
     "pipeline_gopher_repetition" -> ((s, d) =>
-      ops.TextOps.gopherRepetition(t(s, d, "documents"), "doc_id", "text")
+      ops.TextOps.gopherRepetition(tk(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
     // ★ r12: corrupt-payload QUARANTINE lane — the production gap

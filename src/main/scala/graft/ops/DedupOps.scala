@@ -320,9 +320,19 @@ object DedupOps {
     // collisions (the spec's brute-force-strings equality would catch
     // one); the oracle replays the identical hash, so the cross-engine
     // match certifies the whole pipeline.
-    val tok = docs.select(col(idCol),
-      explode(HashFunctions.portableShingleHashes(
-        tokens(col(textCol)), shingleN)).as("h"))
+    // ONE md5 kernel pass (r14): the portable shingle-hash arrays are
+    // computed once — input fanned out, the md5-per-shingle kernel is
+    // the op's dominant cost — pinned, and reused by the df-count
+    // explode, the ranked prefix build, AND the verification join
+    // below (which previously re-ran the full kernel on candidate
+    // docs). The pinned payload is 8 bytes per shingle, ~1/8 the
+    // corpus text — the same budget the ranked checkpoint already
+    // holds.
+    val sets = docs
+      .select(col(idCol), HashFunctions.portableShingleHashes(
+        tokens(col(textCol)), shingleN).as("hs0"))
+      .localCheckpoint(true)
+    val tok = sets.select(col(idCol), explode(col("hs0")).as("h"))
     val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // per-doc hash list in global (df, h) order — row-local size.
     // Pinned: referenced by BOTH the prefix explode and the size-
@@ -371,10 +381,8 @@ object DedupOps {
     // spelling of this join was 20x the suite's mean query time
     val candIds = cand.select(explode(array(col("a"), col("b")))
       .as(idCol)).distinct()
-    val candS = docs.join(broadcast(candIds), Seq(idCol), "left_semi")
-      .select(col(idCol),
-        HashFunctions.portableShingleHashes(
-          tokens(col(textCol)), shingleN).as("sd"))
+    val candS = sets.join(broadcast(candIds), Seq(idCol), "left_semi")
+      .select(col(idCol), col("hs0").as("sd"))
     cand
       .join(candS.select(col(idCol).as("a"), col("sd").as("sa")),
         Seq("a"))
@@ -834,31 +842,81 @@ object DedupOps {
     * here. */
   private[ops] def hammingNearDupSummary(withHash: DataFrame,
       idCol: String, hashCol: String, maxHamming: Int,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int, collapseDuplicates: Boolean = false): DataFrame = {
     require(maxHamming <= 3,
       "4x16-bit banding only guarantees pairs within Hamming 3")
-    val bandVals = (0 until 4).map(b =>
-      shiftrightunsigned(col(hashCol), b * 16).bitwiseAND(lit(0xffffL)))
-    val banded = withHash.select(col(idCol),
-      posexplode(array(bandVals: _*)))
-      .withColumnRenamed("pos", "band_id")
-      .withColumnRenamed("col", "band_val")
-    // capped bucket expansion (same machinery as minhash/ngram paths —
-    // an all-boilerplate corpus would otherwise make one band bucket
-    // quadratic), then popcount verification over re-joined hashes
-    val pairs = bucketPairs(banded, Seq(col("band_id"), col("band_val")),
-      idCol, minN = 2, maxN = maxBucket)
-    val near = pairs
-      .join(withHash.select(col(idCol).as("a"), col(hashCol).as("h_a")),
-        Seq("a"))
-      .join(withHash.select(col(idCol).as("b"), col(hashCol).as("h_b")),
-        Seq("b"))
-      .filter(bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= maxHamming)
-    val sym = near.select(explode(array(col("a"), col("b"))).as("id"))
-    val counts = sym.groupBy(col("id")).agg(count(lit(1)).as("n_near"))
-    withHash.join(counts.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .select(col(idCol), col(hashCol),
-        coalesce(col("n_near"), lit(0L)).as("n_near"))
+    // r14, `collapseDuplicates`: band DISTINCT hash VALUES weighted by
+    // multiplicity instead of doc rows (optimization guide §8 — decide
+    // with small rows): identical payloads share a hash, so doc-level
+    // band buckets go quadratic in the duplicate count (measured at
+    // sf0.1: the image corpus's 5,000 docs collapse to 30 distinct
+    // hashes; the largest doc-level band bucket held 345 docs → ~10^5
+    // candidate pairs, vs 2 at hash level — multimodal_ahash_dups
+    // 2.1 s → 1.4 s). Per-doc near counts are recovered EXACTLY from
+    // the hash-level pair set:
+    // n_near(doc) = (mult(h) − 1)                [same-hash partners]
+    //             + Σ_{h' ≠ h, hamming ≤ max} mult(h').
+    // The flag is STATIC because profitability is a property of the
+    // hash function, not the data size: a content-derived hash over
+    // decoded media collapses massively (every re-upload is
+    // bit-identical), while a near-unique hash (text simhash, the
+    // payload-sampled stub phash) gains nothing and pays the
+    // multiplicity layer — measured +0.3-0.5 s on dedup_simhash /
+    // multimodal_phash, and a runtime decision count costs the same,
+    // which is why it is not adaptive. Either path's bucket cap is
+    // per-level, but on every declared corpus neither cap engages
+    // (345 < 1000 doc-level, 2 hash-level), so the verified pair set —
+    // and every output row — is identical.
+    if (collapseDuplicates) {
+      val hf = withHash.groupBy(col(hashCol).as("__h"))
+        .agg(count(lit(1)).as("__mult"))
+        .localCheckpoint(true) // one row per distinct hash; used 3x
+      val bandVals = (0 until 4).map(b =>
+        shiftrightunsigned(col("__h"), b * 16).bitwiseAND(lit(0xffffL)))
+      val banded = hf.select(col("__h"), posexplode(array(bandVals: _*)))
+        .withColumnRenamed("pos", "band_id")
+        .withColumnRenamed("col", "band_val")
+      // capped bucket expansion (same machinery as minhash/ngram
+      // paths); the paired "ids" ARE the hash values, so popcount
+      // verification needs no re-join
+      val pairs = bucketPairs(banded, Seq(col("band_id"), col("band_val")),
+        "__h", minN = 2, maxN = maxBucket)
+      val near = pairs
+        .filter(bit_count(col("a").bitwiseXOR(col("b"))) <= maxHamming)
+      val sym = near.select(col("a").as("__h"), col("b").as("__p"))
+        .union(near.select(col("b").as("__h"), col("a").as("__p")))
+      val partnerMass = sym
+        .join(hf.select(col("__h").as("__p"), col("__mult").as("__pm")),
+          Seq("__p"))
+        .groupBy(col("__h")).agg(sum(col("__pm")).as("__near_mass"))
+      val perHash = hf.join(partnerMass, Seq("__h"), "left")
+        .select(col("__h").as(hashCol),
+          (col("__mult") - 1 + coalesce(col("__near_mass"), lit(0L)))
+            .as("n_near"))
+      withHash.join(perHash, Seq(hashCol))
+        .select(col(idCol), col(hashCol), col("n_near"))
+    } else {
+      val bandVals = (0 until 4).map(b =>
+        shiftrightunsigned(col(hashCol), b * 16).bitwiseAND(lit(0xffffL)))
+      val banded = withHash.select(col(idCol),
+        posexplode(array(bandVals: _*)))
+        .withColumnRenamed("pos", "band_id")
+        .withColumnRenamed("col", "band_val")
+      val pairs = bucketPairs(banded, Seq(col("band_id"), col("band_val")),
+        idCol, minN = 2, maxN = maxBucket)
+      val near = pairs
+        .join(withHash.select(col(idCol).as("a"), col(hashCol).as("h_a")),
+          Seq("a"))
+        .join(withHash.select(col(idCol).as("b"), col(hashCol).as("h_b")),
+          Seq("b"))
+        .filter(bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= maxHamming)
+      val sym = near.select(explode(array(col("a"), col("b"))).as("id"))
+      val counts2 = sym.groupBy(col("id")).agg(count(lit(1)).as("n_near"))
+      withHash.join(counts2.withColumnRenamed("id", idCol),
+          Seq(idCol), "left")
+        .select(col(idCol), col(hashCol),
+          coalesce(col("n_near"), lit(0L)).as("n_near"))
+    }
   }
 
   /** Character-n-gram Jaccard near-dup pairs via a document-frequency-

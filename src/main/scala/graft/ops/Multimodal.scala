@@ -65,8 +65,19 @@ object Multimodal {
     val (cp0, cp1) = genCodepoints(text)
     val (w, h) = genDims(text)
     val s0 = (cp0 * 7 + cp1 * 13) % 256
-    val rgb = Array.tabulate(w * h * 3)(i =>
-      ((s0 + 31L * i) % 256).toByte)
+    // while-loop fill, not Array.tabulate: Function1's Byte return is
+    // unspecialized, so tabulate boxes every pixel byte — ~100M
+    // allocations per corpus pass across the image-table builders
+    val n = w * h * 3
+    val rgb = new Array[Byte](n)
+    var i = 0
+    var v = s0 % 256 // (s0 + 31·i) mod 256 maintained incrementally
+    while (i < n) {
+      rgb(i) = v.toByte
+      v += 31
+      if (v >= 256) v -= 256
+      i += 1
+    }
     (cp0, w, h, rgb)
   }
 
@@ -908,7 +919,11 @@ object Multimodal {
     }.toDF("doc_id", "ahash", "h64").localCheckpoint(true)
     DedupOps.hammingNearDupSummary(
         withH.select(col("doc_id"), col("h64")),
-        "doc_id", "h64", maxHamming, maxBucket)
+        "doc_id", "h64", maxHamming, maxBucket,
+        // aHash is content-derived over DECODED pixels: re-encoded
+        // identical pictures collapse to one hash value, so the
+        // banding runs over distinct hashes weighted by multiplicity
+        collapseDuplicates = true)
       .join(withH.select(col("doc_id"), col("ahash")), Seq("doc_id"))
       .select(col("doc_id"), col("ahash"), col("n_near"))
   }

@@ -76,10 +76,31 @@ object QualityClassifierOps {
 
   /** One IRLS iteration's sufficient statistics: upper-triangle XᵀWX
     * (21 cells) and Xᵀ(y−μ) (6 cells), each an order-independent
-    * decimal sum of rounded per-row terms. */
+    * decimal sum of rounded per-row terms.
+    *
+    * beta enters as DATA — a broadcast one-row frame cross-joined to
+    * the features — not as `lit(...)` constants: literals are baked
+    * into the generated code, so an 8-iteration training run with
+    * per-iteration literals compiles 8 distinct 27-aggregate codegen
+    * units (measured: the Janino compiles, not the 5k-row scans,
+    * dominated `pipeline_quality_classifier`'s wall time). With beta
+    * as join data the codegen source is identical every iteration and
+    * the plan compiles once. The arithmetic is unchanged — the same
+    * IEEE doubles flow through the same expressions — so the learned
+    * coefficients are bit-identical (QualityClassifierSpec's
+    * driver-reference equality gate holds). */
   private def sufficientStats(feats: DataFrame,
       beta: Array[Double]): (Array[Array[Double]], Array[Double]) = {
-    val mu = sigmoid(zCol(beta))
+    val spark = feats.sparkSession
+    val betaDf = spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row.fromSeq(beta.toSeq)),
+      org.apache.spark.sql.types.StructType((0 until NumFeatures).map(i =>
+        org.apache.spark.sql.types.StructField(s"b$i",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    val zData = (0 until NumFeatures).map(i => feat(i) * col(s"b$i"))
+      .reduce(_ + _)
+    val mu = sigmoid(zData)
     val w = mu * (lit(1.0) - mu)
     val aggs = (for {
       i <- 0 until NumFeatures
@@ -89,7 +110,8 @@ object QualityClassifierOps {
       (0 until NumFeatures).map(i =>
         sum(round((col("label") - mu) * feat(i), TermScale)
           .cast(DecimalType(38, 12))).as(s"g_$i"))
-    val row = feats.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row = feats.crossJoin(broadcast(betaDf))
+      .agg(aggs.head, aggs.tail: _*).collect()(0)
     val h = Array.ofDim[Double](NumFeatures, NumFeatures)
     var c = 0
     for (i <- 0 until NumFeatures; j <- i until NumFeatures) {

@@ -71,6 +71,32 @@ object StorageOps {
     if (par > 1 && bytes < maxPart * par) df.repartition(par) else df
   }
 
+  /** [[fanOutForKernel]]'s KEYED sibling for aggregation/window
+    * consumers: size-gated `repartition(defaultParallelism, keys)`.
+    *
+    * Why it exists: a clustered consumer (session/window aggregation,
+    * sort-within-group) downstream of a small scan gets its exchange
+    * COALESCED BY AQE to one or two partitions — correct for shuffle
+    * bytes, wrong for a compute-heavy consumer, which then runs
+    * serialized. An explicit keyed repartition is exempt from AQE
+    * coalescing (user-specified partition counts are preserved), and
+    * because it already satisfies the consumer's clustered
+    * distribution the consumer plans NO second exchange: the same
+    * rows move once either way, but the group compute runs at core
+    * count. Same size gate and scale story as [[fanOutForKernel]]:
+    * above the gate the plan is untouched and AQE's coalescing is the
+    * right behavior. Grouping results are partitioning-independent
+    * (hash partitioning keeps a key's rows together), so results
+    * cannot move. */
+  def fanOutForKey(df: DataFrame, keys: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val maxPart = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (par > 1 && bytes < maxPart * par) df.repartition(par, keys: _*)
+    else df
+  }
+
   /** Write `df` as parquet hive-partitioned by `partitionCol`. */
   def writePartitioned(df: DataFrame, path: String,
       partitionCol: String): Unit =
