@@ -4789,7 +4789,13 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
       val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-      // stage 1: exact dedup (in-batch first-wins + corpus md5 set)
+      // stage 1: exact dedup (in-batch first-wins + corpus md5 set).
+      // r15: s1 and s2 are PINNED — the five per-stage accounting
+      // branches below union into ONE plan, and without the pins each
+      // branch re-derived its whole gating prefix (the corpus md5 set
+      // three times, the corpus segment-md5 explosion twice: ~3x the
+      // necessary corpus-text kernel work in one action). Pinned, the
+      // chain runs once and every branch reads 16-byte-ish rows.
       val wH = Window.partitionBy(col("h")).orderBy(col("doc_id"))
       val s1 = incoming.withColumn("h", md5(col("text")))
         .withColumn("rn", row_number().over(wH))
@@ -4797,6 +4803,7 @@ object SparkEntry {
         .join(corpus.select(md5(col("text")).as("h")).distinct(),
           Seq("h"), "left_anti")
         .select(col("doc_id"), col("text"))
+        .localCheckpoint(true)
       // stage 2: segment excision vs the corpus segment inventory
       val segText: Column => Column = i =>
         array_join(slice(col("w"), i * segLen + 1, lit(segLen)), " ")
@@ -4807,23 +4814,23 @@ object SparkEntry {
         .select(explode(transform(sequence(lit(0), nSegs - 1),
           i => md5(segText(i)))).as("sh"))
         .distinct()
+      // r15 plan shape (mirrors IngestOps.ingestBatch): segment rows
+      // carry their own text slice, so the clean text reassembles in
+      // the SAME aggregation that keeps novel segments — no join-back
+      // to s1, one less exchange; identical output strings.
       val segRows = s1
         .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
         .select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), nSegs - 1),
-            i => md5(segText(i)))))
+          posexplode(transform(sequence(lit(0), nSegs - 1), segText)))
         .select(col("doc_id"), col("pos").as("seg_idx"),
-          col("col").as("sh"))
-      val keptIdx = segRows.join(corpusSegs, Seq("sh"), "left_anti")
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("seg_idx"))).as("keep"))
-      val s2 = s1
-        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-        .join(keptIdx, Seq("doc_id")) // inner: fully-excised docs drop
-        .select(col("doc_id"),
-          array_join(transform(col("keep"), segText), " ")
-            .as("clean"))
+          md5(col("col")).as("sh"), col("col").as("seg"))
+      val s2 = segRows.join(corpusSegs, Seq("sh"), "left_anti")
+        .groupBy(col("doc_id")) // inner-shaped: fully-excised docs drop
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("seg_idx"), col("seg")))),
+          x => x.getField("seg")), " ").as("clean"))
         .filter(col("clean") =!= "")
+        .localCheckpoint(true)
       // stage 3: quality on the cleaned text
       val s3 = s2
         .withColumn("n_tok", size(split(col("clean"), " ")))
@@ -4895,8 +4902,12 @@ object SparkEntry {
       val evalGrams = evalSet
         .select(explode(array_distinct(grams(col("text")))).as("g"))
         .distinct()
+      // r15: materializeStages pins s1/s2 so the five accounting
+      // branches below read the gating chain's outputs instead of
+      // re-deriving the chain per branch (same fix as pipeline_ingest;
+      // the loop always ran this way)
       val st = ops.IngestOps.ingestBatch(s, key, incoming, "doc_id",
-        "text", Some(evalGrams), segLen)
+        "text", Some(evalGrams), segLen, materializeStages = true)
       def stage(name: String, df: DataFrame) = df
         .agg(count(lit(1)).as("n_docs"),
           coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))

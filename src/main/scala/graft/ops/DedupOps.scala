@@ -96,7 +96,8 @@ object DedupOps {
     *    it; the engine must. */
   private[ops] def bucketPairs(bucketed: DataFrame, bucketCols: Seq[Column],
       idCol: String, minN: Int, maxN: Int, minCo: Int = 1,
-      failOnOverflow: Boolean = false): DataFrame = {
+      failOnOverflow: Boolean = false,
+      pairPred: Option[(Column, Column) => Column] = None): DataFrame = {
     // pair expansion indexes ids[1..size-1]; minN=1 would generate a
     // DESCENDING sequence(1, 0) and element_at(ids, 0) throws at runtime
     require(minN >= 2, s"minN must be >= 2 (got $minN)")
@@ -125,10 +126,17 @@ object DedupOps {
             .as("dropped_buckets"))
           .filter(size(col("ids")).between(minN, maxN))
       }
-    val pairArray = flatten(transform(
+    val pairArray0 = flatten(transform(
       sequence(lit(1), size(col("ids")) - 1),
       i => transform(slice(col("ids"), i + 1, size(col("ids"))),
         b => struct(element_at(col("ids"), i).as("a"), b.as("b")))))
+    // optional in-bucket pair predicate (r15): pairs failing it never
+    // leave the expansion, so they never reach the pair-dedup shuffle —
+    // the PPJoin length-filter hook (guide §2.3, shuffle fewer bytes).
+    // Callers must pass a predicate that can only REMOVE pairs a later
+    // exact filter would remove anyway; correctness stays with them.
+    val pairArray = pairPred.fold(pairArray0)(p =>
+      filter(pairArray0, s => p(s.getField("a"), s.getField("b"))))
     val expanded = buckets.select(explode(pairArray).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
     if (minCo <= 1) expanded.distinct()
@@ -327,19 +335,34 @@ object DedupOps {
     // below (which previously re-ran the full kernel on candidate
     // docs). The pinned payload is 8 bytes per shingle, ~1/8 the
     // corpus text — the same budget the ranked checkpoint already
-    // holds.
+    // holds. On a real cluster swap localCheckpoint for reliable
+    // checkpoint (executor loss destroys local checkpoint blocks —
+    // the ClusterOps caveat applies to every pin in this op); the pin
+    // cannot be released early because the verification join reads it
+    // in the caller's terminal action.
     val sets = docs
       .select(col(idCol), HashFunctions.portableShingleHashes(
         tokens(col(textCol)), shingleN).as("hs0"))
       .localCheckpoint(true)
-    val tok = sets.select(col(idCol), explode(col("hs0")).as("h"))
+    // r15: the df-count/rank aggregations are the op's serial
+    // bottleneck locally — at sf0.1 AQE coalesces their ~5 MB
+    // exchanges to ONE partition, so the BoundedCollectSet /
+    // sort_array collect aggregations over the full shingle stream
+    // run single-task (ProfileR14: 22 tasks over 18 jobs, taskSum
+    // ≈ wall). The size-gated keyed fan-outs below satisfy each
+    // consumer's distribution (no extra exchange — the same rows move
+    // once either way) and run the group compute at core count; above
+    // the gate the plan is untouched and AQE's coalescing is right.
+    val tok = StorageOps.fanOutForKey(
+      sets.select(col(idCol), explode(col("hs0")).as("h")), col("h"))
     val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // per-doc hash list in global (df, h) order — row-local size.
     // Pinned: referenced by BOTH the prefix explode and the size-
     // compatibility frame below; without the checkpoint each reference
     // re-runs the df join + collect aggregation (two md5 kernel passes
     // each). The pinned payload is hash arrays, ~1/8 the corpus text.
-    val ranked = tok.join(dfreq, Seq("h"))
+    val ranked = StorageOps.fanOutForKey(
+        tok.join(dfreq, Seq("h")), col(idCol))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("df"), col("h"))))
         .as("sorted"))
@@ -347,17 +370,56 @@ object DedupOps {
         transform(col("sorted"), x => x.getField("h")).as("hs"),
         size(col("sorted")).as("n"))
       .localCheckpoint(true)
-    val pre = ranked.withColumn("plen",
-        col("n") - idiv(lit(tNum) * col("n") + lit(tDen - 1),
-          lit(tDen)).cast("int") + lit(1))
-      .select(col(idCol), explode(slice(col("hs"), lit(1),
-        col("plen"))).as("h"))
+    // r15: PPJoin LENGTH FILTER inside the bucket expansion (guide
+    // §2.3 — shuffle fewer bytes): J >= t forces t·max(|x|,|y|) <=
+    // min(|x|,|y|), and a pair failing that bound is dead on arrival —
+    // checking it BEFORE the pair rows leave the expansion keeps them
+    // out of the pair-dedup shuffle entirely (previously every
+    // prefix-sharing pair shuffled and the size cut ran after). The
+    // doc's distinct-shingle count rides the bucketed id in the low
+    // SizeBits bits (injective: one id has one n, so encoded-pair
+    // distinct == id-pair distinct, and encoded order == id order).
+    // The in-bucket predicate is CONSERVATIVE: a count clamped at the
+    // cap passes through, and the exact size filter below still runs
+    // on true counts — exactness is untouched. Ids outside [0, 2^42)
+    // fall back to the unencoded expansion (one bounded agg on the
+    // pinned `ranked` decides).
+    val SizeBits = 20
+    val SizeCap = (1 << SizeBits) - 1
+    val idB = ranked.agg(min(col(idCol)).cast("long"),
+      max(col(idCol)).cast("long")).head
+    val encodable = !idB.isNullAt(0) && idB.getLong(0) >= 0L &&
+      idB.getLong(1) < (1L << (62 - SizeBits))
+    val plen = col("n") - idiv(lit(tNum) * col("n") + lit(tDen - 1),
+      lit(tDen)).cast("int") + lit(1)
+    val preId =
+      if (encodable)
+        (col(idCol).cast("long") * lit(1L << SizeBits) +
+          least(col("n"), lit(SizeCap)).cast("long")).as("__e")
+      else col(idCol).cast("long").as("__e")
+    val pre = StorageOps.fanOutForKey(
+      ranked.withColumn("plen", plen)
+        .select(preId, explode(slice(col("hs"), lit(1),
+          col("plen"))).as("h")), col("h"))
+    val sizeOf = (c: Column) => c.bitwiseAND(lit(SizeCap.toLong))
+    val lenPred = (a: Column, b: Column) => {
+      val na = sizeOf(a)
+      val nb = sizeOf(b)
+      na === lit(SizeCap.toLong) || nb === lit(SizeCap.toLong) ||
+        least(na, nb) * lit(tDen.toLong) >= lit(tNum.toLong) * greatest(na, nb)
+    }
     // failOnOverflow: this op promises ZERO probabilistic misses, so a
     // prefix bucket that saturates maxBucket must kill the query, not
     // silently delete pairs (the LSH family's drop is a recall
     // trade-off; here it would be a correctness hole at 100 TB)
-    val candRaw = bucketPairs(pre, Seq(col("h")), idCol,
-      minN = 2, maxN = maxBucket, failOnOverflow = true)
+    val candEnc = bucketPairs(pre, Seq(col("h")), "__e",
+      minN = 2, maxN = maxBucket, failOnOverflow = true,
+      pairPred = if (encodable) Some(lenPred) else None)
+    val candRaw =
+      if (encodable)
+        candEnc.select(shiftright(col("a"), SizeBits).as("a"),
+          shiftright(col("b"), SizeBits).as("b"))
+      else candEnc
     // SIZE-COMPATIBILITY filter (the AllPairs length bound) before
     // anything set-shaped moves: J >= t forces t·max(|x|,|y|) <=
     // min(|x|,|y|) — checked in the same integer rational arithmetic.
@@ -840,6 +902,13 @@ object DedupOps {
     * Callers ([[simhashSummary]], `Multimodal.phashDupSummary`) pass a
     * MATERIALIZED hash frame — it is referenced three more times
     * here. */
+  /** NOTE on `maxBucket` units: in the default doc-level path the cap
+    * bounds DOCS per band bucket; under `collapseDuplicates` it bounds
+    * DISTINCT HASH VALUES per band bucket (each hash standing for all
+    * its duplicate docs), so the same number means a strictly larger
+    * recall envelope in collapse mode. No declared corpus engages
+    * either cap; callers tuning maxBucket must read it in the active
+    * mode's unit. */
   private[ops] def hammingNearDupSummary(withHash: DataFrame,
       idCol: String, hashCol: String, maxHamming: Int,
       maxBucket: Int, collapseDuplicates: Boolean = false): DataFrame = {
@@ -893,8 +962,14 @@ object DedupOps {
         .select(col("__h").as(hashCol),
           (col("__mult") - 1 + coalesce(col("__near_mass"), lit(0L)))
             .as("n_near"))
-      withHash.join(perHash, Seq(hashCol))
-        .select(col(idCol), col(hashCol), col("n_near"))
+      // LEFT join + coalesce, matching the doc-level path's row
+      // contract: a null-hash input row (no caller builds one today)
+      // keeps its row with n_near = 0 instead of silently dropping —
+      // null keys never equi-match, exactly like the doc-level path
+      // where null bands never verify
+      withHash.join(perHash, Seq(hashCol), "left")
+        .select(col(idCol), col(hashCol),
+          coalesce(col("n_near"), lit(0L)).as("n_near"))
     } else {
       val bandVals = (0 until 4).map(b =>
         shiftrightunsigned(col(hashCol), b * 16).bitwiseAND(lit(0xffffL)))

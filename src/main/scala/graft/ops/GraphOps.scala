@@ -64,16 +64,22 @@ object GraphOps {
     // the only blocking driver round-trip in the loop (12 jobs → 1)
     val hasDangling = outDeg.count() < n
     val basePerNode = (100 - dampingPct) * (Unit15 / n) / 100
-    var ranks = nodes.select(col("node"), lit(Unit15 / n).as("rank_f"))
+    // r15: the rank state CARRIES the (static) out-degree — deg is a
+    // property of the node, so riding it through the per-round
+    // checkpoint replaces the per-round ranks⋈outDeg join (one AQE
+    // broadcast stage per round, 12 jobs across the loop) with a
+    // row-local filter, and the dangling-mass aggregate's anti-join
+    // with a null-check on the same rows. Arithmetic is unchanged:
+    // same shares, same contributions, same integer division.
+    var ranks = nodes.join(outDeg, Seq("node"), "left")
+      .select(col("node"), col("deg"), lit(Unit15 / n).as("rank_f"))
     var iter = 0
     while (iter < iters) {
-      // per-source share (integer division), joined to edges co-keyed
-      // on src: one shuffle pair per iteration, same key every round
-      // `div`, not `/`: Column./ on longs is DOUBLE division, and a
-      // 53-bit mantissa can round across an integer boundary before
+      // per-source share (integer division) — row-local on the carried
+      // deg; `div`, not `/`: Column./ on longs is DOUBLE division, and
+      // a 53-bit mantissa can round across an integer boundary before
       // the cast truncates — div is exact 64-bit integer division
-      val shares = ranks
-        .join(outDeg, Seq("node"), "inner")
+      val shares = ranks.filter(col("deg").isNotNull)
         .selectExpr("node AS src", "rank_f div deg AS share")
       val contribs = e.join(shares, Seq("src"))
         .groupBy(col("dst").as("node"))
@@ -82,12 +88,12 @@ object GraphOps {
       // redistributed uniformly (structurally zero when the graph is
       // symmetrized — skipped entirely then, see hasDangling)
       val danglingF = if (!hasDangling) 0L
-        else ranks.join(outDeg, Seq("node"), "left_anti")
+        else ranks.filter(col("deg").isNull)
           .agg(coalesce(sum(col("rank_f")), lit(0L))).collect()(0).getLong(0)
       val redistributed = dampingPct * (danglingF / n) / 100
-      val next = nodes
+      val next = ranks
         .join(contribs, Seq("node"), "left")
-        .selectExpr("node",
+        .selectExpr("node", "deg",
           s"$basePerNode + ($dampingPct * coalesce(contrib_f, 0)) div 100" +
             s" + $redistributed AS rank_f")
         // one job per round either way, with a round-sized plan each
@@ -102,7 +108,7 @@ object GraphOps {
     }
     // force the final round's checkpoint so callers get a stable table
     ranks.count()
-    ranks
+    ranks.select(col("node"), col("rank_f"))
   }
 
   /** Personalized PageRank (Page et al. 1999 §6; the random walker
@@ -148,24 +154,26 @@ object GraphOps {
     val rInit = Unit15 / sCount
     val basePerSeed = (100 - dampingPct) * rInit / 100
     val seedList = seeds.mkString(",")
-    var ranks = nodes.selectExpr("node",
-      s"CASE WHEN node IN ($seedList) THEN ${rInit}L ELSE 0L END" +
-        " AS rank_f")
+    // deg rides the rank state (see [[pagerank]] — r15): the per-round
+    // share join and the dangling anti-join become row-local
+    var ranks = nodes.join(outDeg, Seq("node"), "left")
+      .selectExpr("node", "deg",
+        s"CASE WHEN node IN ($seedList) THEN ${rInit}L ELSE 0L END" +
+          " AS rank_f")
     var iter = 0
     while (iter < iters) {
-      val shares = ranks
-        .join(outDeg, Seq("node"), "inner")
+      val shares = ranks.filter(col("deg").isNotNull)
         .selectExpr("node AS src", "rank_f div deg AS share")
       val contribs = e.join(shares, Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("share")).as("contrib_f"))
       val danglingF = if (!hasDangling) 0L
-        else ranks.join(outDeg, Seq("node"), "left_anti")
+        else ranks.filter(col("deg").isNull)
           .agg(coalesce(sum(col("rank_f")), lit(0L))).collect()(0).getLong(0)
       val seedMass = basePerSeed + dampingPct * (danglingF / sCount) / 100
-      val next = nodes
+      val next = ranks
         .join(contribs, Seq("node"), "left")
-        .selectExpr("node",
+        .selectExpr("node", "deg",
           s"CASE WHEN node IN ($seedList) THEN ${seedMass}L ELSE 0L END" +
             s" + ($dampingPct * coalesce(contrib_f, 0)) div 100" +
             " AS rank_f")
@@ -174,7 +182,7 @@ object GraphOps {
       iter += 1
     }
     ranks.count()
-    ranks
+    ranks.select(col("node"), col("rank_f"))
   }
 
   /** Community detection by SYNCHRONOUS LABEL PROPAGATION (Raghavan,

@@ -335,11 +335,20 @@ object IngestOps {
     * (fully-excised docs drop); s3 = quality band on the cleaned
     * text; s4 = optional n-gram decontamination against `evalGrams`
     * (a one-column frame of gram strings `g`). */
+  /** `sourceFiles` (r15) lists the files behind the ACTUAL leaf frames
+    * composed into the stage plans — the batch's own files plus the
+    * two inventory dirs (plus nothing else, by construction). It is
+    * the loop's per-batch no-corpus-text-read audit surface: reading
+    * it here costs four trivial-plan `inputFiles` calls instead of the
+    * full-chain analysis the loop previously re-planned per batch
+    * (~0.35 s of pure driver planning each) just to ask the composed
+    * s4 the same question. The composed-plan property itself stays
+    * spec-gated op-level (IngestOpsSpec analyzes a real lazy s4). */
   case class IngestStages(s1: DataFrame, s2: DataFrame, s3: DataFrame,
-      s4: DataFrame)
+      s4: DataFrame, sourceFiles: Array[String] = Array.empty)
 
-  /** `materializeStages = true` localCheckpoints s1 and s2 so later
-    * stages (and per-stage accounting actions) reuse them instead of
+  /** `materializeStages = true` localCheckpoints s2 so later stages
+    * (and per-stage accounting actions) reuse it instead of
     * re-deriving the gating chain per action — what the ingest LOOP
     * wants (it runs several actions per batch; at scale these are the
     * persisted stage outputs between pipeline jobs). The lazy default
@@ -353,30 +362,45 @@ object IngestOps {
       array_join(slice(col("w"), i * segLen + 1, lit(segLen)), " ")
     val nSegs = DedupOps.idiv(
       size(col("w")) + lit(segLen - 1), lit(segLen)).cast("int")
-    // stage 1: exact dedup (in-batch first-wins + inventory md5 set)
+    // the leaf frames, captured once: composed into the stage plans
+    // below AND reported as the sourceFiles audit surface
+    val invM = inventoryMd5s(spark, key)
+    val invS = inventorySegments(spark, key)
+    // stage 1: exact dedup (in-batch first-wins + inventory md5 set).
+    // NOT pinned even under materializeStages (r15): since the stage-2
+    // rewrite below, s1 has exactly ONE in-plan consumer (the segment
+    // explode), so it fuses into s2's checkpoint job; a caller's
+    // accounting branch re-deriving it pays one batch-sized window
+    // pass inside an off-critical-path job instead of a blocking
+    // checkpoint action per batch.
     val wH = Window.partitionBy(col("h")).orderBy(col(idCol))
-    val s1 = mat(batch.withColumn("h", md5(col(textCol)))
+    val s1 = batch.withColumn("h", md5(col(textCol)))
       .withColumn("rn", row_number().over(wH))
       .filter(col("rn") === 1)
-      .join(inventoryMd5s(spark, key), Seq("h"), "left_anti")
-      .select(col(idCol), col(textCol)))
-    // stage 2: segment excision vs the persisted segment inventory
+      .join(invM, Seq("h"), "left_anti")
+      .select(col(idCol), col(textCol))
+    // stage 2: segment excision vs the persisted segment inventory.
+    // r15 plan shape: each exploded segment row carries ITS OWN text
+    // slice (total bytes across rows = the doc text, nothing
+    // duplicated), so the clean text reassembles inside the same
+    // aggregation that collects the surviving indices — the old
+    // join-back to s1 (one more exchange of the batch, and the reason
+    // s1 had to be pinned for the loop) is gone. Output strings are
+    // identical: same segments, same seg_idx order, same single-space
+    // joins.
     val segRows = s1
       .select(col(idCol), DedupOps.tokens(col(textCol)).as("w"))
       .select(col(idCol),
-        posexplode(transform(sequence(lit(0), nSegs - 1),
-          i => md5(segText(i)))))
-      .select(col(idCol), col("pos").as("seg_idx"), col("col").as("sh"))
-    val keptIdx = segRows
-      .join(inventorySegments(spark, key).select(col("sh")),
-        Seq("sh"), "left_anti")
+        posexplode(transform(sequence(lit(0), nSegs - 1), segText)))
+      .select(col(idCol), col("pos").as("seg_idx"),
+        md5(col("col")).as("sh"), col("col").as("seg"))
+    val s2 = mat(segRows
+      .join(invS.select(col("sh")),
+        Seq("sh"), "left_anti") // docs with no novel segment drop here
       .groupBy(col(idCol))
-      .agg(sort_array(collect_list(col("seg_idx"))).as("keep"))
-    val s2 = mat(s1
-      .select(col(idCol), DedupOps.tokens(col(textCol)).as("w"))
-      .join(keptIdx, Seq(idCol)) // inner: fully-excised docs drop
-      .select(col(idCol),
-        array_join(transform(col("keep"), segText), " ").as("clean"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("seg_idx"), col("seg")))),
+        x => x.getField("seg")), " ").as("clean"))
       .filter(col("clean") =!= ""))
     // stage 3: quality band on the cleaned text
     val s3 = s2
@@ -397,6 +421,10 @@ object IngestOps {
               element_at(w, i + 2), element_at(w, i + 3))))
             .otherwise(array(array_join(w, " ")))
         }
+        // NOT fanned out (measured r15): redistributing the clean text
+        // ahead of the gram explode pushed batch taskSums 2.5 s → 9-11 s
+        // (32 tiny tasks per per-batch stage) for zero wall win — the
+        // r14 rejected-fan-out rule holds for every per-batch stage
         val hot = s3
           .select(col(idCol),
             explode(array_distinct(grams(col("clean")))).as("g"))
@@ -405,7 +433,8 @@ object IngestOps {
           .filter(col("n_shared") >= 3)
         s3.join(hot, Seq(idCol), "left_anti")
     }
-    IngestStages(s1, s2, s3, s4)
+    IngestStages(s1, s2, s3, s4,
+      (batch.inputFiles ++ invM.inputFiles ++ invS.inputFiles).distinct)
   }
 
   /** MERGE an accepted batch (its FINAL stored text) into the
@@ -415,10 +444,26 @@ object IngestOps {
     * so a batch segment can coincide with a stored one); the md5 side
     * is novel by construction (stage 1 anti-joined it) but is
     * anti-joined too so a caller merging anything else stays safe. */
+  /** The merge's segment-side delta, PINNED, plus its row count — the
+    * pure COMPUTE half of [[mergeAccepted]] (reads the pre-merge
+    * inventory, mutates nothing), split out (r15) so the loop can run
+    * it concurrently with the accounting/manifest jobs and hand the
+    * result to [[mergeAccepted]] via `segDeltaKnown`; only the ordered
+    * WRITES stay on the critical path. */
+  def segmentDelta(spark: SparkSession, key: String, accepted: DataFrame,
+      textCol: String, segLen: Int = 16): (DataFrame, Long) = {
+    val d = docSegments(accepted, textCol, segLen)
+      .join(inventorySegments(spark, key).select(col("sh")),
+        Seq("sh"), "left_anti")
+      .localCheckpoint(true)
+    (d, d.count())
+  }
+
   def mergeAccepted(spark: SparkSession, key: String, accepted: DataFrame,
       textCol: String, segLen: Int = 16,
       rowsPerFile: Long = 4000000L,
-      nDocsKnown: Option[Long] = None): Unit = {
+      nDocsKnown: Option[Long] = None,
+      segDeltaKnown: Option[(DataFrame, Long)] = None): Unit = {
     // delta parallelism scales with the delta's ROW COUNT
     // ([[deltaFileCount]]): one file for ordinary batches (writing at
     // shuffle parallelism would grow the inventory's file count 32x
@@ -444,12 +489,11 @@ object IngestOps {
     // the replay dies at stage 1 (md5s present), never re-offers the
     // text, and future near-dups sharing those segments would pass
     // excision — stored duplicate content.
-    val segDelta = docSegments(accepted, textCol, segLen)
-      .join(inventorySegments(spark, key).select(col("sh")),
-        Seq("sh"), "left_anti")
-      .localCheckpoint(true)
+    val (segDelta, segRows) =
+      segDeltaKnown.getOrElse(segmentDelta(spark, key, accepted,
+        textCol, segLen))
     segDelta
-      .coalesce(deltaFileCount(segDelta.count(), rowsPerFile))
+      .coalesce(deltaFileCount(segRows, rowsPerFile))
       .write.mode("append").parquet(segDir(key))
     if (crashBetweenMergeWrites)
       throw new IllegalStateException("injected crash (test hook): " +

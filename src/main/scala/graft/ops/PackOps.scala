@@ -50,7 +50,17 @@ object PackOps {
     * be a total order (ties would make the offset assignment between
     * tied rows depend on the range cut). */
   def withGlobalOffset(df: DataFrame, orderCol: String, lenCol: String,
-      offCol: String, parts: Int = 32): DataFrame = {
+      offCol: String, parts: Int = 32): DataFrame =
+    withGlobalOffsetAndTotal(df, orderCol, lenCol, offCol, parts)._1
+
+  /** [[withGlobalOffset]] that ALSO returns the grand total of
+    * `lenCol` — the driver just finished summing the per-partition
+    * carries, so callers that need the stream's new end offset (the
+    * ingest loop's pack-manifest total) read it here instead of
+    * running one more aggregation job over the result (r15). */
+  def withGlobalOffsetAndTotal(df: DataFrame, orderCol: String,
+      lenCol: String, offCol: String,
+      parts: Int = 32): (DataFrame, Long) = {
     val spark = df.sparkSession
     val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -72,10 +82,18 @@ object PackOps {
     }
     import spark.implicits._
     val offDf = offsets.toSeq.toDF("__pid", "__poff")
-    local.join(broadcast(offDf), Seq("__pid"))
+    (local.join(broadcast(offDf), Seq("__pid"))
       .withColumn(offCol, col("__poff") + col("__lstart"))
-      .drop("__pid", "__lstart", "__poff")
+      .drop("__pid", "__lstart", "__poff"), acc)
   }
+
+  /** Range-partition count for an offset scan over `nRows` manifest
+    * rows (~16 B each): ~1M rows per partition, at least 1, capped so
+    * a pathological count cannot flood the scheduler. parts = 1 also
+    * skips RangePartitioner's sampling job entirely — the common case
+    * for batch-sized manifests. */
+  def partsFor(nRows: Long): Int =
+    math.max(1L, math.min(2000L, (nRows + 999999) / 1000000)).toInt
 
   /** Per-doc block-span manifest over the global token stream: each
     * doc with `nTokCol` tokens starting at `offCol` spans blocks

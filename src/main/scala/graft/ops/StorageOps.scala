@@ -63,12 +63,30 @@ object StorageOps {
     * determinism; every downstream operator in this codebase is
     * shuffle-order-safe by the dsum/row-local discipline (hash-gated by
     * the DuckDB oracle), so the redistribution cannot move any result. */
-  def fanOutForKernel(df: DataFrame): DataFrame = {
+  /** The shared size gate (r15, one definition — the two fan-out
+    * helpers previously duplicated it): fire only when BOTH the
+    * optimizer's estimate of `df` AND the sum of its LEAF relations'
+    * estimates are under cores × maxPartitionBytes. The leaf check is
+    * the mis-estimate guard: a derived frame behind a selective filter
+    * or join can carry a tiny post-selectivity estimate while its scan
+    * still reads terabytes — and a round-robin repartition of that
+    * output could shuffle a corpus. Leaf estimates are file sizes
+    * (scans) or materialized-plan stats (checkpoints), the reliable
+    * upper bound of anything derived from them, so above the gate the
+    * plan is untouched no matter how wrong the selectivity guess is. */
+  private def underFanOutGate(df: DataFrame): Boolean = {
     val spark = df.sparkSession
     val par = spark.sparkContext.defaultParallelism
     val maxPart = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (par > 1 && bytes < maxPart * par) df.repartition(par) else df
+    val plan = df.queryExecution.optimizedPlan
+    val bytes = plan.stats.sizeInBytes
+    val leafBytes = plan.collectLeaves().map(_.stats.sizeInBytes).sum
+    par > 1 && bytes.max(leafBytes) < maxPart * par
+  }
+
+  def fanOutForKernel(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (underFanOutGate(df)) df.repartition(par) else df
   }
 
   /** [[fanOutForKernel]]'s KEYED sibling for aggregation/window
@@ -89,11 +107,8 @@ object StorageOps {
     * (hash partitioning keeps a key's rows together), so results
     * cannot move. */
   def fanOutForKey(df: DataFrame, keys: Column*): DataFrame = {
-    val spark = df.sparkSession
-    val par = spark.sparkContext.defaultParallelism
-    val maxPart = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (par > 1 && bytes < maxPart * par) df.repartition(par, keys: _*)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (underFanOutGate(df)) df.repartition(par, keys: _*)
     else df
   }
 

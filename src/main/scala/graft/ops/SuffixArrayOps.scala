@@ -45,20 +45,46 @@ object SuffixArrayOps {
       if (numParts > 0) numParts
       else math.max(1, spark.conf
         .get("spark.sql.shuffle.partitions", "32").toInt)
+    // r15: start the doubling from a 4-CHARACTER initial rank instead
+    // of 1 (guide §2.6 — each saved round is a repartitionByRange +
+    // checkpoint + driver summaries round-trip): round 0 keys on the
+    // packed codepoints of chars [off, off+4) — 21 bits per codepoint
+    // (max 0x10FFFF), two per long key, missing chars pack as 0 which
+    // sorts before every real char exactly like the shorter suffix it
+    // is. Depth-4 dense ranks are identical to what two doubling
+    // rounds over 1-char ranks produce, and every later depth (4, 8,
+    // 16, …) is the same power-of-two sequence the 1-char start
+    // reaches from depth 4 onward, so final ranks are bit-identical —
+    // two fewer rounds, nothing else. Chars come from the SAME
+    // split-by-"" decomposition as before (not substring) so the
+    // per-"char" unit cannot drift. maxLen < 4 keeps the 1-char start.
+    val d0 = if (maxLen >= 4) 4L else 1L
     val pos = docs
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("t"))
-      .select(col("doc_id"), posexplode(split(col("t"), "")))
-      .select(col("doc_id"), col("pos").cast("long").as("off"),
+      .select(col("doc_id"), split(col("t"), "").as("cs"))
+      .select(col("doc_id"), col("cs"), posexplode(col("cs")))
+      .select(col("doc_id"), col("cs"), col("pos").cast("long").as("off"),
         ascii(col("col")).cast("long").as("c0"))
       .filter(col("c0") > 0) // split("") yields no trailing empty in Spark 3+
-    // round 0: rank by first character. denseRankCounted returns the
+    // codepoint at off+i, 0 past the end (try_element_at: null beyond
+    // the array under ANSI, coalesced to the sorts-first sentinel)
+    def cAt(i: Int) = coalesce(
+      ascii(try_element_at(col("cs"), (col("off") + lit(i + 1)).cast("int")))
+        .cast("long"), lit(0L))
+    val round0 =
+      if (d0 == 4L)
+        pos.select(col("doc_id"), col("off"),
+          (col("c0") * lit(1L << 21) + cAt(1)).as("k1"),
+          (cAt(2) * lit(1L << 21) + cAt(3)).as("k2"))
+      else
+        pos.select(col("doc_id"), col("off"),
+          col("c0").as("k1"), lit(-1L).as("k2"))
+    // round 0 rank. denseRankCounted returns the
     // global distinct-rank count computed IN the summaries pass it
     // already runs — the old per-round `max(rank)` aggregate was a
     // whole extra job per doubling round for a number the driver had
     // just finished adding up (r14 job-count cut).
-    var (ranked0, distinctRanks) = denseRankCounted(
-      pos.select(col("doc_id"), col("off"),
-        col("c0").as("k1"), lit(-1L).as("k2")), parts)
+    var (ranked0, distinctRanks) = denseRankCounted(round0, parts)
     var ranked = ranked0.localCheckpoint()
     val n = ranked.count()
     // empty slice (no docs, or all texts empty): the empty ranked
@@ -66,7 +92,7 @@ object SuffixArrayOps {
     if (n == 0)
       return ranked.select(col("doc_id"), col("off"),
         col("rank").as("sa_rank"))
-    var k = 1L
+    var k = d0
     // early exit at the refinement FIXED POINT: doubling only ever
     // splits rank classes, so an unchanged distinct-rank count means
     // the partition is stable (r₂ₖ = f(rₖ) = rₖ ⇒ all later rounds are

@@ -315,6 +315,20 @@ final class IngestLoop(spark: SparkSession, key: String, idCol: String,
     * truthful for that run (it did accept nothing; the artifacts
     * already had it), and in-run redelivery REPLACES the tag's
     * accounting rows rather than duplicating them. */
+  /** Env-gated phase timing (SPARK_GRAFT_LOOP_PROFILE=1): prints each
+    * per-batch phase's wall so the loop's cost structure is measurable
+    * without a debugger — reads nothing, changes nothing. */
+  private val profileLoop =
+    sys.env.get("SPARK_GRAFT_LOOP_PROFILE").contains("1")
+  private def timed[A](name: String)(body: => A): A =
+    if (!profileLoop) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"      [loop] $name%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+
   def processBatch(batch: DataFrame, tag: String): Unit = synchronized {
     // Exactly-once replay guard WITH tag-reuse detection: a committed
     // tag's marker stores the batch's content fingerprint, so a true
@@ -344,7 +358,8 @@ final class IngestLoop(spark: SparkSession, key: String, idCol: String,
     // 0_incoming == 0a_decoded + 0b_quarantined.
     val decodeStages = payloadCol match {
       case Some(pc) =>
-        val decoded = decodePayloads(batch, pc).localCheckpoint(true)
+        val decoded = timed("decode ckpt") {
+          decodePayloads(batch, pc).localCheckpoint(true) }
         val bad = decoded.filter(col("__err").isNotNull)
           .select(lit(tag).as("batch"), col(idCol),
             col("__err").as("error_class"))
@@ -356,44 +371,49 @@ final class IngestLoop(spark: SparkSession, key: String, idCol: String,
       case None => None
     }
     val gateInput = decodeStages.map(_._1).getOrElse(batch)
-    // the lazy twin of this plan carries the no-corpus-read audit
-    // surface; record it BEFORE the materialized run below
-    acceptedInputFiles += ((tag, graft.ops.IngestOps.ingestBatch(spark,
-      key, gateInput, idCol, textCol, evalGrams, segLen).s4.inputFiles))
-    val st = graft.ops.IngestOps.ingestBatch(spark, key, gateInput,
-      idCol, textCol, evalGrams, segLen, materializeStages = true)
-    val accepted = st.s4.localCheckpoint(true)
-    // ONE action — and ONE aggregation — for all stage accountings.
-    // The previous shape (per-stage agg branches unioned) planned one
-    // partial+final aggregate PAIR per stage: ~15 shuffle stages that
-    // AQE materializes as ~15 driver job round-trips per batch, which
-    // profiling showed dominates the loop's wall time (taskSum ~2 s vs
-    // wall ~5 s at 80+ jobs/run). Tagging rows with their stage name
-    // and aggregating ONCE plans a single narrow union of the (mostly
-    // checkpointed) stage frames + one exchange: 3 stages, 1 job.
-    // Stages that gated out every row (no rows to tag) are filled in
-    // driver-side as (n=0, s=0) — the exact rows the per-stage
-    // branches' count(*)+coalesce(sum) emitted for empty frames.
+    val st = timed("gate s1+s2 ckpt") {
+      graft.ops.IngestOps.ingestBatch(spark, key, gateInput,
+        idCol, textCol, evalGrams, segLen, materializeStages = true)
+    }
+    // per-batch no-corpus-read audit surface: the files behind the
+    // gate's OWN leaf frames (r15 — previously a second, throwaway
+    // ingestBatch plan was built and analyzed per batch just to ask
+    // its s4 the same question: ~0.35 s of driver planning per batch)
+    acceptedInputFiles += ((tag, st.sourceFiles))
+    val accepted = timed("s4 ckpt") { st.s4.localCheckpoint(true) }
+    // ONE action — and ONE aggregation — for all stage accountings
+    // (r14: tagging rows with their stage name and aggregating once
+    // replaced ~15 per-stage agg jobs), launched as a FUTURE (r15,
+    // guide §2.6) so it overlaps the manifest tokenize and the merge's
+    // segment-delta compute below; every input is a pinned checkpoint
+    // or the immutable batch source, and the result is joined on the
+    // driver thread before anything reads stageBuf. Stages that gated
+    // out every row are filled in driver-side as (n=0, s=0).
     val stageNames = Seq("0_incoming" -> batch) ++
       decodeStages.toSeq.flatMap { case (ok, bad) =>
         Seq("0a_decoded" -> ok, "0b_quarantined" -> bad) } ++
       Seq("1_exact" -> st.s1,
         "2_segments" -> st.s2, "3_quality" -> st.s3,
         "4_decon" -> accepted)
-    val counted = stageNames
-      .map { case (nm, df) =>
-        df.select(lit(nm).as("stage"), col(idCol).cast("long").as("__id"))
-      }
-      .reduce(_ unionByName _)
-      .groupBy(col("stage"))
-      .agg(count(lit(1)).as("n"),
-        coalesce(sum(col("__id")), lit(0L)).as("s"))
-      .collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    stageNames.foreach { case (nm, _) =>
-      val (n, sm) = counted.getOrElse(nm, (0L, 0L))
-      stageBuf += ((tag, nm, n, sm))
-    }
+    val countedFuture = scala.concurrent.Future {
+      stageNames
+        .map { case (nm, df) =>
+          df.select(lit(nm).as("stage"), col(idCol).cast("long").as("__id"))
+        }
+        .reduce(_ unionByName _)
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("__id")), lit(0L)).as("s"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    }(scala.concurrent.ExecutionContext.global)
+    // the merge's segment-delta COMPUTE (pin + count; reads the
+    // pre-merge inventory, writes nothing) runs concurrently too —
+    // only the ordered inventory writes stay on the critical path
+    val segDeltaFuture = scala.concurrent.Future {
+      graft.ops.IngestOps.segmentDelta(spark, key, accepted, "clean",
+        segLen)
+    }(scala.concurrent.ExecutionContext.global)
     // drift metrics run CONCURRENTLY with the pack-manifest and merge
     // jobs below (optimization guide §2.6 — overlap independent jobs):
     // the agg reads only the pinned `accepted` checkpoint, so nothing
@@ -441,7 +461,29 @@ final class IngestLoop(spark: SparkSession, key: String, idCol: String,
     // artifact itself on restart (so a new loop over the same
     // manifest continues where the last one stopped — the same
     // artifact-is-the-state story as the inventories).
-    for (b <- bpe; dir <- packManifestDir) {
+    // r15: the BPE tokenize pass — the manifest path's one expensive
+    // kernel — is PINNED first (16-byte rows) and built concurrently
+    // with the accounting agg above; previously the un-pinned plan ran
+    // the full encode TWICE (once inside withGlobalOffset's range
+    // sampler, once for its checkpoint), and a third checkpoint job
+    // pinned the offset join whose inputs were already pinned.
+    val manifestPinFuture = for (b <- bpe; dir <- packManifestDir) yield
+      scala.concurrent.Future {
+        accepted.select(col(idCol).cast("long").as("doc_id"),
+          (size(graft.ops.BpeOps.encode(col("clean"), b)) + 1)
+            .cast("long").as("n_tok"))
+          .localCheckpoint(true)
+      }(scala.concurrent.ExecutionContext.global)
+    // join the accounting before anything reads stageBuf
+    val counted = timed("await accounting") {
+      scala.concurrent.Await.result(countedFuture,
+        scala.concurrent.duration.Duration.Inf)
+    }
+    stageNames.foreach { case (nm, _) =>
+      val (n, sm) = counted.getOrElse(nm, (0L, 0L))
+      stageBuf += ((tag, nm, n, sm))
+    }
+    for (dir <- packManifestDir; mF <- manifestPinFuture) timed("manifest") {
       // nAccepted comes from the already-collected stage accounting
       // (the "4_decon" row) — no extra job
       val nAccepted = stageBuf
@@ -453,23 +495,27 @@ final class IngestLoop(spark: SparkSession, key: String, idCol: String,
         if (replay) packTotalExcluding(dir, tag)
         else packTotalStored(dir)
       if (nAccepted > 0) {
-        val m = accepted.select(col(idCol).cast("long").as("doc_id"),
-          (size(graft.ops.BpeOps.encode(col("clean"), b)) + 1)
-            .cast("long").as("n_tok"))
-        // checkpointed so the write and the new-total agg share ONE
-        // execution of the BPE-encode + offset-window plan
-        val out = graft.ops.PackOps
-          .withGlobalOffset(m, "doc_id", "n_tok", "__off")
+        val m = scala.concurrent.Await.result(mF,
+          scala.concurrent.duration.Duration.Inf)
+        // the offset scan and everything after it read only the pinned
+        // manifest rows; the write replays one broadcast join over
+        // them — no third materialization. Partition count derives
+        // from the batch's OWN row count (parts = 1 for ordinary
+        // batches skips the range sampler's job); the new stored
+        // total is the offset scan's own grand total — the old
+        // post-write max() aggregate re-derived a number the driver
+        // had just finished adding up.
+        val (off, batchTokens) = graft.ops.PackOps
+          .withGlobalOffsetAndTotal(m, "doc_id", "n_tok", "__off",
+            parts = graft.ops.PackOps.partsFor(nAccepted))
+        val out = off
           .select(lit(tag).as("batch"), col("doc_id"), col("n_tok"),
             (col("__off") + lit(base)).as("tok_start"))
-          .localCheckpoint(true)
         // idempotent overwrite-by-tag (see the processBatch scaladoc);
         // delta parallelism scales with the batch row count
         graft.ops.IngestOps.overwriteTagged(spark, out, dir, tag,
           graft.ops.IngestOps.deltaFileCount(nAccepted))
-        packTotal = Some(out
-          .agg(coalesce(max(col("tok_start") + col("n_tok")), lit(base)))
-          .collect()(0).getLong(0))
+        packTotal = Some(base + batchTokens)
       } else if (replay) {
         // post-merge replay gated to empty: the stored delta rows ARE
         // the truth — keep them; invalidate the cached total so the
@@ -480,16 +526,22 @@ final class IngestLoop(spark: SparkSession, key: String, idCol: String,
     if (crashAfterManifestWrite)
       throw new IllegalStateException("injected crash (test hook): " +
         "manifest delta written, inventory merge not committed")
-    graft.ops.IngestOps.mergeAccepted(spark, key, accepted, "clean",
-      segLen, nDocsKnown = stageBuf
-        .collectFirst { case (`tag`, "4_decon", n, _) => n })
+    timed("merge") {
+      graft.ops.IngestOps.mergeAccepted(spark, key, accepted, "clean",
+        segLen, nDocsKnown = stageBuf
+          .collectFirst { case (`tag`, "4_decon", n, _) => n },
+        segDeltaKnown = Some(scala.concurrent.Await.result(segDeltaFuture,
+          scala.concurrent.duration.Duration.Inf)))
+    }
     // join the concurrent drift job BEFORE the commit marker: a drift
     // failure leaves the tag uncommitted (exactly the crash window the
     // replay protocol already covers — a committed-artifact replay is
     // a structural no-op), and the report buffer is complete before
     // the method returns.
-    driftFuture.foreach(f => scala.concurrent.Await.result(f,
-      scala.concurrent.duration.Duration.Inf))
+    timed("await drift") {
+      driftFuture.foreach(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf))
+    }
     // the atomic commit point: both artifacts are now consistent.
     // The marker stores the INCOMING batch's fingerprint (already in
     // the stage accounting — no extra job) for tag-reuse detection.

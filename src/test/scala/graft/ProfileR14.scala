@@ -27,7 +27,8 @@ object ProfileR14 {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("PROFILE_SHUFFLE", cpus))
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("PROFILE_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")

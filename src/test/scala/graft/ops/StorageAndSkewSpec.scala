@@ -8,6 +8,36 @@ import graft.{SparkSpec, Tables}
 
 class StorageAndSkewSpec extends SparkSpec {
 
+  test("fan-out gate: a small derived estimate over a large leaf " +
+      "cannot fire the repartition (mis-estimate guard)") {
+    def hasRepartition(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains("Repartition")
+    val key = "spark.sql.files.maxPartitionBytes"
+    val saved = spark.conf.get(key)
+    try {
+      val scan = Tables.lineitem(spark, Sf0001)
+      val leafBytes = scan.queryExecution.optimizedPlan
+        .stats.sizeInBytes.toLong
+      // gate = par(4) × maxPartitionBytes; pick maxPartitionBytes so
+      // that limit-estimate < gate < leaf-estimate
+      spark.conf.set(key, (leafBytes / 8).max(64L).toString)
+      val derived = scan.limit(1) // tiny optimizer estimate, huge leaf
+      val dBytes = derived.queryExecution.optimizedPlan
+        .stats.sizeInBytes
+      assert(dBytes < BigInt(leafBytes),
+        s"test setup: limit estimate $dBytes must undercut leaf $leafBytes")
+      assert(!hasRepartition(StorageOps.fanOutForKernel(derived)),
+        "leaf guard must block the fan-out when the scan is over-gate")
+      assert(!hasRepartition(StorageOps.fanOutForKey(derived,
+        col("l_orderkey"))),
+        "keyed fan-out shares the same leaf guard")
+      // and a genuinely small scan-rooted input still fires
+      spark.conf.set(key, ((leafBytes + 1) * 4).toString)
+      assert(hasRepartition(StorageOps.fanOutForKernel(scan)),
+        "an under-gate scan-rooted input must still fan out")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("partitioned write + partition-pruned read") {
     val dir = Files.createTempDirectory("graft-part").toString + "/orders"
     val orders = Tables.orders(spark, Sf0001)
