@@ -344,23 +344,22 @@ object DedupOps {
       .select(col(idCol), HashFunctions.portableShingleHashes(
         tokens(col(textCol)), shingleN).as("hs0"))
       .localCheckpoint(true)
-    // r15: the df-count/rank aggregations are the op's serial
-    // bottleneck locally — at sf0.1 AQE coalesces their ~5 MB
-    // exchanges to ONE partition, so the BoundedCollectSet /
-    // sort_array collect aggregations over the full shingle stream
-    // run single-task (ProfileR14: 22 tasks over 18 jobs, taskSum
-    // ≈ wall). The size-gated keyed fan-outs below satisfy each
-    // consumer's distribution (no extra exchange — the same rows move
-    // once either way) and run the group compute at core count; above
-    // the gate the plan is untouched and AQE's coalescing is right.
-    val tok = StorageOps.fanOutForKey(
-      sets.select(col(idCol), explode(col("hs0")).as("h")), col("h"))
+    // NOT fanned out (measured r15): an explicit keyed repartition
+    // ahead of the df-count or prefix-bucket aggregations moves the
+    // partial-aggregation boundary — raw shingle/prefix rows shuffle
+    // where map-side combine used to compress them first (shuffle MB
+    // doubled) — guide §2.3 "aggregate before you shuffle".
+    val tok = sets.select(col(idCol), explode(col("hs0")).as("h"))
     val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // per-doc hash list in global (df, h) order — row-local size.
     // Pinned: referenced by BOTH the prefix explode and the size-
     // compatibility frame below; without the checkpoint each reference
     // re-runs the df join + collect aggregation (two md5 kernel passes
     // each). The pinned payload is hash arrays, ~1/8 the corpus text.
+    // The rank-build input IS fanned out (size-gated, by id): AQE
+    // coalesces its exchange to one partition locally, serializing the
+    // sort_array/collect compute, and collect_list has no map-side
+    // compression to lose — rows are the same size either way.
     val ranked = StorageOps.fanOutForKey(
         tok.join(dfreq, Seq("h")), col(idCol))
       .groupBy(col(idCol))
@@ -397,10 +396,9 @@ object DedupOps {
         (col(idCol).cast("long") * lit(1L << SizeBits) +
           least(col("n"), lit(SizeCap)).cast("long")).as("__e")
       else col(idCol).cast("long").as("__e")
-    val pre = StorageOps.fanOutForKey(
-      ranked.withColumn("plen", plen)
-        .select(preId, explode(slice(col("hs"), lit(1),
-          col("plen"))).as("h")), col("h"))
+    val pre = ranked.withColumn("plen", plen)
+      .select(preId, explode(slice(col("hs"), lit(1),
+        col("plen"))).as("h"))
     val sizeOf = (c: Column) => c.bitwiseAND(lit(SizeCap.toLong))
     val lenPred = (a: Column, b: Column) => {
       val na = sizeOf(a)
